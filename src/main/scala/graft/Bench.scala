@@ -20,5 +20,8 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // the JDK HttpServer behind the stub-backed queries keeps a non-daemon
+    // HTTP-Dispatcher thread alive; exit explicitly
+    sys.exit(0)
   }
 }

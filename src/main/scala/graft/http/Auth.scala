@@ -1,0 +1,80 @@
+package graft.http
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.{Duration, Instant}
+import java.util.Base64
+
+/** Header value preprocessors (reference:
+  * `preprocessor/HeaderValuePreprocessor.java` and friends).
+  */
+trait HeaderValuePreprocessor extends Serializable {
+  def preprocess(rawValue: String): String
+}
+
+/** Basic-auth transformation (reference:
+  * `table/BasicAuthHeaderValuePreprocessor` semantics, documented in
+  * `docs/content/docs/connectors/table/http.md` "Basic Authentication"):
+  * values already starting with `Basic ` — or any value when `useRawAuthHeader`
+  * — pass through untouched; a `user:password` value is Base64-encoded and
+  * prefixed with `Basic `.
+  */
+final case class BasicAuthHeaderValuePreprocessor(useRawAuthHeader: Boolean = false)
+    extends HeaderValuePreprocessor {
+  def preprocess(rawValue: String): String =
+    if (useRawAuthHeader || rawValue.startsWith("Basic ")) rawValue
+    else
+      "Basic " + Base64.getEncoder.encodeToString(
+        rawValue.getBytes(StandardCharsets.UTF_8))
+}
+
+/** OIDC bearer header: `Bearer <token from token manager>` (reference:
+  * `preprocessor/OIDCAuthHeaderValuePreprocessor.java`). The raw configured
+  * Authorization value is replaced by the bearer token.
+  */
+final class OidcAuthHeaderValuePreprocessor(tokenSupplier: () => String)
+    extends HeaderValuePreprocessor {
+  def preprocess(rawValue: String): String = "Bearer " + tokenSupplier()
+}
+
+/** OIDC access-token manager (reference: `auth/OidcAccessTokenManager.java:
+  * 36-140`): POSTs the configured `application/x-www-form-urlencoded` token
+  * request to the token endpoint, caches `access_token` until
+  * `expires_in - expiryReduction`, and refreshes on demand. Thread-safe —
+  * shared per executor.
+  */
+final class OidcTokenManager(
+    client: HttpClient,
+    tokenRequestBody: String,
+    tokenEndpointUrl: String,
+    expiryReduction: Duration = Duration.ofSeconds(1)) {
+
+  private var cachedToken: String = _
+  private var cachedExpiry: Instant = _
+
+  def authenticate(): String = synchronized {
+    if (cachedToken == null || Instant.now().isAfter(cachedExpiry))
+      requestToken()
+    cachedToken
+  }
+
+  private def requestToken(): Unit = {
+    val req = HttpRequest
+      .newBuilder()
+      .uri(URI.create(tokenEndpointUrl))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(tokenRequestBody))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new IllegalStateException(
+        s"Token endpoint returned http status ${resp.statusCode()}")
+    val root = Json.mapper.readTree(resp.body())
+    cachedToken = root.path("access_token").textValue()
+    var expiresIn = Duration.ofSeconds(root.path("expires_in").asInt())
+    if (expiresIn.compareTo(expiryReduction) > 0)
+      expiresIn = expiresIn.minus(expiryReduction)
+    cachedExpiry = Instant.now().plus(expiresIn)
+  }
+}

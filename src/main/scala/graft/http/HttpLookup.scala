@@ -1,0 +1,321 @@
+package graft.http
+
+import java.util.concurrent.{Executors, ThreadFactory}
+import scala.collection.mutable
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, ExecutionContextExecutorService, Future}
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** HTTP lookup join — the Spark-native re-expression of the reference's HTTP
+  * lookup table source (`table/lookup/HttpLookupTableSource.java`,
+  * `HttpTableLookupFunction.java`, `AsyncHttpTableLookupFunction.java`).
+  *
+  * Where Flink's planner inserts a lookup-join operator probing a
+  * `LookupTableSource`, we enrich a (batch or streaming) DataFrame directly:
+  *
+  *   1. the request URL/body are rendered *inside Catalyst* by the configured
+  *      [[QueryCreator]] (whole-stage codegen; no per-row interpretation),
+  *   2. a narrow `mapPartitions` performs the HTTP I/O (per-executor client +
+  *      cache, bounded in-flight concurrency, retries, classification) — it
+  *      maps `String → String + metadata` and shuffles nothing,
+  *   3. the JSON response is decoded by `from_json` (+ `explode_outer` for
+  *      `result-type=array`) back in Catalyst.
+  *
+  * At 1000-executor scale this keeps pressure on the REST endpoint bounded by
+  * `executors × thread-pool size`, de-duplicates calls through the
+  * per-executor cache, and leaves the plan fully pipelined (no shuffle, no
+  * driver round-trips).
+  *
+  * Output columns = probe columns ++ response-schema columns (response fields
+  * whose names collide with probe columns are dropped — by construction these
+  * are the join keys echoed back) ++ optional metadata columns
+  * `http_status_code`, `error_string`, `http_headers_map`,
+  * `http_completion_state` (reference: "Available Metadata" docs table).
+  */
+object HttpLookup {
+
+  private val ReqUrl = "__graft_req_url"
+  private val ReqBody = "__graft_req_body"
+  private val RespStatus = "__graft_resp_status"
+  private val RespBody = "__graft_resp_body"
+  private val RespHeaders = "__graft_resp_headers"
+  private val RespState = "__graft_resp_state"
+  private val RespError = "__graft_resp_error"
+  private val RespParsed = "__graft_resp_parsed"
+
+  val MetaStatusCode = "http_status_code"
+  val MetaErrorString = "error_string"
+  val MetaHeadersMap = "http_headers_map"
+  val MetaCompletionState = "http_completion_state"
+
+  /** Serializable per-task I/O config. */
+  private final case class IoConfig(
+      method: String,
+      successExpr: String,
+      retryExpr: String,
+      ignoredExpr: String,
+      retryPolicy: RetryPolicy,
+      requestTimeoutMs: Long,
+      headers: Seq[(String, String)],
+      clientCfg: HttpClientFactory.ClientConfig,
+      concurrency: Int,
+      continueOnError: Boolean,
+      cacheId: String,
+      cacheOptions: Map[String, String],
+      cacheMissingKey: Boolean,
+      oidc: Option[(String, String, Long)], // tokenRequest, endpoint, expiryReductionMs
+      useRawAuthHeader: Boolean,
+      loggingLevel: String)
+
+  def join(
+      probe: DataFrame,
+      keyCols: Seq[String],
+      responseSchema: StructType,
+      options: Map[String, String],
+      includeMetadata: Boolean = false): DataFrame = {
+    val o = HttpOptions(options)
+    val creator = QueryCreator.fromOptions(o)
+    val compiled = creator.compile(probe, keyCols)
+
+    val io = IoConfig(
+      method = o.str(HttpOptions.LookupMethod, "GET").toUpperCase,
+      successExpr = o.str(HttpOptions.SuccessCodes, "2XX"),
+      retryExpr = o.str(HttpOptions.RetryCodes, "500,503,504"),
+      ignoredExpr = o.str(HttpOptions.IgnoredCodes, ""),
+      retryPolicy = RetryPolicy.fromOptions(o),
+      requestTimeoutMs = o.durationMs(HttpOptions.RequestTimeout, 30000L),
+      headers = o.withPrefix(HttpOptions.SourceHeaderPrefix).toSeq,
+      clientCfg = HttpClientFactory.ClientConfig.fromOptions(o),
+      concurrency =
+        if (o.bool(HttpOptions.AsyncPolling, default = false))
+          o.int(HttpOptions.RequestThreadPool, 8)
+        else 1,
+      continueOnError = o.bool(HttpOptions.ContinueOnError, default = false),
+      cacheId = options.toSeq.sorted.mkString("|"),
+      cacheOptions = options,
+      cacheMissingKey = o.bool(HttpOptions.CacheMissingKey, default = true),
+      oidc = o.strOpt(HttpOptions.OidcTokenRequest).map { tr =>
+        (
+          tr,
+          o.required(HttpOptions.OidcTokenEndpoint),
+          o.durationMs(HttpOptions.OidcExpiryReduction, 1000L))
+      },
+      useRawAuthHeader = o.bool(HttpOptions.UseRawAuthHeader, default = false),
+      loggingLevel = o.str("http.logging.level", "MIN"))
+
+    val staged = probe
+      .withColumn(ReqUrl, compiled.url)
+      .withColumn(
+        ReqBody,
+        compiled.body.getOrElse(lit(null).cast(StringType)))
+
+    val outSchema = StructType(
+      staged.schema.fields ++ Array(
+        StructField(RespStatus, IntegerType),
+        StructField(RespBody, StringType),
+        StructField(
+          RespHeaders,
+          MapType(StringType, ArrayType(StringType))),
+        StructField(RespState, StringType),
+        StructField(RespError, StringType)))
+
+    val urlIdx = staged.schema.fieldIndex(ReqUrl)
+    val bodyIdx = staged.schema.fieldIndex(ReqBody)
+
+    val ioDf = staged.mapPartitions { iter =>
+      executePartition(iter, io, urlIdx, bodyIdx)
+    }(Encoders.row(outSchema))
+
+    // --- back in Catalyst: decode + classify + project --------------------
+    val resultType = o.str(HttpOptions.ResultType, "single-value")
+    val parsedCol = resultType match {
+      case "single-value" => from_json(col(RespBody), responseSchema)
+      case "array" =>
+        explode_outer(from_json(col(RespBody), ArrayType(responseSchema)))
+      case other =>
+        throw new HttpConfigException(s"Unknown result-type '$other'")
+    }
+    var out = ioDf.withColumn(RespParsed, parsedCol)
+
+    // SUCCESS but undecodable body → UNABLE_TO_DESERIALIZE_RESPONSE with the
+    // raw body as error-string (reference: "Available Metadata" doc rules).
+    val stateCol = when(
+      col(RespState) === CompletionState.Success &&
+        col(RespBody).isNotNull && col(RespParsed).isNull,
+      lit(CompletionState.UnableToDeserialize)).otherwise(col(RespState))
+    val errorCol = when(
+      col(RespState) === CompletionState.Success &&
+        col(RespBody).isNotNull && col(RespParsed).isNull,
+      col(RespBody)).otherwise(col(RespError))
+    out = out
+      .withColumn(RespState, stateCol)
+      .withColumn(RespError, errorCol)
+
+    if (!includeMetadata) {
+      // Inner-join semantics: ignored responses emit no row when no metadata
+      // columns are declared (docs: "Available Metadata").
+      out = out.filter(col(RespState) =!= CompletionState.IgnoreStatusCode)
+    }
+
+    val probeCols = probe.columns.map(col).toSeq
+    val respCols = responseSchema.fields.toSeq
+      .filterNot(f => probe.columns.contains(f.name))
+      .map(f => col(RespParsed).getField(f.name).as(f.name))
+    val metaCols =
+      if (includeMetadata)
+        Seq(
+          col(RespStatus).as(MetaStatusCode),
+          col(RespError).as(MetaErrorString),
+          col(RespHeaders).as(MetaHeadersMap),
+          col(RespState).as(MetaCompletionState))
+      else Seq.empty[Column]
+
+    out.select(probeCols ++ respCols ++ metaCols: _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // Per-partition I/O
+  // ---------------------------------------------------------------------
+
+  /** Shared daemon pool for async lookup; concurrency is bounded per task by
+    * the pending-queue size, so a cached pool cannot run away.
+    */
+  private lazy val sharedPool: ExecutionContextExecutorService =
+    ExecutionContext.fromExecutorService(
+      Executors.newCachedThreadPool(new ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-http-lookup-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      }))
+
+  private def executePartition(
+      iter: Iterator[Row],
+      io: IoConfig,
+      urlIdx: Int,
+      bodyIdx: Int): Iterator[Row] = {
+    val httpClient = HttpClientFactory.shared(io.clientCfg)
+    val headers = renderHeaders(io, httpClient)
+    val client = new HttpLookupClient(
+      httpClient,
+      ResponseChecker(io.successExpr, io.retryExpr),
+      if (io.ignoredExpr.trim.isEmpty) Set.empty
+      else HttpCodes.parse(io.ignoredExpr),
+      io.retryPolicy,
+      io.requestTimeoutMs,
+      headers,
+      RequestCallback.Slf4jLogger(RequestCallback.Level.parse(io.loggingLevel)))
+    val cache = LookupCache.shared(io.cacheId, HttpOptions(io.cacheOptions))
+
+    def call(url: String, body: String): HttpOutcome = {
+      val key = url + " " + (if (body == null) "" else body)
+      cache.flatMap(_.get(key)) match {
+        case Some(hit) => hit
+        case None =>
+          val outcome = client.execute(io.method, url, Option(body))
+          val cacheable = outcome.state == CompletionState.Success ||
+            (io.cacheMissingKey && outcome.state == CompletionState.IgnoreStatusCode)
+          if (cacheable) cache.foreach(_.put(key, outcome))
+          outcome
+      }
+    }
+
+    def emit(row: Row, oc: HttpOutcome): Row = {
+      if (!io.continueOnError &&
+        (oc.state == CompletionState.HttpErrorStatus ||
+          oc.state == CompletionState.Exception))
+        throw new HttpStatusCodeValidationFailedException(
+          s"HTTP lookup failed (${oc.error}); set " +
+            s"'${HttpOptions.ContinueOnError}'='true' to continue with null " +
+            "enrichment columns")
+      Row.fromSeq(
+        row.toSeq ++ Seq(oc.status, oc.body, oc.headers, oc.state, oc.error))
+    }
+
+    if (io.concurrency <= 1) {
+      iter.map { row =>
+        emit(row, call(row.getString(urlIdx), rowBody(row, bodyIdx)))
+      }
+    } else {
+      // Bounded-concurrency pipelined iterator: submit up to `concurrency`
+      // requests ahead, emit strictly in input order (the async analog of the
+      // reference's AsyncHttpTableLookupFunction with ordered wait).
+      implicit val ec: ExecutionContext = sharedPool
+      new Iterator[Row] {
+        private val pending = mutable.Queue.empty[(Row, Future[HttpOutcome])]
+        private def fill(): Unit =
+          while (pending.size < io.concurrency && iter.hasNext) {
+            val row = iter.next()
+            val url = row.getString(urlIdx)
+            val body = rowBody(row, bodyIdx)
+            pending.enqueue(row -> Future(call(url, body)))
+          }
+        def hasNext: Boolean = { fill(); pending.nonEmpty }
+        def next(): Row = {
+          fill()
+          val (row, fut) = pending.dequeue()
+          emit(row, Await.result(fut, Duration.Inf))
+        }
+      }
+    }
+  }
+
+  private def rowBody(row: Row, bodyIdx: Int): String =
+    if (row.isNullAt(bodyIdx)) null else row.getString(bodyIdx)
+
+  /** Resolve static headers once per task: Basic-auth transformation on the
+    * `Authorization` header, or OIDC bearer token (refreshed lazily via the
+    * per-executor token manager).
+    */
+  private def renderHeaders(
+      io: IoConfig,
+      httpClient: java.net.http.HttpClient): Seq[(String, String)] = {
+    val oidcManager = io.oidc.map { case (tokenReq, endpoint, reductionMs) =>
+      OidcManagers.shared(httpClient, tokenReq, endpoint, reductionMs)
+    }
+    val basic = BasicAuthHeaderValuePreprocessor(io.useRawAuthHeader)
+    val base = io.headers.map {
+      case (name, value) if name.equalsIgnoreCase("Authorization") =>
+        name -> basic.preprocess(value)
+      case kv => kv
+    }
+    oidcManager match {
+      case Some(mgr) =>
+        // OIDC overrides any configured Authorization header (docs: "Http
+        // headers" note).
+        base.filterNot(_._1.equalsIgnoreCase("Authorization")) :+
+          ("Authorization" -> ("Bearer " + mgr.authenticate()))
+      case None => base
+    }
+  }
+}
+
+/** Per-executor OIDC token manager registry (one manager per endpoint+request
+  * so the cached token is shared by all tasks on the executor).
+  */
+object OidcManagers {
+  private val instances =
+    new java.util.concurrent.ConcurrentHashMap[String, OidcTokenManager]()
+  def shared(
+      client: java.net.http.HttpClient,
+      tokenRequest: String,
+      endpoint: String,
+      expiryReductionMs: Long): OidcTokenManager =
+    instances.computeIfAbsent(
+      endpoint + " " + tokenRequest,
+      _ =>
+        new OidcTokenManager(
+          client,
+          tokenRequest,
+          endpoint,
+          java.time.Duration.ofMillis(expiryReductionMs)))
+}
+
+/** Reference: `HttpStatusCodeValidationFailedException.java`. */
+class HttpStatusCodeValidationFailedException(msg: String)
+    extends RuntimeException(msg)

@@ -1,0 +1,104 @@
+package graft.http
+
+import java.time.Duration
+
+/** Typed view over the connector's string-string option map (the Spark analog
+  * of the reference's table DDL `WITH (...)` options; reference:
+  * `config/HttpConnectorConfigConstants.java`,
+  * `table/lookup/HttpLookupConnectorOptions.java`).
+  *
+  * Durations accept Flink-style strings: `30s`, `1min`, `250ms`, `1 h`, `2d`,
+  * or a bare millisecond count.
+  */
+final case class HttpOptions(options: Map[String, String]) extends Serializable {
+  def str(key: String, default: String): String =
+    options.getOrElse(key, default)
+  def strOpt(key: String): Option[String] = options.get(key)
+  def required(key: String): String =
+    options.getOrElse(
+      key,
+      throw new HttpConfigException(s"Missing required option '$key'"))
+  def int(key: String, default: Int): Int =
+    options.get(key).map(_.trim.toInt).getOrElse(default)
+  def long(key: String, default: Long): Long =
+    options.get(key).map(_.trim.toLong).getOrElse(default)
+  def double(key: String, default: Double): Double =
+    options.get(key).map(_.trim.toDouble).getOrElse(default)
+  def bool(key: String, default: Boolean): Boolean =
+    options.get(key).map(_.trim.toBoolean).getOrElse(default)
+
+  def durationMs(key: String, defaultMs: Long): Long =
+    options.get(key).map(HttpOptions.parseDurationMs).getOrElse(defaultMs)
+
+  /** All options whose key starts with `prefix`, with the prefix stripped —
+    * used for `http.source.lookup.header.<NAME>` style maps.
+    */
+  def withPrefix(prefix: String): Map[String, String] =
+    options.collect {
+      case (k, v) if k.startsWith(prefix) => k.substring(prefix.length) -> v
+    }
+}
+
+object HttpOptions {
+  def apply(kvs: (String, String)*): HttpOptions = HttpOptions(kvs.toMap)
+
+  private val DurationRe = "(?i)^([0-9]+)\\s*(ms|s|sec|min|m|h|d)?$".r
+
+  def parseDurationMs(s: String): Long = s.trim match {
+    case DurationRe(n, unit) =>
+      val v = n.toLong
+      Option(unit).map(_.toLowerCase) match {
+        case None | Some("ms") => v
+        case Some("s") | Some("sec") => Duration.ofSeconds(v).toMillis
+        case Some("min") | Some("m") => Duration.ofMinutes(v).toMillis
+        case Some("h") => Duration.ofHours(v).toMillis
+        case Some("d") => Duration.ofDays(v).toMillis
+        case _ => throw new HttpConfigException(s"Bad duration '$s'")
+      }
+    case other => throw new HttpConfigException(s"Bad duration '$other'")
+  }
+
+  // Option keys (reference: HttpConnectorConfigConstants.java) — the
+  // reference's `gid.connector.` prefix was dropped upstream; we keep the
+  // upstream `http.` names.
+  val Url = "url"
+  val LookupMethod = "lookup-method"
+  val AsyncPolling = "asyncPolling"
+  val LookupQueryCreator = "lookup-query-creator"
+  val LookupCacheKind = "lookup.cache"
+  val CacheMaxRows = "lookup.partial-cache.max-rows"
+  val CacheExpireAfterWrite = "lookup.partial-cache.expire-after-write"
+  val CacheExpireAfterAccess = "lookup.partial-cache.expire-after-access"
+  val CacheMissingKey = "lookup.partial-cache.cache-missing-key"
+  val MaxRetries = "lookup.max-retries"
+  val SourceHeaderPrefix = "http.source.lookup.header."
+  val SinkHeaderPrefix = "http.sink.header."
+  val SuccessCodes = "http.source.lookup.success-codes"
+  val RetryCodes = "http.source.lookup.retry-codes"
+  val IgnoredCodes = "http.source.lookup.ignored-response-codes"
+  val ContinueOnError = "http.source.lookup.continue-on-error"
+  val RequestTimeout = "http.source.lookup.request.timeout"
+  val ConnectionTimeout = "http.source.lookup.connection.timeout"
+  val RequestThreadPool = "http.source.lookup.request.thread-pool.size"
+  val UseRawAuthHeader = "http.source.lookup.use-raw-authorization-header"
+  val ResultType = "http.source.lookup.result-type"
+  val BodyTemplate = "http.request.body-template"
+  val UrlMap = "http.request.url-map"
+  val QueryParamFields = "http.request.query-param-fields"
+  val OidcTokenRequest = "http.security.oidc.token.request"
+  val OidcTokenEndpoint = "http.security.oidc.token.endpoint.url"
+  val OidcExpiryReduction = "http.security.oidc.token.expiry.reduction"
+  val ProxyHost = "http.source.lookup.proxy.host"
+  val ProxyPort = "http.source.lookup.proxy.port"
+  val ProxyUsername = "http.source.lookup.proxy.username"
+  val ProxyPassword = "http.source.lookup.proxy.password"
+  val InsertMethod = "insert-method"
+  val SinkRequestMode = "http.sink.writer.request.mode"
+  val SinkBatchSize = "http.sink.request.batch.size"
+  val SinkErrorCodes = "http.sink.error.code"
+  val SinkErrorCodesExclude = "http.sink.error.code.exclude"
+  val SinkRequestTimeout = "http.sink.request.timeout"
+  val SinkThreadPool = "http.sink.writer.thread-pool.size"
+  val SinkMaxInflight = "sink.requests.max-inflight"
+  val AllowSelfSigned = "http.security.cert.server.allowSelfSigned"
+}

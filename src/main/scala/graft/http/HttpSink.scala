@@ -1,0 +1,187 @@
+package graft.http
+
+import java.util.concurrent.Semaphore
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTTP sink — the Spark-native re-expression of the reference's sink
+  * (`sink/HttpSinkInternal.java`, `sink/httpclient/BatchRequestSubmitter.java`,
+  * `table/sink/HttpDynamicSink.java`).
+  *
+  * Rows are serialized to JSON *in Catalyst* (`to_json`, codegen) before the
+  * I/O layer ever sees them; each partition then submits payloads to the
+  * endpoint either in `batch` mode (JSON-array bodies of
+  * `http.sink.request.batch.size` elements, default 500 — reference docs
+  * "Batch submission mode") or `single` mode (one request per row), with
+  * bounded in-flight concurrency (`sink.requests.max-inflight` /
+  * `http.sink.writer.thread-pool.size`).
+  *
+  * Failure semantics: a response classified as error (default `4XX,5XX`,
+  * configurable via `http.sink.error.code` / `.exclude`) or an IOException
+  * fails the Spark task — Spark's task retry then re-submits the partition,
+  * giving the same at-least-once delivery as the reference's AsyncSink
+  * requeue. Batches are independent, so scale-out is linear in partitions.
+  *
+  * For Structured Streaming use [[HttpSink.foreachBatchWriter]] with
+  * `writeStream.foreachBatch` (append mode, at-least-once), mirroring the
+  * reference's streaming sink.
+  */
+object HttpSink {
+
+  final case class SinkReport(requests: Long, records: Long)
+      extends Serializable
+
+  /** Write `df` to the configured endpoint. `payload` defaults to the
+    * whole-row JSON object (`to_json(struct(*))`), matching the reference's
+    * json format element converter (`table/SerializationSchemaElementConverter
+    * .java`); pass a custom Column for custom wire formats
+    * (the DataStream-API `ElementConverter` analog).
+    */
+  def write(
+      df: DataFrame,
+      options: Map[String, String],
+      payload: Option[Column] = None): Unit = {
+    val o = HttpOptions(options)
+    val url = o.required(HttpOptions.Url)
+    val method = o.str(HttpOptions.InsertMethod, "POST").toUpperCase
+    if (method != "POST" && method != "PUT")
+      throw new HttpConfigException(
+        s"insert-method must be POST or PUT, got '$method'")
+    val mode = o.str(HttpOptions.SinkRequestMode, "batch")
+    val batchSize = mode match {
+      case "batch" => o.int(HttpOptions.SinkBatchSize, 500)
+      case "single" => 1
+      case other =>
+        throw new HttpConfigException(s"Unknown sink request mode '$other'")
+    }
+    val classifier = SinkErrorClassifier(
+      o.str(HttpOptions.SinkErrorCodes, SinkErrorClassifier.DefaultErrorExpr),
+      o.str(HttpOptions.SinkErrorCodesExclude, ""))
+    val timeoutMs = o.durationMs(HttpOptions.SinkRequestTimeout, 30000L)
+    val maxInflight = math.max(
+      1,
+      math.min(
+        o.int(HttpOptions.SinkMaxInflight, 4),
+        o.int(HttpOptions.SinkThreadPool, 4)))
+    val headers = o.withPrefix(HttpOptions.SinkHeaderPrefix).toSeq
+    val useRawAuth = o.bool(HttpOptions.UseRawAuthHeader, default = false)
+    val oidc = o.strOpt(HttpOptions.OidcTokenRequest).map { tr =>
+      (
+        tr,
+        o.required(HttpOptions.OidcTokenEndpoint),
+        o.durationMs(HttpOptions.OidcExpiryReduction, 1000L))
+    }
+    val clientCfg = HttpClientFactory.ClientConfig.fromOptions(o)
+
+    val payloadCol = payload.getOrElse(to_json(struct(df.columns.map(col): _*)))
+    val staged = df.select(payloadCol.cast("string").as("payload"))
+
+    staged.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val httpClient = HttpClientFactory.shared(clientCfg)
+      val basic = BasicAuthHeaderValuePreprocessor(useRawAuth)
+      val baseHeaders = headers.map {
+        case (n, v) if n.equalsIgnoreCase("Authorization") =>
+          n -> basic.preprocess(v)
+        case kv => kv
+      }
+      val finalHeaders = oidc match {
+        case Some((tokenReq, endpoint, reductionMs)) =>
+          val mgr = OidcManagers.shared(httpClient, tokenReq, endpoint, reductionMs)
+          baseHeaders.filterNot(_._1.equalsIgnoreCase("Authorization")) :+
+            ("Authorization" -> ("Bearer " + mgr.authenticate()))
+        case None => baseHeaders
+      }
+      val submitter = new BatchSubmitter(
+        httpClient,
+        url,
+        method,
+        classifier,
+        timeoutMs,
+        finalHeaders,
+        maxInflight)
+      val batch = new scala.collection.mutable.ArrayBuffer[String](batchSize)
+      rows.foreach { r =>
+        batch += r.getString(0)
+        if (batch.size >= batchSize) {
+          submitter.submit(frame(batch.toSeq, mode))
+          batch.clear()
+        }
+      }
+      if (batch.nonEmpty) submitter.submit(frame(batch.toSeq, mode))
+      submitter.awaitAll()
+    }
+  }
+
+  /** Batch bodies are JSON arrays `[e1,e2,…]`; single mode sends the payload
+    * as-is (reference docs "Request submission").
+    */
+  private def frame(batch: Seq[String], mode: String): String =
+    if (mode == "single") batch.head
+    else batch.mkString("[", ",", "]")
+
+  /** `writeStream.foreachBatch(HttpSink.foreachBatchWriter(options))`. */
+  def foreachBatchWriter(
+      options: Map[String, String],
+      payload: Option[Column] = None): (DataFrame, Long) => Unit =
+    (batchDf, _) => write(batchDf, options, payload)
+
+  /** Bounded-in-flight async submitter for one partition (reference:
+    * `sink/httpclient/BatchRequestSubmitter.java` semantics: async submit,
+    * bounded by writer thread-pool / max-inflight; errors surface on flush).
+    */
+  private final class BatchSubmitter(
+      client: java.net.http.HttpClient,
+      url: String,
+      method: String,
+      classifier: SinkErrorClassifier,
+      timeoutMs: Long,
+      headers: Seq[(String, String)],
+      maxInflight: Int) {
+    private val permits = new Semaphore(maxInflight)
+    @volatile private var failure: Throwable = _
+    private val inflight =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.concurrent.CompletableFuture[_]]()
+
+    def submit(body: String): Unit = {
+      checkFailure()
+      permits.acquire()
+      val b = java.net.http.HttpRequest
+        .newBuilder()
+        .uri(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+        .header("Content-Type", "application/json")
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val req = b
+        .method(
+          method,
+          java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      val fut = client
+        .sendAsync(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        .whenComplete { (resp, err) =>
+          try {
+            if (err != null) failure = err
+            else if (classifier.isError(resp.statusCode()))
+              failure = new HttpStatusCodeValidationFailedException(
+                s"HTTP sink got error status ${resp.statusCode()} from $url")
+          } finally permits.release()
+        }
+      inflight.add(fut)
+      fut.whenComplete((_, _) => inflight.remove(fut))
+    }
+
+    def awaitAll(): Unit = {
+      inflight.forEach(f => try f.join() catch { case _: Throwable => () })
+      checkFailure()
+    }
+
+    private def checkFailure(): Unit = {
+      val f = failure
+      if (f != null) f match {
+        case e: RuntimeException => throw e
+        case e => throw new RuntimeException(e)
+      }
+    }
+  }
+}

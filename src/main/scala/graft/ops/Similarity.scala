@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the exact baseline: broadcast the (small)
+  * query set against the (huge) corpus — a map-side nested loop with one
+  * final top-k shuffle per query, which is the right plan at 100 TB when
+  * |queries| ≪ |corpus|. The LSH variant prunes candidates with seeded
+  * random-hyperplane sign buckets so the per-query work drops from O(N) to
+  * O(bucket).
+  *
+  * FP determinism: dot products fold left-to-right in index order over
+  * doubles (`aggregate` over `zip_with`), matching DuckDB's `list_reduce`
+  * bit-for-bit; cosine is computed as `dot / (sqrt(na) * sqrt(nb))` in both
+  * engines.
+  */
+object Similarity {
+
+  /** Ordered-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0d),
+      (acc, x) => acc + x)
+
+  /** Squared L2 norm (ordered fold, double). */
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity, `dot / (sqrt(na) * sqrt(nb))`. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Exact top-k nearest neighbors by cosine for each query vector.
+    *
+    * @param corpus  (id, vec) rows — the big side
+    * @param queries (id, vec) rows — must be broadcast-small
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int): DataFrame = {
+    val q = queries.select(
+      col(queryId).as("query_id"),
+      col(queryVec).as("__qv"))
+    val c = corpus.select(
+      col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("__cv"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        col("rank"),
+        col("cos").as("cos_sim"))
+  }
+
+  /** Seeded deterministic pseudo-random hyperplane component for plane `p`,
+    * dimension `i`: ±1 from a portable md5-derived hash of "p:i".
+    */
+  private def planeSign(p: Int, i: Column): Column =
+    when(
+      TextFunctions
+        .hash61(concat(lit(s"plane$p:"), i.cast(StringType)))
+        .bitwiseAND(1L) === 1L,
+      lit(1.0d)).otherwise(lit(-1.0d))
+
+  /** Random-hyperplane LSH bucket code (`planes` sign bits) for a vector
+    * column — sign of Σ_i s(p,i)·v_i per plane.
+    */
+  def lshBucket(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(
+          vec,
+          sequence(lit(1), size(vec)),
+          (x, i) => x.cast(DoubleType) * planeSign(p, i)),
+        lit(0.0d),
+        (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket,
+    * then exact cosine rank within the bucket. Recall < 1 by construction;
+    * the scale win is that the per-query candidate set is |corpus| / 2^planes
+    * in expectation, and the join shuffles on the bucket code.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      planes: Int = 8): DataFrame = {
+    val q = queries.select(
+      col(queryId).as("query_id"),
+      col(queryVec).as("__qv"),
+      lshBucket(col(queryVec), planes).as("__bucket"))
+    val c = corpus.select(
+      col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("__cv"),
+      lshBucket(col(corpusVec), planes).as("__bucket"))
+    val scored = c
+      .join(broadcast(q), Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        col("rank"),
+        col("cos").as("cos_sim"))
+  }
+}

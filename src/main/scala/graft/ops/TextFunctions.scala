@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * Everything here compiles to built-in Catalyst expressions (string ops +
+  * higher-order array functions with Scala Column lambdas) — no UDFs — so
+  * whole-stage codegen covers the full pipeline and the same logic is
+  * reproducible in ANSI SQL for the correctness oracles. All hashes are
+  * md5-derived (engine-portable), never engine-native hash functions.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization: `split(trim(text), '\s+')`. */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct word set. */
+  def wordSet(text: Column): Column = array_distinct(words(text))
+
+  /** `n`-word shingles (sliding windows joined by single spaces), 1-based
+    * positions; documents shorter than `n` words yield an empty array.
+    */
+  def shingles(ws: Column, n: Int): Column =
+    // guard: Spark's sequence(1, x) counts DOWN for x < 1, so short docs
+    // must short-circuit to an empty array explicitly
+    when(
+      size(ws) >= n,
+      transform(
+        sequence(lit(1), size(ws) - (n - 1)),
+        i =>
+          concat_ws(
+            " ",
+            (0 until n).map(j => element_at(ws, (i + j).cast(IntegerType))): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Distinct `n`-gram shingle set of a text column. */
+  def shingleSet(text: Column, n: Int): Column =
+    array_distinct(shingles(words(text), n))
+
+  /** 60-bit portable hash: first 15 hex chars of md5, base-16 → bigint.
+    * DuckDB equivalent: `CAST(('0x'||substr(md5(x),1,15)) AS UBIGINT)`.
+    */
+  def hash61(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** hash61 reduced mod 1e9+7 — small enough that `a*h+b` never overflows
+    * signed 64-bit for a,b < 2e9 (needed by MinHash permutations).
+    */
+  def hashMod(c: Column): Column = hash61(c) % lit(1000000007L)
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish subword token estimate: one piece per word plus an extra piece
+    * per 4 characters beyond the first 4 (char/4 heuristic, no external
+    * vocab — portable and deterministic).
+    */
+  def bpeTokenEstimate(text: Column): Column = {
+    val w = words(text)
+    size(w).cast(LongType) + aggregate(
+      transform(w, x => floor(greatest(length(x) - 4, lit(0)) / 4).cast(LongType)),
+      lit(0L),
+      (acc, x) => acc + x)
+  }
+
+  /** Sum of token lengths (exact integer). */
+  def totalTokenChars(text: Column): Column =
+    aggregate(
+      transform(words(text), x => length(x).cast(LongType)),
+      lit(0L),
+      (acc, x) => acc + x)
+
+  /** Mean token length (double, derived from exact integer sums). */
+  def meanTokenLength(text: Column): Column =
+    totalTokenChars(text).cast(DoubleType) /
+      size(words(text)).cast(DoubleType)
+
+  /** Count of tokens found in `stopwords` (exact integer, order-free). */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column = {
+    val arr = array(stopwords.map(lit): _*)
+    size(filter(words(text), w => array_contains(arr, w)))
+  }
+
+  /** Ratio of tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordHits(text, stopwords).cast(DoubleType) /
+      size(words(text)).cast(DoubleType)
+
+  /** Punctuation character ratio over all characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+      .cast(DoubleType) / length(text).cast(DoubleType)
+
+  // ------------------------------------------------------------------
+  // Language identification (stopword-hit heuristic)
+  // ------------------------------------------------------------------
+
+  /** Per-language stopword profiles (tiny, deterministic; order = tie-break
+    * priority).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "que", "pour", "sur", "pas"),
+    "es" -> Seq("el", "los", "y", "es", "una", "en", "por", "con", "para", "del"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "个"))
+
+  /** Predicted language: profile with the most stopword hits; ties resolved
+    * by profile order; zero hits → 'und'. Deterministic and expressible in
+    * the DuckDB oracle with the same case-chain.
+    */
+  def langId(text: Column): Column = {
+    val hits = LangProfiles.map { case (lang, sw) =>
+      lang -> stopwordHits(text, sw)
+    }
+    val maxHits = greatest(hits.map(_._2): _*)
+    val chain = hits.foldRight(lit("und")) { case ((lang, h), elseCol) =>
+      when(h === maxHits && maxHits > 0, lit(lang)).otherwise(elseCol)
+    }
+    chain
+  }
+
+  /** Composite quality score in [0,1]: weighted mix of length saturation,
+    * stopword ratio and mean-word-length band — the standard cheap quality
+    * gate shape for pretraining corpora. Deterministic arithmetic only.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast(DoubleType) / 400.0d, lit(1.0d))
+    val swScore =
+      least(stopwordRatio(text, LangProfiles.head._2) * 4.0d, lit(1.0d))
+    val mwl = meanTokenLength(text)
+    val mwlScore = when(mwl >= 3.0d && mwl <= 8.0d, 1.0d).otherwise(0.5d)
+    lenScore * 0.4d + swScore * 0.3d + mwlScore * 0.3d
+  }
+
+  /** Winnowing fingerprints: k-gram shingle hashes, minimum per sliding
+    * window of `w` consecutive hashes (Schleimer et al., SIGMOD'03 winnowing
+    * scheme) — used through [[graft.ops.Dedup.winnowingFingerprints]].
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(shingles(words(text), n), s => hash61(s))
+}

@@ -1,0 +1,375 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational / analytics query suite over the driver's TPC-H-ish tables.
+  *
+  * Every query here is paired with a DuckDB oracle in [[AnalyticsQueries.oracles]]
+  * (driver correctness gate). Determinism rules used throughout:
+  *   - money-ish doubles are cast to DECIMAL before SUM so aggregation is
+  *     exact and engine/order independent; averages divide the exact decimal
+  *     sum as double and round;
+  *   - every computed column carries the same alias in Spark and SQL;
+  *   - top-k uses explicit deterministic tie-breaks.
+  *
+  * Scale posture (100 TB): filters sit directly on scans (pushdown), dims
+  * (region/nation/customer/supplier/part) are broadcast, facts aggregate
+  * partially map-side before their single shuffle; no driver-side loops.
+  */
+object AnalyticsQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read nanos as long and truncate to microseconds —
+    * exactly what DuckDB does natively when it narrows ns → µs, so oracle
+    * comparisons stay bit-identical. (Integer `div`, not double `/`: nano
+    * epochs exceed 2^53.)
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact decimal sum, rounded AT DECIMAL precision and only then cast to
+    * double — rounding the exact decimal is engine-portable, while rounding
+    * the cast double hits .xx5 representation boundaries differently per
+    * engine (observed on q03).
+    */
+  private def sumDec2R(c: Column): Column =
+    round(sum(dec2(c)), 2).cast(DoubleType)
+
+  /** Exact decimal sum as double (for ratios computed identically in both
+    * engines — no rounding needed, bits match by construction).
+    */
+  private def sumDec2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- Q1-style pricing summary: filtered scan + multi-agg groupBy -----
+    "q01_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumDec2R(col("l_quantity")).as("sum_qty"),
+          sumDec2R(col("l_extendedprice")).as("sum_base_price"),
+          round(
+            sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) -
+              dec2(col("l_discount")))),
+            2).cast(DoubleType).as("sum_disc_price"),
+          (sumDec2(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (sumDec2(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ----- Q3-style: 3-way join + group agg -----
+    "q03_shipping_priority" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(
+          round(
+            sum(dec2(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount")))),
+            2).cast(DoubleType).as("revenue"))
+    },
+
+    // ----- Q5-style: 5-way join through both customer and supplier -----
+    "q05_local_supplier_volume" -> { (s, dir) =>
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val ord = t(s, dir, "orders")
+        .filter(
+          col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(
+          broadcast(cust),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(
+            sum(dec2(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount")))),
+            2).cast(DoubleType).as("revenue"))
+    },
+
+    // ----- Q6-style selective filter aggregate -----
+    "q06_forecast_revenue" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
+            col("l_discount").between(0.03, 0.07) &&
+            col("l_quantity") < 24)
+        .agg(
+          round(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount"))), 2)
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // ----- Q4-style semi-join: orders with at least one late-shipped item --
+    "q04_priority_semi" -> { (s, dir) =>
+      val ord = t(s, dir, "orders")
+      val late = t(s, dir, "lineitem")
+      ord
+        .join(
+          late,
+          ord("o_orderkey") === late("l_orderkey") &&
+            late("l_shipdate") > ord("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // ----- anti-join: customers that never ordered -----
+    "q22_customers_no_orders" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      cust
+        .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sumDec2R(col("c_acctbal")).as("sum_acctbal"))
+    },
+
+    // ----- window: top-3 orders per customer by price -----
+    "q_window_topk" -> { (s, dir) =>
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          col("rn"),
+          dec2(col("o_totalprice")).cast(DoubleType).as("o_totalprice_r"))
+    },
+
+    // ----- window: running revenue per customer over time -----
+    "q_window_running" -> { (s, dir) =>
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn(
+          "running_spend",
+          round(sum(dec2(col("o_totalprice"))).over(w), 2).cast(DoubleType))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+    },
+
+    // ----- rollup over nation -> region -----
+    "q_rollup_nation" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      cust
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sumDec2R(col("c_acctbal")).as("sum_acctbal"))
+    },
+
+    // ----- distinct aggregates -----
+    "q_distinct_custs" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))
+    },
+
+    // ----- correlated-style: customers above their nation's average balance --
+    "q_above_avg_balance" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val nationAvg = cust
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg((sumDec2(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+      cust
+        .join(broadcast(nationAvg), col("c_nationkey") === col("nk"))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n_above"),
+          sumDec2R(col("c_acctbal")).as("sum_bal"))
+    },
+
+    // ----- tumbling-window aggregation over the event stream (batch view) --
+    "q_events_hourly" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(
+          window(col("ts"), "1 hour").getField("start").as("hour_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value").cast(DecimalType(18, 6))), 4)
+            .cast(DoubleType).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // ----- sessionization (gaps-and-islands, 30 min inactivity gap) -----
+    "q_sessionize" -> { (s, dir) =>
+      val byUser = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val ev = events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn(
+          "new_session",
+          when(
+            col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+            1L).otherwise(0L))
+        .withColumn(
+          "session_id",
+          sum(col("new_session"))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy(col("user_id"))
+        .agg(
+          max(col("session_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    })
+
+  /** DuckDB oracles — must stay column-name-aligned with the Spark queries. */
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+    "q05_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q06_forecast_revenue" ->
+      """SELECT
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q04_priority_semi" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q22_customers_no_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rn,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice_r
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend
+        |FROM orders""".stripMargin,
+    "q_rollup_nation" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q_distinct_custs" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_custs,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_above_avg_balance" ->
+      """WITH nation_avg AS (
+        |  SELECT c_nationkey AS nk,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c_nationkey, count(*) AS n_above,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation_avg ON c_nationkey = nk
+        |WHERE c_acctbal > avg_bal
+        |GROUP BY c_nationkey""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sessions AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        |FROM sessions GROUP BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.http.{HttpLookup, HttpSink}
+import graft.http.testkit.StubServer
+
+/** Driver-gated HTTP connector queries.
+  *
+  * Correctness strategy: a localhost stub (zero egress) serves the *same
+  * parquet data* the DuckDB oracle reads, so the HTTP lookup join must
+  * reproduce a plain relational join and the sink round-trip must reproduce
+  * the aggregation it posted — the full encode → HTTP → decode path is
+  * inside the hash-compared result. In local mode executors share the stub's
+  * JVM; on a real cluster the same operator simply points at a real service.
+  */
+object HttpQueries {
+
+  // one stub per (purpose, sfDir), started lazily, never torn down (driver
+  // process exits at the end of Verify/Bench)
+  private val lookupServers = new ConcurrentHashMap[String, String]()
+  private val sinkServers = new ConcurrentHashMap[String, StubServer]()
+
+  /** Customer-lookup stub: GET /customer?c_custkey=N → the customer row as
+    * a JSON object (404 for unknown keys).
+    */
+  private def customerServiceUrl(spark: SparkSession, dir: String): String =
+    lookupServers.computeIfAbsent(
+      dir,
+      _ => {
+        val rows = spark.read
+          .parquet(s"$dir/customer.parquet")
+          .select(
+            col("c_custkey").cast(StringType).as("key"),
+            to_json(
+              struct(
+                col("c_name"),
+                col("c_nationkey"),
+                col("c_acctbal"),
+                col("c_mktsegment"))).as("payload"))
+          .collect()
+          .map(r => r.getString(0) -> r.getString(1))
+          .toMap
+        val server = StubServer().route("/customer") { req =>
+          StubServer.queryMap(req.query).get("c_custkey").flatMap(rows.get) match {
+            case Some(json) => (200, json)
+            case None => (404, """{"error":"not found"}""")
+          }
+        }
+        server.start()
+        server.url("/customer")
+      })
+
+  private def sinkServer(dir: String): StubServer =
+    sinkServers.computeIfAbsent(
+      dir,
+      _ => {
+        val server = StubServer().route("/ingest")(_ => (200, """{"ok":true}"""))
+        server.start()
+        server
+      })
+
+  private val customerResponseSchema = StructType(Seq(
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- HTTP lookup join: orders enriched from the customer service -----
+    "h_lookup_join" -> { (s, dir) =>
+      val probe = s.read
+        .parquet(s"$dir/orders.parquet")
+        .select(
+          col("o_orderkey"),
+          col("o_custkey").as("c_custkey"),
+          col("o_totalprice"))
+      HttpLookup.join(
+        probe,
+        keyCols = Seq("c_custkey"),
+        responseSchema = customerResponseSchema,
+        options = Map(
+          "url" -> customerServiceUrl(s, dir),
+          "lookup-method" -> "GET",
+          "asyncPolling" -> "true",
+          "http.source.lookup.request.thread-pool.size" -> "16",
+          "lookup.cache" -> "PARTIAL",
+          "lookup.partial-cache.max-rows" -> "200000",
+          "http.source.lookup.success-codes" -> "2XX",
+          "http.source.lookup.ignored-response-codes" -> "404"))
+        .select(
+          col("o_orderkey"),
+          col("c_custkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).cast(DoubleType)
+            .as("o_totalprice_r"),
+          col("c_name"),
+          col("c_nationkey"),
+          col("c_acctbal"),
+          col("c_mktsegment"))
+    },
+
+    // ----- HTTP sink round-trip: aggregate → POST batches → reassemble -----
+    "h_sink_roundtrip" -> { (s, dir) =>
+      val agg = s.read
+        .parquet(s"$dir/customer.parquet")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal").cast(DecimalType(18, 2))), 2)
+            .cast(DoubleType).as("sum_acctbal"))
+      val server = sinkServer(dir)
+      server.clear()
+      HttpSink.write(
+        agg.repartition(2),
+        Map(
+          "url" -> server.url("/ingest"),
+          "insert-method" -> "POST",
+          "http.sink.writer.request.mode" -> "batch",
+          "http.sink.request.batch.size" -> "10"))
+      val bodies = server.requests.map(_.body)
+      val bodySchema = ArrayType(StructType(Seq(
+        StructField("c_nationkey", IntegerType),
+        StructField("n_customers", LongType),
+        StructField("sum_acctbal", DoubleType))))
+      import s.implicits._
+      s.createDataset(bodies)
+        .toDF("body")
+        .select(explode(from_json(col("body"), bodySchema)).as("rec"))
+        .select(col("rec.c_nationkey"), col("rec.n_customers"), col("rec.sum_acctbal"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "h_lookup_join" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice_r,
+        |  c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "h_sink_roundtrip" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
+        |FROM customer GROUP BY c_nationkey""".stripMargin
+  )
+}

@@ -1,0 +1,296 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextFunctions}
+
+/** LLM-training-data pipeline queries (dedup, text analysis, similarity,
+  * multimodal) over the `documents` / `embeddings` tables, each paired with
+  * a DuckDB oracle. The oracle SQL for hash-based operators is generated
+  * from the same Scala constants (minhash permutations, stopword profiles)
+  * so the two sides cannot drift.
+  */
+object PipelineQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // Shared SQL fragments -------------------------------------------------
+
+  /** DuckDB: whitespace word array of `text`. */
+  private val WsSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** DuckDB: distinct 3-word shingles from a word-array column `ws`. */
+  private def shinglesSql(ws: String): String =
+    s"list_distinct(list_transform(range(1, greatest(len($ws) - 1, 1)), " +
+      s"i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2]))"
+
+  /** DuckDB: portable 60-bit md5 hash of a string expression. */
+  private def hash61Sql(x: String): String =
+    s"CAST(CAST(('0x' || substr(md5($x), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+  private def listLit(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- exact dedup by content hash -----
+    "p_exact_dedup" -> { (s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ----- exact n-gram jaccard near-dup pairs within (lang, source) -----
+    "p_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"),
+        "doc_id",
+        "text",
+        Seq("lang", "source"),
+        n = 3,
+        threshold = 0.5)
+    },
+
+    // ----- minhash + banded LSH near-dup, jaccard-verified -----
+    "p_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLshPairs(
+        t(s, dir, "documents"),
+        "doc_id",
+        "text",
+        n = 3,
+        bands = 4,
+        threshold = 0.5)
+    },
+
+    // ----- simhash signatures -----
+    "p_simhash" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    },
+
+    // ----- winnowing fingerprints -----
+    "p_winnow_fingerprint" -> { (s, dir) =>
+      Dedup.winnowingFingerprints(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, w = 4)
+    },
+
+    // ----- token statistics -----
+    "t_token_stats" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        size(TextFunctions.wordSet(col("text"))).as("n_uniq_tokens"),
+        TextFunctions.bpeTokenEstimate(col("text")).as("n_bpe_est"),
+        TextFunctions.meanTokenLength(col("text")).as("mean_token_len"))
+    },
+
+    // ----- quality scoring -----
+    "t_quality_score" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    },
+
+    // ----- language identification vs. labeled lang column -----
+    "t_lang_id" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("lang"),
+          TextFunctions.langId(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
+    // ----- brute-force cosine top-k -----
+    "s_cosine_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb,
+        "vec_id",
+        "embedding",
+        emb.filter(col("vec_id") % 50 === 0),
+        "vec_id",
+        "embedding",
+        k = 5)
+    },
+
+    // ----- multimodal metadata extraction (stub decoder over binary) -----
+    "m_media_meta" -> { (s, dir) =>
+      val staged = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
+      Multimodal.extractMeta(staged, "doc_id", "blob")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "p_exact_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS doc_id_kept, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "p_ngram_jaccard" -> {
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, source, ${shinglesSql(WsSql)} AS sh
+         |  FROM documents WHERE len($WsSql) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.sh, b.sh)) AS i,
+         |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+         |  FROM d a JOIN d b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, i * 1.0 / u AS jaccard
+         |FROM pairs WHERE i * 1.0 / u >= 0.5""".stripMargin
+    },
+    "p_minhash_lsh" -> {
+      val a = listLit(Dedup.MinhashA)
+      val b = listLit(Dedup.MinhashB)
+      val p = Dedup.MinhashP
+      s"""WITH d AS (
+         |  SELECT doc_id, ${shinglesSql(WsSql)} AS sh FROM documents),
+         |h AS (
+         |  SELECT doc_id, sh, list_transform(sh, s -> ${hash61Sql("s")}) AS hs
+         |  FROM d),
+         |sig AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(range(0, 16), k ->
+         |      coalesce(list_min(list_transform(hs,
+         |        x -> ($a[k+1] * (x % $p) + $b[k+1]) % $p)), $p)) AS sig
+         |  FROM h),
+         |banded AS (
+         |  SELECT doc_id, sh,
+         |    unnest(range(0, 4)) AS band,
+         |    unnest(list_transform(range(0, 4), bi ->
+         |      CAST(sig[bi*4+1] AS VARCHAR) || '-' || CAST(sig[bi*4+2] AS VARCHAR)
+         |      || '-' || CAST(sig[bi*4+3] AS VARCHAR) || '-' || CAST(sig[bi*4+4] AS VARCHAR)))
+         |      AS band_key
+         |  FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.band_key = r.band_key
+         |   AND l.doc_id < r.doc_id),
+         |verified AS (
+         |  SELECT c.id_a, c.id_b,
+         |    len(list_intersect(da.sh, db.sh)) AS i,
+         |    len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS u
+         |  FROM cand c
+         |  JOIN d da ON da.doc_id = c.id_a
+         |  JOIN d db ON db.doc_id = c.id_b)
+         |SELECT id_a, id_b, i * 1.0 / u AS jaccard
+         |FROM verified WHERE i * 1.0 / u >= 0.5""".stripMargin
+    },
+    "p_simhash" -> {
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(list_distinct($WsSql), w -> ${hash61Sql("w")}) AS hs
+         |  FROM documents)
+         |SELECT doc_id,
+         |  list_reduce(list_transform(range(0, ${Dedup.SimhashBits}), i ->
+         |    CASE WHEN list_reduce(list_transform(hs, x -> ((x >> i) & 1) * 2 - 1),
+         |                          (acc, v) -> acc + v) > 0
+         |         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END),
+         |    (acc, v) -> acc + v) AS simhash
+         |FROM h""".stripMargin
+    },
+    "p_winnow_fingerprint" -> {
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_transform(range(1, greatest(len($WsSql) - 1, 1)),
+         |        i -> $WsSql[i] || ' ' || $WsSql[i+1] || ' ' || $WsSql[i+2]),
+         |      s -> ${hash61Sql("s")}) AS hs
+         |  FROM documents),
+         |exploded AS (
+         |  SELECT doc_id, unnest(hs) AS h,
+         |    unnest(range(1, len(hs) + 1)) AS pos
+         |  FROM d),
+         |winned AS (
+         |  SELECT doc_id,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+         |  FROM exploded)
+         |SELECT doc_id, count(DISTINCT wmin) AS n_fingerprints,
+         |  min(wmin) AS min_fingerprint
+         |FROM winned GROUP BY doc_id""".stripMargin
+    },
+    "t_token_stats" -> {
+      s"""SELECT doc_id,
+         |  len($WsSql) AS n_tokens,
+         |  len(list_distinct($WsSql)) AS n_uniq_tokens,
+         |  len($WsSql) + list_reduce(
+         |    list_transform($WsSql, w -> CAST(greatest(length(w) - 4, 0) // 4 AS BIGINT)),
+         |    (acc, v) -> acc + v) AS n_bpe_est,
+         |  list_reduce(list_transform($WsSql, w -> CAST(length(w) AS BIGINT)),
+         |    (acc, v) -> acc + v) * 1.0 / len($WsSql) AS mean_token_len
+         |FROM documents""".stripMargin
+    },
+    "t_quality_score" -> {
+      val sw = TextFunctions.LangProfiles.head._2
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH b AS (
+         |  SELECT doc_id, text, $WsSql AS ws FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    least(length(text) / 400.0, 1.0) AS len_score,
+         |    least((len(list_filter(ws, w -> list_contains($sw, w))) * 1.0
+         |      / len(ws)) * 4.0, 1.0) AS sw_score,
+         |    list_reduce(list_transform(ws, w -> CAST(length(w) AS BIGINT)),
+         |      (acc, v) -> acc + v) * 1.0 / len(ws) AS mwl
+         |  FROM b)
+         |SELECT doc_id,
+         |  len_score * 0.4 + sw_score * 0.3 +
+         |    (CASE WHEN mwl >= 3.0 AND mwl <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.3
+         |    AS quality
+         |FROM m""".stripMargin
+    },
+    "t_lang_id" -> {
+      val hitExprs = TextFunctions.LangProfiles.map { case (lang, sw) =>
+        val arr = sw.map(s => s"'$s'").mkString("[", ", ", "]")
+        s"len(list_filter(ws, w -> list_contains($arr, w))) AS h_$lang"
+      }
+      val langs = TextFunctions.LangProfiles.map(_._1)
+      val maxExpr = s"greatest(${langs.map("h_" + _).mkString(", ")})"
+      val chain = langs
+        .map(l => s"WHEN h_$l = mx AND mx > 0 THEN '$l'")
+        .mkString(" ")
+      s"""WITH b AS (
+         |  SELECT lang, $WsSql AS ws FROM documents),
+         |scored AS (
+         |  SELECT lang, ${hitExprs.mkString(", ")} FROM b),
+         |mxd AS (
+         |  SELECT lang, *, $maxExpr AS mx FROM scored)
+         |SELECT lang,
+         |  CASE $chain ELSE 'und' END AS predicted,
+         |  count(*) AS n_docs
+         |FROM mxd GROUP BY 1, 2""".stripMargin
+    },
+    "s_cosine_topk" -> {
+      def dotSql(x: String, y: String) =
+        s"list_reduce(list_transform(range(1, len($x) + 1), " +
+          s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (acc, v) -> acc + v)"
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |s AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${dotSql("qv", "cv")} /
+         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})) AS cos
+         |  FROM c, q WHERE query_id <> neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM s)
+         |SELECT query_id, neighbor_id, rank, cos AS cos_sim
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    },
+    "m_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+        |  CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames,
+        |  CASE WHEN octet_length(encode(text)) % 2 = 0
+        |       THEN 'even' ELSE 'odd' END AS format
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,130 @@
+package graft.http
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkSpec
+import graft.http.testkit.StubServer
+
+/** Sink behavior: batching, single mode, error classification, auth,
+  * streaming (reference: HttpSinkConnectionTest / BatchRequestSubmitterTest /
+  * HttpDynamicSinkInsertTest coverage).
+  */
+class HttpSinkSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private var server: StubServer = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = StubServer()
+      .route("/ok") { _ => (200, "{}") }
+      .route("/reject") { _ => (422, "no") }
+      .start()
+  }
+
+  override def afterAll(): Unit = { server.stop(); super.afterAll() }
+
+  private def df(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, s"name$i")).toDF("id", "name").coalesce(1)
+  }
+
+  test("batch mode frames JSON arrays of request.batch.size") {
+    server.clear()
+    HttpSink.write(
+      df(25),
+      Map(
+        "url" -> server.url("/ok"),
+        "http.sink.request.batch.size" -> "10"))
+    val bodies = server.requests.filter(_.path == "/ok").map(_.body)
+    bodies should have size 3
+    val sizes = bodies.map(b => Json.mapper.readTree(b).size()).sorted
+    sizes shouldBe List(5, 10, 10)
+    val first = Json.mapper.readTree(bodies.head).get(0)
+    first.has("id") shouldBe true
+    first.has("name") shouldBe true
+  }
+
+  test("single mode posts one record per request, raw object body") {
+    server.clear()
+    HttpSink.write(
+      df(4),
+      Map(
+        "url" -> server.url("/ok"),
+        "http.sink.writer.request.mode" -> "single"))
+    val bodies = server.requests.filter(_.path == "/ok").map(_.body)
+    bodies should have size 4
+    all(bodies.map(_.startsWith("{"))) shouldBe true
+  }
+
+  test("PUT method honored") {
+    server.clear()
+    HttpSink.write(
+      df(2),
+      Map("url" -> server.url("/ok"), "insert-method" -> "PUT"))
+    server.requests.last.method shouldBe "PUT"
+  }
+
+  test("error status fails the job (default 4XX/5XX)") {
+    a[Throwable] should be thrownBy HttpSink.write(
+      df(3),
+      Map("url" -> server.url("/reject")))
+  }
+
+  test("excluded error code tolerated") {
+    HttpSink.write(
+      df(3),
+      Map(
+        "url" -> server.url("/reject"),
+        "http.sink.error.code.exclude" -> "422"))
+  }
+
+  test("custom payload column (element converter analog)") {
+    server.clear()
+    HttpSink.write(
+      df(2),
+      Map(
+        "url" -> server.url("/ok"),
+        "http.sink.writer.request.mode" -> "single"),
+      payload = Some(concat(lit("id="), col("id"))))
+    server.requests.map(_.body).sorted shouldBe List("id=1", "id=2")
+  }
+
+  test("sink headers + basic auth") {
+    server.clear()
+    HttpSink.write(
+      df(1),
+      Map(
+        "url" -> server.url("/ok"),
+        "http.sink.header.Authorization" -> "u:p",
+        "http.sink.header.X-K" -> "v"))
+    val req = server.requests.last
+    req.headers("Authorization").head should startWith("Basic ")
+    req.headers("X-k").head shouldBe "v"
+  }
+
+  test("streaming foreachBatch sink delivers all rows") {
+    server.clear()
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val query = input
+      .toDF()
+      .toDF("v")
+      .writeStream
+      .foreachBatch(HttpSink.foreachBatchWriter(Map(
+        "url" -> server.url("/ok"),
+        "http.sink.request.batch.size" -> "3")))
+      .start()
+    try {
+      input.addData(1L to 7L: _*)
+      query.processAllAvailable()
+      val n = server.requests
+        .filter(_.path == "/ok")
+        .map(b => Json.mapper.readTree(b.body).size())
+        .sum
+      n shouldBe 7
+    } finally query.stop()
+  }
+}
