@@ -87,7 +87,15 @@ object HttpLookup {
       ignoredExpr = o.str(HttpOptions.IgnoredCodes, ""),
       retryPolicy = RetryPolicy.fromOptions(o),
       requestTimeoutMs = o.durationMs(HttpOptions.RequestTimeout, 30000L),
-      headers = o.withPrefix(HttpOptions.SourceHeaderPrefix).toSeq,
+      headers = {
+        val hs = o.withPrefix(HttpOptions.SourceHeaderPrefix).toSeq
+        val method = o.str(HttpOptions.LookupMethod, "GET").toUpperCase
+        // body-based lookups default to a JSON content type (reference:
+        // BodyBasedRequestFactory sets Content-Type application/json)
+        if (method != "GET" && !hs.exists(_._1.equalsIgnoreCase("Content-Type")))
+          hs :+ ("Content-Type" -> "application/json")
+        else hs
+      },
       clientCfg = HttpClientFactory.ClientConfig.fromOptions(o),
       concurrency =
         if (o.bool(HttpOptions.AsyncPolling, default = false))
@@ -130,11 +138,20 @@ object HttpLookup {
     }(Encoders.row(outSchema))
 
     // --- back in Catalyst: decode + classify + project --------------------
+    // A corrupt-record field detects undecodable bodies (from_json PERMISSIVE
+    // mode yields an all-null struct, not a null struct, on garbage — the
+    // corrupt column is the reliable signal).
+    val Corrupt = "__graft_corrupt"
+    val schemaWithCorrupt =
+      StructType(responseSchema.fields :+ StructField(Corrupt, StringType))
+    val jsonOpts = Map("columnNameOfCorruptRecord" -> Corrupt)
     val resultType = o.str(HttpOptions.ResultType, "single-value")
     val parsedCol = resultType match {
-      case "single-value" => from_json(col(RespBody), responseSchema)
+      case "single-value" =>
+        from_json(col(RespBody), schemaWithCorrupt, jsonOpts)
       case "array" =>
-        explode_outer(from_json(col(RespBody), ArrayType(responseSchema)))
+        explode_outer(
+          from_json(col(RespBody), ArrayType(schemaWithCorrupt), jsonOpts))
       case other =>
         throw new HttpConfigException(s"Unknown result-type '$other'")
     }
@@ -142,17 +159,30 @@ object HttpLookup {
 
     // SUCCESS but undecodable body → UNABLE_TO_DESERIALIZE_RESPONSE with the
     // raw body as error-string (reference: "Available Metadata" doc rules).
-    val stateCol = when(
+    // Materialize the predicate BEFORE rewriting any column it references —
+    // chained withColumn re-resolves by name, so updating RespState first
+    // would silently change the predicate for the later updates.
+    val Undec = "__graft_undec"
+    out = out.withColumn(
+      Undec,
       col(RespState) === CompletionState.Success &&
-        col(RespBody).isNotNull && col(RespParsed).isNull,
-      lit(CompletionState.UnableToDeserialize)).otherwise(col(RespState))
-    val errorCol = when(
-      col(RespState) === CompletionState.Success &&
-        col(RespBody).isNotNull && col(RespParsed).isNull,
-      col(RespBody)).otherwise(col(RespError))
+        col(RespBody).isNotNull &&
+        (col(RespParsed).isNull ||
+          col(RespParsed).getField(Corrupt).isNotNull))
     out = out
-      .withColumn(RespState, stateCol)
-      .withColumn(RespError, errorCol)
+      .withColumn(
+        RespError,
+        when(col(Undec), col(RespBody)).otherwise(col(RespError)))
+      .withColumn(
+        RespState,
+        when(col(Undec), lit(CompletionState.UnableToDeserialize))
+          .otherwise(col(RespState)))
+      // null the parsed struct so enrichment columns come out null rather
+      // than partially parsed
+      .withColumn(
+        RespParsed,
+        when(col(Undec), lit(null).cast(schemaWithCorrupt))
+          .otherwise(col(RespParsed)))
 
     if (!includeMetadata) {
       // Inner-join semantics: ignored responses emit no row when no metadata

@@ -55,7 +55,7 @@ class HttpLookupClientSpec
     out.state shouldBe CompletionState.Success
     out.status shouldBe 200
     out.body shouldBe """{"id": 1}"""
-    out.headers.keySet should contain("Content-type")
+    out.headers.keySet should contain("content-type")
     server.requests.last.headers("X-test") shouldBe List("yes")
   }
 

@@ -134,7 +134,7 @@ class HttpLookupSpec extends SparkSpec with BeforeAndAfterAll {
     out.head.getAs[String](HttpLookup.MetaCompletionState) shouldBe
       CompletionState.Success
     out.head.getAs[Map[String, Seq[String]]](HttpLookup.MetaHeadersMap)
-      .keySet should contain("Content-type")
+      .keySet should contain("content-type")
   }
 
   test("undeserializable body -> UNABLE_TO_DESERIALIZE_RESPONSE with body as error") {
@@ -177,7 +177,7 @@ class HttpLookupSpec extends SparkSpec with BeforeAndAfterAll {
     LookupCache.clearAll()
     server.clear()
     val big = probe
-      .crossJoin(spark.range(50)) // 200 probe rows, 4 unique keys
+      .crossJoin(spark.range(50).toDF("rep")) // 200 probe rows, 4 unique keys
       .select(col("event"), col("id"))
     HttpLookup
       .join(
@@ -257,7 +257,7 @@ class HttpLookupSpec extends SparkSpec with BeforeAndAfterAll {
 
   test("streaming lookup join (MemoryStream enrichment)") {
     import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.MemoryStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
     val enriched = HttpLookup.join(

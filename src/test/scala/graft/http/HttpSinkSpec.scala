@@ -106,7 +106,7 @@ class HttpSinkSpec extends SparkSpec with BeforeAndAfterAll {
   test("streaming foreachBatch sink delivers all rows") {
     server.clear()
     import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.MemoryStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Long]
     val query = input

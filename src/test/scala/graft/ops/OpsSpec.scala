@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{functions}
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -7,13 +8,13 @@ import graft.SparkSpec
 class TextFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+  private def evalOne(c: org.apache.spark.sql.Column, text: String): Any =
     Seq(text).toDF("text").select(c.as("v")).collect().head.get(0)
 
   test("tokenCount / wordSet / meanTokenLength") {
-    one(TextFunctions.tokenCount(col("text")), "a bb  ccc a") shouldBe 4
-    one(size(TextFunctions.wordSet(col("text"))), "a bb ccc a") shouldBe 3
-    one(TextFunctions.meanTokenLength(col("text")), "a bb ccc a") shouldBe 1.75
+    evalOne(TextFunctions.tokenCount(col("text")), "a bb  ccc a") shouldBe 4
+    evalOne(functions.size(TextFunctions.wordSet(col("text"))), "a bb ccc a") shouldBe 3
+    evalOne(TextFunctions.meanTokenLength(col("text")), "a bb ccc a") shouldBe 1.75
   }
 
   test("shingles windows of 3 words; short docs empty") {
@@ -24,37 +25,37 @@ class TextFunctionsSpec extends SparkSpec {
       .head
       .getSeq[String](0)
     sh shouldBe Seq("w1 w2 w3", "w2 w3 w4")
-    one(size(TextFunctions.shingleSet(col("text"), 3)), "only two") shouldBe 0
+    evalOne(functions.size(TextFunctions.shingleSet(col("text"), 3)), "only two") shouldBe 0
   }
 
   test("bpe estimate adds pieces for long words") {
     // "internationalization" = 20 chars -> 1 + (20-4)/4 = 5 pieces
-    one(TextFunctions.bpeTokenEstimate(col("text")),
+    evalOne(TextFunctions.bpeTokenEstimate(col("text")),
       "internationalization is") shouldBe 6L
   }
 
   test("stopword hits and ratio") {
-    one(
+    evalOne(
       TextFunctions.stopwordHits(col("text"), Seq("the", "a")),
       "the cat and a dog the end") shouldBe 3
   }
 
   test("langId picks profile with most stopword hits") {
-    one(TextFunctions.langId(col("text")),
+    evalOne(TextFunctions.langId(col("text")),
       "the cat is in the house and it is fine") shouldBe "en"
-    one(TextFunctions.langId(col("text")),
+    evalOne(TextFunctions.langId(col("text")),
       "der hund ist nicht mit der katze und") shouldBe "de"
-    one(TextFunctions.langId(col("text")), "xyzzy plugh") shouldBe "und"
+    evalOne(TextFunctions.langId(col("text")), "xyzzy plugh") shouldBe "und"
   }
 
   test("hash61 is stable and matches the md5-derived definition") {
-    val h = one(TextFunctions.hash61(col("text")), "hello")
+    val h = evalOne(TextFunctions.hash61(col("text")), "hello")
     // first 15 hex chars of md5("hello") = 5d41402abc4b2a7
     h shouldBe java.lang.Long.parseLong("5d41402abc4b2a7", 16)
   }
 
   test("punctRatio counts punctuation chars") {
-    one(TextFunctions.punctRatio(col("text")), "ab, cd!") shouldBe (2.0 / 7.0)
+    evalOne(TextFunctions.punctRatio(col("text")), "ab, cd!") shouldBe (2.0 / 7.0)
   }
 }
 
@@ -169,17 +170,23 @@ class SimilaritySpec extends SparkSpec {
     out.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(2L, 3L)
   }
 
-  test("lshTopK finds identical vector in same bucket") {
-    val corpus = (1 to 50)
-      .map(i => (i.toLong, Array.tabulate(8)(d => (i * (d + 1)).toFloat)))
-      .toDF("vec_id", "embedding")
+  test("lshTopK finds an identical-direction vector in the same bucket") {
+    // varied directions; vec 50 is an exact scaled copy of vec 25, so it
+    // shares vec 25's bucket by construction and ranks first on cosine
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(8)(d => (((i * 31 + d * 17) % 13) - 6).toFloat)
+    val rows = (1 to 49).map(i => (i.toLong, vec(i))) :+
+      (50L, vec(25).map(_ * 2.0f))
+    val corpus = rows.toDF("vec_id", "embedding")
     val queries = corpus.filter(col("vec_id") === 25L)
     val out = Similarity
       .lshTopK(corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
         k = 3, planes = 4)
+      .orderBy("rank")
       .collect()
-    // vec 50 = 2 * vec 25 -> cosine 1.0, identical bucket guaranteed
+    // (vec(i) cycles mod 13, so id 12 is also an exact copy and may tie)
     out.map(_.getAs[Long]("neighbor_id")) should contain(50L)
+    out.head.getAs[Double]("cos_sim") shouldBe 1.0 +- 1e-9
   }
 }
 
