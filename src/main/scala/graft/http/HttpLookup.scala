@@ -120,8 +120,30 @@ object HttpLookup {
         ReqBody,
         compiled.body.getOrElse(lit(null).cast(StringType)))
 
+    // dedup-keys: when probe keys repeat heavily (classic enrichment), call
+    // the service once per DISTINCT rendered request and join the responses
+    // back — request volume drops from |rows| to |unique keys| and AQE
+    // broadcasts the (small) response relation, so the probe itself never
+    // shuffles. Batch-only (distinct isn't available on streams); the
+    // per-executor cache covers the streaming case instead.
+    val dedupKeys =
+      o.bool("http.source.lookup.dedup-keys", default = false) && !probe.isStreaming
+
+    // AQE coalesces the (byte-tiny) distinct-keys shuffle down to one
+    // partition, which would serialize all the I/O onto a single task —
+    // spread the requests explicitly: latency-bound work wants parallelism
+    // by request count, not by data size.
+    val ioPartitions = o.int(
+      "http.source.lookup.partitions",
+      probe.sparkSession.sparkContext.defaultParallelism)
+    val ioInput =
+      if (dedupKeys)
+        staged.select(col(ReqUrl), col(ReqBody)).distinct()
+          .repartition(ioPartitions)
+      else staged
+
     val outSchema = StructType(
-      staged.schema.fields ++ Array(
+      ioInput.schema.fields ++ Array(
         StructField(RespStatus, IntegerType),
         StructField(RespBody, StringType),
         StructField(
@@ -130,12 +152,26 @@ object HttpLookup {
         StructField(RespState, StringType),
         StructField(RespError, StringType)))
 
-    val urlIdx = staged.schema.fieldIndex(ReqUrl)
-    val bodyIdx = staged.schema.fieldIndex(ReqBody)
+    val urlIdx = ioInput.schema.fieldIndex(ReqUrl)
+    val bodyIdx = ioInput.schema.fieldIndex(ReqBody)
 
-    val ioDf = staged.mapPartitions { iter =>
+    val ioResults = ioInput.mapPartitions { iter =>
       executePartition(iter, io, urlIdx, bodyIdx)
     }(Encoders.row(outSchema))
+
+    val ioDf =
+      if (dedupKeys) {
+        // null-safe equality: ReqBody is null for GET lookups
+        val r = ioResults
+          .withColumnRenamed(ReqUrl, ReqUrl + "_r")
+          .withColumnRenamed(ReqBody, ReqBody + "_r")
+        staged
+          .join(
+            r,
+            col(ReqUrl) === col(ReqUrl + "_r") &&
+              col(ReqBody) <=> col(ReqBody + "_r"))
+          .drop(ReqUrl + "_r", ReqBody + "_r")
+      } else ioResults
 
     // --- back in Catalyst: decode + classify + project --------------------
     // A corrupt-record field detects undecodable bodies (from_json PERMISSIVE

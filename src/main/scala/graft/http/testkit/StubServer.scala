@@ -26,7 +26,7 @@ final class StubServer {
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.setExecutor(
     java.util.concurrent.Executors.newFixedThreadPool(
-      16,
+      64,
       (r: Runnable) => {
         val t = new Thread(r, "graft-stub-server")
         t.setDaemon(true) // never block JVM exit (Verify/Bench mains)

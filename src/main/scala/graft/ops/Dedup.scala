@@ -39,20 +39,39 @@ object Dedup {
       blockCols: Seq[String],
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    // Hashed shingle sets: Jaccard over 60-bit shingle hashes instead of
+    // shingle strings — the pairwise intersect works on longs (an order of
+    // magnitude cheaper than string sets) and the persisted/shuffled arrays
+    // shrink ~3x. The oracle hashes identically, so collisions (if any) are
+    // seen by both engines. Persisted: without it Catalyst inlines the whole
+    // pipeline into the self-join output and recomputes it per PAIR
+    // (observed 17s -> ~2s at sf0.1).
     val withSh = df.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
-        TextFunctions.shingleSet(col(textCol), n).as("sh"): _*)
+        array_distinct(
+          transform(
+            TextFunctions.shingleSet(col(textCol), n),
+            s => TextFunctions.hash61(s))).as("sh"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withSh.select(
       col("id").as("id_a") +: col("sh").as("sh_a") +: blockCols.map(col): _*)
     val b = withSh.select(
       col("id").as("id_b") +: col("sh").as("sh_b") +: blockCols.map(col): _*)
     val joined = a.join(b, blockCols).filter(col("id_a") < col("id_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val uni = size(col("sh_a")) + size(col("sh_b")) - inter
-    joined
-      .withColumn(
-        "jaccard",
-        inter.cast(DoubleType) / uni.cast(DoubleType))
+    // materialize the intersect size through a shuffle barrier: every later
+    // reference (uni, jaccard, filter, output) would otherwise re-run the
+    // O(|set|) intersect per reference (projection collapse re-inlines it)
+    val scored = joined
+      .select(
+        col("id_a"),
+        col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("i"),
+        (size(col("sh_a")) + size(col("sh_b"))).as("ss"))
+      .repartition(col("id_a"))
+    val jaccard =
+      col("i").cast(DoubleType) / (col("ss") - col("i")).cast(DoubleType)
+    scored
+      .withColumn("jaccard", jaccard)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -104,48 +123,64 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
 
-    val sig = df.select(
+    // Hashed shingle sets (see ngramJaccardPairs for why hashes + persist):
+    // the signature pass and the verification join both read these.
+    val sh = df.select(
       col(idCol).as("id"),
-      TextFunctions.shingleSet(col(textCol), n).as("sh"))
-      .withColumn(
-        "sig",
-        minhashSignature(transform(col("sh"), s => TextFunctions.hash61(s))))
+      array_distinct(
+        transform(
+          TextFunctions.shingleSet(col(textCol), n),
+          s => TextFunctions.hash61(s))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Signatures via explode -> hash ONCE per shingle -> k partial min-aggs.
+    // This is the distributed-minhash plan that scales: map-side combine
+    // collapses each partition to one row per doc before the single shuffle,
+    // and no expression is evaluated more than once per shingle.
+    val hashed = sh.select(
+      col("id"),
+      explode(col("sh")).as("s"))
+      .select(col("id"), (col("s") % MinhashP).as("h"))
+    val minAggs = MinhashA.indices.map { i =>
+      coalesce(
+        min((lit(MinhashA(i)) * col("h") + lit(MinhashB(i))) % MinhashP),
+        lit(MinhashP)).as(s"m$i")
+    }
+    val sig = hashed.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig.select(
       col("id"),
-      col("sh"),
       posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b =>
-            concat_ws(
-              "-",
-              (1 to rows).map(j =>
-                element_at(
-                  col("sig"),
-                  (b * rows + j).cast(IntegerType)).cast(StringType)): _*)))
-        .as(Seq("band", "band_key")))
+        array((0 until bands).map { b =>
+          concat_ws(
+            "-",
+            (0 until rows).map(j => col(s"m${b * rows + j}").cast(StringType)): _*)
+        }: _*)).as(Seq("band", "band_key")))
 
-    val left = banded.select(
-      col("band"),
-      col("band_key"),
-      col("id").as("id_a"),
-      col("sh").as("sh_a"))
-    val right = banded.select(
-      col("band"),
-      col("band_key"),
-      col("id").as("id_b"),
-      col("sh").as("sh_b"))
-    val candidates = left
-      .join(right, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b")
+    val candidates = banded
+      .join(
+        banded.select(col("band"), col("band_key"), col("id").as("id_b")),
+        Seq("band", "band_key"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .distinct()
 
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val uni = size(col("sh_a")) + size(col("sh_b")) - inter
-    candidates
-      .withColumn("jaccard", inter.cast(DoubleType) / uni.cast(DoubleType))
+    val verified = candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    // shuffle barrier materializes the intersect size (see ngramJaccardPairs)
+    val scored = verified
+      .select(
+        col("id_a"),
+        col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("i"),
+        (size(col("sh_a")) + size(col("sh_b"))).as("ss"))
+      .repartition(col("id_a"))
+    val jaccard =
+      col("i").cast(DoubleType) / (col("ss") - col("i")).cast(DoubleType)
+    scored
+      .withColumn("jaccard", jaccard)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -158,15 +193,25 @@ object Dedup {
   val SimhashBits = 16
 
   def simhash(text: Column): Column = {
-    val hs = transform(TextFunctions.wordSet(text), w => TextFunctions.hash61(w))
-    val bitCols = (0 until SimhashBits).map { i =>
-      val votes = aggregate(
-        hs,
-        lit(0L),
-        (acc, h) => acc + (shiftright(h, i).bitwiseAND(1L) * 2L - 1L))
-      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
+    // Single-evaluation pipeline (interpreted HOF lambdas re-evaluate any
+    // referenced subtree, so naive per-bit aggregates would md5 every word
+    // SimhashBits times): hash each distinct word once, expand each hash to
+    // its ±1 bit-vote vector, sum the vote vectors, then assemble the
+    // signature from vote signs.
+    val votesPerWord = transform(
+      transform(TextFunctions.wordSet(text), w => TextFunctions.hash61(w)),
+      h =>
+        array((0 until SimhashBits).map(i =>
+          shiftright(h, i).bitwiseAND(1L) * 2L - 1L): _*))
+    val votes = aggregate(
+      votesPerWord,
+      array_repeat(lit(0L), SimhashBits),
+      (acc, bits) => zip_with(acc, bits, (a, b) => a + b))
+    val powers = array((0 until SimhashBits).map(i => lit(1L << i)): _*)
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc + x)
   }
 
   /** SimHash near-dup pairs within blocking buckets: hamming distance ≤
@@ -205,20 +250,21 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       w: Int = 4): DataFrame = {
-    val exploded = df
-      .select(
-        col(idCol).as(idCol),
-        posexplode(TextFunctions.shingleHashes(col(textCol), n))
-          .as(Seq("pos", "h")))
-    val win = Window
-      .partitionBy(col(idCol))
-      .orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    exploded
-      .withColumn("wmin", min(col("h")).over(win))
-      .groupBy(col(idCol))
-      .agg(
-        countDistinct(col("wmin")).as("n_fingerprints"),
-        min(col("wmin")).as("min_fingerprint"))
+    // Shuffle-free: the sliding-window minima are per-document, so they are
+    // pure array expressions — no explode, no window sort, no exchange. The
+    // hash array is materialized into one column first (single md5 pass);
+    // the slice/min pass then reads it w times per position in codegen.
+    val hs = df.select(
+      col(idCol).as(idCol),
+      TextFunctions.shingleHashes(col(textCol), n).as("__hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wmins = transform(
+      sequence(lit(1), size(col("__hs"))),
+      i => array_min(slice(col("__hs"), i, lit(w))))
+    hs.select(
+      col(idCol),
+      size(array_distinct(wmins)).cast(LongType).as("n_fingerprints"),
+      array_min(wmins).as("min_fingerprint"))
+      .filter(size(col("__hs")) > 0)
   }
 }

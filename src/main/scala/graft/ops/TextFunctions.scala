@@ -23,18 +23,20 @@ object TextFunctions {
   /** `n`-word shingles (sliding windows joined by single spaces), 1-based
     * positions; documents shorter than `n` words yield an empty array.
     */
-  def shingles(ws: Column, n: Int): Column =
-    // guard: Spark's sequence(1, x) counts DOWN for x < 1, so short docs
-    // must short-circuit to an empty array explicitly
-    when(
-      size(ws) >= n,
-      transform(
-        sequence(lit(1), size(ws) - (n - 1)),
-        i =>
-          concat_ws(
-            " ",
-            (0 until n).map(j => element_at(ws, (i + j).cast(IntegerType))): _*)))
-      .otherwise(array().cast(ArrayType(StringType)))
+  def shingles(ws: Column, n: Int): Column = {
+    // zip_with over shifted slices instead of indexing: higher-order lambdas
+    // are interpreted, so an `element_at(ws, i+j)` body re-evaluates the
+    // whole `ws` subtree (a regex split!) per element per index — measured
+    // ~170 splits/row. Each slice here evaluates `ws` exactly once per row;
+    // trailing windows that run off the end null out (concat propagates
+    // null) and array_compact drops them, which also handles docs shorter
+    // than n naturally.
+    val joined = (1 until n).foldLeft(ws) { (acc, j) =>
+      zip_with(acc, slice(ws, lit(j + 1), size(ws)), (a, b) =>
+        concat(a, lit(" "), b))
+    }
+    array_compact(joined)
+  }
 
   /** Distinct `n`-gram shingle set of a text column. */
   def shingleSet(text: Column, n: Int): Column =

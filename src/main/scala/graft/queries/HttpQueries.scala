@@ -88,6 +88,7 @@ object HttpQueries {
           "lookup-method" -> "GET",
           "asyncPolling" -> "true",
           "http.source.lookup.request.thread-pool.size" -> "16",
+          "http.source.lookup.dedup-keys" -> "true",
           "lookup.cache" -> "PARTIAL",
           "lookup.partial-cache.max-rows" -> "200000",
           "http.source.lookup.success-codes" -> "2XX",

@@ -27,6 +27,13 @@ object PipelineQueries {
     s"list_distinct(list_transform(range(1, greatest(len($ws) - 1, 1)), " +
       s"i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2]))"
 
+  /** DuckDB: distinct hashed 3-word shingle set (matches the Spark side,
+    * which compares shingle HASH sets so the pairwise intersects run on
+    * longs).
+    */
+  private def hashedShinglesSql(ws: String): String =
+    s"list_distinct(list_transform(${shinglesSql(ws)}, s -> ${hash61Sql("s")}))"
+
   /** DuckDB: portable 60-bit md5 hash of a string expression. */
   private def hash61Sql(x: String): String =
     s"CAST(CAST(('0x' || substr(md5($x), 1, 15)) AS UBIGINT) AS BIGINT)"
@@ -128,7 +135,7 @@ object PipelineQueries {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "p_ngram_jaccard" -> {
       s"""WITH d AS (
-         |  SELECT doc_id, lang, source, ${shinglesSql(WsSql)} AS sh
+         |  SELECT doc_id, lang, source, ${hashedShinglesSql(WsSql)} AS sh
          |  FROM documents WHERE len($WsSql) >= 3),
          |pairs AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -144,10 +151,9 @@ object PipelineQueries {
       val b = listLit(Dedup.MinhashB)
       val p = Dedup.MinhashP
       s"""WITH d AS (
-         |  SELECT doc_id, ${shinglesSql(WsSql)} AS sh FROM documents),
+         |  SELECT doc_id, ${hashedShinglesSql(WsSql)} AS sh FROM documents),
          |h AS (
-         |  SELECT doc_id, sh, list_transform(sh, s -> ${hash61Sql("s")}) AS hs
-         |  FROM d),
+         |  SELECT doc_id, sh, sh AS hs FROM d),
          |sig AS (
          |  SELECT doc_id, sh,
          |    list_transform(range(0, 16), k ->
