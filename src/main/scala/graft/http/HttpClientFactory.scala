@@ -23,7 +23,8 @@ object HttpClientFactory {
       proxyPort: Option[Int] = None,
       proxyUsername: Option[String] = None,
       proxyPassword: Option[String] = None,
-      allowSelfSigned: Boolean = false)
+      allowSelfSigned: Boolean = false,
+      ssl: Ssl.SslConfig = Ssl.SslConfig())
       extends Serializable
 
   object ClientConfig {
@@ -35,7 +36,8 @@ object HttpClientFactory {
       proxyPort = o.strOpt(HttpOptions.ProxyPort).map(_.toInt),
       proxyUsername = o.strOpt(HttpOptions.ProxyUsername),
       proxyPassword = o.strOpt(HttpOptions.ProxyPassword),
-      allowSelfSigned = o.bool(HttpOptions.AllowSelfSigned, default = false))
+      allowSelfSigned = o.bool(HttpOptions.AllowSelfSigned, default = false),
+      ssl = Ssl.SslConfig.fromOptions(o))
   }
 
   private val cache =
@@ -69,7 +71,7 @@ object HttpClientFactory {
             new PasswordAuthentication(user, pass.toCharArray)
         })
     }
-    if (cfg.allowSelfSigned) b.sslContext(trustAllContext())
+    Ssl.contextFor(cfg.ssl).foreach(b.sslContext)
     b.build()
   }
 

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.AsOfJoin
+
+/** Second wave of driver-gated coverage: as-of join, sliding windows, cube,
+  * semi-structured JSON extraction, ratio aggregates.
+  */
+object ExtendedQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def dec2(c: org.apache.spark.sql.Column) =
+    c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- as-of join: latest order at-or-before each event -----
+    "q_asof_last_order" -> { (s, dir) =>
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val ord = t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"))
+      AsOfJoin
+        .leftAsOf(
+          ev,
+          "ts",
+          ord,
+          "o_orderdate",
+          keys = Seq(("user_id", "o_custkey")),
+          payload = Seq("o_orderdate"))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("o_orderdate").as("last_order_date"))
+    },
+
+    // ----- sliding windows (1h window, 30m slide) -----
+    "q_sliding_windows" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(
+          window(col("ts"), "1 hour", "30 minutes")
+            .getField("start").as("ws"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value").cast(DecimalType(18, 6))), 4)
+            .cast(DoubleType).as("sum_value"))
+    },
+
+    // ----- cube over region x market segment -----
+    "q_cube_region_segment" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(sum(dec2(col("c_acctbal"))), 2).cast(DoubleType).as("sum_acctbal"))
+    },
+
+    // ----- Q14-style promo revenue ratio -----
+    "q14_promo_ratio" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      val revenue = dec2(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount")))
+      li.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0d) *
+            sum(when(col("p_type") === "PROMO", revenue)
+              .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DoubleType) /
+            sum(revenue).cast(DoubleType)).as("promo_ratio"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // ----- JSON property extraction over the event stream -----
+    "q_events_json" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_last_order" ->
+      """SELECT event_id, user_id, o_orderdate AS last_order_date
+        |FROM events ASOF LEFT JOIN orders
+        |  ON user_id = o_custkey AND ts >= o_orderdate""".stripMargin,
+    "q_sliding_windows" ->
+      """SELECT ws, event_type, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT unnest([time_bucket(INTERVAL 30 minutes, ts),
+        |                 time_bucket(INTERVAL 30 minutes, ts) - INTERVAL 30 minutes]) AS ws,
+        |         event_type, value
+        |  FROM events)
+        |GROUP BY ws, event_type""".stripMargin,
+    "q_cube_region_segment" ->
+      """SELECT r_name, c_mktsegment, count(*) AS n_customers,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, c_mktsegment)""".stripMargin,
+    "q14_promo_ratio" ->
+      """SELECT
+        |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS promo_ratio,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
+    "q_events_json" ->
+      """SELECT CAST(props->>'k' AS INT) AS k, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,113 @@
+package graft.http
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.security.KeyStore
+import javax.net.ssl.{KeyManagerFactory, SSLContext}
+
+import com.sun.net.httpserver.{HttpExchange, HttpsConfigurator, HttpsServer}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** End-to-end TLS: a real HTTPS server with a keytool-generated self-signed
+  * certificate, exercised through the connector's client factory — both the
+  * allowSelfSigned path and the explicit trusted-server-cert path
+  * (reference: HttpsConnectionTestBase coverage).
+  */
+class SslSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private var dir: Path = _
+  private var server: HttpsServer = _
+  private var port: Int = 0
+  private var certPem: Path = _
+
+  override def beforeAll(): Unit = {
+    dir = Files.createTempDirectory("graft-ssl")
+    val ksPath = dir.resolve("server.p12")
+    val keytool = new ProcessBuilder(
+      "keytool", "-genkeypair", "-alias", "server", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "30",
+      "-dname", "CN=127.0.0.1", "-ext", "SAN=IP:127.0.0.1",
+      "-keystore", ksPath.toString, "-storetype", "PKCS12",
+      "-storepass", "changeit", "-keypass", "changeit")
+      .redirectErrorStream(true).start()
+    keytool.waitFor() shouldBe 0
+    // export the cert as PEM for the trust-store path test
+    certPem = dir.resolve("server.pem")
+    new ProcessBuilder(
+      "keytool", "-exportcert", "-alias", "server", "-rfc",
+      "-keystore", ksPath.toString, "-storepass", "changeit",
+      "-file", certPem.toString)
+      .redirectErrorStream(true).start().waitFor() shouldBe 0
+
+    val ks = KeyStore.getInstance("PKCS12")
+    val in = Files.newInputStream(ksPath)
+    try ks.load(in, "changeit".toCharArray)
+    finally in.close()
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+
+    server = HttpsServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setHttpsConfigurator(new HttpsConfigurator(ctx))
+    server.createContext(
+      "/secure",
+      (ex: HttpExchange) => {
+        val body = """{"ok": true}""".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+    server.start()
+    port = server.getAddress.getPort
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop(0)
+
+  private def lookupClient(options: Map[String, String]): HttpLookupClient = {
+    val o = HttpOptions(options)
+    new HttpLookupClient(
+      HttpClientFactory.build(HttpClientFactory.ClientConfig.fromOptions(o)),
+      ResponseChecker("2XX", "503"),
+      Set.empty,
+      FixedDelayRetry(0, 1L),
+      5000L,
+      Nil,
+      RequestCallback.NoOp)
+  }
+
+  test("https with allowSelfSigned completes the lookup") {
+    val out = lookupClient(
+      Map("http.security.cert.server.allowSelfSigned" -> "true"))
+      .execute("GET", s"https://127.0.0.1:$port/secure", None)
+    out.state shouldBe CompletionState.Success
+    out.body shouldBe """{"ok": true}"""
+  }
+
+  test("https with the server cert in the trust store completes the lookup") {
+    val out = lookupClient(
+      Map("http.security.cert.server" -> certPem.toString))
+      .execute("GET", s"https://127.0.0.1:$port/secure", None)
+    out.state shouldBe CompletionState.Success
+  }
+
+  test("https without trust fails with EXCEPTION state") {
+    val out = lookupClient(Map.empty)
+      .execute("GET", s"https://127.0.0.1:$port/secure", None)
+    out.state shouldBe CompletionState.Exception
+  }
+
+  test("PEM certificate loader parses the exported cert") {
+    val certs = Ssl.loadCertificates(certPem.toString)
+    certs should have size 1
+    certs.head.getSubjectX500Principal.getName should include("CN=127.0.0.1")
+  }
+
+  test("mTLS config requires both cert and key") {
+    an[HttpConfigException] should be thrownBy Ssl.contextFor(
+      Ssl.SslConfig(clientCertPath = Some("/x"), clientKeyPath = None))
+  }
+}
