@@ -87,7 +87,8 @@ object ExtendedQueries {
     "q_events_json" -> { (s, dir) =>
       events(s, dir)
         .groupBy(
-          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").as("k"))
         .agg(
           count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"))
