@@ -117,6 +117,70 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Exact embedding-cosine near-duplicate pairs (no blocking): all
+    * (id_a < id_b) pairs with cosine ≥ `threshold`. O(N²/2) dot products —
+    * the exact baseline; use [[cosineNearDupPairs]] for the LSH-blocked
+    * scale path.
+    */
+  def cosinePairsExact(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val side = corpus.select(
+      col(idCol).as("id"),
+      col(vecCol).as("__v"),
+      sqrt(norm2(col(vecCol))).as("__n"))
+    val a = side.select(col("id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = side.select(col("id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn(
+        "cos",
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos").as("cos_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs with
+    * cosine ≥ `threshold`, blocked by LSH bucket so the pair space is
+    * per-bucket, not corpus², with exact cosine verification inside each
+    * bucket. Identical vectors always share a bucket, so exact duplicates
+    * are never missed; near-duplicate recall follows the usual
+    * random-hyperplane bound (raise `planes` for precision, lower for
+    * recall).
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      planes: Int = 4): DataFrame = {
+    val side = corpus.select(
+      col(idCol).as("id"),
+      col(vecCol).as("__v"),
+      sqrt(norm2(col(vecCol))).as("__n"),
+      lshBucket(col(vecCol), planes).as("__bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = side.select(
+      col("__bucket"),
+      col("id").as("id_a"),
+      col("__v").as("__va"),
+      col("__n").as("__na"))
+    val b = side.select(
+      col("__bucket"),
+      col("id").as("id_b"),
+      col("__v").as("__vb"),
+      col("__n").as("__nb"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn(
+        "cos",
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos").as("cos_sim"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * then exact cosine rank within the bucket. Recall < 1 by construction;
     * the scale win is that the per-query candidate set is |corpus| / 2^planes

@@ -122,6 +122,12 @@ object PipelineQueries {
         k = 5)
     },
 
+    // ----- embedding-cosine near-dup pairs (exact baseline) -----
+    "s_embed_neardup" -> { (s, dir) =>
+      Similarity.cosinePairsExact(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
+    },
+
     // ----- multimodal metadata extraction (stub decoder over binary) -----
     "m_media_meta" -> { (s, dir) =>
       val staged = t(s, dir, "documents")
@@ -288,6 +294,19 @@ object PipelineQueries {
          |  FROM s)
          |SELECT query_id, neighbor_id, rank, cos AS cos_sim
          |FROM ranked WHERE rank <= 5""".stripMargin
+    },
+    "s_embed_neardup" -> {
+      def dotSql(x: String, y: String) =
+        s"list_reduce(list_transform(range(1, len($x) + 1), " +
+          s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (acc, v) -> acc + v)"
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS n
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${dotSql("a.embedding", "b.embedding")} / (a.n * b.n) AS cos_sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.n * b.n) >= 0.45""".stripMargin
     },
     "m_media_meta" ->
       """SELECT doc_id,
