@@ -67,4 +67,61 @@ object Multimodal {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Frame sampling: one output row per sampled frame (`every`-th frame of
+    * the stubbed decode), each carrying a deterministic frame fingerprint —
+    * the video-curation plumbing shape (explode-by-frame, partition-wise
+    * decode, no shuffle). A real decoder would emit frame blobs here.
+    */
+  def frameSample(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      every: Int = 4): DataFrame = {
+    val pruned = df.select(col(idCol), col(blobCol))
+    val outSchema = StructType(pruned.schema.fields.take(1) ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_fp", LongType, nullable = false)))
+    pruned.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val meta = StubDecoder.decode(bytes)
+        (0 until meta.n_frames by every).iterator.map { f =>
+          // deterministic per-frame fingerprint from the byte prefix
+          val fp = bytes.iterator.take(64).foldLeft(1125899906842597L) {
+            (acc, b) => acc * 31 + b
+          } + f
+          Row(r.get(0), f, fp)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Fixed-dimension feature extraction: a deterministic `dim`-float vector
+    * per blob (byte-histogram projection stub) — the embed-everything
+    * plumbing shape: binary in, `Array[Float]` out, ready for
+    * [[Similarity]] operators downstream. A real implementation would run
+    * the encoder model here, batched per partition.
+    */
+  def featureExtract(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      dim: Int = 16): DataFrame = {
+    val pruned = df.select(col(idCol), col(blobCol))
+    val outSchema = StructType(pruned.schema.fields.take(1) :+
+      StructField("features", ArrayType(FloatType, containsNull = false)))
+    pruned.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val acc = new Array[Float](dim)
+        var i = 0
+        while (i < bytes.length) {
+          acc(i % dim) += (bytes(i) & 0xff) / 255.0f
+          i += 1
+        }
+        Row(r.get(0), acc.toSeq)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -181,6 +181,90 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    * path: corpus vectors are assigned to the nearest of `cells` centroids;
+    * each query probes its `nprobe` nearest cells and ranks exact cosine
+    * within them.
+    *
+    * Deterministic without training: centroids are the corpus vectors with
+    * the smallest portable hash of their id (a seeded sample — at 100 TB
+    * you would swap in k-means centroids, the plumbing is identical).
+    * Centroids broadcast; assignment is map-side; the only shuffle keys on
+    * the cell id. Expected candidate set is |corpus| * nprobe / cells.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      cells: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Row
+    // deterministic centroid sample (tiny; the collect is `cells` rows)
+    val centroids: Array[(Int, Array[Float])] = corpus
+      .select(
+        col(corpusId).cast(StringType).as("__id"),
+        col(corpusVec).as("__v"))
+      .withColumn("__h", TextFunctions.hash61(col("__id")))
+      .orderBy(col("__h").asc, col("__id").asc)
+      .limit(cells)
+      .collect()
+      .zipWithIndex
+      .map { case (r: Row, i) => i -> r.getSeq[Float](1).toArray }
+
+    def cellScores(vec: Column): Column =
+      array(centroids.map { case (_, cv) =>
+        dot(vec, typedLit(cv))
+      }: _*)
+
+    // argmax cell per corpus vector (scores array evaluated once per ref)
+    def bestCell(vec: Column): Column = {
+      val scores = cellScores(vec)
+      (array_position(scores, array_max(scores)) - 1).cast(IntegerType)
+    }
+
+    val c = corpus.select(
+      col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("__cv"),
+      sqrt(norm2(col(corpusVec))).as("__cn"),
+      bestCell(col(corpusVec)).as("__cell"))
+
+    // per query: top-nprobe cells by score
+    val qScored = queries.select(
+      col(queryId).as("query_id"),
+      col(queryVec).as("__qv"),
+      sqrt(norm2(col(queryVec))).as("__qn"),
+      posexplode(cellScores(col(queryVec))).as(Seq("__cell", "__cscore")))
+    val pw = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__cscore").desc, col("__cell").asc)
+    val qCells = qScored
+      .withColumn("__crank", row_number().over(pw))
+      .filter(col("__crank") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("__cell"))
+
+    val scored = c
+      .join(broadcast(qCells), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn(
+        "cos",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        col("rank"),
+        col("cos").as("cos_sim"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * then exact cosine rank within the bucket. Recall < 1 by construction;
     * the scale win is that the per-query candidate set is |corpus| / 2^planes

@@ -122,3 +122,68 @@ class HttpForeachWriterSpec extends SparkSpec with BeforeAndAfterAll {
     } finally fail.stop()
   }
 }
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(16)(d => (((seed * 37 + d * 11) % 17) - 8).toFloat)
+
+  test("ivfTopK finds an identical-direction vector through its cell") {
+    val rows = (1 to 60).map(i => (i.toLong, vec(i))) :+
+      (61L, vec(30).map(_ * 2.0f)) // exact direction dup of 30
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 30L)
+    val out = graft.ops.Similarity
+      .ivfTopK(corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 3, cells = 8, nprobe = 2)
+      .orderBy("rank")
+      .collect()
+    // the duplicate has an identical cell assignment, so nprobe >= 1 finds it
+    out.map(_.getAs[Long]("neighbor_id")) should contain(61L)
+    out.head.getAs[Double]("cos_sim") shouldBe 1.0 +- 1e-9
+  }
+
+  test("ivfTopK results are a subset of brute force with matching ranks at full probe") {
+    val corpus = (1 to 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") <= 2L)
+    val brute = graft.ops.Similarity
+      .bruteForceTopK(corpus, "vec_id", "embedding", queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivfFull = graft.ops.Similarity
+      .ivfTopK(corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 5, cells = 4, nprobe = 4) // probe every cell -> exact
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    ivfFull shouldBe brute
+  }
+}
+
+class MultimodalPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def blobs = Seq((1L, "a" * 100), (2L, "b" * 37))
+    .toDF("id", "s")
+    .select(col("id"), col("s").cast("binary").as("blob"))
+
+  test("frameSample explodes sampled frames with stable fingerprints") {
+    val out = graft.ops.Multimodal.frameSample(blobs, "id", "blob", every = 2)
+      .collect()
+    // 100 bytes -> n_frames = 100 % 24 + 1 = 5 -> frames 0,2,4
+    out.filter(_.getLong(0) == 1L).map(_.getInt(1)).sorted shouldBe Array(0, 2, 4)
+    // fingerprints deterministic: rerun equals
+    val again = graft.ops.Multimodal.frameSample(blobs, "id", "blob", every = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet shouldBe again
+  }
+
+  test("featureExtract yields fixed-dim float vectors usable by Similarity") {
+    val feats = graft.ops.Multimodal.featureExtract(blobs, "id", "blob", dim = 8)
+    val rows = feats.collect()
+    all(rows.map(_.getSeq[Float](1).size)) shouldBe 8
+    // downstream compatibility: cosine of a vector with itself is 1
+    val self = feats.select(
+      graft.ops.Similarity.cosine(col("features"), col("features")).as("c"))
+      .collect().map(_.getDouble(0))
+    all(self.map(math.abs)) shouldBe 1.0 +- 1e-9
+  }
+}
