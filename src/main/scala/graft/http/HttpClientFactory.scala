@@ -41,13 +41,22 @@ object HttpClientFactory {
   }
 
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[ClientConfig, HttpClient]()
+    new java.util.concurrent.ConcurrentHashMap[(ClientConfig, Int), HttpClient]()
 
   /** Per-executor cached client for a config (JDK clients hold a connection
     * pool; one per distinct config per JVM keeps sockets bounded at scale).
     */
-  def shared(cfg: ClientConfig): HttpClient =
-    cache.computeIfAbsent(cfg, c => build(c))
+  def shared(cfg: ClientConfig): HttpClient = shared(cfg, 0)
+
+  /** Sharded variant: each JDK HttpClient multiplexes ALL its requests
+    * through a single selector thread, which caps one client at roughly
+    * 1-2k req/s regardless of caller concurrency. High-fanout operators
+    * spread tasks over a small client pool instead.
+    */
+  val ClientShards = 8
+
+  def shared(cfg: ClientConfig, shard: Int): HttpClient =
+    cache.computeIfAbsent((cfg, shard % ClientShards), c => build(c._1))
 
   def build(cfg: ClientConfig): HttpClient = {
     val b = HttpClient.newBuilder()

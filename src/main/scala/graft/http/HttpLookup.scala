@@ -265,7 +265,9 @@ object HttpLookup {
       io: IoConfig,
       urlIdx: Int,
       bodyIdx: Int): Iterator[Row] = {
-    val httpClient = HttpClientFactory.shared(io.clientCfg)
+    val shard = Option(org.apache.spark.TaskContext.get())
+      .map(_.partitionId()).getOrElse(0)
+    val httpClient = HttpClientFactory.shared(io.clientCfg, shard)
     val headers = renderHeaders(io, httpClient)
     val client = new HttpLookupClient(
       httpClient,

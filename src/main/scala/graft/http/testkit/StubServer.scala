@@ -15,7 +15,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * records every request, and supports fault injection (fail N times then
   * succeed, fixed status, delays) for retry/classification specs.
   */
-final class StubServer {
+final class StubServer(recording: Boolean = true) {
   final case class Recorded(
       method: String,
       path: String,
@@ -23,7 +23,9 @@ final class StubServer {
       body: String,
       headers: Map[String, List[String]])
 
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  // large accept backlog: hundreds of concurrent lookup connections would
+  // otherwise overflow the default queue and pay 1s+ SYN retransmits
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 4096)
   server.setExecutor(
     java.util.concurrent.Executors.newFixedThreadPool(
       64,
@@ -78,7 +80,7 @@ final class StubServer {
       exchange.getRequestHeaders.asScala.map { case (k, v) =>
         k -> v.asScala.toList
       }.toMap)
-    recorded.add(req)
+    if (recording) recorded.add(req)
     req
   }
 
@@ -95,7 +97,12 @@ final class StubServer {
 }
 
 object StubServer {
-  def apply(): StubServer = new StubServer
+  def apply(): StubServer = new StubServer(recording = true)
+
+  /** Serving-only stub (skips request capture — for load-bearing fixtures
+    * like the bench lookup service).
+    */
+  def serveOnly(): StubServer = new StubServer(recording = false)
 
   /** Parse a query string into a name→value map (first value wins). */
   def queryMap(q: String): Map[String, String] =

@@ -45,7 +45,7 @@ object HttpQueries {
           .collect()
           .map(r => r.getString(0) -> r.getString(1))
           .toMap
-        val server = StubServer().route("/customer") { req =>
+        val server = StubServer.serveOnly().route("/customer") { req =>
           StubServer.queryMap(req.query).get("c_custkey").flatMap(rows.get) match {
             case Some(json) => (200, json)
             case None => (404, """{"error":"not found"}""")
@@ -87,7 +87,7 @@ object HttpQueries {
           "url" -> customerServiceUrl(s, dir),
           "lookup-method" -> "GET",
           "asyncPolling" -> "true",
-          "http.source.lookup.request.thread-pool.size" -> "16",
+          "http.source.lookup.request.thread-pool.size" -> "8",
           "http.source.lookup.dedup-keys" -> "true",
           "lookup.cache" -> "PARTIAL",
           "lookup.partial-cache.max-rows" -> "200000",
