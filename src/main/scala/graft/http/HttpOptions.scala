@@ -85,6 +85,7 @@ object HttpOptions {
   val BodyTemplate = "http.request.body-template"
   val UrlMap = "http.request.url-map"
   val QueryParamFields = "http.request.query-param-fields"
+  val QueryParamFieldsWithKey = "http.request.query-param-fields-with-key"
   val OidcTokenRequest = "http.security.oidc.token.request"
   val OidcTokenEndpoint = "http.security.oidc.token.endpoint.url"
   val OidcExpiryReduction = "http.security.oidc.token.expiry.reduction"

@@ -34,9 +34,27 @@ object QueryCreator {
   def fromOptions(o: HttpOptions): QueryCreator = {
     val url = o.required(HttpOptions.Url)
     val method = o.str(HttpOptions.LookupMethod, "GET").toUpperCase
+    val paramFields = o
+      .str(HttpOptions.QueryParamFields, "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // `col:apiName` pairs renaming query-param keys (reference docs
+    // `table/http.md` note 13: request column named differently from the
+    // API field it maps to)
+    val paramFieldsWithKey =
+      parseUrlMap(o.str(HttpOptions.QueryParamFieldsWithKey, ""))
+    // upstream tightened this: query-param-fields with a body-based method
+    // is a config error (reference docs, "Migration from GetInData HTTP
+    // connector")
+    if ((paramFields.nonEmpty || paramFieldsWithKey.nonEmpty) && method != "GET")
+      throw new HttpConfigException(
+        s"${HttpOptions.QueryParamFields} cannot be used with $method")
     o.str(HttpOptions.LookupQueryCreator, defaultCreatorName(o)) match {
       case GenericGet =>
-        if (method == "GET") GenericGetQueryCreator(url)
+        if (method == "GET")
+          GenericGetQueryCreator(
+            url,
+            if (paramFields.isEmpty) None else Some(paramFields),
+            paramFieldsWithKey)
         else GenericJsonBodyQueryCreator(url)
       case GenericJsonUrl =>
         GenericJsonUrlQueryCreator(
@@ -76,15 +94,27 @@ object QueryCreator {
 
 }
 
-/** GET: join keys become query parameters `?k1=v1&k2=v2` (reference:
-  * `querycreators/GenericGetQueryCreator.java`; url-encoding per
+/** GET: join keys become query parameters `?k1=v1&k2=v2`, optionally
+  * restricted to `http.request.query-param-fields` and/or renamed via
+  * `http.request.query-param-fields-with-key` `col:apiName` pairs
+  * (reference: `querycreators/GenericGetQueryCreator.java`; migration +
+  * note 13 in docs `table/http.md`; url-encoding per
   * `utils/uri/URLEncodedUtils`).
   */
-final case class GenericGetQueryCreator(baseUrl: String) extends QueryCreator {
+final case class GenericGetQueryCreator(
+    baseUrl: String,
+    paramFields: Option[Seq[String]] = None,
+    paramFieldsWithKey: Map[String, String] = Map.empty)
+    extends QueryCreator {
   def compile(probe: DataFrame, keyCols: Seq[String]): CompiledQuery = {
+    val params = paramFields match {
+      case Some(fields) => keyCols.filter(c => fields.contains(c) || paramFieldsWithKey.contains(c))
+      case None => keyCols
+    }
     val qs = concat_ws(
       "&",
-      keyCols.map(k => QueryCreator.encodedPair(k, col(k))): _*)
+      params.map(k =>
+        QueryCreator.encodedPair(paramFieldsWithKey.getOrElse(k, k), col(k))): _*)
     CompiledQuery(QueryCreator.appendQuery(baseUrl, qs), None)
   }
 }

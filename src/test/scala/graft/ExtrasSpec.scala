@@ -187,3 +187,105 @@ class MultimodalPipelineSpec extends SparkSpec {
     all(self.map(math.abs)) shouldBe 1.0 +- 1e-9
   }
 }
+
+class StreamingSessionsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.StreamingSessions
+  import graft.streaming.StreamingSessions.Event
+  import java.sql.Timestamp
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val out = StreamingSessions.sessionize(
+      input.toDS(), gapMillis = 30 * 60 * 1000L)
+    val q = out.writeStream
+      .format("memory")
+      .queryName("custom_sessions")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(
+        Event(1L, ts("2024-01-01 09:00:00")),
+        Event(1L, ts("2024-01-01 09:10:00")),
+        Event(1L, ts("2024-01-01 10:30:00")), // gap 80m -> closes first session
+        Event(2L, ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      val rows = spark
+        .sql("SELECT user_id, n_events FROM custom_sessions")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      rows.toSeq shouldBe Seq((1L, 2L)) // only the closed session emitted
+      // next batch with a big gap closes the open session for user 1
+      input.addData(Event(1L, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      val rows2 = spark
+        .sql("SELECT user_id, n_events FROM custom_sessions")
+        .collect()
+      rows2.length shouldBe 2
+    } finally q.stop()
+  }
+}
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.SkewJoin
+
+  test("salted join matches plain join results") {
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i.toLong))
+      .toDF("k", "row_id")
+    val small = Seq((1L, "hot"), (5L, "five"), (77L, "sf")).toDF("sk", "v")
+    val plain = big.join(small, big("k") === small("sk"))
+      .select("row_id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val salted = SkewJoin
+      .saltedInnerJoin(big, "k", "row_id", small, "sk", salts = 8)
+      .select("row_id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    salted shouldBe plain
+    // 100 rows from i % 10 == 0, plus row i = 1 whose key is 1
+    plain.count(_._2 == "hot") shouldBe 101
+  }
+
+  test("topKeys surfaces the heavy hitters") {
+    val big = (1 to 500).map(i => (if (i % 5 == 0) "hot" else s"k$i")).toDF("k")
+    val top = SkewJoin.topKeys(big, "k", 1).collect().head
+    top.getString(0) shouldBe "hot"
+    top.getLong(1) shouldBe 100L
+  }
+}
+
+class QueryParamFieldsSpec extends SparkSpec {
+  import graft.http.{HttpConfigException, HttpOptions, QueryCreator}
+
+  test("query-param-fields restricts GET params") {
+    import spark.implicits._
+    val probe = Seq(("a1", "b1")).toDF("wanted", "hidden")
+    val creator = QueryCreator.fromOptions(HttpOptions(
+      "url" -> "http://h/x",
+      "http.request.query-param-fields" -> "wanted"))
+    val compiled = creator.compile(probe, Seq("wanted", "hidden"))
+    val url = probe.select(compiled.url.as("u")).collect().head.getString(0)
+    url shouldBe "http://h/x?wanted=a1"
+  }
+
+  test("query-param-fields-with-key renames params to API field names") {
+    import spark.implicits._
+    val probe = Seq(("a1", "b1")).toDF("local_name", "plain")
+    val creator = QueryCreator.fromOptions(HttpOptions(
+      "url" -> "http://h/x",
+      "http.request.query-param-fields-with-key" -> "local_name:apiField"))
+    val compiled = creator.compile(probe, Seq("local_name", "plain"))
+    val url = probe.select(compiled.url.as("u")).collect().head.getString(0)
+    url shouldBe "http://h/x?apiField=a1&plain=b1"
+  }
+
+  test("query-param-fields with POST is a config error (upstream migration rule)") {
+    an[HttpConfigException] should be thrownBy QueryCreator.fromOptions(
+      HttpOptions(
+        "url" -> "http://h/x",
+        "lookup-method" -> "POST",
+        "http.request.query-param-fields" -> "a"))
+  }
+}
