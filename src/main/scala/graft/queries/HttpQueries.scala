@@ -87,7 +87,13 @@ object HttpQueries {
           "url" -> customerServiceUrl(s, dir),
           "lookup-method" -> "GET",
           "asyncPolling" -> "true",
-          "http.source.lookup.request.thread-pool.size" -> "8",
+          // total in-flight = partitions × threads; the JDK HTTP/1.1 client
+          // degrades SUPER-linearly past ~100 concurrent connections
+          // (measured: 15k loopback GETs cold — 64 in-flight 1.8s,
+          // 256 in-flight 6.3s, 512 in-flight 12-18s with multi-second
+          // p99 tails). Low-latency endpoints want few in-flight; raise
+          // only for high-latency remote services.
+          "http.source.lookup.request.thread-pool.size" -> "2",
           "http.source.lookup.dedup-keys" -> "true",
           "lookup.cache" -> "PARTIAL",
           "lookup.partial-cache.max-rows" -> "200000",
