@@ -186,12 +186,117 @@ object Similarity {
     * each query probes its `nprobe` nearest cells and ranks exact cosine
     * within them.
     *
-    * Deterministic without training: centroids are the corpus vectors with
-    * the smallest portable hash of their id (a seeded sample — at 100 TB
-    * you would swap in k-means centroids, the plumbing is identical).
+    * Centroids: seeded deterministic sample by default (`trainIters = 0`),
+    * or spherical k-means via [[trainSphericalKMeans]] when `trainIters > 0`.
     * Centroids broadcast; assignment is map-side; the only shuffle keys on
     * the cell id. Expected candidate set is |corpus| * nprobe / cells.
     */
+  /** Deterministic centroid seed: the `cells` corpus vectors with the
+    * smallest portable hash of their id (a seeded sample; the collect is
+    * `cells` rows).
+    */
+  def seededCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cells: Int): Array[Array[Float]] =
+    corpus
+      .select(
+        col(idCol).cast(StringType).as("__id"),
+        col(vecCol).as("__v"))
+      .withColumn("__h", TextFunctions.hash61(col("__id")))
+      .orderBy(col("__h").asc, col("__id").asc)
+      .limit(cells)
+      .collect()
+      .map(r => r.getSeq[Float](1).toArray)
+
+  private def scoresFor(
+      centroids: Array[Array[Float]],
+      vec: Column): Column =
+    array(centroids.map(cv => dot(vec, typedLit(cv))): _*)
+
+  private def bestCellFor(
+      centroids: Array[Array[Float]],
+      vec: Column): Column = {
+    val scores = scoresFor(centroids, vec)
+    (array_position(scores, array_max(scores)) - 1).cast(IntegerType)
+  }
+
+  /** Deterministic farthest-point init (k-means++ without the randomness):
+    * start from the seeded-hash-minimal vector, then repeatedly add the
+    * corpus vector whose maximum cosine to any chosen centroid is smallest
+    * (ties by id). One broadcast-scan job per centroid — fine for coarse
+    * quantizers where `cells` is small; avoids Lloyd's duplicate-cluster
+    * traps that plain sampling falls into.
+    */
+  def farthestPointCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cells: Int): Array[Array[Float]] = {
+    val side = corpus.select(
+      col(idCol).cast(StringType).as("__id"),
+      col(vecCol).as("__v"),
+      sqrt(norm2(col(vecCol))).as("__n"))
+    val first = seededCentroids(corpus, idCol, vecCol, 1).head
+    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    while (chosen.length < cells) {
+      val maxSim = array_max(array(chosen.toSeq.map { cv =>
+        val cn = math.sqrt(cv.map(x => x.toDouble * x).sum)
+        dot(col("__v"), typedLit(cv)) / (col("__n") * lit(cn))
+      }: _*))
+      val next = side
+        .orderBy(maxSim.asc, col("__id").asc)
+        .limit(1)
+        .collect()
+        .head
+        .getSeq[Float](1)
+        .toArray
+      chosen += next
+    }
+    chosen.toArray
+  }
+
+  /** Spherical k-means (Lloyd's) for IVF coarse quantizers: assignment by
+    * max dot against L2-normalized centroids, update = element-wise mean,
+    * re-normalized. Scale shape per iteration: centroids broadcast in the
+    * assignment expressions (map-side), then ONE shuffle of
+    * (cell, dim, value) with map-side partial aggregation — no iteration
+    * ever moves the corpus. Empty cells keep their previous centroid.
+    *
+    * Seeded-deterministic up to float addition order inside `avg` (the
+    * standard caveat for distributed means); use the un-trained seeded
+    * sample where bit-reproducibility is required.
+    */
+  def trainSphericalKMeans(
+      corpus: DataFrame,
+      vecCol: String,
+      init: Array[Array[Float]],
+      iters: Int): Array[Array[Float]] = {
+    def normalized(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v.map(_.toFloat) else v.map(x => (x / n).toFloat)
+    }
+    var centroids = init.map(c => normalized(c.map(_.toDouble)))
+    for (_ <- 1 to iters) {
+      val means = corpus
+        .select(
+          bestCellFor(centroids, col(vecCol)).as("__cell"),
+          posexplode(col(vecCol)).as(Seq("__pos", "__val")))
+        .groupBy(col("__cell"), col("__pos"))
+        .agg(avg(col("__val")).as("__mean"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        means.get(i).map(normalized).getOrElse(old)
+      }
+    }
+    centroids
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       corpusId: String,
@@ -201,24 +306,18 @@ object Similarity {
       queryVec: String,
       k: Int,
       cells: Int = 16,
-      nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.Row
-    // deterministic centroid sample (tiny; the collect is `cells` rows)
-    val centroids: Array[(Int, Array[Float])] = corpus
-      .select(
-        col(corpusId).cast(StringType).as("__id"),
-        col(corpusVec).as("__v"))
-      .withColumn("__h", TextFunctions.hash61(col("__id")))
-      .orderBy(col("__h").asc, col("__id").asc)
-      .limit(cells)
-      .collect()
-      .zipWithIndex
-      .map { case (r: Row, i) => i -> r.getSeq[Float](1).toArray }
+      nprobe: Int = 4,
+      trainIters: Int = 0): DataFrame = {
+    val centroids =
+      if (trainIters > 0)
+        trainSphericalKMeans(
+          corpus,
+          corpusVec,
+          farthestPointCentroids(corpus, corpusId, corpusVec, cells),
+          trainIters)
+      else seededCentroids(corpus, corpusId, corpusVec, cells)
 
-    def cellScores(vec: Column): Column =
-      array(centroids.map { case (_, cv) =>
-        dot(vec, typedLit(cv))
-      }: _*)
+    def cellScores(vec: Column): Column = scoresFor(centroids, vec)
 
     // argmax cell per corpus vector (scores array evaluated once per ref)
     def bestCell(vec: Column): Column = {

@@ -144,6 +144,54 @@ class IvfSpec extends SparkSpec {
     out.head.getAs[Double]("cos_sim") shouldBe 1.0 +- 1e-9
   }
 
+  test("spherical k-means separates well-clustered data and recovers cluster directions") {
+    // three tight clusters around orthogonal axes (plus small jitter)
+    def clustered(axis: Int, i: Int): Array[Float] =
+      Array.tabulate(12) { d =>
+        val base = if (d / 4 == axis) 10.0f else 0.0f
+        base + (((i * 31 + d * 7) % 5) - 2) * 0.1f
+      }
+    val rows = for (axis <- 0 until 3; i <- 1 to 20)
+      yield ((axis * 20 + i).toLong, clustered(axis, i))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val init = graft.ops.Similarity
+      .farthestPointCentroids(corpus, "vec_id", "embedding", cells = 3)
+    val trained = graft.ops.Similarity
+      .trainSphericalKMeans(corpus, "embedding", init, iters = 5)
+    trained.length shouldBe 3
+    // every trained centroid should be dominated by exactly one axis block,
+    // and all three axes should be covered
+    val axes = trained.map { c =>
+      val blockNorm = (0 until 3).map(b =>
+        (0 until 4).map(d => math.abs(c(b * 4 + d).toDouble)).sum)
+      blockNorm.indexOf(blockNorm.max)
+    }
+    axes.toSet shouldBe Set(0, 1, 2)
+    // unit-normalized
+    all(trained.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))) shouldBe 1.0 +- 1e-5
+  }
+
+  test("ivfTopK with trained centroids matches brute force on clustered data") {
+    def clustered(axis: Int, i: Int): Array[Float] =
+      Array.tabulate(12) { d =>
+        val base = if (d / 4 == axis) 10.0f else 0.0f
+        base + (((i * 31 + d * 7) % 5) - 2) * 0.1f
+      }
+    val rows = for (axis <- 0 until 3; i <- 1 to 20)
+      yield ((axis * 20 + i).toLong, clustered(axis, i))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id").isin(1L, 25L, 45L))
+    val brute = graft.ops.Similarity
+      .bruteForceTopK(corpus, "vec_id", "embedding", queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // nprobe=1 suffices once centroids align with the true clusters
+    val ivf = graft.ops.Similarity
+      .ivfTopK(corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 3, cells = 3, nprobe = 1, trainIters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    ivf shouldBe brute
+  }
+
   test("ivfTopK results are a subset of brute force with matching ranks at full probe") {
     val corpus = (1 to 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
     val queries = corpus.filter(col("vec_id") <= 2L)
