@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: a real trained-merges BPE (not the char/4
+  * estimate in [[TextFunctions.bpeTokenEstimate]]).
+  *
+  * Training is the standard sample-based shape every production BPE trainer
+  * uses: the corpus collapses to a word-frequency histogram (one distributed
+  * shuffle with map-side combine — at 100 TB the histogram, not the corpus,
+  * is what fits in memory), the top `topWords` rows by mass are collected,
+  * and merge rules are learned greedily on the weighted histogram. Ties
+  * break lexicographically so training is deterministic for a fixed corpus.
+  *
+  * Encoding applies the learned ranks per word (greedy lowest-rank merge
+  * first — the canonical BPE encode loop). The merge loop is inherently
+  * procedural, so it runs as a serialized-closure UDF over the words array;
+  * everything around it (splitting, exploding, counting) stays in Catalyst.
+  */
+object Bpe {
+
+  /** Learned merge rules: (left, right) -> rank (lower merges first). */
+  final case class Merges(ranks: Map[(String, String), Int]) extends Serializable {
+    def vocabSize: Int = ranks.size
+  }
+
+  /** Learn `numMerges` merge rules from the corpus text column. */
+  def train(
+      corpus: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      topWords: Int = 50000): Merges = {
+    val hist: Array[(String, Long)] = corpus
+      .select(explode(TextFunctions.words(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(topWords)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+
+    // words as symbol sequences; learn merges on the weighted histogram
+    var seqs: Array[(Array[String], Long)] =
+      hist.map { case (w, n) => (w.map(_.toString).toArray, n) }
+    val ranks = scala.collection.mutable.LinkedHashMap.empty[(String, String), Int]
+    var merge = 0
+    var exhausted = false
+    while (merge < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seqs.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val best = pairCounts.toSeq
+          .minBy { case ((a, b), n) => (-n, a, b) }
+          ._1
+        ranks.update(best, merge)
+        seqs = seqs.map { case (syms, n) => (applyMerge(syms, best), n) }
+        merge += 1
+      }
+    }
+    Merges(ranks.toMap)
+  }
+
+  private def applyMerge(
+      syms: Array[String],
+      pair: (String, String)): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += syms(i) + syms(i + 1)
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Canonical BPE encode of one word: repeatedly merge the lowest-rank
+    * adjacent pair until no learned pair remains.
+    */
+  def encodeWord(word: String, merges: Merges): Array[String] = {
+    var syms = word.map(_.toString).toArray
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestPair: (String, String) = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = merges.ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPair = (syms(i), syms(i + 1)) }
+        i += 1
+      }
+      if (bestPair == null) done = true
+      else {
+        syms = applyMerge(syms, bestPair)
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** Column of BPE tokens (array of subword strings) for a text column. */
+  def tokens(text: Column, merges: Merges): Column = {
+    val enc = udf { (ws: Seq[String]) =>
+      if (ws == null) Seq.empty[String]
+      else ws.filter(_.nonEmpty).flatMap(w => encodeWord(w, merges))
+    }
+    enc(TextFunctions.words(lower(text)))
+  }
+
+  /** Column of BPE token count for a text column. */
+  def tokenCount(text: Column, merges: Merges): Column =
+    size(tokens(text, merges))
+}

@@ -91,6 +91,16 @@ object PipelineQueries {
         TextFunctions.meanTokenLength(col("text")).as("mean_token_len"))
     },
 
+    // ----- trained-BPE token counts (merge loop not SQL-expressible:
+    // rows-only driver check; deterministic fixtures in BpeSpec) -----
+    "t_bpe_tokens" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val merges = graft.ops.Bpe.train(d, "text", numMerges = 100, topWords = 5000)
+      d.select(
+        col("doc_id"),
+        graft.ops.Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
+    },
+
     // ----- quality scoring -----
     "t_quality_score" -> { (s, dir) =>
       val d = t(s, dir, "documents")

@@ -278,6 +278,42 @@ class StreamingSessionsSpec extends SparkSpec {
   }
 }
 
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Bpe
+
+  test("learns the single obvious merge on a toy corpus") {
+    val corpus = Seq("ab ab ab", "ab").toDF("text")
+    val merges = Bpe.train(corpus, "text", numMerges = 1)
+    merges.ranks.keySet shouldBe Set(("a", "b"))
+    Bpe.encodeWord("ab", merges).toSeq shouldBe Seq("ab")
+    Bpe.encodeWord("abc", merges).toSeq shouldBe Seq("ab", "c")
+    Bpe.encodeWord("ba", merges).toSeq shouldBe Seq("b", "a")
+  }
+
+  test("frequent words collapse to single tokens; counts stay in Catalyst pipeline") {
+    val docs = Seq.fill(20)("newest widest lowest").toDF("text")
+    val merges = Bpe.train(docs, "text", numMerges = 30)
+    Bpe.encodeWord("newest", merges).length shouldBe 1
+    Bpe.encodeWord("widest", merges).length shouldBe 1
+    // unseen word splits into learned subwords, not single chars
+    val unseen = Bpe.encodeWord("newwidest", merges)
+    unseen.length should be < "newwidest".length
+    val counted = docs
+      .select(Bpe.tokenCount(org.apache.spark.sql.functions.col("text"), merges).as("n"))
+      .collect().map(_.getInt(0))
+    all(counted) shouldBe 3 // three fully-merged words per doc
+  }
+
+  test("training is deterministic") {
+    val docs = Seq("the cat sat on the mat", "the cat ran", "a cat sat")
+      .toDF("text")
+    val m1 = Bpe.train(docs, "text", numMerges = 12)
+    val m2 = Bpe.train(docs, "text", numMerges = 12)
+    m1.ranks shouldBe m2.ranks
+  }
+}
+
 class SkewJoinSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.SkewJoin
