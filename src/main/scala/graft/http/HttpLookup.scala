@@ -68,7 +68,8 @@ object HttpLookup {
       cacheMissingKey: Boolean,
       oidc: Option[(String, String, Long)], // tokenRequest, endpoint, expiryReductionMs
       useRawAuthHeader: Boolean,
-      loggingLevel: String)
+      loggingLevel: String,
+      callbackName: String)
 
   def join(
       probe: DataFrame,
@@ -112,7 +113,23 @@ object HttpLookup {
           o.durationMs(HttpOptions.OidcExpiryReduction, 1000L))
       },
       useRawAuthHeader = o.bool(HttpOptions.UseRawAuthHeader, default = false),
-      loggingLevel = o.str("http.logging.level", "MIN"))
+      loggingLevel = o.str("http.logging.level", "MIN"),
+      callbackName =
+        o.str(HttpOptions.SourceRequestCallback, "slf4j-lookup-logger"))
+
+    // fail fast on the driver like the reference's factory discovery does
+    RequestCallback.named(
+      io.callbackName,
+      RequestCallback.Level.parse(io.loggingLevel))
+
+    // reference `lookup-request.format` (default json): body rendering is a
+    // Catalyst to_json tree; other serialization formats would plug in as a
+    // different payload expression — none are bundled, mirroring the
+    // reference which ships only the json format factory
+    val requestFormat = o.str(HttpOptions.LookupRequestFormat, "json")
+    if (requestFormat != "json")
+      throw new HttpConfigException(
+        s"Unsupported ${HttpOptions.LookupRequestFormat} '$requestFormat' (only 'json')")
 
     val staged = probe
       .withColumn(ReqUrl, compiled.url)
@@ -277,7 +294,9 @@ object HttpLookup {
       io.retryPolicy,
       io.requestTimeoutMs,
       headers,
-      RequestCallback.Slf4jLogger(RequestCallback.Level.parse(io.loggingLevel)))
+      RequestCallback.named(
+        io.callbackName,
+        RequestCallback.Level.parse(io.loggingLevel)))
     val cache = LookupCache.shared(io.cacheId, HttpOptions(io.cacheOptions))
 
     def call(url: String, body: String): HttpOutcome = {

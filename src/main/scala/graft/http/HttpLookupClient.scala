@@ -170,4 +170,26 @@ object RequestCallback {
     def onResponse(method: String, url: String, status: Int): Unit = ()
     def onException(method: String, url: String, e: Throwable): Unit = ()
   }
+
+  /** Named callback registry (reference: `HttpPostRequestCallbackFactory`
+    * ServiceLoader discovery behind `http.source.lookup.request-callback` /
+    * `http.sink.request-callback`; defaults `slf4j-lookup-logger` /
+    * `slf4j-logger`). Custom callbacks register by name before building the
+    * lookup/sink; factories are (loggingLevel) => callback so the
+    * `http.logging.level` option composes.
+    */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Level => RequestCallback]()
+  registry.put("slf4j-lookup-logger", lvl => Slf4jLogger(lvl))
+  registry.put("slf4j-logger", lvl => Slf4jLogger(lvl))
+  registry.put("no-op", _ => NoOp)
+
+  def register(name: String, factory: Level => RequestCallback): Unit =
+    registry.put(name, factory)
+
+  def named(name: String, level: Level): RequestCallback =
+    Option(registry.get(name)).map(_(level)).getOrElse(
+      throw new HttpConfigException(
+        s"Unknown request-callback '$name'; registered: " +
+          registry.keySet().toArray.mkString(", ")))
 }

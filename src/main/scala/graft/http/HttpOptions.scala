@@ -86,6 +86,9 @@ object HttpOptions {
   val UrlMap = "http.request.url-map"
   val QueryParamFields = "http.request.query-param-fields"
   val QueryParamFieldsWithKey = "http.request.query-param-fields-with-key"
+  val SourceRequestCallback = "http.source.lookup.request-callback"
+  val SinkRequestCallback = "http.sink.request-callback"
+  val LookupRequestFormat = "lookup-request.format"
   val OidcTokenRequest = "http.security.oidc.token.request"
   val OidcTokenEndpoint = "http.security.oidc.token.endpoint.url"
   val OidcExpiryReduction = "http.security.oidc.token.expiry.reduction"

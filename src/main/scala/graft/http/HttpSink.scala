@@ -73,6 +73,8 @@ object HttpSink {
         o.durationMs(HttpOptions.OidcExpiryReduction, 1000L))
     }
     val clientCfg = HttpClientFactory.ClientConfig.fromOptions(o)
+    val callbackName = o.str(HttpOptions.SinkRequestCallback, "slf4j-logger")
+    val loggingLevel = o.str("http.logging.level", "MIN")
 
     val payloadCol = payload.getOrElse(to_json(struct(df.columns.map(col): _*)))
     val staged = df.select(payloadCol.cast("string").as("payload"))
@@ -99,7 +101,10 @@ object HttpSink {
         classifier,
         timeoutMs,
         finalHeaders,
-        maxInflight)
+        maxInflight,
+        RequestCallback.named(
+          callbackName,
+          RequestCallback.Level.parse(loggingLevel)))
       val batch = new scala.collection.mutable.ArrayBuffer[String](batchSize)
       rows.foreach { r =>
         batch += r.getString(0)
@@ -137,7 +142,8 @@ object HttpSink {
       classifier: SinkErrorClassifier,
       timeoutMs: Long,
       headers: Seq[(String, String)],
-      maxInflight: Int) {
+      maxInflight: Int,
+      callback: RequestCallback = RequestCallback.NoOp) {
     private val permits = new Semaphore(maxInflight)
     @volatile private var failure: Throwable = _
     private val inflight =
@@ -157,14 +163,20 @@ object HttpSink {
           method,
           java.net.http.HttpRequest.BodyPublishers.ofString(body))
         .build()
+      callback.onRequest(method, url, Some(body))
       val fut = client
         .sendAsync(req, java.net.http.HttpResponse.BodyHandlers.ofString())
         .whenComplete { (resp, err) =>
           try {
-            if (err != null) failure = err
-            else if (classifier.isError(resp.statusCode()))
-              failure = new HttpStatusCodeValidationFailedException(
-                s"HTTP sink got error status ${resp.statusCode()} from $url")
+            if (err != null) {
+              callback.onException(method, url, err)
+              failure = err
+            } else {
+              callback.onResponse(method, url, resp.statusCode())
+              if (classifier.isError(resp.statusCode()))
+                failure = new HttpStatusCodeValidationFailedException(
+                  s"HTTP sink got error status ${resp.statusCode()} from $url")
+            }
           } finally permits.release()
         }
       inflight.add(fut)

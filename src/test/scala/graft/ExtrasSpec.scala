@@ -278,6 +278,75 @@ class StreamingSessionsSpec extends SparkSpec {
   }
 }
 
+class RequestCallbackRegistrySpec extends SparkSpec {
+  import graft.http._
+  import graft.http.testkit.StubServer
+  import org.apache.spark.sql.types._
+
+  test("named lookup callback observes requests and responses") {
+    import spark.implicits._
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
+    RequestCallback.register("test-recorder", _ => new RequestCallback {
+      def onRequest(m: String, u: String, b: Option[String]): Unit = ()
+      def onResponse(m: String, u: String, s: Int): Unit = { seen.add((m, s)); () }
+      def onException(m: String, u: String, e: Throwable): Unit = ()
+    })
+    val server = new StubServer().route("/cb")(_ => (200, """{"v":"x"}""")).start()
+    try {
+      val out = HttpLookup.join(
+        Seq("k1", "k2").toDF("k"),
+        Seq("k"),
+        StructType(Seq(StructField("v", StringType))),
+        Map(
+          "url" -> server.url("/cb"),
+          "http.source.lookup.request-callback" -> "test-recorder"))
+      out.count() shouldBe 2
+      seen.size shouldBe 2
+      seen.peek() shouldBe ("GET", 200)
+    } finally server.stop()
+  }
+
+  test("named sink callback observes posted batches") {
+    import spark.implicits._
+    val seen = new java.util.concurrent.atomic.AtomicInteger()
+    RequestCallback.register("sink-recorder", _ => new RequestCallback {
+      def onRequest(m: String, u: String, b: Option[String]): Unit = ()
+      def onResponse(m: String, u: String, s: Int): Unit = { seen.incrementAndGet(); () }
+      def onException(m: String, u: String, e: Throwable): Unit = ()
+    })
+    val server = new StubServer().route("/ingest")(_ => (200, "{}")).start()
+    try {
+      HttpSink.write(
+        Seq(1, 2, 3).toDF("v").repartition(1),
+        Map(
+          "url" -> server.url("/ingest"),
+          "http.sink.request.batch.size" -> "2",
+          "http.sink.request-callback" -> "sink-recorder"))
+      seen.get() shouldBe 2 // two batches: [1,2] and [3]
+    } finally server.stop()
+  }
+
+  test("unknown callback name is a config error") {
+    import spark.implicits._
+    an[HttpConfigException] should be thrownBy HttpLookup.join(
+      Seq("k").toDF("k"),
+      Seq("k"),
+      StructType(Seq(StructField("v", StringType))),
+      Map(
+        "url" -> "http://127.0.0.1:1/x",
+        "http.source.lookup.request-callback" -> "nope"))
+  }
+
+  test("non-json lookup-request.format is rejected") {
+    import spark.implicits._
+    an[HttpConfigException] should be thrownBy HttpLookup.join(
+      Seq("k").toDF("k"),
+      Seq("k"),
+      StructType(Seq(StructField("v", StringType))),
+      Map("url" -> "http://127.0.0.1:1/x", "lookup-request.format" -> "avro"))
+  }
+}
+
 class BpeSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.Bpe
