@@ -46,6 +46,14 @@ object TextFunctions {
     * DuckDB equivalent: `CAST(('0x'||substr(md5(x),1,15)) AS UBIGINT)`.
     */
   def hash61(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.Hash61F(
+        org.apache.spark.sql.graft.ColumnShim.expression(c.cast(StringType))))
+
+  /** The original expression-chain formulation (kept as the portable
+    * reference implementation for the native [[hash61]]).
+    */
+  def hash61Hof(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** hash61 reduced mod 1e9+7 — small enough that `a*h+b` never overflows

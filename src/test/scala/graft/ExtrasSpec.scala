@@ -278,6 +278,25 @@ class StreamingSessionsSpec extends SparkSpec {
   }
 }
 
+class Hash61Spec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ops.TextFunctions
+
+  test("native hash61 equals the md5-chain formulation on varied inputs") {
+    val inputs = Seq(
+      "", "a", "hello world", "The quick brown fox", "ünïcødé ✓ 中文",
+      "x" * 500, "line\nbreak\ttab", "0", "15000")
+    val df = inputs.toDF("s")
+    val rows = df.select(
+      TextFunctions.hash61(col("s")).as("native"),
+      TextFunctions.hash61Hof(col("s")).as("chain")).collect()
+    rows.foreach { r => r.getLong(0) shouldBe r.getLong(1) }
+    // 60-bit: always non-negative
+    all(rows.map(_.getLong(0))) should be >= 0L
+  }
+}
+
 class RequestCallbackRegistrySpec extends SparkSpec {
   import graft.http._
   import graft.http.testkit.StubServer
