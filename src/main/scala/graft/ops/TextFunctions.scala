@@ -99,6 +99,47 @@ object TextFunctions {
     stopwordHits(text, stopwords).cast(DoubleType) /
       size(words(text)).cast(DoubleType)
 
+  /** Text normalization for pretraining corpora: strip control characters,
+    * collapse whitespace runs to single spaces, trim. Pure `regexp_replace`
+    * chain — codegen, and reproducible in the DuckDB oracle with the same
+    * patterns.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\p{Cntrl}]", " "),
+      "\\s{2,}",
+      " "))
+
+  /** PII redaction: emails, IPv4 addresses and phone-shaped digit runs
+    * replaced by typed placeholders. Patterns are deliberately simple and
+    * deterministic (a corpus pipeline wants recall + reproducibility, not a
+    * validator); order matters — emails first so their host part is not
+    * half-eaten by the phone pattern, IPs before phones so dotted quads
+    * don't match the digit-run pattern.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(
+      text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "<EMAIL>")
+    val ip = regexp_replace(
+      email,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
+      "<IP>")
+    regexp_replace(
+      ip,
+      "\\+?\\d[\\d\\s().-]{7,}\\d",
+      "<PHONE>")
+  }
+
+  /** Tokens of `text` with the given words removed (vocabulary pruning —
+    * e.g. the corpus-frequency top-k from a histogram pass).
+    */
+  def pruneWords(text: Column, remove: Seq[String]): Column = {
+    val arr = array(remove.map(lit): _*)
+    filter(words(text), w => !array_contains(arr, w))
+  }
+
   /** Punctuation character ratio over all characters. */
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))

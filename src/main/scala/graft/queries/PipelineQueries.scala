@@ -101,6 +101,47 @@ object PipelineQueries {
         graft.ops.Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
     },
 
+    // ----- vocabulary pruning: drop the corpus-top-20 words per doc -----
+    "t_stopword_prune" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      // distributed histogram (one partial-agg shuffle), deterministic ties,
+      // top-20 collected and broadcast into the pruning expression
+      val top = d
+        .select(explode(TextFunctions.words(col("text"))).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w").asc)
+        .limit(20)
+        .collect()
+        .map(_.getString(0))
+        .toSeq
+      d.select(
+        col("doc_id"),
+        size(TextFunctions.words(col("text"))).as("n_tokens"),
+        size(TextFunctions.pruneWords(col("text"), top)).as("n_kept"))
+    },
+
+    // ----- deterministic hash sampling (reproducible corpus subsetting) -----
+    "t_hash_sample" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          (TextFunctions.hash61(col("doc_id").cast(StringType)) % 100)
+            .as("bucket"))
+        .filter(col("bucket") < 10)
+    },
+
+    // ----- corpus-level top-50 bigrams -----
+    "t_top_bigrams" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(
+          TextFunctions.shingles(TextFunctions.words(col("text")), 2)).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(50)
+    },
+
     // ----- quality scoring -----
     "t_quality_score" -> { (s, dir) =>
       val d = t(s, dir, "documents")
@@ -243,6 +284,31 @@ object PipelineQueries {
          |  list_reduce(list_transform($WsSql, w -> CAST(length(w) AS BIGINT)),
          |    (acc, v) -> acc + v) * 1.0 / len($WsSql) AS mean_token_len
          |FROM documents""".stripMargin
+    },
+    "t_stopword_prune" -> {
+      s"""WITH hist AS (
+         |  SELECT w, count(*) AS n
+         |  FROM (SELECT unnest($WsSql) AS w FROM documents)
+         |  GROUP BY w ORDER BY n DESC, w ASC LIMIT 20
+         |), top AS (SELECT list(w) AS tw FROM hist)
+         |SELECT doc_id,
+         |  len(ws0) AS n_tokens,
+         |  len(list_filter(ws0, x -> NOT list_contains(tw, x))) AS n_kept
+         |FROM (SELECT doc_id, $WsSql AS ws0 FROM documents) d
+         |CROSS JOIN top""".stripMargin
+    },
+    "t_hash_sample" -> {
+      s"""SELECT doc_id,
+         |  ${hash61Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |FROM documents
+         |WHERE ${hash61Sql("CAST(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin
+    },
+    "t_top_bigrams" -> {
+      s"""SELECT bigram, count(*) AS n FROM (
+         |  SELECT unnest(list_transform(range(1, greatest(len(ws), 1)),
+         |    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+         |  FROM (SELECT $WsSql AS ws FROM documents)
+         |) GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin
     },
     "t_quality_score" -> {
       val sw = TextFunctions.LangProfiles.head._2

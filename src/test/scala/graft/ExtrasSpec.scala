@@ -278,6 +278,39 @@ class StreamingSessionsSpec extends SparkSpec {
   }
 }
 
+class TextCleaningSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ops.TextFunctions
+
+  private def one(in: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): String =
+    Seq(in).toDF("text").select(c(col("text")).as("out")).collect().head.getString(0)
+
+  test("cleanText strips control chars and collapses whitespace") {
+    one("  a b\tc   d \r\n e  ", TextFunctions.cleanText) shouldBe "a b c d e"
+    one("already clean", TextFunctions.cleanText) shouldBe "already clean"
+  }
+
+  test("redactPii replaces emails, IPs and phone runs with placeholders") {
+    one("mail me at jane.doe+x@example.co.uk now", TextFunctions.redactPii) shouldBe
+      "mail me at <EMAIL> now"
+    one("server at 10.0.255.1 port 80", TextFunctions.redactPii) shouldBe
+      "server at <IP> port 80"
+    one("call +1 (555) 123-4567 today", TextFunctions.redactPii) shouldBe
+      "call <PHONE> today"
+    one("a@b.com via 1.2.3.4 or 555-123-9876", TextFunctions.redactPii) shouldBe
+      "<EMAIL> via <IP> or <PHONE>"
+    one("no pii here", TextFunctions.redactPii) shouldBe "no pii here"
+  }
+
+  test("pruneWords removes exactly the given vocabulary") {
+    val out = Seq("the cat and the hat").toDF("text")
+      .select(TextFunctions.pruneWords(col("text"), Seq("the", "and")).as("ws"))
+      .collect().head.getSeq[String](0)
+    out shouldBe Seq("cat", "hat")
+  }
+}
+
 class Hash61Spec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
