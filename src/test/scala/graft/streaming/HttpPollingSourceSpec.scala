@@ -96,6 +96,43 @@ class HttpPollingSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("composes with from_json decode and windowed aggregation downstream") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val server = new StubServer()
+      .route("/ev")(_ => (200,
+        """[{"user":"u1","ts":"2024-01-01 10:00:10","v":2},
+          |{"user":"u1","ts":"2024-01-01 10:00:40","v":3},
+          |{"user":"u2","ts":"2024-01-01 10:01:05","v":5}]""".stripMargin))
+      .start()
+    try {
+      val schema = StructType(Seq(
+        StructField("user", StringType),
+        StructField("ts", TimestampType),
+        StructField("v", LongType)))
+      val agg = spark.readStream
+        .format("graft-http-poll")
+        .option("url", server.url("/ev"))
+        .load()
+        .select(from_json(col("body"), schema).as("e"))
+        .select(col("e.user"), col("e.ts"), col("e.v"))
+        .groupBy(window(col("ts"), "1 minute"), col("user"))
+        .agg(sum(col("v")).as("total"))
+      val q = agg.writeStream
+        .format("memory")
+        .queryName("poll_windowed")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000) shouldBe true
+      val rows = spark
+        .sql("SELECT user, total FROM poll_windowed ORDER BY user")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      rows.toSeq shouldBe Seq(("u1", 5L), ("u2", 5L))
+    } finally server.stop()
+  }
+
   test("non-success response does not advance the offset (no rows emitted)") {
     val server = new StubServer()
       .route("/down")(_ => (404, "not found"))
