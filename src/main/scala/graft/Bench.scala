@@ -24,6 +24,21 @@ object Bench {
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("r_name")).orderBy(col("r_name"))))
         .count()
+      // warm the JDK HTTP stack (class loading + JIT of client/server
+      // machinery — measured ~1-2s on the first HTTP query otherwise);
+      // connections don't carry over (different port), classes and JIT do
+      val warmSrv = graft.http.testkit.StubServer.serveOnly()
+        .route("/warm")(_ => (200, "{}"))
+        .start()
+      try {
+        val clients = (0 until graft.http.HttpClientFactory.ClientShards)
+          .map(i => graft.http.HttpClientFactory
+            .shared(graft.http.HttpClientFactory.ClientConfig(), i))
+        val req = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(warmSrv.url("/warm"))).GET().build()
+        val handler = java.net.http.HttpResponse.BodyHandlers.ofString()
+        (0 until 200).foreach(i => clients(i % clients.size).send(req, handler))
+      } finally warmSrv.stop()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

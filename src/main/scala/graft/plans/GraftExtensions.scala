@@ -4,39 +4,47 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graft.DotProductF
+import org.apache.spark.sql.graft.{DotProductF, Hash61F}
 
 /** Session extensions: register graft's native expressions with the SQL
-  * function registry so `spark.sql("SELECT graft_dot(a, b) ...")` works.
+  * function registry so `spark.sql("SELECT graft_dot(a, b) ...")` and
+  * `graft_hash61(s)` work.
   *
   * Enable with `spark.sql.extensions=graft.plans.GraftExtensions`, or call
   * [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.dotFunction)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
 
-  private[plans] val dotFunction
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_dot"),
-    new ExpressionInfo(
-      classOf[DotProductF].getCanonicalName,
-      "graft_dot"),
-    (children: Seq[Expression]) => {
-      require(children.size == 2, "graft_dot takes exactly 2 arguments")
-      DotProductF(children.head, children(1))
-    })
+  private type FunctionDef =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private[plans] val functions: Seq[FunctionDef] = Seq(
+    (
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductF].getCanonicalName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot takes exactly 2 arguments")
+        DotProductF(children.head, children(1))
+      }),
+    (
+      FunctionIdentifier("graft_hash61"),
+      new ExpressionInfo(classOf[Hash61F].getCanonicalName, "graft_hash61"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_hash61 takes exactly 1 argument")
+        Hash61F(children.head)
+      }))
 
   /** Imperative registration for sessions created without the extensions
     * config.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (ident, info, builder) = dotFunction
-    spark.sessionState.functionRegistry
-      .registerFunction(ident, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
 }

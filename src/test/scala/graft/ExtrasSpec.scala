@@ -21,6 +21,15 @@ class GraftExtensionsSpec extends SparkSpec {
     out shouldBe 32.0
   }
 
+  test("graft_hash61 registers and matches TextFunctions.hash61") {
+    GraftExtensions.register(spark)
+    Seq("abc", "", "ünïcødé").toDF("s").createOrReplaceTempView("h61")
+    val rows = spark.sql(
+      "SELECT graft_hash61(s) AS h, CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT) AS e FROM h61")
+      .collect()
+    rows.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+  }
+
   test("graft_dot matches the HOF formulation bit-for-bit") {
     val df = spark.range(200).select(
       col("id"),
