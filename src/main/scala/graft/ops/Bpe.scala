@@ -111,11 +111,17 @@ object Bpe {
     syms
   }
 
-  /** Column of BPE tokens (array of subword strings) for a text column. */
+  /** Column of BPE tokens (array of subword strings) for a text column.
+    * Per-word encodings are memoized per task (the closure's cache lives for
+    * the task's row stream) — natural-language word frequency is Zipfian, so
+    * most words hit the cache.
+    */
   def tokens(text: Column, merges: Merges): Column = {
+    val cache = new scala.collection.mutable.HashMap[String, Array[String]]
     val enc = udf { (ws: Seq[String]) =>
       if (ws == null) Seq.empty[String]
-      else ws.filter(_.nonEmpty).flatMap(w => encodeWord(w, merges))
+      else ws.filter(_.nonEmpty).flatMap(w =>
+        cache.getOrElseUpdate(w, encodeWord(w, merges)))
     }
     enc(TextFunctions.words(lower(text)))
   }
