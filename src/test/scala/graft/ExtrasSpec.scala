@@ -287,6 +287,53 @@ class StreamingSessionsSpec extends SparkSpec {
   }
 }
 
+class AnnRecallSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.ops.Similarity
+
+  /** Recall@k of an ANN result against brute force on the driver's real
+    * embeddings table — quantifies the approximation the scale path trades
+    * for its pruning (SURVEY §2.4 P5/P6/P6b).
+    */
+  private def recallAt(k: Int, approx: Array[(Long, Long)], exact: Array[(Long, Long)]): Double = {
+    val e = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = approx.count { case (q, n) => e.getOrElse(q, Set.empty).contains(n) }
+    hits.toDouble / e.values.map(_.size).sum
+  }
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") % 25 === 0)
+  private lazy val exact = Similarity
+    .bruteForceTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding", 5)
+    .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  // Floors measured on this table (0.50 / 0.80), set with margin — recall
+  // is a data + parameter property; the point is a regression tripwire and
+  // an honest record of the approximation, not a universal guarantee.
+  test("IVF with trained centroids reaches measured recall floors") {
+    def run(nprobe: Int) = recallAt(5, Similarity
+      .ivfTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 5, cells = 16, nprobe = nprobe, trainIters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))), exact)
+    val r4 = run(4)
+    val r8 = run(8)
+    withClue(f"recall@5 nprobe=4: $r4%.2f nprobe=8: $r8%.2f: ") {
+      r4 should be >= 0.40
+      r8 should be >= 0.65
+      r8 should be >= r4
+    }
+  }
+
+  test("IVF probing every cell recovers brute force exactly") {
+    val approx = Similarity
+      .ivfTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 5, cells = 16, nprobe = 16, trainIters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    recallAt(5, approx, exact) shouldBe 1.0
+  }
+}
+
 class TextCleaningSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
