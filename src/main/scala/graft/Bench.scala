@@ -23,7 +23,7 @@ object Bench {
         .groupBy(col("r_name")).agg(count(lit(1)))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("r_name")).orderBy(col("r_name"))))
-        .count()
+        .write.format("noop").mode("overwrite").save()
       // warm the JDK HTTP stack (class loading + JIT of client/server
       // machinery — measured ~1-2s on the first HTTP query otherwise);
       // connections don't carry over (different port), classes and JIT do
@@ -40,9 +40,14 @@ object Bench {
         (0 until 200).foreach(i => clients(i % clients.size).send(req, handler))
       } finally warmSrv.stop()
     }
+    // Force FULL evaluation of every output column: .count() lets Catalyst
+    // prune projections the count doesn't reference (timing the scan, not the
+    // operator); the noop sink consumes every row and column.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

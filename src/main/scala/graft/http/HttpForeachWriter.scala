@@ -33,9 +33,28 @@ final class HttpForeachWriter(
     classifier = SinkErrorClassifier(
       o.str(HttpOptions.SinkErrorCodes, SinkErrorClassifier.DefaultErrorExpr),
       o.str(HttpOptions.SinkErrorCodesExclude, ""))
-    headers = o.withPrefix(HttpOptions.SinkHeaderPrefix).toSeq
     client = HttpClientFactory.shared(
       HttpClientFactory.ClientConfig.fromOptions(o))
+    // same Authorization handling as HttpSink/HttpLookup: Basic-auth value
+    // preprocessing, OIDC bearer overriding any configured header
+    val basic = BasicAuthHeaderValuePreprocessor(
+      o.bool(HttpOptions.UseRawAuthHeader, default = false))
+    val base = o.withPrefix(HttpOptions.SinkHeaderPrefix).toSeq.map {
+      case (n, v) if n.equalsIgnoreCase("Authorization") =>
+        n -> basic.preprocess(v)
+      case kv => kv
+    }
+    headers = o.strOpt(HttpOptions.OidcTokenRequest) match {
+      case Some(tokenReq) =>
+        val mgr = OidcManagers.shared(
+          client,
+          tokenReq,
+          o.required(HttpOptions.OidcTokenEndpoint),
+          o.durationMs(HttpOptions.OidcExpiryReduction, 1000L))
+        base.filterNot(_._1.equalsIgnoreCase("Authorization")) :+
+          ("Authorization" -> ("Bearer " + mgr.authenticate()))
+      case None => base
+    }
     true
   }
 

@@ -199,16 +199,28 @@ object HttpLookup {
       StructType(responseSchema.fields :+ StructField(Corrupt, StringType))
     val jsonOpts = Map("columnNameOfCorruptRecord" -> Corrupt)
     val resultType = o.str(HttpOptions.ResultType, "single-value")
-    val parsedCol = resultType match {
-      case "single-value" =>
-        from_json(col(RespBody), schemaWithCorrupt, jsonOpts)
-      case "array" =>
-        explode_outer(
-          from_json(col(RespBody), ArrayType(schemaWithCorrupt), jsonOpts))
+    val isArray = resultType match {
+      case "array" => true
+      case "single-value" => false
       case other =>
         throw new HttpConfigException(s"Unknown result-type '$other'")
     }
-    var out = ioDf.withColumn(RespParsed, parsedCol)
+    // Array mode keeps the PRE-explode parse around: "parse failed" must be
+    // judged on the whole body, not per exploded element — a valid empty
+    // array `[]` explodes (outer) to one null element, which is "parsed
+    // empty", not "undecodable".
+    val ArrParsed = "__graft_resp_arr"
+    var out =
+      if (isArray)
+        ioDf
+          .withColumn(
+            ArrParsed,
+            from_json(col(RespBody), ArrayType(schemaWithCorrupt), jsonOpts))
+          .withColumn(RespParsed, explode_outer(col(ArrParsed)))
+      else
+        ioDf.withColumn(
+          RespParsed,
+          from_json(col(RespBody), schemaWithCorrupt, jsonOpts))
 
     // SUCCESS but undecodable body → UNABLE_TO_DESERIALIZE_RESPONSE with the
     // raw body as error-string (reference: "Available Metadata" doc rules).
@@ -216,12 +228,17 @@ object HttpLookup {
     // chained withColumn re-resolves by name, so updating RespState first
     // would silently change the predicate for the later updates.
     val Undec = "__graft_undec"
+    val parseFailed =
+      if (isArray)
+        col(ArrParsed).isNull ||
+          col(RespParsed).getField(Corrupt).isNotNull
+      else
+        col(RespParsed).isNull ||
+          col(RespParsed).getField(Corrupt).isNotNull
     out = out.withColumn(
       Undec,
       col(RespState) === CompletionState.Success &&
-        col(RespBody).isNotNull &&
-        (col(RespParsed).isNull ||
-          col(RespParsed).getField(Corrupt).isNotNull))
+        col(RespBody).isNotNull && parseFailed)
     out = out
       .withColumn(
         RespError,
@@ -236,6 +253,16 @@ object HttpLookup {
         RespParsed,
         when(col(Undec), lit(null).cast(schemaWithCorrupt))
           .otherwise(col(RespParsed)))
+
+    if (isArray) {
+      // A valid empty-array response means "no result": the reference's
+      // lookup function returns zero rows and the (inner) lookup join emits
+      // nothing — drop the explode_outer placeholder row rather than
+      // misreporting it.
+      out = out.filter(
+        !(col(RespState) === CompletionState.Success &&
+          col(ArrParsed).isNotNull && size(col(ArrParsed)) === 0))
+    }
 
     if (!includeMetadata) {
       // Inner-join semantics: ignored responses emit no row when no metadata

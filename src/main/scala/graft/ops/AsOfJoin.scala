@@ -33,31 +33,40 @@ object AsOfJoin {
     val Tag = "__graft_is_left"
     val T = "__graft_t"
     val Tie = "__graft_tie"
+    val P = "__graft_payload"
 
     val leftCols = left.columns.toSeq
-    val payloadTypes =
-      payload.map(c => c -> right.schema(c).dataType).toMap
+
+    // Payload travels as ONE struct filled atomically: per-column
+    // last(c, ignoreNulls) windows would substitute a stale value from an
+    // older right row wherever the matched row holds a null, and could stitch
+    // different payload columns from different right rows — diverging from
+    // ASOF/merge_asof semantics. A struct built from a right row is never
+    // null (even if its fields are), so last(struct, ignoreNulls) always
+    // attaches the single latest right row as a unit.
+    val payloadStruct = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c)))
 
     val lSide = left.select(
-      (leftCols.map(col) :+
+      leftCols.map(col) :+
         col(leftTime).as(T) :+
         lit(1).as(Tag) :+
-        lit(null).cast("long").as(Tie)) ++
-        payload.map(c => lit(null).cast(payloadTypes(c)).as(c)): _*)
+        lit(null).cast("long").as(Tie) :+
+        lit(null).cast(payloadStruct).as(P): _*)
 
     val rKeyed = keys.foldLeft(right) { case (df, (lk, rk)) =>
       if (lk == rk) df else df.withColumnRenamed(rk, lk)
     }
     val rSide = rKeyed.select(
-      (leftCols.map(c =>
+      leftCols.map(c =>
         if (keys.exists(_._1 == c)) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) :+
         col(rightTime).as(T) :+
         lit(0).as(Tag) :+
         tieBreak
           .map(tb => col(tb).cast("long").as(Tie))
-          .getOrElse(lit(0L).as(Tie))) ++
-        payload.map(c => col(c)): _*)
+          .getOrElse(lit(0L).as(Tie)) :+
+        struct(payload.map(col): _*).as(P): _*)
 
     val unioned = lSide.unionByName(rSide)
 
@@ -68,13 +77,12 @@ object AsOfJoin {
       .orderBy(col(T).asc, col(Tag).asc, col(Tie).asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-
-    filled
+    unioned
+      .withColumn(P, last(col(P), ignoreNulls = true).over(w))
       .filter(col(Tag) === 1)
-      .drop(T, Tag, Tie)
+      .select(
+        leftCols.map(col) ++
+          payload.map(c => col(P).getField(c).as(c)): _*)
   }
 
   /** Column helper: expose as-of output columns of a payload col. */

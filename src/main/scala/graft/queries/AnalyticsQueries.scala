@@ -369,7 +369,7 @@ object AnalyticsQueries {
         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM flagged)
-        |SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM sessions GROUP BY user_id""".stripMargin
   )
 }

@@ -140,21 +140,39 @@ private[streaming] class HttpPollingMicroBatchStream(opts: Map[String, String])
   @volatile private var lastPollAtMs = 0L
 
   // Trigger.AvailableNow: one poll up front, then the run drains to that
-  // fixed target and stops.
+  // fixed target and stops. The poll itself is deferred to the first
+  // latestOffset(start, _) call so the counter can be rehydrated from the
+  // checkpoint first (prepareForTriggerAvailableNow doesn't see the offset).
+  @volatile private var availableNowRequested = false
   @volatile private var availableNowTarget: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit = {
-    pollOnce()
-    availableNowTarget = Some(polls)
+    availableNowRequested = true
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    availableNowTarget match {
-      case Some(target) => PollOffset(target)
-      case None => latestOffset()
-    }
+  /** Restart contract: a fresh instance starts with polls=0, but the
+    * checkpoint's committed offset is N — without rehydration every reported
+    * offset would regress below the commit and fresh polls (ids 1..N) would be
+    * evicted by commit(end<=N) without ever being planned. Fast-forward the
+    * counter to the checkpointed start before polling.
+    */
+  private def rehydrate(start: Offset): Unit = {
+    val n = start.asInstanceOf[PollOffset].polls
+    if (n > polls) polls = n
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    rehydrate(start)
+    if (availableNowRequested) {
+      if (availableNowTarget.isEmpty) {
+        pollOnce()
+        availableNowTarget = Some(polls)
+      }
+      PollOffset(availableNowTarget.get)
+    } else latestOffset()
+  }
 
   override def reportLatestOffset(): Offset = PollOffset(polls)
 
@@ -182,6 +200,7 @@ private[streaming] class HttpPollingMicroBatchStream(opts: Map[String, String])
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    rehydrate(start)
     val from = start.asInstanceOf[PollOffset].polls
     val to = end.asInstanceOf[PollOffset].polls
     val rows = ((from + 1) to to).flatMap { id =>

@@ -68,7 +68,11 @@ object StreamingSessions {
               val t = e.ts.getTime
               current match {
                 case Some(st) if t - st.lastTs <= gapMillis =>
-                  current = Some(st.copy(lastTs = t, nEvents = st.nEvents + 1))
+                  // cross-batch out-of-order event: never move the session
+                  // end backwards below an already-observed event
+                  current = Some(st.copy(
+                    lastTs = math.max(st.lastTs, t),
+                    nEvents = st.nEvents + 1))
                 case Some(st) =>
                   closed += flush(userId, st)
                   current = Some(SessionState(t, t, 1))

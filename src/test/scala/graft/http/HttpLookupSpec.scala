@@ -39,6 +39,8 @@ class HttpLookupSpec extends SparkSpec with BeforeAndAfterAll {
         (200, """[{"name": "a", "balance": 1.0}, {"name": "b", "balance": 2.0}]""")
       }
       .route("/broken") { _ => (200, "this is not json") }
+      .route("/empty-arr") { _ => (200, "[]") }
+      .route("/broken-arr") { _ => (200, "not an array at all") }
       .start()
   }
 
@@ -111,6 +113,39 @@ class HttpLookupSpec extends SparkSpec with BeforeAndAfterAll {
           "http.source.lookup.result-type" -> "array"))
       .collect()
     out.map(_.getAs[String]("name")).sorted.toSeq shouldBe Seq("a", "b")
+  }
+
+  test("array result: valid empty array emits no row (not a deserialization error)") {
+    val out = HttpLookup
+      .join(
+        probe.limit(1),
+        Seq("id"),
+        userSchema,
+        Map(
+          "url" -> server.url("/empty-arr"),
+          "http.source.lookup.result-type" -> "array"),
+        includeMetadata = true)
+      .collect()
+    out shouldBe empty
+  }
+
+  test("array result: undecodable body still flags UNABLE_TO_DESERIALIZE") {
+    val out = HttpLookup
+      .join(
+        probe.limit(1),
+        Seq("id"),
+        userSchema,
+        Map(
+          "url" -> server.url("/broken-arr"),
+          "http.source.lookup.result-type" -> "array"),
+        includeMetadata = true)
+      .collect()
+    out should have size 1
+    out.head.getAs[String](HttpLookup.MetaCompletionState) shouldBe
+      CompletionState.UnableToDeserialize
+    out.head.getAs[String](HttpLookup.MetaErrorString) shouldBe
+      "not an array at all"
+    out.head.getAs[String]("name") shouldBe null
   }
 
   test("metadata columns surface status / state; 404 rows kept with metadata") {

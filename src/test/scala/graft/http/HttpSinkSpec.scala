@@ -103,6 +103,30 @@ class HttpSinkSpec extends SparkSpec with BeforeAndAfterAll {
     req.headers("X-k").head shouldBe "v"
   }
 
+  test("per-row ForeachWriter sink applies Basic-auth header preprocessing") {
+    server.clear()
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val query = input
+      .toDF()
+      .select(to_json(struct(col("value").as("v"))).as("payload"))
+      .writeStream
+      .foreach(new HttpForeachWriter(Map(
+        "url" -> server.url("/ok"),
+        "http.sink.header.Authorization" -> "u:p")))
+      .start()
+    try {
+      input.addData(1L, 2L)
+      query.processAllAvailable()
+      val reqs = server.requests.filter(_.path == "/ok")
+      reqs should have size 2
+      // same transformation as the batch sink: 'u:p' -> Basic base64(u:p)
+      all(reqs.map(_.headers("Authorization").head)) should startWith("Basic ")
+    } finally query.stop()
+  }
+
   test("streaming foreachBatch sink delivers all rows") {
     server.clear()
     import spark.implicits._

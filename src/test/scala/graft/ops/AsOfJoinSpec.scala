@@ -54,6 +54,26 @@ class AsOfJoinSpec extends SparkSpec {
     out.count() shouldBe 5
   }
 
+  test("null payload in the matched right row stays null (no stale backfill)") {
+    // Regression: per-column last(c, ignoreNulls) windows replaced a null in
+    // the MATCHED row with a value from an older row; the struct fill must
+    // attach the latest right row as a unit, nulls included.
+    val q = Seq(
+      ("A", ts("2024-01-01 09:00:00"), Option(10.0), Option("x")),
+      ("A", ts("2024-01-01 09:05:00"), Option.empty[Double], Option("y")))
+      .toDF("sym", "qts", "px", "src")
+    val t = Seq((1L, "A", ts("2024-01-01 09:10:00")))
+      .toDF("trade_id", "sym", "tts")
+    val out = AsOfJoin
+      .leftAsOf(t, "tts", q, "qts", Seq(("sym", "sym")), Seq("px", "src"))
+      .collect()
+    out should have size 1
+    // matched row is the 09:05 quote: px is null THERE, so it is null HERE —
+    // and both payload columns come from that same row
+    out.head.isNullAt(out.head.fieldIndex("px")) shouldBe true
+    out.head.getAs[String]("src") shouldBe "y"
+  }
+
   test("tieBreak resolves equal right timestamps deterministically") {
     val dupQuotes = Seq(
       ("A", ts("2024-01-01 09:00:00"), 1.0, 1L),

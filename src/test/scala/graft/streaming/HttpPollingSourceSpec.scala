@@ -133,6 +133,40 @@ class HttpPollingSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("restart resumes the offset from the checkpoint (no silent drop)") {
+    // Regression: a fresh instance started with polls=0 while the checkpoint
+    // held N, so post-restart polls (ids 1..N) were evicted by commit(end<=N)
+    // without being planned — new data silently dropped until the counter
+    // caught up. The counter must rehydrate from the start offset.
+    val counter = new java.util.concurrent.atomic.AtomicInteger()
+    val server = new StubServer()
+      .route("/r")(_ => (200, s"""{"n":${counter.incrementAndGet()}}"""))
+      .start()
+    val ckpt = checkpoint()
+    val out = Files.createTempDirectory("graft-poll-out").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format("graft-http-poll")
+        .option("url", server.url("/r"))
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000) shouldBe true
+    }
+    try {
+      runOnce() // first run commits poll 1
+      runOnce() // fresh stream instance; must continue at poll 2, not regress
+      val rows = spark.read.parquet(out)
+        .selectExpr("poll_id", "body").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      rows.toSeq shouldBe Seq((1L, """{"n":1}"""), (2L, """{"n":2}"""))
+    } finally server.stop()
+  }
+
   test("non-success response does not advance the offset (no rows emitted)") {
     val server = new StubServer()
       .route("/down")(_ => (404, "not found"))
