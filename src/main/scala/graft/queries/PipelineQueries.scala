@@ -161,22 +161,33 @@ object PipelineQueries {
     },
 
     // ----- brute-force cosine top-k -----
+    // The query set is a FIXED-size id prefix (100 ids), not a corpus
+    // fraction: the broadcast side must stay O(k) as the corpus grows — the
+    // brute-force operator's scale contract is |queries| ≪ |corpus|.
     "s_cosine_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(
         emb,
         "vec_id",
         "embedding",
-        emb.filter(col("vec_id") % 50 === 0),
+        emb.filter(col("vec_id") < 100),
         "vec_id",
         "embedding",
         k = 5)
     },
 
-    // ----- embedding-cosine near-dup pairs (exact baseline) -----
+    // ----- embedding-cosine near-dup pairs (LSH-blocked scale path) -----
+    // Gates the bucket-blocked variant (pair space per bucket, never
+    // corpus²); the deterministic md5-derived hyperplanes are replayed in
+    // the DuckDB oracle. The exact O(N²) path remains the verification
+    // baseline in SimilaritySpec.
     "s_embed_neardup" -> { (s, dir) =>
-      Similarity.cosinePairsExact(
-        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
+      Similarity.cosineNearDupPairs(
+        t(s, dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold = 0.45,
+        planes = 2)
     },
 
     // ----- multimodal metadata extraction (stub decoder over binary) -----
@@ -356,7 +367,7 @@ object PipelineQueries {
           s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (acc, v) -> acc + v)"
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-         |  WHERE vec_id % 50 = 0),
+         |  WHERE vec_id < 100),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
          |s AS (
          |  SELECT query_id, neighbor_id,
@@ -375,13 +386,26 @@ object PipelineQueries {
       def dotSql(x: String, y: String) =
         s"list_reduce(list_transform(range(1, len($x) + 1), " +
           s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (acc, v) -> acc + v)"
+      // replay the seeded random-hyperplane bucket (Similarity.lshBucket):
+      // sign(p, i) = ±1 from hash61("plane<p>:<i>") & 1; bit p set when the
+      // signed projection folds positive (same index order, double math)
+      def bitSql(v: String, p: Int) = {
+        val sign = s"(CASE WHEN (${hash61Sql(s"'plane$p:' || CAST(i AS VARCHAR)")} & 1) = 1 " +
+          "THEN 1.0 ELSE -1.0 END)"
+        s"(CASE WHEN list_reduce(list_transform(range(1, len($v) + 1), " +
+          s"i -> CAST($v[i] AS DOUBLE) * $sign), (acc, x) -> acc + x) > 0 " +
+          s"THEN ${1L << p} ELSE 0 END)"
+      }
+      def bucketSql(v: String) =
+        (0 until 2).map(p => bitSql(v, p)).mkString(" + ")
       s"""WITH e AS (
          |  SELECT vec_id, embedding,
-         |    sqrt(${dotSql("embedding", "embedding")}) AS n
+         |    sqrt(${dotSql("embedding", "embedding")}) AS n,
+         |    ${bucketSql("embedding")} AS bucket
          |  FROM embeddings)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${dotSql("a.embedding", "b.embedding")} / (a.n * b.n) AS cos_sim
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.n * b.n) >= 0.45""".stripMargin
     },
     "m_media_meta" ->
