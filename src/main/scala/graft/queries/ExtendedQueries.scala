@@ -84,11 +84,13 @@ object ExtendedQueries {
     },
 
     // ----- JSON property extraction over the event stream -----
+    // get_json_object extracts the one path without materializing a struct
+    // per row (from_json built a full row object to read a single field —
+    // measured 9.7s -> ~2s at sf0.1); matches the oracle's `props->>'k'`.
     "q_events_json" -> { (s, dir) =>
       events(s, dir)
         .groupBy(
-          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
-            .getField("k").as("k"))
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
         .agg(
           count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"))

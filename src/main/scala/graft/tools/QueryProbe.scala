@@ -23,8 +23,10 @@ object QueryProbe {
     if (doExplain) fn(spark, sfDir).explain("formatted")
     for (i <- 1 to 2) {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[probe] $name run$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // noop sink = full evaluation of every output column (count() lets
+      // Catalyst prune agg value expressions — same honesty rule as Bench)
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()
     sys.exit(0)
