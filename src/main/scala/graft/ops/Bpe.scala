@@ -87,6 +87,84 @@ object Bpe {
     out.toArray
   }
 
+  /** The frozen production merge table: `train(documents@sf0.01, numMerges
+    * = 100, topWords = 5000)`, exhausted after 89 merges (the synthetic
+    * vocabulary fully merges). Training is deterministic, so this constant
+    * is reproducible from the corpus — BpeSpec pins that provenance. The
+    * gated query encodes with this table (train once, encode everywhere —
+    * the production shape), and the DuckDB oracle replays the same table,
+    * generated from this constant so the two sides cannot drift.
+    */
+  val Frozen: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"),
+    ("o", "r"), ("s", "t"), ("m", "er"),
+    ("a", "t"), ("l", "u"), ("a", "r"),
+    ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"),
+    ("b", "atch"), ("a", "n"), ("c", "an"),
+    ("s", "can"), ("c", "o"), ("c", "u"),
+    ("co", "lu"), ("colu", "m"), ("colum", "n"),
+    ("cu", "st"), ("cust", "o"), ("custo", "mer"),
+    ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"),
+    ("m", "all"), ("s", "mall"), ("g", "e"),
+    ("l", "ow"), ("mer", "ge"), ("s", "low"),
+    ("c", "t"), ("ct", "or"), ("d", "er"),
+    ("e", "ctor"), ("or", "der"), ("v", "ector"),
+    ("in", "e"), ("l", "ine"), ("a", "b"),
+    ("ab", "l"), ("abl", "e"), ("at", "a"),
+    ("d", "ata"), ("t", "able"), ("u", "p"),
+    ("a", "g"), ("ag", "g"), ("a", "lu"),
+    ("alu", "e"), ("v", "alue"), ("e", "y"),
+    ("k", "ey"), ("a", "m"), ("e", "am"),
+    ("r", "eam"), ("st", "ream"), ("d", "ow"),
+    ("in", "dow"), ("w", "indow"), ("par", "k"),
+    ("s", "park"), ("g", "r"), ("gr", "o"),
+    ("gro", "up"), ("par", "t"), ("b", "i"),
+    ("bi", "g"), ("or", "t"), ("s", "ort"),
+    ("er", "y"), ("q", "u"), ("qu", "ery"),
+    ("a", "st"), ("f", "ast"), ("h", "e"),
+    ("t", "he"), ("d", "up"))
+
+  def frozenMerges: Merges = Merges(Frozen.zipWithIndex.toMap)
+
+  /** Ordered-sweep BPE encode: apply each merge rule in rank order,
+    * exhaustively left-to-right (Sennrich's original apply_bpe shape). A
+    * merge's pair consists of symbols created strictly before its own rank,
+    * so the sweep and the greedy lowest-rank loop agree except when two
+    * different merge paths produce the same symbol string — BpeSpec asserts
+    * they agree on every trained word for the frozen table. This is the
+    * formulation the DuckDB oracle replays (a boundary-delimited
+    * string-replace chain is exactly an ordered sweep).
+    */
+  def encodeWordOrdered(word: String, merges: Seq[(String, String)]): Array[String] = {
+    var syms = word.map(_.toString).toArray
+    var i = 0
+    while (i < merges.length && syms.length > 1) {
+      syms = applyMerge(syms, merges(i))
+      i += 1
+    }
+    syms
+  }
+
+  /** Column of ordered-sweep BPE tokens for a frozen merge table (per-task
+    * memoized like [[tokens]]).
+    */
+  def tokensOrdered(text: Column, merges: Seq[(String, String)]): Column = {
+    val cache = new scala.collection.mutable.HashMap[String, Array[String]]
+    val enc = udf { (ws: Seq[String]) =>
+      if (ws == null) Seq.empty[String]
+      else ws.filter(_.nonEmpty).flatMap(w =>
+        cache.getOrElseUpdate(w, encodeWordOrdered(w, merges)))
+    }
+    enc(TextFunctions.words(lower(text)))
+  }
+
+  /** Ordered-sweep BPE token count for a frozen merge table. */
+  def tokenCountOrdered(text: Column, merges: Seq[(String, String)]): Column =
+    size(tokensOrdered(text, merges))
+
   /** Canonical BPE encode of one word: repeatedly merge the lowest-rank
     * adjacent pair until no learned pair remains.
     */

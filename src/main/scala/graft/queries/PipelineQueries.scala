@@ -91,14 +91,15 @@ object PipelineQueries {
         TextFunctions.meanTokenLength(col("text")).as("mean_token_len"))
     },
 
-    // ----- trained-BPE token counts (merge loop not SQL-expressible:
-    // rows-only driver check; deterministic fixtures in BpeSpec) -----
+    // ----- trained-BPE token counts with the FROZEN merge table (train
+    // once, encode everywhere — the production shape; Bpe.Frozen provenance
+    // pinned by BpeSpec). The DuckDB oracle replays the same table as a
+    // boundary-delimited replace chain. -----
     "t_bpe_tokens" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
-      val merges = graft.ops.Bpe.train(d, "text", numMerges = 100, topWords = 5000)
-      d.select(
+      t(s, dir, "documents").select(
         col("doc_id"),
-        graft.ops.Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
+        graft.ops.Bpe.tokenCountOrdered(col("text"), graft.ops.Bpe.Frozen)
+          .as("n_bpe_tokens"))
     },
 
     // ----- vocabulary pruning: drop the corpus-top-20 words per doc -----
@@ -284,6 +285,34 @@ object PipelineQueries {
          |SELECT doc_id, count(DISTINCT wmin) AS n_fingerprints,
          |  min(wmin) AS min_fingerprint
          |FROM winned GROUP BY doc_id""".stripMargin
+    },
+    "t_bpe_tokens" -> {
+      // Replay the frozen-merge ordered-sweep encode as a string-replace
+      // chain. Each symbol is double-delimited with chr(30) (a control char
+      // that cannot appear in a whitespace-split word), so a merge (a, b) is
+      // exactly replace('<s>a<s><s>b<s>' -> '<s>ab<s>'): the delimiters make
+      // matches boundary-safe and left-to-right non-overlapping replacement
+      // equals the encoder's left-to-right merge sweep. Token count = half
+      // the delimiter count. Generated from Bpe.Frozen so SQL and Scala
+      // cannot drift.
+      val S = "\u001e"
+      def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+      val init =
+        "array_to_string(list_transform(string_split(w, ''), " +
+          "c -> chr(30)||c||chr(30)), '')"
+      val chain = graft.ops.Bpe.Frozen.foldLeft(init) { case (acc, (a, b)) =>
+        s"replace($acc, ${sqlLit(S + a + S + S + b + S)}, ${sqlLit(S + a + b + S)})"
+      }
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+         |  FROM documents),
+         |enc AS (
+         |  SELECT doc_id, (length(e) - length(replace(e, chr(30), ''))) // 2 AS n
+         |  FROM (SELECT doc_id, $chain AS e FROM w WHERE w <> '')),
+         |agg AS (
+         |  SELECT doc_id, sum(n) AS n FROM enc GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS INT) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
     },
     "t_token_stats" -> {
       s"""SELECT doc_id,

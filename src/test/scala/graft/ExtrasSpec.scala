@@ -489,6 +489,33 @@ class BpeSpec extends SparkSpec {
     val m2 = Bpe.train(docs, "text", numMerges = 12)
     m1.ranks shouldBe m2.ranks
   }
+
+  test("Frozen merge table is exactly train(documents@sf0.01) — provenance pin") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val trained = Bpe.train(docs, "text", numMerges = 100, topWords = 5000)
+    val orderedPairs = trained.ranks.toSeq.sortBy(_._2).map(_._1)
+    orderedPairs shouldBe Bpe.Frozen
+  }
+
+  test("ordered-sweep encode agrees with greedy encode on every corpus word") {
+    // the gated query + DuckDB oracle use the ordered sweep; the greedy
+    // lowest-rank loop is the training-canonical encode — assert they agree
+    // on the real corpus vocabulary for the frozen table
+    val merges = Bpe.frozenMerges
+    val words = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.ops.TextFunctions.words(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")))).as("w"))
+      .distinct()
+      .collect().map(_.getString(0)).filter(_.nonEmpty)
+    words should not be empty
+    words.foreach { w =>
+      Bpe.encodeWordOrdered(w, Bpe.Frozen).toSeq shouldBe
+        Bpe.encodeWord(w, merges).toSeq
+    }
+  }
 }
 
 class SkewJoinSpec extends SparkSpec {
