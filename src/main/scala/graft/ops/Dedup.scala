@@ -21,7 +21,7 @@ object Dedup {
     * per distinct hash per map partition.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("fp"))
+    Par.fan(df).groupBy(md5(col(textCol)).as("fp"))
       .agg(
         min(col(idCol)).as("doc_id_kept"),
         count(lit(1)).as("n_copies"))
@@ -46,34 +46,37 @@ object Dedup {
     // seen by both engines. Persisted: without it Catalyst inlines the whole
     // pipeline into the self-join output and recomputes it per PAIR
     // (observed 17s -> ~2s at sf0.1).
-    val withSh = df.select(
+    val withSh = Par.cached(Par.fan(df).select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         array_distinct(
           transform(
             TextFunctions.shingleSet(col(textCol), n),
-            s => TextFunctions.hash61(s))).as("sh"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            s => TextFunctions.hash61(s))).as("sh"): _*))
     val a = withSh.select(
       col("id").as("id_a") +: col("sh").as("sh_a") +: blockCols.map(col): _*)
     val b = withSh.select(
       col("id").as("id_b") +: col("sh").as("sh_b") +: blockCols.map(col): _*)
     val joined = a.join(b, blockCols).filter(col("id_a") < col("id_b"))
-    // materialize the intersect size through a shuffle barrier: every later
-    // reference (uni, jaccard, filter, output) would otherwise re-run the
-    // O(|set|) intersect per reference (projection collapse re-inlines it)
-    val scored = joined
-      .select(
-        col("id_a"),
-        col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("i"),
-        (size(col("sh_a")) + size(col("sh_b"))).as("ss"))
-      .repartition(col("id_a"))
-    val jaccard =
-      col("i").cast(DoubleType) / (col("ss") - col("i")).cast(DoubleType)
-    scored
-      .withColumn("jaccard", jaccard)
+    jaccardVerify(joined, threshold)
+  }
+
+  /** Exact-Jaccard scoring of candidate pairs carrying hashed shingle arrays
+    * (`sh_a`, `sh_b`): emits (id_a, id_b, jaccard ≥ threshold).
+    *
+    * The intersect is evaluated at most twice per pair (once in the filter,
+    * once in the output project — Catalyst collapses the intermediate
+    * project). That is cheaper than the shuffle barrier it replaces: a
+    * repartition would move every candidate pair across the wire just to
+    * avoid one extra map-side array intersect; this formulation stays
+    * map-side at any scale.
+    */
+  private def jaccardVerify(pairs: DataFrame, threshold: Double): DataFrame = {
+    val i = size(array_intersect(col("sh_a"), col("sh_b")))
+    val ss = size(col("sh_a")) + size(col("sh_b"))
+    val jaccard = i.cast(DoubleType) / (ss - i).cast(DoubleType)
+    pairs
+      .select(col("id_a"), col("id_b"), jaccard.as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Fixed MinHash permutation parameters (seeded once, hardcoded so the SQL
@@ -89,9 +92,21 @@ object Dedup {
     296065411L, 835153489L, 174440041L, 498537509L, 66600049L, 753377617L)
 
   /** MinHash signature (k = MinhashA.length) of a hashed-shingle array
-    * column; empty shingle sets get P as a sentinel min.
+    * column; empty shingle sets get P as a sentinel min. Native codegen'd
+    * single pass (see [[org.apache.spark.sql.graft.MinhashSigF]]).
     */
   def minhashSignature(hashedShingles: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.MinhashSigF(
+        org.apache.spark.sql.graft.ColumnShim.expression(hashedShingles),
+        MinhashA,
+        MinhashB,
+        MinhashP))
+
+  /** The HOF formulation (kept as the portable reference implementation for
+    * [[minhashSignature]]; asserted equal in the spec).
+    */
+  def minhashSignatureHof(hashedShingles: Column): Column =
     array(MinhashA.indices.map { i =>
       coalesce(
         array_min(
@@ -104,13 +119,17 @@ object Dedup {
   /** MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
     *
     * Pipeline (all deterministic, so oracle-reproducible):
-    *   1. distinct n-gram shingles → portable 60-bit hashes,
-    *   2. k minhashes (fixed permutations) → signature,
+    *   1. distinct n-gram shingles → portable 60-bit hashes (cached: both
+    *      the signature pass and the verify join read them),
+    *   2. k minhashes (fixed permutations) → per-row signature via the
+    *      codegen'd [[org.apache.spark.sql.graft.MinhashSigF]] — one pass,
+    *      no explode, no signature shuffle,
     *   3. `bands` bands of `k/bands` rows: band key = signature slice,
-    *   4. explode bands → shuffle on (band index, band key) → candidate
-    *      pairs within equal buckets (the ONLY shuffle that moves documents,
-    *      and buckets are tiny for non-duplicate data),
-    *   5. distinct candidate pairs → exact Jaccard verify ≥ `threshold`.
+    *   4. band-bucket self-join on (band index, band key) → candidate pairs
+    *      within equal buckets (the ONLY shuffle that moves documents, and
+    *      buckets are tiny for non-duplicate data),
+    *   5. distinct candidate pairs → semi-join-narrowed exact Jaccard
+    *      verify ≥ `threshold`.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -125,37 +144,27 @@ object Dedup {
 
     // Hashed shingle sets (see ngramJaccardPairs for why hashes + persist):
     // the signature pass and the verification join both read these.
-    val sh = df.select(
+    val sh = Par.cached(Par.fan(df).select(
       col(idCol).as("id"),
       array_distinct(
         transform(
           TextFunctions.shingleSet(col(textCol), n),
-          s => TextFunctions.hash61(s))).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          s => TextFunctions.hash61(s))).as("sh")))
 
-    // Signatures via explode -> hash ONCE per shingle -> k partial min-aggs.
-    // This is the distributed-minhash plan that scales: map-side combine
-    // collapses each partition to one row per doc before the single shuffle,
-    // and no expression is evaluated more than once per shingle.
-    val hashed = sh.select(
-      col("id"),
-      explode(col("sh")).as("s"))
-      .select(col("id"), (col("s") % MinhashP).as("h"))
-    val minAggs = MinhashA.indices.map { i =>
-      coalesce(
-        min((lit(MinhashA(i)) * col("h") + lit(MinhashB(i))) % MinhashP),
-        lit(MinhashP)).as(s"m$i")
-    }
-    val sig = hashed.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
+    // Per-row codegen'd signature (MinhashSigF: one pass over the hashed
+    // shingles) and band keys in the SAME narrow stage — the signature never
+    // leaves its row, so there is no explode, no signature shuffle, and no
+    // second cache. The ONLY shuffle that moves documents is the band-bucket
+    // self-join below.
+    val sig = sh.select(col("id"), minhashSignature(col("sh")).as("sig"))
     val banded = sig.select(
       col("id"),
       posexplode(
         array((0 until bands).map { b =>
           concat_ws(
             "-",
-            (0 until rows).map(j => col(s"m${b * rows + j}").cast(StringType)): _*)
+            (0 until rows).map(j =>
+              element_at(col("sig"), b * rows + j + 1).cast(StringType)): _*)
         }: _*)).as(Seq("band", "band_key")))
 
     val candidates = banded
@@ -166,23 +175,17 @@ object Dedup {
       .select(col("id").as("id_a"), col("id_b"))
       .distinct()
 
+    // Verify join, narrowed first: only ids that appear in some candidate
+    // pair need their shingle arrays again — the left-semi joins (no
+    // distinct needed on a semi join's right side) drop the rest of the
+    // corpus before any shingle array moves; on non-duplicate-heavy data
+    // that is almost all of it.
+    val shA = sh.join(candidates.select(col("id_a").as("id")), Seq("id"), "left_semi")
+    val shB = sh.join(candidates.select(col("id_b").as("id")), Seq("id"), "left_semi")
     val verified = candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-    // shuffle barrier materializes the intersect size (see ngramJaccardPairs)
-    val scored = verified
-      .select(
-        col("id_a"),
-        col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("i"),
-        (size(col("sh_a")) + size(col("sh_b"))).as("ss"))
-      .repartition(col("id_a"))
-    val jaccard =
-      col("i").cast(DoubleType) / (col("ss") - col("i")).cast(DoubleType)
-    scored
-      .withColumn("jaccard", jaccard)
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .join(shA.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shB.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    jaccardVerify(verified, threshold)
   }
 
   /** 16-bit SimHash over the distinct word set (portable md5-derived word
@@ -223,7 +226,7 @@ object Dedup {
       textCol: String,
       blockCols: Seq[String],
       maxHamming: Int = 2): DataFrame = {
-    val withSig = df.select(
+    val withSig = Par.fan(df).select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         simhash(col(textCol)).as("sig"): _*)
     val a = withSig.select(
@@ -254,10 +257,9 @@ object Dedup {
     // pure array expressions — no explode, no window sort, no exchange. The
     // hash array is materialized into one column first (single md5 pass);
     // the slice/min pass then reads it w times per position in codegen.
-    val hs = df.select(
+    val hs = Par.cached(Par.fan(df).select(
       col(idCol).as(idCol),
-      TextFunctions.shingleHashes(col(textCol), n).as("__hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      TextFunctions.shingleHashes(col(textCol), n).as("__hs")))
     val wmins = transform(
       sequence(lit(1), size(col("__hs"))),
       i => array_min(slice(col("__hs"), i, lit(w))))

@@ -68,7 +68,7 @@ object Similarity {
       col(queryId).as("query_id"),
       col(queryVec).as("__qv"),
       sqrt(norm2(col(queryVec))).as("__qn"))
-    val c = corpus.select(
+    val c = Par.fan(corpus).select(
       col(corpusId).as("neighbor_id"),
       col(corpusVec).as("__cv"),
       sqrt(norm2(col(corpusVec))).as("__cn"))
@@ -127,7 +127,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
-    val side = corpus.select(
+    val side = Par.fan(corpus).select(
       col(idCol).as("id"),
       col(vecCol).as("__v"),
       sqrt(norm2(col(vecCol))).as("__n"))
@@ -141,6 +141,24 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos").as("cos_sim"))
   }
 
+  /** Target expected bucket size for [[planesFor]]: pair work per bucket is
+    * O(target²/2), small enough to stay comfortably inside one task.
+    */
+  val TargetBucketSize = 1024L
+
+  /** Plane count that bounds the EXPECTED bucket size by
+    * [[TargetBucketSize]]: the smallest `p` with `n / 2^p ≤ target`. This is
+    * what keeps the blocked pair space O(n · target) instead of O(n²) as the
+    * corpus grows — a constant plane count quietly reverts to quadratic at
+    * 100 TB.
+    */
+  def planesFor(n: Long, target: Long = TargetBucketSize): Int = {
+    var p = 0
+    var buckets = 1L
+    while (buckets * target < n && p < 62) { p += 1; buckets <<= 1 }
+    math.max(p, 1)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs with
     * cosine ≥ `threshold`, blocked by LSH bucket so the pair space is
     * per-bucket, not corpus², with exact cosine verification inside each
@@ -148,19 +166,25 @@ object Similarity {
     * are never missed; near-duplicate recall follows the usual
     * random-hyperplane bound (raise `planes` for precision, lower for
     * recall).
+    *
+    * `planes ≤ 0` (the default) derives the plane count from the corpus
+    * size via [[planesFor]] (one count job), keeping expected bucket sizes
+    * bounded at any corpus scale; pass an explicit positive `planes` for
+    * oracle-reproducible runs. Each vector lands in exactly ONE bucket, so
+    * a pair can never be emitted twice — no dedup pass is needed.
     */
   def cosineNearDupPairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double = 0.95,
-      planes: Int = 4): DataFrame = {
-    val side = corpus.select(
+      planes: Int = 0): DataFrame = {
+    val p = if (planes > 0) planes else planesFor(corpus.count())
+    val side = Par.cached(Par.fan(corpus).select(
       col(idCol).as("id"),
       col(vecCol).as("__v"),
       sqrt(norm2(col(vecCol))).as("__n"),
-      lshBucket(col(vecCol), planes).as("__bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lshBucket(col(vecCol), p).as("__bucket")))
     val a = side.select(
       col("__bucket"),
       col("id").as("id_a"),
@@ -178,7 +202,6 @@ object Similarity {
         dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos").as("cos_sim"))
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
@@ -325,7 +348,7 @@ object Similarity {
       (array_position(scores, array_max(scores)) - 1).cast(IntegerType)
     }
 
-    val c = corpus.select(
+    val c = Par.fan(corpus).select(
       col(corpusId).as("neighbor_id"),
       col(corpusVec).as("__cv"),
       sqrt(norm2(col(corpusVec))).as("__cn"),
@@ -383,7 +406,7 @@ object Similarity {
       col(queryVec).as("__qv"),
       sqrt(norm2(col(queryVec))).as("__qn"),
       lshBucket(col(queryVec), planes).as("__bucket"))
-    val c = corpus.select(
+    val c = Par.fan(corpus).select(
       col(corpusId).as("neighbor_id"),
       col(corpusVec).as("__cv"),
       sqrt(norm2(col(corpusVec))).as("__cn"),

@@ -14,8 +14,11 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextFunctions}
   */
 object PipelineQueries {
 
+  // Par.fan: the local test parquet is a single row group per table, which
+  // would pin every per-row expression below to ONE task; at real scale the
+  // guard is a no-op (see Par.fan scaladoc).
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.ops.Par.fan(spark.read.parquet(s"$dir/$name.parquet"))
 
   // Shared SQL fragments -------------------------------------------------
 

@@ -206,3 +206,92 @@ class MultimodalSpec extends SparkSpec {
       Seq("id", "n_bytes", "width", "height", "n_frames", "format")
   }
 }
+
+class ParSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fan widens a single-partition narrow plan to default parallelism") {
+    val df = spark.range(0, 100, 1, numPartitions = 1).toDF("x")
+    Par.fan(df).rdd.getNumPartitions shouldBe sc.defaultParallelism
+  }
+
+  test("fan is a no-op when the input is already wide enough") {
+    val df = (1 to 100).toDF("x").repartition(sc.defaultParallelism + 2)
+    val out = Par.fan(df)
+    (out eq df) shouldBe true
+  }
+
+  test("fan is a no-op on shuffle-bearing plans (already at shuffle parallelism)") {
+    val df = (1 to 100).toDF("x").coalesce(1).groupBy(col("x")).count()
+    (Par.fan(df) eq df) shouldBe true
+  }
+
+  test("releaseCaches leaves no persisted RDDs after an op's terminal action") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "completely different words here entirely")).toDF("doc_id", "text")
+    Dedup.minhashLshPairs(docs, "doc_id", "text").collect()
+    sc.getPersistentRDDs.isEmpty shouldBe false
+    Par.releaseCaches()
+    sc.getPersistentRDDs.isEmpty shouldBe true
+  }
+}
+
+class MinhashSigSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native MinhashSigF equals the HOF reference formulation on real text") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val sh = docs.select(
+      col("doc_id"),
+      array_distinct(
+        transform(
+          TextFunctions.shingleSet(col("text"), 3),
+          s => TextFunctions.hash61(s))).as("sh"))
+    val both = sh.select(
+      col("doc_id"),
+      Dedup.minhashSignature(col("sh")).as("native"),
+      Dedup.minhashSignatureHof(col("sh")).as("hof"))
+    both.filter(functions.not(col("native") === col("hof"))).count() shouldBe 0L
+  }
+
+  test("empty shingle set yields the sentinel signature") {
+    val out = Seq((1L, Seq.empty[Long])).toDF("id", "sh")
+      .select(Dedup.minhashSignature(col("sh")).as("sig"))
+      .head().getSeq[Long](0)
+    out.toSeq shouldBe Seq.fill(Dedup.MinhashA.length)(Dedup.MinhashP)
+  }
+}
+
+class PlanesForSpec extends SparkSpec {
+  test("planesFor bounds the expected bucket size at any corpus scale") {
+    for (n <- Seq(1L, 100L, 2048L, 1000000L, 10000000000L)) {
+      val p = Similarity.planesFor(n)
+      // the bound planesFor exists to enforce: n / 2^p <= target
+      (n.toDouble / (1L << p)) should be <= Similarity.TargetBucketSize.toDouble
+      p should be >= 1
+    }
+    // monotone: 1000x the corpus never means fewer planes
+    Similarity.planesFor(1000000000L) should be >= Similarity.planesFor(1000000L)
+  }
+
+  test("cosineNearDupPairs derives planes from corpus size by default") {
+    import spark.implicits._
+    // 3 exact-duplicate pairs among orthogonal-ish vectors: derived-planes
+    // blocking must still find every exact duplicate (same bucket always)
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(0.0f, 1.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f)), (6L, Array(0.0f, 0.0f, 1.0f)))
+    val out = Similarity
+      .cosineNearDupPairs(rows.toDF("vec_id", "embedding"), "vec_id", "embedding", 0.99)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    out should contain allOf ((1L, 2L), (3L, 4L), (5L, 6L))
+    Par.releaseCaches()
+  }
+}
