@@ -245,39 +245,65 @@ object Similarity {
     (array_position(scores, array_max(scores)) - 1).cast(IntegerType)
   }
 
-  /** Deterministic farthest-point init (k-means++ without the randomness):
-    * start from the seeded-hash-minimal vector, then repeatedly add the
-    * corpus vector whose maximum cosine to any chosen centroid is smallest
-    * (ties by id). One broadcast-scan job per centroid — fine for coarse
-    * quantizers where `cells` is small; avoids Lloyd's duplicate-cluster
-    * traps that plain sampling falls into.
+  /** Deterministic one-scan centroid init (the k-means|| shape: oversample
+    * distributed, recluster locally): ONE top-k job pulls the
+    * `cells * oversample` corpus vectors with the smallest portable id hash
+    * (a seeded sample, hash61-ordered for determinism), then farthest-point
+    * selection runs LOCALLY on that sample — start from the hash-minimal
+    * vector, repeatedly add the sample vector whose maximum cosine to any
+    * chosen centroid is smallest (ties by id).
+    *
+    * Replaces a per-centroid corpus-scan loop: O(1) Spark jobs regardless
+    * of `cells` (the old shape was O(cells) full-corpus broadcast scans,
+    * each ending in a driver collect — a thousand jobs at cells=1024).
+    * Local work is O(cells · cells · oversample · dim), trivial for coarse
+    * quantizers. Still avoids the duplicate-cluster traps plain sampling
+    * falls into, because selection is farthest-point within the sample.
     */
-  def farthestPointCentroids(
+  def oversampledCentroids(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      cells: Int): Array[Array[Float]] = {
-    val side = corpus.select(
-      col(idCol).cast(StringType).as("__id"),
-      col(vecCol).as("__v"),
-      sqrt(norm2(col(vecCol))).as("__n"))
-    val first = seededCentroids(corpus, idCol, vecCol, 1).head
-    val chosen = scala.collection.mutable.ArrayBuffer(first)
-    while (chosen.length < cells) {
-      val maxSim = array_max(array(chosen.toSeq.map { cv =>
-        val cn = math.sqrt(cv.map(x => x.toDouble * x).sum)
-        dot(col("__v"), typedLit(cv)) / (col("__n") * lit(cn))
-      }: _*))
-      val next = side
-        .orderBy(maxSim.asc, col("__id").asc)
-        .limit(1)
-        .collect()
-        .head
-        .getSeq[Float](1)
-        .toArray
-      chosen += next
+      cells: Int,
+      oversample: Int = 8): Array[Array[Float]] = {
+    val sample = corpus
+      .select(
+        col(idCol).cast(StringType).as("__id"),
+        col(vecCol).as("__v"))
+      .withColumn("__h", TextFunctions.hash61(col("__id")))
+      .orderBy(col("__h").asc, col("__id").asc)
+      .limit(math.max(cells * oversample, cells))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).toArray))
+    if (sample.isEmpty) return Array.empty
+    def cosLocal(a: Array[Float], b: Array[Float], na: Double, nb: Double): Double = {
+      var acc = 0.0d
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      if (na == 0 || nb == 0) 0.0 else acc / (na * nb)
     }
-    chosen.toArray
+    val norms = sample.map(s => math.sqrt(s._2.map(x => x.toDouble * x).sum))
+    val k = math.min(cells, sample.length)
+    val chosenIdx = scala.collection.mutable.ArrayBuffer(0) // hash-minimal seed
+    // bestSim(i) = max cosine of sample i to any chosen centroid so far;
+    // each round adds one centroid and relaxes the array — O(k·|sample|·dim)
+    val bestSim = Array.tabulate(sample.length)(i =>
+      cosLocal(sample(i)._2, sample(0)._2, norms(i), norms(0)))
+    while (chosenIdx.length < k) {
+      var best = -1
+      for (i <- sample.indices if !chosenIdx.contains(i)) {
+        if (best < 0 || bestSim(i) < bestSim(best) ||
+          (bestSim(i) == bestSim(best) && sample(i)._1 < sample(best)._1))
+          best = i
+      }
+      chosenIdx += best
+      for (i <- sample.indices) {
+        val s = cosLocal(sample(i)._2, sample(best)._2, norms(i), norms(best))
+        if (s > bestSim(i)) bestSim(i) = s
+      }
+    }
+    chosenIdx.map(sample(_)._2).toArray
   }
 
   /** Spherical k-means (Lloyd's) for IVF coarse quantizers: assignment by
@@ -336,7 +362,7 @@ object Similarity {
         trainSphericalKMeans(
           corpus,
           corpusVec,
-          farthestPointCentroids(corpus, corpusId, corpusVec, cells),
+          oversampledCentroids(corpus, corpusId, corpusVec, cells),
           trainIters)
       else seededCentroids(corpus, corpusId, corpusVec, cells)
 

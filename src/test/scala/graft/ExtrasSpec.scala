@@ -164,7 +164,7 @@ class IvfSpec extends SparkSpec {
       yield ((axis * 20 + i).toLong, clustered(axis, i))
     val corpus = rows.toDF("vec_id", "embedding")
     val init = graft.ops.Similarity
-      .farthestPointCentroids(corpus, "vec_id", "embedding", cells = 3)
+      .oversampledCentroids(corpus, "vec_id", "embedding", cells = 3)
     val trained = graft.ops.Similarity
       .trainSphericalKMeans(corpus, "embedding", init, iters = 5)
     trained.length shouldBe 3
@@ -199,6 +199,33 @@ class IvfSpec extends SparkSpec {
         k = 3, cells = 3, nprobe = 1, trainIters = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     ivf shouldBe brute
+  }
+
+  test("oversampledCentroids runs O(1) Spark jobs regardless of cell count") {
+    val corpus = (1 to 200).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    corpus.count() // materialize the local relation plan path first
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    sc.addSparkListener(listener)
+    try {
+      val cents = graft.ops.Similarity
+        .oversampledCentroids(corpus, "vec_id", "embedding", cells = 32)
+      cents.length shouldBe 32
+      Thread.sleep(500) // let queued listener events drain
+      // one top-k sample scan (+ a possible AQE stage job) — NOT O(cells)
+      jobs.get() should be <= 4
+    } finally sc.removeSparkListener(listener)
+    // determinism: rerun yields identical centroids
+    val again = graft.ops.Similarity
+      .oversampledCentroids(corpus, "vec_id", "embedding", cells = 32)
+    again.map(_.toSeq).toSeq shouldBe
+      graft.ops.Similarity
+        .oversampledCentroids(corpus, "vec_id", "embedding", cells = 32)
+        .map(_.toSeq).toSeq
   }
 
   test("ivfTopK results are a subset of brute force with matching ranks at full probe") {
