@@ -43,7 +43,7 @@ object Bpe {
 
     // words as symbol sequences; learn merges on the weighted histogram
     var seqs: Array[(Array[String], Long)] =
-      hist.map { case (w, n) => (w.map(_.toString).toArray, n) }
+      hist.map { case (w, n) => (codepointSyms(w), n) }
     val ranks = scala.collection.mutable.LinkedHashMap.empty[(String, String), Int]
     var merge = 0
     var exhausted = false
@@ -68,6 +68,22 @@ object Bpe {
       }
     }
     Merges(ranks.toMap)
+  }
+
+  /** Initial symbol sequence of a word: one symbol per Unicode CODEPOINT
+    * (`word.map(_.toString)` would split surrogate pairs, giving 2 symbols
+    * per non-BMP char where the DuckDB oracle's `string_split(w, '')` gives
+    * 1 — token counts would diverge on emoji etc.).
+    */
+  private def codepointSyms(word: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.toArray
   }
 
   private def applyMerge(
@@ -130,16 +146,19 @@ object Bpe {
   def frozenMerges: Merges = Merges(Frozen.zipWithIndex.toMap)
 
   /** Ordered-sweep BPE encode: apply each merge rule in rank order,
-    * exhaustively left-to-right (Sennrich's original apply_bpe shape). A
-    * merge's pair consists of symbols created strictly before its own rank,
-    * so the sweep and the greedy lowest-rank loop agree except when two
-    * different merge paths produce the same symbol string — BpeSpec asserts
-    * they agree on every trained word for the frozen table. This is the
-    * formulation the DuckDB oracle replays (a boundary-delimited
-    * string-replace chain is exactly an ordered sweep).
+    * exhaustively left-to-right. (Note this is NOT subword-nmt's
+    * `apply_bpe`, which is the iterative greedy lowest-rank loop — that is
+    * [[encodeWord]].) A merge's pair consists of symbols created strictly
+    * before its own rank, so the sweep and the greedy loop agree except
+    * when two different merge paths produce the same symbol string —
+    * BpeSpec asserts they agree on every trained word for the frozen
+    * table; out-of-vocabulary words at other scale factors may encode
+    * non-canonically, but engine and oracle stay consistent with each
+    * other. This is the formulation the DuckDB oracle replays (a
+    * boundary-delimited string-replace chain is exactly an ordered sweep).
     */
   def encodeWordOrdered(word: String, merges: Seq[(String, String)]): Array[String] = {
-    var syms = word.map(_.toString).toArray
+    var syms = codepointSyms(word)
     var i = 0
     while (i < merges.length && syms.length > 1) {
       syms = applyMerge(syms, merges(i))
@@ -147,6 +166,14 @@ object Bpe {
     }
     syms
   }
+
+  /** Word array for BPE: whitespace-split, additionally splitting on u+001e
+    * (the oracle replace-chain's delimiter, which is NOT regex whitespace) —
+    * a pathological text containing it would otherwise inflate the oracle's
+    * delimiter-count token formula. The oracle splits identically.
+    */
+  private[graft] def bpeWords(text: Column): Column =
+    split(trim(lower(text)), "[\\s\\x1e]+")
 
   /** Column of ordered-sweep BPE tokens for a frozen merge table (per-task
     * memoized like [[tokens]]).
@@ -158,7 +185,7 @@ object Bpe {
       else ws.filter(_.nonEmpty).flatMap(w =>
         cache.getOrElseUpdate(w, encodeWordOrdered(w, merges)))
     }
-    enc(TextFunctions.words(lower(text)))
+    enc(bpeWords(text))
   }
 
   /** Ordered-sweep BPE token count for a frozen merge table. */
@@ -169,7 +196,7 @@ object Bpe {
     * adjacent pair until no learned pair remains.
     */
   def encodeWord(word: String, merges: Merges): Array[String] = {
-    var syms = word.map(_.toString).toArray
+    var syms = codepointSyms(word)
     var done = syms.length < 2
     while (!done) {
       var bestRank = Int.MaxValue
@@ -201,7 +228,7 @@ object Bpe {
       else ws.filter(_.nonEmpty).flatMap(w =>
         cache.getOrElseUpdate(w, encodeWord(w, merges)))
     }
-    enc(TextFunctions.words(lower(text)))
+    enc(bpeWords(text))
   }
 
   /** Column of BPE token count for a text column. */

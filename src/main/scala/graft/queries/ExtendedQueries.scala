@@ -129,7 +129,10 @@ object ExtendedQueries {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
     "q_events_json" ->
-      """SELECT CAST(props->>'k' AS INT) AS k, count(*) AS n_events,
+      // TRY_CAST mirrors Spark's null-on-bad-cast: a non-integer props.k
+      // would make Spark emit null while a plain CAST would error the
+      // whole oracle run instead of grouping under null
+      """SELECT TRY_CAST(props->>'k' AS INT) AS k, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin
   )

@@ -291,13 +291,14 @@ object PipelineQueries {
     },
     "t_bpe_tokens" -> {
       // Replay the frozen-merge ordered-sweep encode as a string-replace
-      // chain. Each symbol is double-delimited with chr(30) (a control char
-      // that cannot appear in a whitespace-split word), so a merge (a, b) is
-      // exactly replace('<s>a<s><s>b<s>' -> '<s>ab<s>'): the delimiters make
-      // matches boundary-safe and left-to-right non-overlapping replacement
-      // equals the encoder's left-to-right merge sweep. Token count = half
-      // the delimiter count. Generated from Bpe.Frozen so SQL and Scala
-      // cannot drift.
+      // chain. Each symbol is double-delimited with chr(30); both sides
+      // split words on [\s\x1e]+ (Bpe.bpeWords and the regex below), so
+      // the delimiter char can never survive inside a word and a merge
+      // (a, b) is exactly replace('<s>a<s><s>b<s>' -> '<s>ab<s>'): the
+      // delimiters make matches boundary-safe and left-to-right
+      // non-overlapping replacement equals the encoder's left-to-right
+      // merge sweep. Token count = half the delimiter count. Generated
+      // from Bpe.Frozen so SQL and Scala cannot drift.
       val S = "\u001e"
       def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
       val init =
@@ -307,7 +308,7 @@ object PipelineQueries {
         s"replace($acc, ${sqlLit(S + a + S + S + b + S)}, ${sqlLit(S + a + b + S)})"
       }
       s"""WITH w AS (
-         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[\\s\\x1e]+')) AS w
          |  FROM documents),
          |enc AS (
          |  SELECT doc_id, (length(e) - length(replace(e, chr(30), ''))) // 2 AS n
