@@ -38,6 +38,57 @@ final class OidcAuthHeaderValuePreprocessor(tokenSupplier: () => String)
   def preprocess(rawValue: String): String = "Bearer " + tokenSupplier()
 }
 
+/** A value preprocessor bound to one header name (reference:
+  * `preprocessor/HeaderPreprocessor.java`).
+  */
+final case class HeaderPreprocessor(
+    headerName: String,
+    preprocessor: HeaderValuePreprocessor)
+    extends Serializable
+
+/** Composable header preprocessing (reference:
+  * `preprocessor/ComposeHeaderPreprocessor.java`): every preprocessor whose
+  * header name matches is applied IN ORDER to that header's value. The
+  * standard connector chain ([[HeaderPreprocessors.render]]) — Basic-auth
+  * transformation on `Authorization`, then the OIDC bearer override — is
+  * shared by the lookup source, the batch sink and the streaming
+  * ForeachWriter, and callers extend it by passing extra preprocessors.
+  */
+object HeaderPreprocessors {
+
+  /** Pure composition: apply all matching preprocessors, in sequence order,
+    * to each header value.
+    */
+  def compose(entries: Seq[HeaderPreprocessor])(
+      headers: Seq[(String, String)]): Seq[(String, String)] =
+    headers.map { case (name, value) =>
+      name -> entries
+        .filter(_.headerName.equalsIgnoreCase(name))
+        .foldLeft(value)((acc, e) => e.preprocessor.preprocess(acc))
+    }
+
+  /** The connector's standard chain: caller preprocessors compose AFTER the
+    * Basic-auth step; the OIDC bearer (when configured) then overrides any
+    * `Authorization` header entirely (docs: "Http headers" note).
+    */
+  def render(
+      headers: Seq[(String, String)],
+      useRawAuthHeader: Boolean,
+      oidcToken: Option[() => String],
+      extra: Seq[HeaderPreprocessor] = Nil): Seq[(String, String)] = {
+    val chain = HeaderPreprocessor(
+      "Authorization",
+      BasicAuthHeaderValuePreprocessor(useRawAuthHeader)) +: extra
+    val processed = compose(chain)(headers)
+    oidcToken match {
+      case Some(token) =>
+        processed.filterNot(_._1.equalsIgnoreCase("Authorization")) :+
+          ("Authorization" -> ("Bearer " + token()))
+      case None => processed
+    }
+  }
+}
+
 /** OIDC access-token manager (reference: `auth/OidcAccessTokenManager.java:
   * 36-140`): POSTs the configured `application/x-www-form-urlencoded` token
   * request to the token endpoint, caches `access_token` until

@@ -15,7 +15,8 @@ import org.apache.spark.sql.{ForeachWriter, Row}
   */
 final class HttpForeachWriter(
     options: Map[String, String],
-    payloadIdx: Int = 0)
+    payloadIdx: Int = 0,
+    headerPreprocessors: Seq[HeaderPreprocessor] = Nil)
     extends ForeachWriter[Row] {
 
   @transient private var client: java.net.http.HttpClient = _
@@ -24,37 +25,33 @@ final class HttpForeachWriter(
   @transient private var timeoutMs: Long = _
   @transient private var classifier: SinkErrorClassifier = _
   @transient private var headers: Seq[(String, String)] = _
+  @transient private var contentType: String = _
 
   override def open(partitionId: Long, epochId: Long): Boolean = {
     val o = HttpOptions(options)
     url = o.required(HttpOptions.Url)
     method = o.str(HttpOptions.InsertMethod, "POST").toUpperCase
     timeoutMs = o.durationMs(HttpOptions.SinkRequestTimeout, 30000L)
+    contentType = PayloadFormats(o.str(HttpOptions.Format, "json")).contentType
     classifier = SinkErrorClassifier(
       o.str(HttpOptions.SinkErrorCodes, SinkErrorClassifier.DefaultErrorExpr),
       o.str(HttpOptions.SinkErrorCodesExclude, ""))
     client = HttpClientFactory.shared(
       HttpClientFactory.ClientConfig.fromOptions(o))
-    // same Authorization handling as HttpSink/HttpLookup: Basic-auth value
-    // preprocessing, OIDC bearer overriding any configured header
-    val basic = BasicAuthHeaderValuePreprocessor(
-      o.bool(HttpOptions.UseRawAuthHeader, default = false))
-    val base = o.withPrefix(HttpOptions.SinkHeaderPrefix).toSeq.map {
-      case (n, v) if n.equalsIgnoreCase("Authorization") =>
-        n -> basic.preprocess(v)
-      case kv => kv
-    }
-    headers = o.strOpt(HttpOptions.OidcTokenRequest) match {
-      case Some(tokenReq) =>
+    // same header chain as HttpSink/HttpLookup (HeaderPreprocessors.render):
+    // Basic-auth, then caller preprocessors, then OIDC bearer override
+    headers = HeaderPreprocessors.render(
+      o.withPrefix(HttpOptions.SinkHeaderPrefix).toSeq,
+      o.bool(HttpOptions.UseRawAuthHeader, default = false),
+      o.strOpt(HttpOptions.OidcTokenRequest).map { tokenReq =>
         val mgr = OidcManagers.shared(
           client,
           tokenReq,
           o.required(HttpOptions.OidcTokenEndpoint),
           o.durationMs(HttpOptions.OidcExpiryReduction, 1000L))
-        base.filterNot(_._1.equalsIgnoreCase("Authorization")) :+
-          ("Authorization" -> ("Bearer " + mgr.authenticate()))
-      case None => base
-    }
+        () => mgr.authenticate()
+      },
+      headerPreprocessors)
     true
   }
 
@@ -63,7 +60,7 @@ final class HttpForeachWriter(
       .newBuilder()
       .uri(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMs))
-      .header("Content-Type", "application/json")
+      .header("Content-Type", contentType)
     headers.foreach { case (k, v) => b.header(k, v) }
     val req = b
       .method(

@@ -69,16 +69,25 @@ object HttpLookup {
       oidc: Option[(String, String, Long)], // tokenRequest, endpoint, expiryReductionMs
       useRawAuthHeader: Boolean,
       loggingLevel: String,
-      callbackName: String)
+      callbackName: String,
+      preprocessors: Seq[HeaderPreprocessor])
 
   def join(
       probe: DataFrame,
       keyCols: Seq[String],
       responseSchema: StructType,
       options: Map[String, String],
-      includeMetadata: Boolean = false): DataFrame = {
+      includeMetadata: Boolean = false,
+      headerPreprocessors: Seq[HeaderPreprocessor] = Nil): DataFrame = {
     val o = HttpOptions(options)
-    val creator = QueryCreator.fromOptions(o)
+    // reference `lookup-request.format` / `format` (both default json):
+    // request serialization and response deserialization resolve through the
+    // PayloadFormats registry (the SPI-discovery analog) — a CSV endpoint is
+    // 'format'='csv', a custom wire format is PayloadFormats.register(...)
+    val requestFormat =
+      PayloadFormats(o.str(HttpOptions.LookupRequestFormat, "json"))
+    val responseFormat = PayloadFormats(o.str(HttpOptions.Format, "json"))
+    val creator = QueryCreator.fromOptions(o, requestFormat)
     val compiled = creator.compile(probe, keyCols)
 
     val io = IoConfig(
@@ -91,10 +100,11 @@ object HttpLookup {
       headers = {
         val hs = o.withPrefix(HttpOptions.SourceHeaderPrefix).toSeq
         val method = o.str(HttpOptions.LookupMethod, "GET").toUpperCase
-        // body-based lookups default to a JSON content type (reference:
-        // BodyBasedRequestFactory sets Content-Type application/json)
+        // body-based lookups default to the request format's content type
+        // (reference: BodyBasedRequestFactory sets application/json for the
+        // bundled json format)
         if (method != "GET" && !hs.exists(_._1.equalsIgnoreCase("Content-Type")))
-          hs :+ ("Content-Type" -> "application/json")
+          hs :+ ("Content-Type" -> requestFormat.contentType)
         else hs
       },
       clientCfg = HttpClientFactory.ClientConfig.fromOptions(o),
@@ -115,21 +125,13 @@ object HttpLookup {
       useRawAuthHeader = o.bool(HttpOptions.UseRawAuthHeader, default = false),
       loggingLevel = o.str("http.logging.level", "MIN"),
       callbackName =
-        o.str(HttpOptions.SourceRequestCallback, "slf4j-lookup-logger"))
+        o.str(HttpOptions.SourceRequestCallback, "slf4j-lookup-logger"),
+      preprocessors = headerPreprocessors)
 
     // fail fast on the driver like the reference's factory discovery does
     RequestCallback.named(
       io.callbackName,
       RequestCallback.Level.parse(io.loggingLevel))
-
-    // reference `lookup-request.format` (default json): body rendering is a
-    // Catalyst to_json tree; other serialization formats would plug in as a
-    // different payload expression — none are bundled, mirroring the
-    // reference which ships only the json format factory
-    val requestFormat = o.str(HttpOptions.LookupRequestFormat, "json")
-    if (requestFormat != "json")
-      throw new HttpConfigException(
-        s"Unsupported ${HttpOptions.LookupRequestFormat} '$requestFormat' (only 'json')")
 
     val staged = probe
       .withColumn(ReqUrl, compiled.url)
@@ -191,13 +193,13 @@ object HttpLookup {
       } else ioResults
 
     // --- back in Catalyst: decode + classify + project --------------------
-    // A corrupt-record field detects undecodable bodies (from_json PERMISSIVE
-    // mode yields an all-null struct, not a null struct, on garbage — the
-    // corrupt column is the reliable signal).
+    // A corrupt-record field detects undecodable bodies (PERMISSIVE decode
+    // yields an all-null struct, not a null struct, on garbage — the corrupt
+    // column is the reliable signal). Decoding goes through the resolved
+    // PayloadFormat, so a csv (or registered custom) endpoint plugs in here.
     val Corrupt = "__graft_corrupt"
     val schemaWithCorrupt =
       StructType(responseSchema.fields :+ StructField(Corrupt, StringType))
-    val jsonOpts = Map("columnNameOfCorruptRecord" -> Corrupt)
     val resultType = o.str(HttpOptions.ResultType, "single-value")
     val isArray = resultType match {
       case "array" => true
@@ -211,16 +213,19 @@ object HttpLookup {
     // empty", not "undecodable".
     val ArrParsed = "__graft_resp_arr"
     var out =
-      if (isArray)
+      if (isArray) {
+        val arr = responseFormat
+          .decodeArray(col(RespBody), responseSchema, Corrupt)
+          .getOrElse(throw new HttpConfigException(
+            s"result-type=array is not supported by format " +
+              s"'${responseFormat.name}'"))
         ioDf
-          .withColumn(
-            ArrParsed,
-            from_json(col(RespBody), ArrayType(schemaWithCorrupt), jsonOpts))
+          .withColumn(ArrParsed, arr)
           .withColumn(RespParsed, explode_outer(col(ArrParsed)))
-      else
+      } else
         ioDf.withColumn(
           RespParsed,
-          from_json(col(RespBody), schemaWithCorrupt, jsonOpts))
+          responseFormat.decode(col(RespBody), responseSchema, Corrupt))
 
     // SUCCESS but undecodable body → UNABLE_TO_DESERIALIZE_RESPONSE with the
     // raw body as error-string (reference: "Available Metadata" doc rules).
@@ -382,31 +387,22 @@ object HttpLookup {
   private def rowBody(row: Row, bodyIdx: Int): String =
     if (row.isNullAt(bodyIdx)) null else row.getString(bodyIdx)
 
-  /** Resolve static headers once per task: Basic-auth transformation on the
-    * `Authorization` header, or OIDC bearer token (refreshed lazily via the
-    * per-executor token manager).
+  /** Resolve static headers once per task through the shared composable
+    * chain ([[HeaderPreprocessors.render]]): Basic-auth transformation, then
+    * caller preprocessors, then the OIDC bearer override (token refreshed
+    * lazily via the per-executor manager).
     */
   private def renderHeaders(
       io: IoConfig,
-      httpClient: java.net.http.HttpClient): Seq[(String, String)] = {
-    val oidcManager = io.oidc.map { case (tokenReq, endpoint, reductionMs) =>
-      OidcManagers.shared(httpClient, tokenReq, endpoint, reductionMs)
-    }
-    val basic = BasicAuthHeaderValuePreprocessor(io.useRawAuthHeader)
-    val base = io.headers.map {
-      case (name, value) if name.equalsIgnoreCase("Authorization") =>
-        name -> basic.preprocess(value)
-      case kv => kv
-    }
-    oidcManager match {
-      case Some(mgr) =>
-        // OIDC overrides any configured Authorization header (docs: "Http
-        // headers" note).
-        base.filterNot(_._1.equalsIgnoreCase("Authorization")) :+
-          ("Authorization" -> ("Bearer " + mgr.authenticate()))
-      case None => base
-    }
-  }
+      httpClient: java.net.http.HttpClient): Seq[(String, String)] =
+    HeaderPreprocessors.render(
+      io.headers,
+      io.useRawAuthHeader,
+      io.oidc.map { case (tokenReq, endpoint, reductionMs) =>
+        val mgr = OidcManagers.shared(httpClient, tokenReq, endpoint, reductionMs)
+        () => mgr.authenticate()
+      },
+      io.preprocessors)
 }
 
 /** Per-executor OIDC token manager registry (one manager per endpoint+request

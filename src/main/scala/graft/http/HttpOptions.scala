@@ -89,6 +89,7 @@ object HttpOptions {
   val SourceRequestCallback = "http.source.lookup.request-callback"
   val SinkRequestCallback = "http.sink.request-callback"
   val LookupRequestFormat = "lookup-request.format"
+  val Format = "format"
   val OidcTokenRequest = "http.security.oidc.token.request"
   val OidcTokenEndpoint = "http.security.oidc.token.endpoint.url"
   val OidcExpiryReduction = "http.security.oidc.token.expiry.reduction"

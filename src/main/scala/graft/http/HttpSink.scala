@@ -41,9 +41,14 @@ object HttpSink {
   def write(
       df: DataFrame,
       options: Map[String, String],
-      payload: Option[Column] = None): Unit = {
+      payload: Option[Column] = None,
+      headerPreprocessors: Seq[HeaderPreprocessor] = Nil): Unit = {
     val o = HttpOptions(options)
     val url = o.required(HttpOptions.Url)
+    // `format` resolves payload rendering, batch framing and the content
+    // type through the PayloadFormats registry (reference:
+    // SerializationSchemaElementConverter discovers the table's format)
+    val format = PayloadFormats(o.str(HttpOptions.Format, "json"))
     val method = o.str(HttpOptions.InsertMethod, "POST").toUpperCase
     if (method != "POST" && method != "PUT")
       throw new HttpConfigException(
@@ -76,24 +81,21 @@ object HttpSink {
     val callbackName = o.str(HttpOptions.SinkRequestCallback, "slf4j-logger")
     val loggingLevel = o.str("http.logging.level", "MIN")
 
-    val payloadCol = payload.getOrElse(to_json(struct(df.columns.map(col): _*)))
+    val payloadCol =
+      payload.getOrElse(format.encode(struct(df.columns.map(col): _*)))
     val staged = df.select(payloadCol.cast("string").as("payload"))
 
     staged.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val httpClient = HttpClientFactory.shared(clientCfg)
-      val basic = BasicAuthHeaderValuePreprocessor(useRawAuth)
-      val baseHeaders = headers.map {
-        case (n, v) if n.equalsIgnoreCase("Authorization") =>
-          n -> basic.preprocess(v)
-        case kv => kv
-      }
-      val finalHeaders = oidc match {
-        case Some((tokenReq, endpoint, reductionMs)) =>
-          val mgr = OidcManagers.shared(httpClient, tokenReq, endpoint, reductionMs)
-          baseHeaders.filterNot(_._1.equalsIgnoreCase("Authorization")) :+
-            ("Authorization" -> ("Bearer " + mgr.authenticate()))
-        case None => baseHeaders
-      }
+      val finalHeaders = HeaderPreprocessors.render(
+        headers,
+        useRawAuth,
+        oidc.map { case (tokenReq, endpoint, reductionMs) =>
+          val mgr =
+            OidcManagers.shared(httpClient, tokenReq, endpoint, reductionMs)
+          () => mgr.authenticate()
+        },
+        headerPreprocessors)
       val submitter = new BatchSubmitter(
         httpClient,
         url,
@@ -104,32 +106,38 @@ object HttpSink {
         maxInflight,
         RequestCallback.named(
           callbackName,
-          RequestCallback.Level.parse(loggingLevel)))
+          RequestCallback.Level.parse(loggingLevel)),
+        contentType = format.contentType)
       val batch = new scala.collection.mutable.ArrayBuffer[String](batchSize)
       rows.foreach { r =>
         batch += r.getString(0)
         if (batch.size >= batchSize) {
-          submitter.submit(frame(batch.toSeq, mode))
+          submitter.submit(frame(batch.toSeq, mode, format))
           batch.clear()
         }
       }
-      if (batch.nonEmpty) submitter.submit(frame(batch.toSeq, mode))
+      if (batch.nonEmpty) submitter.submit(frame(batch.toSeq, mode, format))
       submitter.awaitAll()
     }
   }
 
-  /** Batch bodies are JSON arrays `[e1,e2,…]`; single mode sends the payload
+  /** Batch bodies are framed by the format (JSON arrays `[e1,e2,…]` for
+    * json, one record per line for csv); single mode sends the payload
     * as-is (reference docs "Request submission").
     */
-  private def frame(batch: Seq[String], mode: String): String =
+  private def frame(
+      batch: Seq[String],
+      mode: String,
+      format: PayloadFormat): String =
     if (mode == "single") batch.head
-    else batch.mkString("[", ",", "]")
+    else format.frameBatch(batch)
 
   /** `writeStream.foreachBatch(HttpSink.foreachBatchWriter(options))`. */
   def foreachBatchWriter(
       options: Map[String, String],
-      payload: Option[Column] = None): (DataFrame, Long) => Unit =
-    (batchDf, _) => write(batchDf, options, payload)
+      payload: Option[Column] = None,
+      headerPreprocessors: Seq[HeaderPreprocessor] = Nil): (DataFrame, Long) => Unit =
+    (batchDf, _) => write(batchDf, options, payload, headerPreprocessors)
 
   /** Bounded-in-flight async submitter for one partition (reference:
     * `sink/httpclient/BatchRequestSubmitter.java` semantics: async submit,
@@ -143,7 +151,8 @@ object HttpSink {
       timeoutMs: Long,
       headers: Seq[(String, String)],
       maxInflight: Int,
-      callback: RequestCallback = RequestCallback.NoOp) {
+      callback: RequestCallback = RequestCallback.NoOp,
+      contentType: String = "application/json") {
     private val permits = new Semaphore(maxInflight)
     @volatile private var failure: Throwable = _
     private val inflight =
@@ -156,7 +165,7 @@ object HttpSink {
         .newBuilder()
         .uri(java.net.URI.create(url))
         .timeout(java.time.Duration.ofMillis(timeoutMs))
-        .header("Content-Type", "application/json")
+        .header("Content-Type", contentType)
       headers.foreach { case (k, v) => b.header(k, v) }
       val req = b
         .method(

@@ -1,0 +1,128 @@
+package graft.http
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pluggable payload (de)serialization for the HTTP lookup source and sink —
+  * the Spark-native analog of the reference's format discovery
+  * (`table/lookup/HttpLookupTableSourceFactory.java:103-112`
+  * `discoverDecodingFormat`, `table/SerializationSchemaElementConverter
+  * .java`): where Flink discovers `DecodingFormat` factories through SPI and
+  * runs them row-by-row, a graft format is a CATALYST EXPRESSION builder —
+  * encode/decode stay inside whole-stage codegen, and custom formats
+  * register Columns, not codecs.
+  *
+  * The lookup source resolves the response format from `format` and the
+  * request-body format from `lookup-request.format`; the sink resolves its
+  * payload format from `format`. Anything registered via
+  * [[PayloadFormats.register]] is resolvable by name.
+  */
+trait PayloadFormat extends Serializable {
+
+  /** Registry/option name (`json`, `csv`, ...). */
+  def name: String
+
+  /** `Content-Type` sent with request bodies rendered by this format. */
+  def contentType: String
+
+  /** Render a struct column (the request key fields / the sink row) into a
+    * body string column.
+    */
+  def encode(record: Column): Column
+
+  /** Decode one response body into `schema` plus a trailing `corruptField`
+    * string column that is non-null when the body is undecodable (the
+    * PERMISSIVE corrupt-record contract — the lookup pipeline classifies
+    * such responses as UNABLE_TO_DESERIALIZE_RESPONSE).
+    */
+  def decode(body: Column, schema: StructType, corruptField: String): Column
+
+  /** Decode an array-of-records response (`result-type=array`), or None when
+    * the wire format has no array framing.
+    */
+  def decodeArray(
+      body: Column,
+      schema: StructType,
+      corruptField: String): Option[Column]
+
+  /** Frame rendered payloads into one sink-batch request body. */
+  def frameBatch(payloads: Seq[String]): String
+}
+
+/** JSON wire format (the reference's only bundled format). */
+case object JsonPayloadFormat extends PayloadFormat {
+  def name = "json"
+  def contentType = "application/json"
+
+  def encode(record: Column): Column = to_json(record)
+
+  private def withCorrupt(schema: StructType, corruptField: String) =
+    StructType(schema.fields :+ StructField(corruptField, StringType))
+
+  def decode(body: Column, schema: StructType, corruptField: String): Column =
+    from_json(
+      body,
+      withCorrupt(schema, corruptField),
+      Map("columnNameOfCorruptRecord" -> corruptField))
+
+  def decodeArray(
+      body: Column,
+      schema: StructType,
+      corruptField: String): Option[Column] =
+    Some(
+      from_json(
+        body,
+        ArrayType(withCorrupt(schema, corruptField)),
+        Map("columnNameOfCorruptRecord" -> corruptField)))
+
+  def frameBatch(payloads: Seq[String]): String =
+    payloads.mkString("[", ",", "]")
+}
+
+/** CSV wire format: one record per line, RFC-4180-style quoting via Spark's
+  * native `to_csv`/`from_csv` (codegen'd). `result-type=array` is not
+  * supported — CSV has no array framing; sink batches frame as one record
+  * per line.
+  */
+case object CsvPayloadFormat extends PayloadFormat {
+  def name = "csv"
+  def contentType = "text/csv"
+
+  def encode(record: Column): Column = to_csv(record)
+
+  def decode(body: Column, schema: StructType, corruptField: String): Column =
+    from_csv(
+      body,
+      StructType(schema.fields :+ StructField(corruptField, StringType)),
+      Map(
+        "columnNameOfCorruptRecord" -> corruptField,
+        "mode" -> "PERMISSIVE"))
+
+  def decodeArray(
+      body: Column,
+      schema: StructType,
+      corruptField: String): Option[Column] = None
+
+  def frameBatch(payloads: Seq[String]): String = payloads.mkString("\n")
+}
+
+object PayloadFormats {
+  private val registry = TrieMap[String, PayloadFormat](
+    JsonPayloadFormat.name -> JsonPayloadFormat,
+    CsvPayloadFormat.name -> CsvPayloadFormat)
+
+  /** Register a caller-supplied format (the SPI-discovery analog). */
+  def register(format: PayloadFormat): Unit =
+    registry.put(format.name.toLowerCase, format)
+
+  def known: Seq[String] = registry.keys.toSeq.sorted
+
+  def apply(name: String): PayloadFormat =
+    registry.getOrElse(
+      name.toLowerCase,
+      throw new HttpConfigException(
+        s"Unknown payload format '$name' (registered: ${known.mkString(", ")})"))
+}

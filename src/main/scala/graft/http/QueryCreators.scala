@@ -30,8 +30,14 @@ object QueryCreator {
   /** Resolve from options (reference: `LookupQueryCreatorFactory` discovery;
     * default creator is `http-generic-json-url` per upstream docs
     * `table/http.md` "Default Query Creator Implementation").
+    *
+    * `requestFormat` renders generic request bodies (`lookup-request.format`
+    * through the [[PayloadFormats]] registry); template-based creators are
+    * json-by-construction and ignore it.
     */
-  def fromOptions(o: HttpOptions): QueryCreator = {
+  def fromOptions(
+      o: HttpOptions,
+      requestFormat: PayloadFormat = JsonPayloadFormat): QueryCreator = {
     val url = o.required(HttpOptions.Url)
     val method = o.str(HttpOptions.LookupMethod, "GET").toUpperCase
     val paramFields = o
@@ -55,7 +61,7 @@ object QueryCreator {
             url,
             if (paramFields.isEmpty) None else Some(paramFields),
             paramFieldsWithKey)
-        else GenericJsonBodyQueryCreator(url)
+        else GenericBodyQueryCreator(url, requestFormat)
       case GenericJsonUrl =>
         GenericJsonUrlQueryCreator(
           url,
@@ -119,15 +125,19 @@ final case class GenericGetQueryCreator(
   }
 }
 
-/** POST/PUT: join keys become a flat JSON object body (reference:
-  * `querycreators/GenericJsonQueryCreator.java`).
+/** POST/PUT: join keys become a flat request body rendered by the
+  * configured payload format — a JSON object for the default json format
+  * (reference: `querycreators/GenericJsonQueryCreator.java`), a CSV line for
+  * `lookup-request.format=csv`, etc.
   */
-final case class GenericJsonBodyQueryCreator(baseUrl: String)
+final case class GenericBodyQueryCreator(
+    baseUrl: String,
+    format: PayloadFormat = JsonPayloadFormat)
     extends QueryCreator {
   def compile(probe: DataFrame, keyCols: Seq[String]): CompiledQuery =
     CompiledQuery(
       lit(baseUrl),
-      Some(to_json(struct(keyCols.map(col): _*))))
+      Some(format.encode(struct(keyCols.map(col): _*))))
 }
 
 /** The `http-generic-json-url` creator (reference:

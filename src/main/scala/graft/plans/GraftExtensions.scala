@@ -8,14 +8,17 @@ import org.apache.spark.sql.graft.{DotProductF, Hash61F}
 
 /** Session extensions: register graft's native expressions with the SQL
   * function registry so `spark.sql("SELECT graft_dot(a, b) ...")` and
-  * `graft_hash61(s)` work.
+  * `graft_hash61(s)` work, plus the `http_lookup` table-valued function
+  * (the SQL surface for the HTTP lookup join — see [[HttpLookupTvf]]).
   *
   * Enable with `spark.sql.extensions=graft.plans.GraftExtensions`, or call
   * [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
+  }
 }
 
 object GraftExtensions {
@@ -39,12 +42,29 @@ object GraftExtensions {
         Hash61F(children.head)
       }))
 
+  private type TableFunctionDef =
+    (
+        FunctionIdentifier,
+        ExpressionInfo,
+        Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+
+  private[plans] val tableFunctions: Seq[TableFunctionDef] = Seq(
+    (
+      FunctionIdentifier(HttpLookupTvf.Name),
+      new ExpressionInfo(HttpLookupTvf.getClass.getCanonicalName, HttpLookupTvf.Name),
+      (args: Seq[Expression]) => HttpLookupTvf.build(args)))
+
   /** Imperative registration for sessions created without the extensions
     * config.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
+    tableFunctions.foreach { case (ident, info, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .registerFunction(ident, info, builder)
+    }
+  }
 }
