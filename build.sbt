@@ -23,8 +23,27 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap sizing: cap at 31g even when SPARK_DRIVER_MEM asks for more — above
+// ~31g the JVM loses compressed oops (every reference doubles) and this
+// workload's working set never approaches that; and commit the whole heap
+// up front (-Xms=-Xmx + AlwaysPreTouch). A lazily committed large heap
+// stalls mutator threads on first-touch page faults as G1 grows/shrinks the
+// committed region — measured on BENCH_r04: random queries absorbed
+// multi-second stalls at a 96g heap (q04 22.9s vs 1s steady-state), GC logs
+// showed <3.5s total pauses, and pre-touching removed the stalls entirely.
+val graftHeap: String = {
+  val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
+  val m = "^(\\d+)([gm])$".r
+  req match {
+    case m(n, "g") if n.toLong > 31 => "31g"
+    case m(_, _) => req
+    case _ => "8g"
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$graftHeap",
+  s"-Xms$graftHeap",
+  "-XX:+AlwaysPreTouch",
 )

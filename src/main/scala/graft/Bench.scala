@@ -48,21 +48,32 @@ object Bench {
     // box swing ±2-4s from JIT/codegen warmup and scheduling noise, masking
     // real regressions. Caches are released between iterations so every
     // iteration recomputes from the parquet scans (cold data, warm JVM).
+    // Iterations are ROUND-ROBIN (all queries once, then repeat), not
+    // back-to-back per query: a time-localized stall (GC pause on a large
+    // heap, transient host contention) then lands on at most ONE sample per
+    // query and the median discards it. BENCH_r04 showed what back-to-back
+    // sampling does — a ~90s stall poisoned all 3 consecutive iterations of
+    // the two queries running in that window (q04 22.9s, q06 9.8s median vs
+    // ~1s steady-state) while every neighbor stayed fast.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch { case _: Throwable => () }
-        graft.ops.Par.releaseCaches()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+    val qseq = SparkEntry.queries.toSeq
+    val samples = collection.mutable.Map[String, List[Double]]()
+    for (_ <- 1 to iters; (name, fn) <- qseq) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
+      graft.ops.Par.releaseCaches()
+      val dt = (System.nanoTime() - t0) / 1e9
+      samples(name) = dt :: samples.getOrElse(name, Nil)
+    }
+    val results = qseq.map { case (name, _) =>
+      val times = samples(name).sorted
       name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // the JDK HttpServer behind the stub-backed queries keeps a non-daemon

@@ -86,6 +86,13 @@ case object JsonPayloadFormat extends PayloadFormat {
   * native `to_csv`/`from_csv` (codegen'd). `result-type=array` is not
   * supported — CSV has no array framing; sink batches frame as one record
   * per line.
+  *
+  * Lookup decode contract: the response body must be exactly ONE CSV record
+  * (`from_csv` would otherwise silently parse just the first line — a header
+  * row as data, or record one of many). A trailing newline is tolerated; any
+  * other embedded `\r`/`\n` (multi-record bodies, header+data responses,
+  * quoted embedded newlines) routes the whole body to the corrupt column and
+  * classifies as UNABLE_TO_DESERIALIZE_RESPONSE.
   */
 case object CsvPayloadFormat extends PayloadFormat {
   def name = "csv"
@@ -93,13 +100,20 @@ case object CsvPayloadFormat extends PayloadFormat {
 
   def encode(record: Column): Column = to_csv(record)
 
-  def decode(body: Column, schema: StructType, corruptField: String): Column =
-    from_csv(
-      body,
-      StructType(schema.fields :+ StructField(corruptField, StringType)),
-      Map(
-        "columnNameOfCorruptRecord" -> corruptField,
-        "mode" -> "PERMISSIVE"))
+  def decode(body: Column, schema: StructType, corruptField: String): Column = {
+    val record = regexp_replace(body, "[\\r\\n]+\\z", "")
+    val corrupt = struct(
+      schema.fields.map(f => lit(null).cast(f.dataType).as(f.name)) :+
+        body.as(corruptField): _*)
+    when(record.rlike("[\\r\\n]"), corrupt)
+      .otherwise(
+        from_csv(
+          record,
+          StructType(schema.fields :+ StructField(corruptField, StringType)),
+          Map(
+            "columnNameOfCorruptRecord" -> corruptField,
+            "mode" -> "PERMISSIVE")))
+  }
 
   def decodeArray(
       body: Column,

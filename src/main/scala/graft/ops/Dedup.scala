@@ -156,7 +156,16 @@ object Dedup {
     // leaves its row, so there is no explode, no signature shuffle, and no
     // second cache. The ONLY shuffle that moves documents is the band-bucket
     // self-join below.
-    val sig = sh.select(col("id"), minhashSignature(col("sh")).as("sig"))
+    //
+    // Empty shingle sets (text shorter than n words, or null) are dropped
+    // BEFORE banding: they all share the sentinel signature [P,...,P], so
+    // banding them would put every such doc in one bucket in every band —
+    // O(m²) candidate pairs that the Jaccard verify can never pass (0/0
+    // intersect). On real corpora short docs are common; the filter keeps
+    // the band-bucket shuffle bounded. Output is unchanged.
+    val sig = sh
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh")).as("sig"))
     val banded = sig.select(
       col("id"),
       posexplode(

@@ -42,21 +42,58 @@ object Par {
 
   private val live = new ConcurrentLinkedQueue[DataFrame]()
 
-  /** Persist an op intermediate and register it for [[releaseCaches]].
-    * MEMORY_AND_DISK: spills instead of recomputing when executors are
-    * memory-tight.
+  /** Handle over the intermediates one pipeline persisted: releasing it
+    * unpersists exactly those DataFrames (and drops them from the global
+    * registry), so concurrent pipelines sharing the JVM never release each
+    * other's in-use caches.
+    */
+  final class CacheHandle private[Par] () {
+    private val mine = new ConcurrentLinkedQueue[DataFrame]()
+    private[Par] def add(df: DataFrame): Unit = mine.add(df)
+    def release(): Unit = {
+      var df = mine.poll()
+      while (df != null) {
+        live.remove(df)
+        df.unpersist(false)
+        df = mine.poll()
+      }
+    }
+  }
+
+  private val currentScope = new ThreadLocal[CacheHandle]()
+
+  /** Run `build` (a driver-side pipeline constructor) with a fresh cache
+    * scope: every [[cached]] call made while building is owned by the
+    * returned handle. Ops return lazy DataFrames, so release the handle
+    * only after the terminal action on the built result.
+    */
+  def scoped[T](build: => T): (T, CacheHandle) = {
+    val h = new CacheHandle
+    val prev = currentScope.get()
+    currentScope.set(h)
+    try (build, h)
+    finally {
+      if (prev == null) currentScope.remove() else currentScope.set(prev)
+    }
+  }
+
+  /** Persist an op intermediate and register it for [[releaseCaches]] (and
+    * with the enclosing [[scoped]] handle, if any). MEMORY_AND_DISK: spills
+    * instead of recomputing when executors are memory-tight.
     */
   def cached(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     live.add(p)
+    val scope = currentScope.get()
+    if (scope != null) scope.add(p)
     p
   }
 
-  /** Unpersist every intermediate persisted via [[cached]] (non-blocking).
-    * Ops return lazy DataFrames, so they cannot unpersist their own
-    * intermediates; callers invoke this after the terminal action on an
-    * op's result. Long-lived sessions embedding `graft.ops` should call it
-    * between pipeline runs to avoid cache leaks.
+  /** Unpersist every intermediate persisted via [[cached]] (non-blocking) —
+    * an explicit GLOBAL sweep across all pipelines, for one-shot drivers and
+    * tools (Bench/Verify). Long-lived sessions running pipelines
+    * concurrently should prefer [[scoped]] + `handle.release()` so each
+    * pipeline releases only its own intermediates.
     */
   def releaseCaches(): Unit = {
     var df = live.poll()

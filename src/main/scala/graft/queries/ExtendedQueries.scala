@@ -87,13 +87,40 @@ object ExtendedQueries {
     // get_json_object extracts the one path without materializing a struct
     // per row (from_json built a full row object to read a single field —
     // measured 9.7s -> ~2s at sf0.1); matches the oracle's `props->>'k'`.
+    // try_cast, not cast: Spark 4 defaults to ANSI mode, where a plain cast
+    // THROWS on a non-integer props.k; try_cast yields null, matching the
+    // oracle's TRY_CAST group-under-null behavior on dirty data.
     "q_events_json" -> { (s, dir) =>
       events(s, dir)
         .groupBy(
-          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+          get_json_object(col("props"), "$.k").try_cast(IntegerType).as("k"))
         .agg(
           count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // ----- salted skew join, gated for transparency -----
+    // A deterministic power-law: 3 of every 4 events collapse onto hot key
+    // 0, the worst single-task hot-spot shape for a shuffle join. The gate
+    // proves [[graft.ops.SkewJoin.saltedInnerJoin]] is RESULT-TRANSPARENT
+    // (oracle = the plain unsalted join); the task-spread mechanism itself
+    // is asserted in SkewJoinSpec via per-task shuffle-read metrics.
+    "q_skew_salted_join" -> { (s, dir) =>
+      val ev = events(s, dir).select(
+        col("event_id"),
+        col("value"),
+        when(col("user_id") % 4 =!= 0, lit(0L))
+          .otherwise(col("user_id")).as("hot_key"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.ops.SkewJoin
+        .saltedInnerJoin(ev, "hot_key", "event_id", cust, "c_custkey",
+          salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value").cast(DecimalType(18, 6))), 4)
+            .cast(DoubleType).as("sum_value"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -134,6 +161,15 @@ object ExtendedQueries {
       // whole oracle run instead of grouping under null
       """SELECT TRY_CAST(props->>'k' AS INT) AS k, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_skew_salted_join" ->
+      // the plain (unsalted) join: salting must be result-transparent
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+        |FROM (SELECT CASE WHEN user_id % 4 <> 0 THEN 0 ELSE user_id END AS hot_key,
+        |             value
+        |      FROM events) e
+        |JOIN customer ON hot_key = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
   )
 }

@@ -231,7 +231,7 @@ object PipelineQueries {
          |    list_transform(range(0, 16), k ->
          |      coalesce(list_min(list_transform(hs,
          |        x -> ($a[k+1] * (x % $p) + $b[k+1]) % $p)), $p)) AS sig
-         |  FROM h),
+         |  FROM h WHERE len(hs) > 0),
          |banded AS (
          |  SELECT doc_id, sh,
          |    unnest(range(0, 4)) AS band,

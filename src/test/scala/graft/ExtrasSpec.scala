@@ -569,6 +569,75 @@ class SkewJoinSpec extends SparkSpec {
     top.getString(0) shouldBe "hot"
     top.getLong(1) shouldBe 100L
   }
+
+  test("salting spreads the hot key's shuffle load across tasks") {
+    // The mechanism, not just the result: per-task shuffle-read records.
+    // Unsalted, ONE task must read every hot-key row; salted over 8 buckets,
+    // no task may read more than a fraction of them.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCoalesce =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // at this toy scale AQE would coalesce every salt bucket back into one
+    // task (all buckets fit one advisory partition), hiding the spread the
+    // test asserts; at real scale buckets exceed the advisory size
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // 16 partitions so the 8 salt buckets don't collide (suite default is 4)
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val big = spark
+        .range(20000)
+        .selectExpr(
+          "CASE WHEN id % 4 != 0 THEN 0 ELSE id END AS k",
+          "id AS row_id")
+      val small = spark.range(100)
+        .selectExpr("id AS sk", "CAST(id AS STRING) AS v")
+
+      def maxTaskShuffleRead(df: org.apache.spark.sql.DataFrame): Long = {
+        val max = new java.util.concurrent.atomic.AtomicLong(0)
+        val listener = new SparkListener {
+          override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+            Option(e.taskMetrics).foreach { m =>
+              max.getAndUpdate(v =>
+                math.max(v, m.shuffleReadMetrics.recordsRead))
+            }
+        }
+        sc.addSparkListener(listener)
+        try {
+          df.count()
+          // the listener bus is async: wait until the max stops moving
+          var last = -1L
+          var stable = 0
+          var waited = 0
+          while (stable < 3 && waited < 100) {
+            Thread.sleep(100)
+            waited += 1
+            val cur = max.get
+            if (cur == last) stable += 1 else { stable = 0; last = cur }
+          }
+        } finally sc.removeSparkListener(listener)
+        max.get
+      }
+
+      // hot key 0 carries 15000 of 20000 rows
+      val plainMax = maxTaskShuffleRead(
+        big.join(small, big("k") === small("sk")))
+      val saltedMax = maxTaskShuffleRead(
+        SkewJoin.saltedInnerJoin(big, "k", "row_id", small, "sk", salts = 16))
+      plainMax should be >= 15000L
+      // several salt buckets can hash into one partition, so the per-task
+      // bound is a multiple of hot/salts, not hot/salts itself; deterministic
+      // given fixed data + murmur3 + confs
+      saltedMax should be <= plainMax / 3
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
 }
 
 class QueryParamFieldsSpec extends SparkSpec {

@@ -103,6 +103,40 @@ class FormatSpec extends SparkSpec with BeforeAndAfterAll {
     out.map(_.getAs[String]("name")).toSeq shouldBe Seq("alice", "bob", "carol")
   }
 
+  test("multi-line csv body classifies UNABLE_TO_DESERIALIZE, not first-line data") {
+    // from_csv alone would silently parse line one of a header+data or
+    // multi-record response; the single-record contract routes such bodies
+    // to the corrupt column instead. A trailing newline is tolerated.
+    import spark.implicits._
+    val multiServer = StubServer()
+      .route("/multi") { _ => (200, "name,balance\nalice,10.5") }
+      .route("/trailing-nl") { _ => (200, "alice,10.5\n") }
+      .start()
+    try {
+      val one = Seq(("1")).toDF("id")
+      val multi = HttpLookup
+        .join(
+          one,
+          Seq("id"),
+          userSchema,
+          Map("url" -> multiServer.url("/multi"), "format" -> "csv"),
+          includeMetadata = true)
+        .collect()
+      multi.head.getAs[String](HttpLookup.MetaCompletionState) shouldBe
+        CompletionState.UnableToDeserialize
+      multi.head.getAs[String]("name") shouldBe null
+      val ok = HttpLookup
+        .join(
+          one,
+          Seq("id"),
+          userSchema,
+          Map("url" -> multiServer.url("/trailing-nl"), "format" -> "csv"))
+        .collect()
+      ok.head.getAs[String]("name") shouldBe "alice"
+      ok.head.getAs[Double]("balance") shouldBe 10.5
+    } finally multiServer.stop()
+  }
+
   test("result-type=array with csv format is a config error") {
     val e = intercept[HttpConfigException] {
       HttpLookup.join(

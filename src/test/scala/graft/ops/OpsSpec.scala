@@ -90,6 +90,25 @@ class DedupSpec extends SparkSpec {
     pairs.exists { case (a, b) => a == 3L || b == 3L } shouldBe false
   }
 
+  test("minhash LSH drops empty-shingle docs before banding, same output") {
+    // Docs shorter than n words (or null) all share the sentinel signature;
+    // banding them would bucket every such doc together (O(m²) candidates).
+    // They must be excluded from banding, and since empty sets can never
+    // pass the Jaccard verify, output must equal the clean corpus's.
+    val short = Seq(
+      (100L, "tiny", "en", "s1"),
+      (101L, "two words", "en", "s1"),
+      (102L, null.asInstanceOf[String], "en", "s1"),
+      (103L, "", "en", "s2"))
+    val noisy = (docs ++ short).toDF("doc_id", "text", "lang", "source")
+    def pairs(d: org.apache.spark.sql.DataFrame) = Dedup
+      .minhashLshPairs(d, "doc_id", "text", 3, 4, 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    pairs(noisy) shouldBe pairs(df)
+  }
+
   test("minhash LSH finds the same high-jaccard pairs as exact search") {
     val exact = Dedup
       .ngramJaccardPairs(df, "doc_id", "text", Seq("lang"), 3, 0.5)
@@ -235,6 +254,27 @@ class ParSpec extends SparkSpec {
     sc.getPersistentRDDs.isEmpty shouldBe false
     Par.releaseCaches()
     sc.getPersistentRDDs.isEmpty shouldBe true
+  }
+
+  test("scoped handles release only their own pipeline's caches") {
+    import org.apache.spark.storage.StorageLevel
+    val docsA = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val docsB = Seq((3L, "x y z w v"), (4L, "x y z w v")).toDF("doc_id", "text")
+    val (dfA, handleA) =
+      Par.scoped(Dedup.minhashLshPairs(docsA, "doc_id", "text"))
+    val (dfB, handleB) =
+      Par.scoped(Dedup.minhashLshPairs(docsB, "doc_id", "text"))
+    dfA.collect(); dfB.collect()
+    val before = sc.getPersistentRDDs.size
+    before should be >= 2
+    handleA.release()
+    // B's intermediates must survive A's release
+    sc.getPersistentRDDs.size should be < before
+    sc.getPersistentRDDs.isEmpty shouldBe false
+    handleB.release()
+    sc.getPersistentRDDs.isEmpty shouldBe true
+    // and the global registry no longer holds released entries
+    Par.releaseCaches()
   }
 }
 
