@@ -197,6 +197,68 @@ object Dedup {
     jaccardVerify(verified, threshold)
   }
 
+  /** Connected components over a near-dup pair graph: every document in a
+    * component gets the component's minimum doc id as `cluster_id` — the
+    * canonical "keep one per duplicate cluster" step after pair generation.
+    *
+    * Algorithm: min-label propagation to fixpoint. Each iteration joins the
+    * EDGE LIST only (near-dup pairs ≪ corpus — at web scale the pair graph
+    * is orders of magnitude smaller than the documents it came from), one
+    * shuffle per iteration, and converges in O(component diameter)
+    * iterations — duplicate clusters are near-cliques from banded LSH, so
+    * diameters are tiny (2-3). The corpus itself is never re-scanned.
+    *
+    * The driver loop is bounded (`maxIters`) and checks convergence with a
+    * single count per iteration; labels live in a DataFrame, not driver
+    * memory. Each iteration `localCheckpoint`s the new labels — iterative
+    * plans otherwise NEST the previous iteration's logical plan (caching
+    * only substitutes at physical planning), growing the tree exponentially;
+    * checkpointing truncates lineage to a constant-size plan per iteration,
+    * the same pattern GraphFrames' connected components uses. (On a real
+    * cluster with flaky executors, swap for reliable `checkpoint` to a
+    * checkpoint dir — same shape.) Deterministic: min over longs.
+    *
+    * Output: (doc_id, cluster_id) for every document that appears in at
+    * least one pair, cluster_id = min doc id reachable via pairs.
+    */
+  def nearDupClusters(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIters: Int = 20): DataFrame = {
+    // Undirected edge list, both directions: (node, neighbor).
+    val fwd = pairs.select(col(idA).as("n"), col(idB).as("m"))
+    val edges =
+      Par.cached(fwd.union(fwd.select(col("m").as("n"), col("n").as("m"))))
+    // label(n) starts as min(n, min neighbor)
+    var labels = edges
+      .groupBy(col("n"))
+      .agg(least(min(col("m")), col("n")).as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      it += 1
+      // propagate: my next label = min(my label, neighbors' labels); the
+      // `moved` flag rides along so the convergence check is a filter over
+      // the just-checkpointed result, not another join against old labels
+      val next = edges
+        .join(labels.select(col("n").as("m"), col("lbl")), "m")
+        .groupBy(col("n"))
+        .agg(min(col("lbl")).as("nlbl"))
+        .join(labels, "n")
+        .select(
+          col("n"),
+          least(col("lbl"), col("nlbl")).as("lbl"),
+          (col("nlbl") < col("lbl")).as("moved"))
+        .localCheckpoint()
+      val changed = next.filter(col("moved")).limit(1).count()
+      labels = next.select(col("n"), col("lbl"))
+      converged = changed == 0L
+    }
+    labels.select(col("n").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** 16-bit SimHash over the distinct word set (portable md5-derived word
     * hashes; bit i set when the ±1 votes of that bit across words sum
     * positive). 16 bits keeps the oracle SQL tractable while exercising the

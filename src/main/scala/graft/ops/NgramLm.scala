@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-trained bigram language-model fluency scoring — the n-gram analog
+  * of the quality signals an LLM-data pipeline gates documents on (a doc
+  * whose word transitions are all corpus-rare is boilerplate, garbled
+  * extraction, or another language).
+  *
+  * Training IS the query: two corpus histograms (bigram counts, prefix
+  * counts), each one partial-agg shuffle over the exploded bigram stream;
+  * the model never materializes on the driver and nothing broadcasts, so
+  * vocabulary size is unbounded. Scoring joins the doc's bigrams back
+  * against the probability table — shuffles are bounded by corpus token
+  * count (the explode), the classic distributed-LM-scoring shape.
+  *
+  * Determinism (oracle-portability) is engineered in: each bigram's
+  * conditional probability is integer-scaled FLOOR((c2 * scale) / c1) — a
+  * pure integer computation identical in any engine — and summed as exact
+  * longs; only the final per-doc average performs one IEEE double division.
+  * Summing raw double ratios would be summation-order-dependent and could
+  * never hash-match a second engine.
+  */
+object NgramLm {
+
+  /** Score each document by the average integer-scaled conditional
+    * probability of its word bigrams under the corpus's own bigram model:
+    * avg over bigrams (w1 w2) of FLOOR(scale * c(w1 w2) / c(w1-prefix)).
+    *
+    * Output: (doc_id, n_bigrams, fluency) — documents with fewer than two
+    * words carry no bigrams and emit no row. `fluency` is in [0, scale]:
+    * scale means every transition is deterministic given its prefix.
+    */
+  def bigramFluency(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    // one explode feeds training and scoring (cached: read three times)
+    val bigrams = Par.cached(
+      Par.fan(df).select(
+        col(idCol).as("doc_id"),
+        explode(
+          TextFunctions.shingles(TextFunctions.words(col(textCol)), 2))
+          .as("bigram")))
+    val w1 = substring_index(col("bigram"), " ", 1)
+    val bigramCounts = bigrams
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("c2"))
+    val prefixCounts = bigrams
+      .groupBy(w1.as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val probs = bigramCounts
+      .withColumn("w1", w1)
+      .join(prefixCounts, "w1")
+      .select(
+        col("bigram"),
+        expr(s"(c2 * ${scale}L) div c1").as("micro"))
+    bigrams
+      .join(probs, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("micro")).as("sum_micro"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        (col("sum_micro").cast(DoubleType) /
+          col("n_bigrams").cast(DoubleType)).as("fluency"))
+  }
+}

@@ -43,6 +43,47 @@ object PipelineQueries {
 
   private def listLit(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
 
+  /** DuckDB CTE chain replaying the minhash-LSH pair pipeline, ending in a
+    * `verified(id_a, id_b, i, u)` relation — shared by the p_minhash_lsh
+    * oracle and the clustering oracle built on its pair graph. Generated
+    * from the same Scala constants as the Spark side so they cannot drift.
+    */
+  private def minhashPairCtes: String = {
+    val a = listLit(Dedup.MinhashA)
+    val b = listLit(Dedup.MinhashB)
+    val p = Dedup.MinhashP
+    s"""d AS (
+       |  SELECT doc_id, ${hashedShinglesSql(WsSql)} AS sh FROM documents),
+       |h AS (
+       |  SELECT doc_id, sh, sh AS hs FROM d),
+       |sig AS (
+       |  SELECT doc_id, sh,
+       |    list_transform(range(0, 16), k ->
+       |      coalesce(list_min(list_transform(hs,
+       |        x -> ($a[k+1] * (x % $p) + $b[k+1]) % $p)), $p)) AS sig
+       |  FROM h WHERE len(hs) > 0),
+       |banded AS (
+       |  SELECT doc_id, sh,
+       |    unnest(range(0, 4)) AS band,
+       |    unnest(list_transform(range(0, 4), bi ->
+       |      CAST(sig[bi*4+1] AS VARCHAR) || '-' || CAST(sig[bi*4+2] AS VARCHAR) ||
+       |      '-' || CAST(sig[bi*4+3] AS VARCHAR) || '-' || CAST(sig[bi*4+4] AS VARCHAR)))
+       |      AS band_key
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.band_key = r.band_key
+       |   AND l.doc_id < r.doc_id),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(da.sh, db.sh)) AS i,
+       |    len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS u
+       |  FROM cand c
+       |  JOIN d da ON da.doc_id = c.id_a
+       |  JOIN d db ON db.doc_id = c.id_b)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- exact dedup by content hash -----
     "p_exact_dedup" -> { (s, dir) =>
@@ -69,6 +110,20 @@ object PipelineQueries {
         n = 3,
         bands = 4,
         threshold = 0.5)
+    },
+
+    // ----- near-dup clusters (connected components over the pair graph) --
+    "p_dup_clusters" -> { (s, dir) =>
+      Dedup.nearDupClusters(
+        Dedup.minhashLshPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          n = 3, bands = 4, threshold = 0.5))
+    },
+
+    // ----- trained bigram-LM fluency scoring -----
+    "t_bigram_fluency" -> { (s, dir) =>
+      graft.ops.NgramLm.bigramFluency(
+        t(s, dir, "documents"), "doc_id", "text")
     },
 
     // ----- simhash signatures -----
@@ -219,41 +274,50 @@ object PipelineQueries {
          |FROM pairs WHERE i * 1.0 / u >= 0.5""".stripMargin
     },
     "p_minhash_lsh" -> {
-      val a = listLit(Dedup.MinhashA)
-      val b = listLit(Dedup.MinhashB)
-      val p = Dedup.MinhashP
-      s"""WITH d AS (
-         |  SELECT doc_id, ${hashedShinglesSql(WsSql)} AS sh FROM documents),
-         |h AS (
-         |  SELECT doc_id, sh, sh AS hs FROM d),
-         |sig AS (
-         |  SELECT doc_id, sh,
-         |    list_transform(range(0, 16), k ->
-         |      coalesce(list_min(list_transform(hs,
-         |        x -> ($a[k+1] * (x % $p) + $b[k+1]) % $p)), $p)) AS sig
-         |  FROM h WHERE len(hs) > 0),
-         |banded AS (
-         |  SELECT doc_id, sh,
-         |    unnest(range(0, 4)) AS band,
-         |    unnest(list_transform(range(0, 4), bi ->
-         |      CAST(sig[bi*4+1] AS VARCHAR) || '-' || CAST(sig[bi*4+2] AS VARCHAR)
-         |      || '-' || CAST(sig[bi*4+3] AS VARCHAR) || '-' || CAST(sig[bi*4+4] AS VARCHAR)))
-         |      AS band_key
-         |  FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |  FROM banded l JOIN banded r
-         |    ON l.band = r.band AND l.band_key = r.band_key
-         |   AND l.doc_id < r.doc_id),
-         |verified AS (
-         |  SELECT c.id_a, c.id_b,
-         |    len(list_intersect(da.sh, db.sh)) AS i,
-         |    len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS u
-         |  FROM cand c
-         |  JOIN d da ON da.doc_id = c.id_a
-         |  JOIN d db ON db.doc_id = c.id_b)
+      s"""WITH $minhashPairCtes
          |SELECT id_a, id_b, i * 1.0 / u AS jaccard
          |FROM verified WHERE i * 1.0 / u >= 0.5""".stripMargin
+    },
+    "p_dup_clusters" -> {
+      // transitive closure over the verified near-dup pair graph; cluster
+      // id = min doc id reachable. UNION (not ALL) bounds the recursion.
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pairs AS (
+         |  SELECT id_a, id_b FROM verified WHERE i * 1.0 / u >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS n, id_b AS m FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS n, id_a AS m FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT n, m FROM edges
+         |  UNION
+         |  SELECT e.n, r.m FROM edges e JOIN reach r ON e.m = r.n)
+         |SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+         |FROM reach GROUP BY n""".stripMargin
+    },
+    "t_bigram_fluency" -> {
+      // replays NgramLm.bigramFluency: integer-scaled conditional
+      // probabilities (floor((c2*1e6)/c1) over exact counts) summed as
+      // exact integers; one double division at the end. `//` (DuckDB) and
+      // `div` (Spark) agree on positive integers.
+      s"""WITH d AS (SELECT doc_id, $WsSql AS ws FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(ws), 1)),
+         |      i -> ws[i] || ' ' || ws[i+1])) AS bigram
+         |  FROM d),
+         |c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+         |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c1
+         |       FROM bg GROUP BY 1),
+         |p AS (SELECT c2.bigram, (c2.c2 * 1000000) // c1.c1 AS micro
+         |      FROM c2 JOIN c1 ON split_part(c2.bigram, ' ', 1) = c1.w1),
+         |s AS (SELECT b.doc_id, count(*) AS n_bigrams,
+         |        sum(p.micro) AS sum_micro
+         |      FROM bg b JOIN p ON b.bigram = p.bigram
+         |      GROUP BY b.doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  CAST(sum_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS fluency
+         |FROM s""".stripMargin
     },
     "p_simhash" -> {
       s"""WITH h AS (

@@ -128,6 +128,31 @@ class DedupSpec extends SparkSpec {
     lsh shouldBe exact
   }
 
+  test("nearDupClusters: transitive closure with min-id labels") {
+    // chain 1-2, 2-3 must merge into one cluster even though (1,3) is not a
+    // pair; 7-8 is a separate component; 9 appears in no pair -> no row
+    val pairs = Seq(
+      (2L, 3L, 0.9), (1L, 2L, 0.8), (7L, 8L, 0.7))
+      .toDF("id_a", "id_b", "jaccard")
+    val out = Dedup.nearDupClusters(pairs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L)
+    Par.releaseCaches()
+  }
+
+  test("nearDupClusters converges on a long path (diameter > 1 iteration)") {
+    // a 10-node path: min label must propagate end to end
+    val pairs = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.nearDupClusters(pairs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    out shouldBe (1L to 10L).map(_ -> 1L).toMap
+    Par.releaseCaches()
+  }
+
   test("simhash: identical docs same signature; near docs close; far docs far") {
     val sigs = df
       .select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
@@ -274,6 +299,35 @@ class ParSpec extends SparkSpec {
     handleB.release()
     sc.getPersistentRDDs.isEmpty shouldBe true
     // and the global registry no longer holds released entries
+    Par.releaseCaches()
+  }
+}
+
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigramFluency scores hand-computed conditional probabilities") {
+    // corpus: d1 = "a b c", d2 = "a b a c"
+    //   bigram counts: "a b"->2, "b c"->1, "b a"->1, "a c"->1
+    //   prefix counts: a->3, b->2
+    //   micro: "a b"=666666, "b c"=500000, "b a"=500000, "a c"=333333
+    val docs = Seq((1L, "a b c"), (2L, "a b a c")).toDF("doc_id", "text")
+    val out = NgramLm.bigramFluency(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    out(1L)._1 shouldBe 2L
+    out(1L)._2 shouldBe (666666L + 500000L) / 2.0
+    out(2L)._1 shouldBe 3L
+    out(2L)._2 shouldBe (666666L + 500000L + 333333L) / 3.0
+    Par.releaseCaches()
+  }
+
+  test("bigramFluency: single-word and empty docs emit no row") {
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "two words"))
+      .toDF("doc_id", "text")
+    val out = NgramLm.bigramFluency(docs, "doc_id", "text").collect()
+    out.map(_.getLong(0)).toSet shouldBe Set(3L)
     Par.releaseCaches()
   }
 }
