@@ -43,94 +43,17 @@ object HttpSink {
       options: Map[String, String],
       payload: Option[Column] = None,
       headerPreprocessors: Seq[HeaderPreprocessor] = Nil): Unit = {
-    val o = HttpOptions(options)
-    val url = o.required(HttpOptions.Url)
-    // `format` resolves payload rendering, batch framing and the content
-    // type through the PayloadFormats registry (reference:
-    // SerializationSchemaElementConverter discovers the table's format)
-    val format = PayloadFormats(o.str(HttpOptions.Format, "json"))
-    val method = o.str(HttpOptions.InsertMethod, "POST").toUpperCase
-    if (method != "POST" && method != "PUT")
-      throw new HttpConfigException(
-        s"insert-method must be POST or PUT, got '$method'")
-    val mode = o.str(HttpOptions.SinkRequestMode, "batch")
-    val batchSize = mode match {
-      case "batch" => o.int(HttpOptions.SinkBatchSize, 500)
-      case "single" => 1
-      case other =>
-        throw new HttpConfigException(s"Unknown sink request mode '$other'")
-    }
-    val classifier = SinkErrorClassifier(
-      o.str(HttpOptions.SinkErrorCodes, SinkErrorClassifier.DefaultErrorExpr),
-      o.str(HttpOptions.SinkErrorCodesExclude, ""))
-    val timeoutMs = o.durationMs(HttpOptions.SinkRequestTimeout, 30000L)
-    val maxInflight = math.max(
-      1,
-      math.min(
-        o.int(HttpOptions.SinkMaxInflight, 4),
-        o.int(HttpOptions.SinkThreadPool, 4)))
-    val headers = o.withPrefix(HttpOptions.SinkHeaderPrefix).toSeq
-    val useRawAuth = o.bool(HttpOptions.UseRawAuthHeader, default = false)
-    val oidc = o.strOpt(HttpOptions.OidcTokenRequest).map { tr =>
-      (
-        tr,
-        o.required(HttpOptions.OidcTokenEndpoint),
-        o.durationMs(HttpOptions.OidcExpiryReduction, 1000L))
-    }
-    val clientCfg = HttpClientFactory.ClientConfig.fromOptions(o)
-    val callbackName = o.str(HttpOptions.SinkRequestCallback, "slf4j-logger")
-    val loggingLevel = o.str("http.logging.level", "MIN")
-
+    val rt = SinkRuntime(options, headerPreprocessors)
     val payloadCol =
-      payload.getOrElse(format.encode(struct(df.columns.map(col): _*)))
+      payload.getOrElse(rt.format.encode(struct(df.columns.map(col): _*)))
     val staged = df.select(payloadCol.cast("string").as("payload"))
 
     staged.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-      val httpClient = HttpClientFactory.shared(clientCfg)
-      val finalHeaders = HeaderPreprocessors.render(
-        headers,
-        useRawAuth,
-        oidc.map { case (tokenReq, endpoint, reductionMs) =>
-          val mgr =
-            OidcManagers.shared(httpClient, tokenReq, endpoint, reductionMs)
-          () => mgr.authenticate()
-        },
-        headerPreprocessors)
-      val submitter = new BatchSubmitter(
-        httpClient,
-        url,
-        method,
-        classifier,
-        timeoutMs,
-        finalHeaders,
-        maxInflight,
-        RequestCallback.named(
-          callbackName,
-          RequestCallback.Level.parse(loggingLevel)),
-        contentType = format.contentType)
-      val batch = new scala.collection.mutable.ArrayBuffer[String](batchSize)
-      rows.foreach { r =>
-        batch += r.getString(0)
-        if (batch.size >= batchSize) {
-          submitter.submit(frame(batch.toSeq, mode, format))
-          batch.clear()
-        }
-      }
-      if (batch.nonEmpty) submitter.submit(frame(batch.toSeq, mode, format))
-      submitter.awaitAll()
+      val w = rt.newPartitionWriter()
+      rows.foreach(r => w.add(r.getString(0)))
+      w.flush()
     }
   }
-
-  /** Batch bodies are framed by the format (JSON arrays `[e1,e2,…]` for
-    * json, one record per line for csv); single mode sends the payload
-    * as-is (reference docs "Request submission").
-    */
-  private def frame(
-      batch: Seq[String],
-      mode: String,
-      format: PayloadFormat): String =
-    if (mode == "single") batch.head
-    else format.frameBatch(batch)
 
   /** `writeStream.foreachBatch(HttpSink.foreachBatchWriter(options))`. */
   def foreachBatchWriter(
@@ -143,7 +66,7 @@ object HttpSink {
     * `sink/httpclient/BatchRequestSubmitter.java` semantics: async submit,
     * bounded by writer thread-pool / max-inflight; errors surface on flush).
     */
-  private final class BatchSubmitter(
+  private[http] final class BatchSubmitter(
       client: java.net.http.HttpClient,
       url: String,
       method: String,
@@ -204,5 +127,142 @@ object HttpSink {
         case e => throw new RuntimeException(e)
       }
     }
+  }
+}
+
+/** Fully-parsed sink configuration, shared by every sink surface (the Scala
+  * `HttpSink.write`, `foreachBatch`, and the DSv2 `graft-http-sink` table):
+  * parse once on the driver, ship to executors, build one
+  * [[SinkRuntime.newPartitionWriter partition writer]] per task.
+  */
+private[graft] final case class SinkRuntime(
+    url: String,
+    format: PayloadFormat,
+    method: String,
+    mode: String,
+    batchSize: Int,
+    classifier: SinkErrorClassifier,
+    timeoutMs: Long,
+    maxInflight: Int,
+    headers: Seq[(String, String)],
+    useRawAuth: Boolean,
+    oidc: Option[(String, String, Long)],
+    clientCfg: HttpClientFactory.ClientConfig,
+    callbackName: String,
+    loggingLevel: String,
+    headerPreprocessors: Seq[HeaderPreprocessor])
+    extends Serializable {
+
+  /** Executor-side: a buffering writer over a bounded-in-flight submitter.
+    * `add` payload strings; `flush` submits the tail batch and surfaces any
+    * async failure (failing the task → Spark retry → at-least-once).
+    */
+  def newPartitionWriter(): SinkRuntime.PartitionWriter = {
+    val httpClient = HttpClientFactory.shared(clientCfg)
+    val finalHeaders = HeaderPreprocessors.render(
+      headers,
+      useRawAuth,
+      oidc.map { case (tokenReq, endpoint, reductionMs) =>
+        val mgr =
+          OidcManagers.shared(httpClient, tokenReq, endpoint, reductionMs)
+        () => mgr.authenticate()
+      },
+      headerPreprocessors)
+    val submitter = new HttpSink.BatchSubmitter(
+      httpClient,
+      url,
+      method,
+      classifier,
+      timeoutMs,
+      finalHeaders,
+      maxInflight,
+      RequestCallback.named(
+        callbackName,
+        RequestCallback.Level.parse(loggingLevel)),
+      contentType = format.contentType)
+    new SinkRuntime.PartitionWriter(submitter, batchSize, mode, format)
+  }
+}
+
+private[graft] object SinkRuntime {
+
+  def apply(
+      options: Map[String, String],
+      headerPreprocessors: Seq[HeaderPreprocessor]): SinkRuntime = {
+    val o = HttpOptions(options)
+    val url = o.required(HttpOptions.Url)
+    // `format` resolves payload rendering, batch framing and the content
+    // type through the PayloadFormats registry (reference:
+    // SerializationSchemaElementConverter discovers the table's format)
+    val format = PayloadFormats(o.str(HttpOptions.Format, "json"))
+    val method = o.str(HttpOptions.InsertMethod, "POST").toUpperCase
+    if (method != "POST" && method != "PUT")
+      throw new HttpConfigException(
+        s"insert-method must be POST or PUT, got '$method'")
+    val mode = o.str(HttpOptions.SinkRequestMode, "batch")
+    val batchSize = mode match {
+      case "batch" => o.int(HttpOptions.SinkBatchSize, 500)
+      case "single" => 1
+      case other =>
+        throw new HttpConfigException(s"Unknown sink request mode '$other'")
+    }
+    SinkRuntime(
+      url = url,
+      format = format,
+      method = method,
+      mode = mode,
+      batchSize = batchSize,
+      classifier = SinkErrorClassifier(
+        o.str(HttpOptions.SinkErrorCodes, SinkErrorClassifier.DefaultErrorExpr),
+        o.str(HttpOptions.SinkErrorCodesExclude, "")),
+      timeoutMs = o.durationMs(HttpOptions.SinkRequestTimeout, 30000L),
+      maxInflight = math.max(
+        1,
+        math.min(
+          o.int(HttpOptions.SinkMaxInflight, 4),
+          o.int(HttpOptions.SinkThreadPool, 4))),
+      headers = o.withPrefix(HttpOptions.SinkHeaderPrefix).toSeq,
+      useRawAuth = o.bool(HttpOptions.UseRawAuthHeader, default = false),
+      oidc = o.strOpt(HttpOptions.OidcTokenRequest).map { tr =>
+        (
+          tr,
+          o.required(HttpOptions.OidcTokenEndpoint),
+          o.durationMs(HttpOptions.OidcExpiryReduction, 1000L))
+      },
+      clientCfg = HttpClientFactory.ClientConfig.fromOptions(o),
+      callbackName = o.str(HttpOptions.SinkRequestCallback, "slf4j-logger"),
+      loggingLevel = o.str("http.logging.level", "MIN"),
+      headerPreprocessors = headerPreprocessors)
+  }
+
+  private[graft] final class PartitionWriter(
+      submitter: HttpSink.BatchSubmitter,
+      batchSize: Int,
+      mode: String,
+      format: PayloadFormat) {
+    private val batch = new scala.collection.mutable.ArrayBuffer[String](batchSize)
+
+    def add(payload: String): Unit = {
+      batch += payload
+      if (batch.size >= batchSize) {
+        submitter.submit(frame(batch.toSeq))
+        batch.clear()
+      }
+    }
+
+    def flush(): Unit = {
+      if (batch.nonEmpty) {
+        submitter.submit(frame(batch.toSeq))
+        batch.clear()
+      }
+      submitter.awaitAll()
+    }
+
+    /** Batch bodies are framed by the format (JSON arrays `[e1,e2,…]` for
+      * json, one record per line for csv); single mode sends the payload
+      * as-is (reference docs "Request submission").
+      */
+    private def frame(b: Seq[String]): String =
+      if (mode == "single") b.head else format.frameBatch(b)
   }
 }
