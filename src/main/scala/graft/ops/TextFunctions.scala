@@ -140,6 +140,21 @@ object TextFunctions {
     filter(words(text), w => !array_contains(arr, w))
   }
 
+  /** Within-document n-gram repetition ratio (Gopher-style "fraction of
+    * duplicated n-grams" quality rule): 1 − distinct/total over the doc's
+    * n-word shingles, null when the doc has no n-grams. Pure array
+    * expressions — per-row codegen, shuffle-free at any corpus size. The
+    * division is one IEEE op over two exact integers (oracle-portable).
+    */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val all = shingles(words(text), n)
+    val total = size(all)
+    when(
+      total > 0,
+      lit(1.0) - size(array_distinct(all)).cast(DoubleType) /
+        total.cast(DoubleType))
+  }
+
   /** Punctuation character ratio over all characters. */
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))

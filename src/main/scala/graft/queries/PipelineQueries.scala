@@ -209,6 +209,14 @@ object PipelineQueries {
         TextFunctions.qualityScore(col("text")).as("quality"))
     },
 
+    // ----- within-doc n-gram repetition (boilerplate signal) -----
+    "t_repetition" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.dupNgramRatio(col("text"), 2).as("dup_bigram_ratio"),
+        TextFunctions.dupNgramRatio(col("text"), 3).as("dup_trigram_ratio"))
+    },
+
     // ----- language identification vs. labeled lang column -----
     "t_lang_id" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -417,6 +425,22 @@ object PipelineQueries {
          |    i -> ws[i] || ' ' || ws[i+1])) AS bigram
          |  FROM (SELECT $WsSql AS ws FROM documents)
          |) GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin
+    },
+    "t_repetition" -> {
+      def grams(n: Int) = {
+        val parts = (0 until n)
+          .map(j => if (j == 0) "ws[i]" else s"ws[i+$j]")
+          .mkString(" || ' ' || ")
+        s"list_transform(range(1, greatest(len(ws) - ${n - 2}, 1)), i -> $parts)"
+      }
+      def ratio(n: Int) =
+        s"""CASE WHEN len(${grams(n)}) > 0 THEN
+           |    1.0 - CAST(len(list_distinct(${grams(n)})) AS DOUBLE) /
+           |      CAST(len(${grams(n)}) AS DOUBLE) END""".stripMargin
+      s"""SELECT doc_id,
+         |  ${ratio(2)} AS dup_bigram_ratio,
+         |  ${ratio(3)} AS dup_trigram_ratio
+         |FROM (SELECT doc_id, $WsSql AS ws FROM documents)""".stripMargin
     },
     "t_quality_score" -> {
       val sw = TextFunctions.LangProfiles.head._2

@@ -640,6 +640,42 @@ class SkewJoinSpec extends SparkSpec {
   }
 }
 
+class BucketedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matching bucketed tables join with zero exchanges") {
+    // The 100 TB pattern for REPEAT joins on one key: pay the shuffle once
+    // at write (bucketBy), then every subsequent join on the bucket key is
+    // exchange-free. Asserted on the executed plan, not assumed.
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS g_bucket_orders")
+    spark.sql("DROP TABLE IF EXISTS g_bucket_items")
+    try {
+      (1L to 1000L).map(i => (i % 100, i)).toDF("k", "o")
+        .write.bucketBy(8, "k").sortBy("k")
+        .mode("overwrite").saveAsTable("g_bucket_orders")
+      (1L to 2000L).map(i => (i % 100, s"i$i")).toDF("k", "item")
+        .write.bucketBy(8, "k").sortBy("k")
+        .mode("overwrite").saveAsTable("g_bucket_items")
+      val joined = spark.table("g_bucket_orders")
+        .join(spark.table("g_bucket_items"), "k")
+      joined.count() shouldBe 20000L
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should not include "Exchange"
+      // the same join WITHOUT bucketing shuffles both sides
+      val unbucketed = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "o")
+        .join((1L to 2000L).map(i => (i % 100, s"i$i")).toDF("k", "item"), "k")
+      unbucketed.count() shouldBe 20000L
+      unbucketed.queryExecution.executedPlan.toString should include("Exchange")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS g_bucket_orders")
+      spark.sql("DROP TABLE IF EXISTS g_bucket_items")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+}
+
 class QueryParamFieldsSpec extends SparkSpec {
   import graft.http.{HttpConfigException, HttpOptions, QueryCreator}
 

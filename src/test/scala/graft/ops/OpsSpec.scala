@@ -54,6 +54,15 @@ class TextFunctionsSpec extends SparkSpec {
     h shouldBe java.lang.Long.parseLong("5d41402abc4b2a7", 16)
   }
 
+  test("dupNgramRatio measures within-doc repetition; null when no ngrams") {
+    // "a b a b a": bigrams [a b, b a, a b, b a] -> 2 distinct of 4 -> 0.5
+    evalOne(TextFunctions.dupNgramRatio(col("text"), 2), "a b a b a") shouldBe 0.5
+    // all distinct -> 0.0
+    evalOne(TextFunctions.dupNgramRatio(col("text"), 2), "x y z") shouldBe 0.0
+    // shorter than n -> null
+    Option(evalOne(TextFunctions.dupNgramRatio(col("text"), 3), "one two")) shouldBe None
+  }
+
   test("punctRatio counts punctuation chars") {
     evalOne(TextFunctions.punctRatio(col("text")), "ab, cd!") shouldBe (2.0 / 7.0)
   }
