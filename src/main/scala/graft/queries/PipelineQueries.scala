@@ -217,6 +217,17 @@ object PipelineQueries {
         TextFunctions.dupNgramRatio(col("text"), 3).as("dup_trigram_ratio"))
     },
 
+    // ----- sequence packing into fixed-capacity training bins -----
+    "t_seq_pack" -> { (s, dir) =>
+      graft.ops.Packing.sequencePack(
+        t(s, dir, "documents"),
+        "doc_id",
+        TextFunctions.tokenCount(col("text")),
+        capacity = 256,
+        partCols = Seq("lang"),
+        shards = 4)
+    },
+
     // ----- language identification vs. labeled lang column -----
     "t_lang_id" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -441,6 +452,23 @@ object PipelineQueries {
          |  ${ratio(2)} AS dup_bigram_ratio,
          |  ${ratio(3)} AS dup_trigram_ratio
          |FROM (SELECT doc_id, $WsSql AS ws FROM documents)""".stripMargin
+    },
+    "t_seq_pack" -> {
+      s"""WITH d AS (
+         |  SELECT lang, doc_id,
+         |    ${hash61Sql("CAST(doc_id AS VARCHAR)")} % 4 AS shard,
+         |    CAST(len($WsSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, doc_id, shard, n_tokens,
+         |    COALESCE(sum(n_tokens) OVER (PARTITION BY lang, shard
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - n_tokens, 0) AS cum
+         |  FROM d)
+         |SELECT lang, doc_id, shard, n_tokens,
+         |  cum // 256 AS bin, cum % 256 AS bin_offset
+         |FROM c""".stripMargin
     },
     "t_quality_score" -> {
       val sw = TextFunctions.LangProfiles.head._2

@@ -312,6 +312,44 @@ class ParSpec extends SparkSpec {
   }
 }
 
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sequencePack lays out contiguous bins by cumulative tokens") {
+    // shards=1 -> one deterministic stream ordered by doc_id
+    // tokens: 4, 5, 3, 9 ; capacity 10
+    // cum-before: 0, 4, 9, 12 -> bins 0,0,0,1 ; offsets 0,4,9,2
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d e"),
+      (3L, "a b c"),
+      (4L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val out = Packing
+      .sequencePack(docs, "doc_id",
+        TextFunctions.tokenCount(org.apache.spark.sql.functions.col("text")),
+        capacity = 10, partCols = Nil, shards = 1)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (
+        r.getAs[Long]("doc_id"),
+        r.getAs[Long]("bin"),
+        r.getAs[Long]("bin_offset")))
+    out.toSeq shouldBe Seq((1L, 0L, 0L), (2L, 0L, 4L), (3L, 0L, 9L),
+      (4L, 1L, 2L))
+  }
+
+  test("sequencePack shards bound the window partition size") {
+    val docs = (1L to 200L).map(i => (i, "w " * 5)).toDF("doc_id", "text")
+    val out = Packing.sequencePack(docs, "doc_id",
+      TextFunctions.tokenCount(org.apache.spark.sql.functions.col("text")),
+      capacity = 50, partCols = Nil, shards = 8)
+    val perShard = out.groupBy("shard").count().collect()
+      .map(_.getAs[Long]("count"))
+    perShard.sum shouldBe 200L
+    all(perShard) should be < 60L // ~25 expected per shard, bounded
+  }
+}
+
 class NgramLmSpec extends SparkSpec {
   import spark.implicits._
 
