@@ -58,11 +58,18 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val qseq = SparkEntry.queries.toSeq
     val samples = collection.mutable.Map[String, List[Double]]()
+    val failed = collection.mutable.SortedSet[String]()
     for (_ <- 1 to iters; (name, fn) <- qseq) {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => () }
+      } catch {
+        case e: Throwable =>
+          // a failed query must not read as a fast query: record it, and
+          // surface the failure in the JSON instead of a flattering ~0s
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       graft.ops.Par.releaseCaches()
       val dt = (System.nanoTime() - t0) / 1e9
       samples(name) = dt :: samples.getOrElse(name, Nil)
@@ -74,7 +81,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     // the JDK HttpServer behind the stub-backed queries keeps a non-daemon
     // HTTP-Dispatcher thread alive; exit explicitly

@@ -24,7 +24,7 @@ object Verify {
       } catch { case e: Throwable =>
         println(s"[verify] $name FAILED: ${e.getMessage}")
         e.printStackTrace()
-      }
+      } finally graft.ops.Par.releaseCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

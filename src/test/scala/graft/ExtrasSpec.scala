@@ -572,71 +572,73 @@ class SkewJoinSpec extends SparkSpec {
 
   test("salting spreads the hot key's shuffle load across tasks") {
     // The mechanism, not just the result: per-task shuffle-read records.
-    // Unsalted, ONE task must read every hot-key row; salted over 8 buckets,
-    // no task may read more than a fraction of them.
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val prevCoalesce =
-      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // Unsalted, ONE task must read every hot-key row; salted over 16
+    // buckets, no task may read more than a fraction of them.
+    //
+    // Isolated session: suites run in parallel in one JVM, so conf
+    // mutations must not leak; the metric listener is scoped to this
+    // test's job group so concurrent suites' tasks can't pollute the max.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     // at this toy scale AQE would coalesce every salt bucket back into one
     // task (all buckets fit one advisory partition), hiding the spread the
     // test asserts; at real scale buckets exceed the advisory size
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    // 16 partitions so the 8 salt buckets don't collide (suite default is 4)
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try {
-      val big = spark
-        .range(20000)
-        .selectExpr(
-          "CASE WHEN id % 4 != 0 THEN 0 ELSE id END AS k",
-          "id AS row_id")
-      val small = spark.range(100)
-        .selectExpr("id AS sk", "CAST(id AS STRING) AS v")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // 16 partitions so the 16 salt buckets spread (suite default is 4)
+    s.conf.set("spark.sql.shuffle.partitions", "16")
+    val big = s
+      .range(20000)
+      .selectExpr(
+        "CASE WHEN id % 4 != 0 THEN 0 ELSE id END AS k",
+        "id AS row_id")
+    val small = s.range(100)
+      .selectExpr("id AS sk", "CAST(id AS STRING) AS v")
 
-      def maxTaskShuffleRead(df: org.apache.spark.sql.DataFrame): Long = {
-        val max = new java.util.concurrent.atomic.AtomicLong(0)
-        val listener = new SparkListener {
-          override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+    def maxTaskShuffleRead(df: org.apache.spark.sql.DataFrame): Long = {
+      val group = s"skew-spec-${System.nanoTime()}"
+      val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      val max = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          if (group == j.properties.getProperty("spark.jobGroup.id"))
+            j.stageIds.foreach(id => stages.add(id))
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+          if (stages.contains(e.stageId))
             Option(e.taskMetrics).foreach { m =>
               max.getAndUpdate(v =>
                 math.max(v, m.shuffleReadMetrics.recordsRead))
             }
-        }
-        sc.addSparkListener(listener)
-        try {
-          df.count()
-          // the listener bus is async: wait until the max stops moving
-          var last = -1L
-          var stable = 0
-          var waited = 0
-          while (stable < 3 && waited < 100) {
-            Thread.sleep(100)
-            waited += 1
-            val cur = max.get
-            if (cur == last) stable += 1 else { stable = 0; last = cur }
-          }
-        } finally sc.removeSparkListener(listener)
-        max.get
       }
-
-      // hot key 0 carries 15000 of 20000 rows
-      val plainMax = maxTaskShuffleRead(
-        big.join(small, big("k") === small("sk")))
-      val saltedMax = maxTaskShuffleRead(
-        SkewJoin.saltedInnerJoin(big, "k", "row_id", small, "sk", salts = 16))
-      plainMax should be >= 15000L
-      // several salt buckets can hash into one partition, so the per-task
-      // bound is a multiple of hot/salts, not hot/salts itself; deterministic
-      // given fixed data + murmur3 + confs
-      saltedMax should be <= plainMax / 3
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
-      spark.conf.set(
-        "spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      sc.addSparkListener(listener)
+      try {
+        s.sparkContext.setJobGroup(group, "skew-spread probe")
+        try df.count()
+        finally s.sparkContext.clearJobGroup()
+        // the listener bus is async: wait until the max stops moving
+        var last = -1L
+        var stable = 0
+        var waited = 0
+        while (stable < 3 && waited < 100) {
+          Thread.sleep(100)
+          waited += 1
+          val cur = max.get
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
+      } finally sc.removeSparkListener(listener)
+      max.get
     }
+
+    // hot key 0 carries 15000 of 20000 rows
+    val plainMax = maxTaskShuffleRead(
+      big.join(small, big("k") === small("sk")))
+    val saltedMax = maxTaskShuffleRead(
+      SkewJoin.saltedInnerJoin(big, "k", "row_id", small, "sk", salts = 16))
+    plainMax should be >= 15000L
+    // several salt buckets can hash into one partition, so the per-task
+    // bound is a multiple of hot/salts, not hot/salts itself; deterministic
+    // given fixed data + murmur3 + confs
+    saltedMax should be <= plainMax / 3
   }
 }
 
@@ -647,10 +649,12 @@ class BucketedJoinSpec extends SparkSpec {
     // The 100 TB pattern for REPEAT joins on one key: pay the shuffle once
     // at write (bucketBy), then every subsequent join on the bucket key is
     // exchange-free. Asserted on the executed plan, not assumed.
-    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.sql("DROP TABLE IF EXISTS g_bucket_orders")
-    spark.sql("DROP TABLE IF EXISTS g_bucket_items")
+    // Isolated session: conf mutations must not leak to parallel suites.
+    val s = spark.newSession()
+    import s.implicits._
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.sql("DROP TABLE IF EXISTS g_bucket_orders")
+    s.sql("DROP TABLE IF EXISTS g_bucket_items")
     try {
       (1L to 1000L).map(i => (i % 100, i)).toDF("k", "o")
         .write.bucketBy(8, "k").sortBy("k")
@@ -658,8 +662,8 @@ class BucketedJoinSpec extends SparkSpec {
       (1L to 2000L).map(i => (i % 100, s"i$i")).toDF("k", "item")
         .write.bucketBy(8, "k").sortBy("k")
         .mode("overwrite").saveAsTable("g_bucket_items")
-      val joined = spark.table("g_bucket_orders")
-        .join(spark.table("g_bucket_items"), "k")
+      val joined = s.table("g_bucket_orders")
+        .join(s.table("g_bucket_items"), "k")
       joined.count() shouldBe 20000L
       val plan = joined.queryExecution.executedPlan.toString
       plan should not include "Exchange"
@@ -669,9 +673,8 @@ class BucketedJoinSpec extends SparkSpec {
       unbucketed.count() shouldBe 20000L
       unbucketed.queryExecution.executedPlan.toString should include("Exchange")
     } finally {
-      spark.sql("DROP TABLE IF EXISTS g_bucket_orders")
-      spark.sql("DROP TABLE IF EXISTS g_bucket_items")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      s.sql("DROP TABLE IF EXISTS g_bucket_orders")
+      s.sql("DROP TABLE IF EXISTS g_bucket_items")
     }
   }
 }

@@ -94,4 +94,35 @@ class StreamingSpec extends SparkSpec {
       df.agg(approx_count_distinct($"k", 0.02).as("a")).collect().head.getLong(0)
     approx.toDouble shouldBe 7919.0 +- (7919 * 0.05)
   }
+
+  test("streaming exact dedup: dropDuplicatesWithinWatermark on content hash") {
+    // the streaming face of Dedup.exact: same md5 content key, state
+    // bounded by the watermark instead of a full-corpus shuffle
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = input
+      .toDF()
+      .toDF("ts", "doc_id", "text")
+      .withColumn("fp", md5($"text"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName("stream_dedup")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "same text"),
+        (ts("2024-01-01 10:01:00"), 2L, "same text"),
+        (ts("2024-01-01 10:02:00"), 3L, "other text"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM stream_dedup")
+        .collect().map(_.getLong(0)).toSet
+      ids should have size 2
+      ids should contain(3L)
+      // exactly one of the two duplicates survived
+      (ids.contains(1L) ^ ids.contains(2L)) shouldBe true
+    } finally q.stop()
+  }
 }
