@@ -226,10 +226,12 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIters: Int = 20): DataFrame = {
-    // Undirected edge list, both directions: (node, neighbor).
-    val fwd = pairs.select(col(idA).as("n"), col(idB).as("m"))
-    val edges =
-      Par.cached(fwd.union(fwd.select(col("m").as("n"), col("n").as("m"))))
+    // Undirected edge list, both directions: (node, neighbor). The forward
+    // projection is what gets cached: both union branches then read one
+    // materialization of the (possibly expensive) pair pipeline instead of
+    // re-deriving it per branch.
+    val fwd = Par.cached(pairs.select(col(idA).as("n"), col(idB).as("m")))
+    val edges = fwd.union(fwd.select(col("m").as("n"), col("n").as("m")))
     // label(n) starts as min(n, min neighbor)
     var labels = edges
       .groupBy(col("n"))

@@ -245,6 +245,23 @@ object Similarity {
     (array_position(scores, array_max(scores)) - 1).cast(IntegerType)
   }
 
+  /** The IVF map-side assignment step on its own: each corpus vector's best
+    * (max dot score) centroid cell, 0-based in centroid order, ties to the
+    * first (lowest) index. Centroids broadcast as literals; assignment is a
+    * narrow codegen'd pass — the exact shape `ivfTopK` plans, exposed so
+    * the cell math is driver-gateable against a relational oracle.
+    */
+  def ivfAssign(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Float]]): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    Par.fan(corpus).select(
+      col(idCol),
+      bestCellFor(centroids, col(vecCol)).as("cell"))
+  }
+
   /** Deterministic one-scan centroid init (the k-means|| shape: oversample
     * distributed, recluster locally): ONE top-k job pulls the
     * `cells * oversample` corpus vectors with the smallest portable id hash

@@ -254,6 +254,22 @@ object PipelineQueries {
         k = 5)
     },
 
+    // ----- IVF cell assignment (the map-side step of ivfTopK) -----
+    // Fixed centroids = the four lowest-id corpus vectors: the gate tests
+    // the assignment math (broadcast dot scores, argmax, first-index ties),
+    // which is the part of IVF a relational oracle CAN replay — recall
+    // behavior of the full ANN stays pinned by spec floors.
+    "s_ivf_assign" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb
+        .filter(col("vec_id") < 4)
+        .orderBy(col("vec_id"))
+        .select(col("embedding"))
+        .collect()
+        .map(_.getSeq[Float](0).toArray)
+      Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+    },
+
     // ----- embedding-cosine near-dup pairs (LSH-blocked scale path) -----
     // Gates the bucket-blocked variant (pair space per bucket, never
     // corpus²); the deterministic md5-derived hyperplanes are replayed in
@@ -273,6 +289,17 @@ object PipelineQueries {
       val staged = t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
       Multimodal.extractMeta(staged, "doc_id", "blob")
+    },
+
+    // ----- multimodal frame sampling (explode-by-frame plumbing) -----
+    // gates the partition-wise explode shape (every-4th frame of the stub
+    // decode); the wraparound frame fingerprint is spec-covered — 64-bit
+    // overflow wraps in the JVM but errors in DuckDB, so it cannot gate
+    "m_frame_sample" -> { (s, dir) =>
+      val staged = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
+      Multimodal.frameSample(staged, "doc_id", "blob", every = 4)
+        .select(col("doc_id"), col("frame_idx"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -510,6 +537,24 @@ object PipelineQueries {
          |  count(*) AS n_docs
          |FROM mxd GROUP BY 1, 2""".stripMargin
     },
+    "s_ivf_assign" -> {
+      def dotSql(x: String, y: String) =
+        s"list_reduce(list_transform(range(1, len($x) + 1), " +
+          s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (acc, v) -> acc + v)"
+      // argmax over dot scores with first-index (= lowest centroid id) ties
+      s"""WITH c AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |  WHERE vec_id < 4),
+         |s AS (
+         |  SELECT e.vec_id, c.cid, ${dotSql("e.embedding", "c.cv")} AS score
+         |  FROM embeddings e CROSS JOIN c),
+         |r AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC, cid ASC) AS rn
+         |  FROM s)
+         |SELECT vec_id, CAST(cid AS INT) AS cell FROM r WHERE rn = 1""".stripMargin
+    },
     "s_cosine_topk" -> {
       def dotSql(x: String, y: String) =
         s"list_reduce(list_transform(range(1, len($x) + 1), " +
@@ -557,6 +602,11 @@ object PipelineQueries {
          |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.n * b.n) >= 0.45""".stripMargin
     },
+    "m_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST(unnest(range(0, octet_length(encode(text)) % 24 + 1, 4)) AS INT)
+        |    AS frame_idx
+        |FROM documents""".stripMargin,
     "m_media_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
