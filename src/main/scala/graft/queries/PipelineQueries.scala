@@ -43,6 +43,14 @@ object PipelineQueries {
 
   private def listLit(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
 
+  /** Stratified-sampling gate rates (per-mille by lang), shared between the
+    * Spark query and the generated oracle CASE so they cannot drift.
+    * ListMap: deterministic iteration for stable SQL generation.
+    */
+  private val StratifiedRates: scala.collection.immutable.ListMap[String, Int] =
+    scala.collection.immutable.ListMap("en" -> 100, "zh" -> 500)
+  private val StratifiedDefault: Int = 250
+
   /** DuckDB CTE chain replaying the minhash-LSH pair pipeline, ending in a
     * `verified(id_a, id_b, i, u)` relation — shared by the p_minhash_lsh
     * oracle and the clustering oracle built on its pair graph. Generated
@@ -188,6 +196,16 @@ object PipelineQueries {
           (TextFunctions.hash61(col("doc_id").cast(StringType)) % 100)
             .as("bucket"))
         .filter(col("bucket") < 10)
+    },
+
+    // ----- stratified hash sampling (per-stratum reproducible rates) -----
+    "t_stratified_sample" -> { (s, dir) =>
+      graft.ops.Sampling.stratifiedHashSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id",
+        "lang",
+        StratifiedRates,
+        StratifiedDefault)
     },
 
     // ----- corpus-level top-50 bigrams -----
@@ -456,6 +474,14 @@ object PipelineQueries {
          |  ${hash61Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
          |FROM documents
          |WHERE ${hash61Sql("CAST(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin
+    },
+    "t_stratified_sample" -> {
+      val cases = StratifiedRates
+        .map { case (k, r) => s"WHEN lang = '$k' THEN $r" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${hash61Sql("CAST(doc_id AS VARCHAR)")} % 1000 <
+         |  CASE $cases ELSE $StratifiedDefault END""".stripMargin
     },
     "t_top_bigrams" -> {
       s"""SELECT bigram, count(*) AS n FROM (

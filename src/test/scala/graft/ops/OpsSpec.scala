@@ -312,6 +312,36 @@ class ParSpec extends SparkSpec {
   }
 }
 
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratified hash sampling is reproducible and rate-respecting") {
+    val docs = (1L to 2000L)
+      .map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    def run() = Sampling
+      .stratifiedHashSample(docs, "doc_id", "lang",
+        Map("en" -> 100), defaultPerMille = 500)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    val a = run()
+    a shouldBe run() // deterministic: same ids every run
+    val en = a.count(_._2 == "en")
+    val de = a.count(_._2 == "de")
+    // 1000 docs per stratum at 10% / 50% nominal rates
+    en.toDouble shouldBe 100.0 +- 40.0
+    de.toDouble shouldBe 500.0 +- 80.0
+  }
+
+  test("rates outside [0,1000] are rejected") {
+    val docs = Seq((1L, "en")).toDF("doc_id", "lang")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+        Map("en" -> 1001), 10)
+  }
+}
+
 class PackingSpec extends SparkSpec {
   import spark.implicits._
 
