@@ -514,10 +514,10 @@ object PipelineQueries {
          |  FROM documents),
          |c AS (
          |  SELECT lang, doc_id, shard, n_tokens,
-         |    COALESCE(sum(n_tokens) OVER (PARTITION BY lang, shard
+         |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang, shard
          |      ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |      - n_tokens, 0) AS cum
+         |      - n_tokens, 0) AS BIGINT) AS cum
          |  FROM d)
          |SELECT lang, doc_id, shard, n_tokens,
          |  cum // 256 AS bin, cum % 256 AS bin_offset
