@@ -246,6 +246,20 @@ object PipelineQueries {
         shards = 4)
     },
 
+    // ----- train/test decontamination (n-gram collision vs benchmark) -----
+    // Benchmark = every 50th doc (a stand-in eval suite); corpus = the rest.
+    // Both sides share the hashed-shingle construction with the dedup family.
+    "t_decontaminate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.ngramOverlap(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        "doc_id",
+        col("text"),
+        docs.filter(col("doc_id") % 50 === 0),
+        col("text"),
+        n = 3)
+    },
+
     // ----- language identification vs. labeled lang column -----
     "t_lang_id" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -522,6 +536,18 @@ object PipelineQueries {
          |SELECT lang, doc_id, shard, n_tokens,
          |  cum // 256 AS bin, cum % 256 AS bin_offset
          |FROM c""".stripMargin
+    },
+    "t_decontaminate" -> {
+      s"""WITH bench AS (
+         |  SELECT DISTINCT g FROM (
+         |    SELECT unnest(${hashedShinglesSql(WsSql)}) AS g
+         |    FROM documents WHERE doc_id % 50 = 0)),
+         |d AS (
+         |  SELECT doc_id, unnest(${hashedShinglesSql(WsSql)}) AS g
+         |  FROM documents WHERE doc_id % 50 <> 0)
+         |SELECT doc_id, count(*) AS n_shared_ngrams
+         |FROM d JOIN bench USING (g)
+         |GROUP BY doc_id""".stripMargin
     },
     "t_quality_score" -> {
       val sw = TextFunctions.LangProfiles.head._2
