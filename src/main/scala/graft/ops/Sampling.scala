@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** Deterministic corpus sampling.
   *
@@ -42,5 +42,41 @@ object Sampling {
       when(col(strataCol) === lit(k), lit(r)).otherwise(acc)
     }
     df.filter(bucket(col(idCol)) < rate)
+  }
+
+  /** Deterministic weighted corpus mixing: emit each row
+    * `weight/1000` times — the "3× books, 0.3× common-crawl" resampling
+    * step that turns per-source mixture weights into a physical training
+    * corpus. A weight of 2500‰ yields 2 copies of every row plus a third
+    * for the 50% of ids whose hash bucket falls under the fraction; weights
+    * under 1000‰ degenerate to stratified downsampling. Output carries a
+    * 0-based `copyCol` so downstream shuffles can spread replicas.
+    *
+    * Scale posture: a per-row codegen'd hash decides the copy count and
+    * `explode(sequence)` emits them map-side — no shuffle, no stratum
+    * histogram, stable under repartitioning/retries/corpus growth (same
+    * determinism contract as [[stratifiedHashSample]]).
+    */
+  def weightedMix(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weightsPerMille: Map[String, Int],
+      defaultPerMille: Int,
+      copyCol: String = "copy"): DataFrame = {
+    require(
+      (weightsPerMille.values ++ Seq(defaultPerMille)).forall(_ >= 0),
+      "per-mille weights must be non-negative")
+    val w = weightsPerMille.foldLeft(lit(defaultPerMille)) {
+      case (acc, (k, r)) => when(col(strataCol) === lit(k), lit(r)).otherwise(acc)
+    }
+    val frac = pmod(w, lit(1000))
+    // integer arithmetic only (subtract-the-remainder division stays exact)
+    val base = ((w - frac) / 1000).cast(LongType)
+    val n = base + when(bucket(col(idCol)) < frac, lit(1L)).otherwise(lit(0L))
+    df.withColumn("__n_copies", n)
+      .filter(col("__n_copies") > 0)
+      .withColumn(copyCol, explode(sequence(lit(0L), col("__n_copies") - 1)))
+      .drop("__n_copies")
   }
 }

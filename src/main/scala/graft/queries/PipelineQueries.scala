@@ -51,6 +51,14 @@ object PipelineQueries {
     scala.collection.immutable.ListMap("en" -> 100, "zh" -> 500)
   private val StratifiedDefault: Int = 250
 
+  /** Corpus-mixing gate weights (per-mille by lang): en downsampled, zh
+    * upsampled 2.5x, everything else kept 1x. Shared between the Spark query
+    * and the generated oracle CASE so they cannot drift.
+    */
+  private val MixWeights: scala.collection.immutable.ListMap[String, Int] =
+    scala.collection.immutable.ListMap("en" -> 300, "zh" -> 2500)
+  private val MixDefault: Int = 1000
+
   /** DuckDB CTE chain replaying the minhash-LSH pair pipeline, ending in a
     * `verified(id_a, id_b, i, u)` relation — shared by the p_minhash_lsh
     * oracle and the clustering oracle built on its pair graph. Generated
@@ -206,6 +214,16 @@ object PipelineQueries {
         "lang",
         StratifiedRates,
         StratifiedDefault)
+    },
+
+    // ----- deterministic weighted corpus mixing (up/down-sampling) -----
+    "t_corpus_mix" -> { (s, dir) =>
+      graft.ops.Sampling.weightedMix(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id",
+        "lang",
+        MixWeights,
+        MixDefault)
     },
 
     // ----- corpus-level top-50 bigrams -----
@@ -496,6 +514,20 @@ object PipelineQueries {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${hash61Sql("CAST(doc_id AS VARCHAR)")} % 1000 <
          |  CASE $cases ELSE $StratifiedDefault END""".stripMargin
+    },
+    "t_corpus_mix" -> {
+      val cases = MixWeights
+        .map { case (k, r) => s"WHEN lang = '$k' THEN $r" }
+        .mkString(" ")
+      s"""WITH w AS (
+         |  SELECT doc_id, lang,
+         |    CASE $cases ELSE $MixDefault END AS wt,
+         |    ${hash61Sql("CAST(doc_id AS VARCHAR)")} % 1000 AS b
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  unnest(range(CAST((wt // 1000) +
+         |    (CASE WHEN b < wt % 1000 THEN 1 ELSE 0 END) AS BIGINT))) AS copy
+         |FROM w""".stripMargin
     },
     "t_top_bigrams" -> {
       s"""SELECT bigram, count(*) AS n FROM (

@@ -340,6 +340,54 @@ class SamplingSpec extends SparkSpec {
       Sampling.stratifiedHashSample(docs, "doc_id", "lang",
         Map("en" -> 1001), 10)
   }
+
+  test("weightedMix emits floor(w) copies plus a hash-gated extra") {
+    val docs = (1L to 1000L)
+      .map(i => (i, if (i % 2 == 0) "books" else "crawl"))
+      .toDF("doc_id", "lang")
+    val out = Sampling
+      .weightedMix(docs, "doc_id", "lang",
+        Map("books" -> 2500, "crawl" -> 400), defaultPerMille = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1)
+    // copies are contiguous 0..n-1 per doc
+    byDoc.values.foreach { rows =>
+      rows.map(_._3).sorted shouldBe (0L until rows.length.toLong)
+    }
+    // books: every doc gets 2 or 3 copies; ~50% get the third
+    val bookCounts = byDoc.filter(_._2.head._2 == "books").map(_._2.length)
+    bookCounts.foreach(n => n should (be(2) or be(3)))
+    bookCounts.count(_ == 3).toDouble shouldBe 250.0 +- 80.0
+    // crawl: 0 or 1 copy, ~40% kept (docs with zero copies vanish)
+    val crawlDocs = byDoc.filter(_._2.head._2 == "crawl")
+    crawlDocs.values.foreach(_.length shouldBe 1)
+    crawlDocs.size.toDouble shouldBe 200.0 +- 70.0
+  }
+
+  test("weightedMix weight 1000 is an exact identity with copy 0") {
+    val docs = (1L to 100L).map(i => (i, "x")).toDF("doc_id", "lang")
+    val out = Sampling
+      .weightedMix(docs, "doc_id", "lang", Map.empty, defaultPerMille = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    out.length shouldBe 100
+    out.foreach { case (_, copy) => copy shouldBe 0L }
+  }
+
+  test("weightedMix matches stratifiedHashSample for sub-1000 weights") {
+    val docs = (1L to 500L)
+      .map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val rates = Map("en" -> 120)
+    val mixed = Sampling
+      .weightedMix(docs, "doc_id", "lang", rates, defaultPerMille = 700)
+      .select("doc_id").as[Long].collect().sorted
+    val sampled = Sampling
+      .stratifiedHashSample(docs, "doc_id", "lang", rates, 700)
+      .select("doc_id").as[Long].collect().sorted
+    mixed shouldBe sampled
+  }
 }
 
 class PackingSpec extends SparkSpec {
