@@ -26,8 +26,16 @@ final class HttpForeachWriter(
   @transient private var classifier: SinkErrorClassifier = _
   @transient private var headers: Seq[(String, String)] = _
   @transient private var contentType: String = _
+  @transient private var idempotencyHeader: Option[String] = None
+  @transient private var epoch: Long = 0L
+  @transient private var partition: Long = 0L
+  @transient private var seq: Long = 0L
 
   override def open(partitionId: Long, epochId: Long): Boolean = {
+    idempotencyHeader = HttpOptions(options).strOpt(HttpOptions.SinkIdempotencyHeader)
+    epoch = epochId
+    partition = partitionId
+    seq = 0L
     val o = HttpOptions(options)
     url = o.required(HttpOptions.Url)
     method = o.str(HttpOptions.InsertMethod, "POST").toUpperCase
@@ -62,6 +70,15 @@ final class HttpForeachWriter(
       .timeout(java.time.Duration.ofMillis(timeoutMs))
       .header("Content-Type", contentType)
     headers.foreach { case (k, v) => b.header(k, v) }
+    // deterministic replay identity (see IdempotencyKeys): the foreach sink
+    // re-runs a failed epoch's partition with the same (epoch, partition)
+    // and row order, so replayed rows re-carry their original keys
+    idempotencyHeader.foreach { h =>
+      b.header(
+        h,
+        IdempotencyKeys.of(epoch, partition.toInt, seq, row.getString(payloadIdx)))
+      seq += 1
+    }
     val req = b
       .method(
         method,

@@ -105,5 +105,6 @@ object HttpOptions {
   val SinkRequestTimeout = "http.sink.request.timeout"
   val SinkThreadPool = "http.sink.writer.thread-pool.size"
   val SinkMaxInflight = "sink.requests.max-inflight"
+  val SinkIdempotencyHeader = "http.sink.idempotency.header"
   val AllowSelfSigned = "http.security.cert.server.allowSelfSigned"
 }

@@ -42,25 +42,33 @@ object HttpSink {
       df: DataFrame,
       options: Map[String, String],
       payload: Option[Column] = None,
-      headerPreprocessors: Seq[HeaderPreprocessor] = Nil): Unit = {
+      headerPreprocessors: Seq[HeaderPreprocessor] = Nil,
+      epochId: Long = 0L): Unit = {
     val rt = SinkRuntime(options, headerPreprocessors)
     val payloadCol =
       payload.getOrElse(rt.format.encode(struct(df.columns.map(col): _*)))
     val staged = df.select(payloadCol.cast("string").as("payload"))
 
     staged.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-      val w = rt.newPartitionWriter()
+      val w = rt.newPartitionWriter(
+        epochId,
+        org.apache.spark.TaskContext.getPartitionId())
       rows.foreach(r => w.add(r.getString(0)))
       w.flush()
     }
   }
 
-  /** `writeStream.foreachBatch(HttpSink.foreachBatchWriter(options))`. */
+  /** `writeStream.foreachBatch(HttpSink.foreachBatchWriter(options))`.
+    * The micro-batch id becomes the replay epoch for idempotency keys, so a
+    * re-run batch (post-failure recovery) re-sends byte-identical requests
+    * under the SAME keys.
+    */
   def foreachBatchWriter(
       options: Map[String, String],
       payload: Option[Column] = None,
       headerPreprocessors: Seq[HeaderPreprocessor] = Nil): (DataFrame, Long) => Unit =
-    (batchDf, _) => write(batchDf, options, payload, headerPreprocessors)
+    (batchDf, batchId) =>
+      write(batchDf, options, payload, headerPreprocessors, epochId = batchId)
 
   /** Bounded-in-flight async submitter for one partition (reference:
     * `sink/httpclient/BatchRequestSubmitter.java` semantics: async submit,
@@ -81,7 +89,7 @@ object HttpSink {
     private val inflight =
       java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.concurrent.CompletableFuture[_]]()
 
-    def submit(body: String): Unit = {
+    def submit(body: String, extraHeaders: Seq[(String, String)] = Nil): Unit = {
       checkFailure()
       permits.acquire()
       val b = java.net.http.HttpRequest
@@ -90,6 +98,7 @@ object HttpSink {
         .timeout(java.time.Duration.ofMillis(timeoutMs))
         .header("Content-Type", contentType)
       headers.foreach { case (k, v) => b.header(k, v) }
+      extraHeaders.foreach { case (k, v) => b.header(k, v) }
       val req = b
         .method(
           method,
@@ -130,6 +139,35 @@ object HttpSink {
   }
 }
 
+/** Deterministic request identity for replay deduplication.
+  *
+  * The reference persists un-flushed sink buffers in Flink checkpoint state
+  * (`sink/HttpSinkWriterStateSerializer.java:30-41`) so a restored job
+  * re-submits exactly the buffered requests. Spark's recovery unit is the
+  * partition/micro-batch — a failed task or a recovered stream REPLAYS the
+  * whole deterministic partition. The Spark-idiomatic equivalent of the
+  * reference's guarantee is therefore deterministic request IDENTITY: every
+  * request carries a key derived from (replay epoch, partition, sequence
+  * number, body hash), so a replay re-sends byte-identical requests under
+  * identical keys and an endpoint that stores seen keys (the standard
+  * `Idempotency-Key` contract) deduplicates at-least-once delivery into
+  * effectively-once. Enabled by setting `http.sink.idempotency.header` to
+  * the header name the endpoint expects; off by default.
+  */
+private[graft] object IdempotencyKeys {
+  /** `<epoch>-<partition>-<seq>-<sha256(body) first 16 hex>` — collision-free
+    * within a job run and stable across task retries / micro-batch replays
+    * (partition contents and order are deterministic on replay; the body
+    * hash additionally ties the key to the exact payload).
+    */
+  def of(epochId: Long, partitionId: Int, seq: Long, body: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val d = md.digest(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(8).map(b => f"$b%02x").mkString
+    s"$epochId-$partitionId-$seq-$hex"
+  }
+}
+
 /** Fully-parsed sink configuration, shared by every sink surface (the Scala
   * `HttpSink.write`, `foreachBatch`, and the DSv2 `graft-http-sink` table):
   * parse once on the driver, ship to executors, build one
@@ -150,14 +188,19 @@ private[graft] final case class SinkRuntime(
     clientCfg: HttpClientFactory.ClientConfig,
     callbackName: String,
     loggingLevel: String,
-    headerPreprocessors: Seq[HeaderPreprocessor])
+    headerPreprocessors: Seq[HeaderPreprocessor],
+    idempotencyHeader: Option[String] = None)
     extends Serializable {
 
   /** Executor-side: a buffering writer over a bounded-in-flight submitter.
     * `add` payload strings; `flush` submits the tail batch and surfaces any
     * async failure (failing the task → Spark retry → at-least-once).
+    * `epochId`/`partitionId` seed deterministic [[IdempotencyKeys]] when
+    * `http.sink.idempotency.header` is configured.
     */
-  def newPartitionWriter(): SinkRuntime.PartitionWriter = {
+  def newPartitionWriter(
+      epochId: Long = 0L,
+      partitionId: Int = 0): SinkRuntime.PartitionWriter = {
     val httpClient = HttpClientFactory.shared(clientCfg)
     val finalHeaders = HeaderPreprocessors.render(
       headers,
@@ -180,7 +223,9 @@ private[graft] final case class SinkRuntime(
         callbackName,
         RequestCallback.Level.parse(loggingLevel)),
       contentType = format.contentType)
-    new SinkRuntime.PartitionWriter(submitter, batchSize, mode, format)
+    new SinkRuntime.PartitionWriter(
+      submitter, batchSize, mode, format,
+      idempotencyHeader, epochId, partitionId)
   }
 }
 
@@ -232,27 +277,42 @@ private[graft] object SinkRuntime {
       clientCfg = HttpClientFactory.ClientConfig.fromOptions(o),
       callbackName = o.str(HttpOptions.SinkRequestCallback, "slf4j-logger"),
       loggingLevel = o.str("http.logging.level", "MIN"),
-      headerPreprocessors = headerPreprocessors)
+      headerPreprocessors = headerPreprocessors,
+      idempotencyHeader = o.strOpt(HttpOptions.SinkIdempotencyHeader))
   }
 
   private[graft] final class PartitionWriter(
       submitter: HttpSink.BatchSubmitter,
       batchSize: Int,
       mode: String,
-      format: PayloadFormat) {
+      format: PayloadFormat,
+      idempotencyHeader: Option[String] = None,
+      epochId: Long = 0L,
+      partitionId: Int = 0) {
     private val batch = new scala.collection.mutable.ArrayBuffer[String](batchSize)
+    private var seq = 0L
+
+    private def submit(body: String): Unit = {
+      val extra = idempotencyHeader match {
+        case Some(h) =>
+          Seq(h -> graft.http.IdempotencyKeys.of(epochId, partitionId, seq, body))
+        case None => Nil
+      }
+      seq += 1
+      submitter.submit(body, extra)
+    }
 
     def add(payload: String): Unit = {
       batch += payload
       if (batch.size >= batchSize) {
-        submitter.submit(frame(batch.toSeq))
+        submit(frame(batch.toSeq))
         batch.clear()
       }
     }
 
     def flush(): Unit = {
       if (batch.nonEmpty) {
-        submitter.submit(frame(batch.toSeq))
+        submit(frame(batch.toSeq))
         batch.clear()
       }
       submitter.awaitAll()

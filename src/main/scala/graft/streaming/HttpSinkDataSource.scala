@@ -155,25 +155,27 @@ private[streaming] class HttpSinkDataWriterFactory(
 
   override def createWriter(
       partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] = make()
+      taskId: Long): DataWriter[InternalRow] = make(0L, partitionId)
 
   override def createWriter(
       partitionId: Int,
       taskId: Long,
-      epochId: Long): DataWriter[InternalRow] = make()
+      epochId: Long): DataWriter[InternalRow] = make(epochId, partitionId)
 
-  private def make(): DataWriter[InternalRow] =
-    new HttpSinkDataWriter(schema, options)
+  private def make(epochId: Long, partitionId: Int): DataWriter[InternalRow] =
+    new HttpSinkDataWriter(schema, options, epochId, partitionId)
 }
 
 private[streaming] object HttpSinkCommit extends WriterCommitMessage
 
 private[streaming] class HttpSinkDataWriter(
     schema: StructType,
-    options: Map[String, String]) extends DataWriter[InternalRow] {
+    options: Map[String, String],
+    epochId: Long = 0L,
+    partitionId: Int = 0) extends DataWriter[InternalRow] {
 
   private val rt = SinkRuntime(options, Nil)
-  private val pw = rt.newPartitionWriter()
+  private val pw = rt.newPartitionWriter(epochId, partitionId)
 
   // The same rendering the Scala API plans with to_json/to_csv, as a bound
   // (pre-resolved) expression over the write schema — evaluated per row in

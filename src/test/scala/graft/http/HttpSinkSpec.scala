@@ -151,4 +151,63 @@ class HttpSinkSpec extends SparkSpec with BeforeAndAfterAll {
       n shouldBe 7
     } finally query.stop()
   }
+
+  test("idempotency keys: replayed write re-sends identical keys; epochs differ") {
+    def keysFor(epoch: Long): List[String] = {
+      server.clear()
+      HttpSink.write(
+        df(25),
+        Map(
+          "url" -> server.url("/ok"),
+          "http.sink.request.batch.size" -> "10",
+          "http.sink.idempotency.header" -> "Idempotency-Key"),
+        epochId = epoch)
+      server.requests
+        .filter(_.path == "/ok")
+        .flatMap(_.headers.getOrElse("Idempotency-key", Nil))
+        .sorted
+    }
+    val first = keysFor(7L)
+    first should have size 3
+    first.distinct should have size 3
+    // keys embed epoch-partition-seq-bodyhash
+    all(first) should fullyMatch regex "7-0-\\d+-[0-9a-f]{16}"
+    // a replay of the same epoch (task retry / recovered micro-batch)
+    // re-sends byte-identical requests under the SAME keys …
+    keysFor(7L) shouldBe first
+    // … while a different epoch (genuinely new data) gets fresh keys
+    keysFor(8L) should not be first
+  }
+
+  test("idempotency keys off by default: no header emitted") {
+    server.clear()
+    HttpSink.write(df(3), Map("url" -> server.url("/ok")))
+    server.requests.filter(_.path == "/ok").foreach { r =>
+      r.headers.keys.exists(_.equalsIgnoreCase("Idempotency-key")) shouldBe false
+    }
+  }
+
+  test("per-row ForeachWriter carries per-epoch idempotency keys") {
+    server.clear()
+    val w = new HttpForeachWriter(Map(
+      "url" -> server.url("/ok"),
+      "http.sink.idempotency.header" -> "X-Request-Id"))
+    def replay(): List[String] = {
+      w.open(partitionId = 3L, epochId = 11L) shouldBe true
+      Seq("""{"a":1}""", """{"a":2}""").foreach { p =>
+        w.process(org.apache.spark.sql.Row(p))
+      }
+      w.close(null)
+      val ks = server.requests
+        .filter(_.path == "/ok")
+        .flatMap(_.headers.getOrElse("X-request-id", Nil))
+      server.clear()
+      ks
+    }
+    val first = replay()
+    first should have size 2
+    all(first) should fullyMatch regex "11-3-\\d+-[0-9a-f]{16}"
+    // epoch replay after failure: open() resets the sequence → same keys
+    replay() shouldBe first
+  }
 }
