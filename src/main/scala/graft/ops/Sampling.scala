@@ -19,6 +19,17 @@ object Sampling {
   def bucket(idCol: Column): Column =
     TextFunctions.hash61(idCol.cast(StringType)) % 1000
 
+  /** [[bucket]] salted per decision. Two sampling/mixing decisions made on
+    * the same id column must draw INDEPENDENT hashes: after an unsalted
+    * 100‰ sample every survivor has bucket < 100, so a later unsalted
+    * 2500‰ mix would give ALL survivors the extra copy instead of ~50% —
+    * silently biased mixture proportions. Each operator salts with its own
+    * prefix so composed decisions decorrelate while each stays
+    * deterministic and portable (DuckDB: hash of `'salt' || id`).
+    */
+  def saltedBucket(salt: String, idCol: Column): Column =
+    TextFunctions.hash61(concat(lit(salt), idCol.cast(StringType))) % 1000
+
   /** Stratified hash sampling: keep each row when its per-mille bucket
     * falls under its stratum's rate — the "downsample the dominant
     * language/source, keep the rare ones" pipeline step. `rates` maps
@@ -49,8 +60,13 @@ object Sampling {
     * step that turns per-source mixture weights into a physical training
     * corpus. A weight of 2500‰ yields 2 copies of every row plus a third
     * for the 50% of ids whose hash bucket falls under the fraction; weights
-    * under 1000‰ degenerate to stratified downsampling. Output carries a
+    * under 1000‰ degenerate to a w‰ hash downsample. Output carries a
     * 0-based `copyCol` so downstream shuffles can spread replicas.
+    *
+    * The fractional-copy decision uses a `"mix:"`-[[saltedBucket]], NOT the
+    * raw [[bucket]] that [[stratifiedHashSample]] filters on — composing the
+    * two on the same id column stays unbiased (an unsalted mix after a
+    * sample would re-read the sample's own surviving buckets).
     *
     * Scale posture: a per-row codegen'd hash decides the copy count and
     * `explode(sequence)` emits them map-side — no shuffle, no stratum
@@ -67,16 +83,25 @@ object Sampling {
     require(
       (weightsPerMille.values ++ Seq(defaultPerMille)).forall(_ >= 0),
       "per-mille weights must be non-negative")
+    require(
+      !df.columns.contains(copyCol),
+      s"input already has a column named '$copyCol'; pass a different copyCol")
+    val nCol = Iterator
+      .from(0)
+      .map(i => if (i == 0) "__n_copies" else s"__n_copies$i")
+      .find(!df.columns.contains(_))
+      .get
     val w = weightsPerMille.foldLeft(lit(defaultPerMille)) {
       case (acc, (k, r)) => when(col(strataCol) === lit(k), lit(r)).otherwise(acc)
     }
     val frac = pmod(w, lit(1000))
     // integer arithmetic only (subtract-the-remainder division stays exact)
     val base = ((w - frac) / 1000).cast(LongType)
-    val n = base + when(bucket(col(idCol)) < frac, lit(1L)).otherwise(lit(0L))
-    df.withColumn("__n_copies", n)
-      .filter(col("__n_copies") > 0)
-      .withColumn(copyCol, explode(sequence(lit(0L), col("__n_copies") - 1)))
-      .drop("__n_copies")
+    val n = base +
+      when(saltedBucket("mix:", col(idCol)) < frac, lit(1L)).otherwise(lit(0L))
+    df.withColumn(nCol, n)
+      .filter(col(nCol) > 0)
+      .withColumn(copyCol, explode(sequence(lit(0L), col(nCol) - 1)))
+      .drop(nCol)
   }
 }

@@ -522,7 +522,7 @@ object PipelineQueries {
       s"""WITH w AS (
          |  SELECT doc_id, lang,
          |    CASE $cases ELSE $MixDefault END AS wt,
-         |    ${hash61Sql("CAST(doc_id AS VARCHAR)")} % 1000 AS b
+         |    ${hash61Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 AS b
          |  FROM documents)
          |SELECT doc_id, lang,
          |  unnest(range(CAST((wt // 1000) +

@@ -375,18 +375,50 @@ class SamplingSpec extends SparkSpec {
     out.foreach { case (_, copy) => copy shouldBe 0L }
   }
 
-  test("weightedMix matches stratifiedHashSample for sub-1000 weights") {
-    val docs = (1L to 500L)
+  test("weightedMix degenerates to a hash sample for sub-1000 weights") {
+    val docs = (1L to 3000L)
       .map(i => (i, if (i % 3 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
-    val rates = Map("en" -> 120)
     val mixed = Sampling
-      .weightedMix(docs, "doc_id", "lang", rates, defaultPerMille = 700)
-      .select("doc_id").as[Long].collect().sorted
+      .weightedMix(docs, "doc_id", "lang", Map("en" -> 120), defaultPerMille = 700)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // single copy per kept doc, rates respected (1000 en / 2000 de docs)
+    mixed.foreach(_._3 shouldBe 0L)
+    mixed.map(_._1).distinct.length shouldBe mixed.length
+    mixed.count(_._2 == "en").toDouble shouldBe 120.0 +- 40.0
+    mixed.count(_._2 == "de").toDouble shouldBe 1400.0 +- 110.0
+  }
+
+  test("weightedMix composed after a hash sample stays unbiased") {
+    // the decision hashes are salted apart: an unsalted mix after a 100‰
+    // sample would see every survivor in bucket<100 and give ALL of them
+    // the fractional extra copy instead of the nominal 50%
+    val docs = (1L to 20000L).map(i => (i, "en")).toDF("doc_id", "lang")
     val sampled = Sampling
-      .stratifiedHashSample(docs, "doc_id", "lang", rates, 700)
-      .select("doc_id").as[Long].collect().sorted
-    mixed shouldBe sampled
+      .stratifiedHashSample(docs, "doc_id", "lang", Map.empty, 100)
+    val counts = Sampling
+      .weightedMix(sampled, "doc_id", "lang", Map("en" -> 2500), 1000)
+      .groupBy("doc_id").count()
+      .select("count").as[Long].collect()
+    val kept = counts.length.toDouble
+    kept shouldBe 2000.0 +- 200.0
+    counts.foreach(n => n should (be(2L) or be(3L)))
+    // ~50% of survivors get the third copy — NOT 100%
+    counts.count(_ == 3L) / kept shouldBe 0.5 +- 0.08
+  }
+
+  test("weightedMix rejects a copyCol collision and dodges __n_copies") {
+    val docs = Seq((1L, "en", 7L)).toDF("doc_id", "lang", "copy")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.weightedMix(docs, "doc_id", "lang", Map.empty, 1000)
+    // a pre-existing __n_copies column must survive untouched
+    val withTmp = Seq((1L, "en", 42L)).toDF("doc_id", "lang", "__n_copies")
+    val out = Sampling
+      .weightedMix(withTmp, "doc_id", "lang", Map.empty, 1000, copyCol = "cp")
+      .collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("__n_copies") shouldBe 42L
   }
 }
 
