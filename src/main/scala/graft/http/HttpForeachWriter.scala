@@ -26,17 +26,18 @@ final class HttpForeachWriter(
   @transient private var classifier: SinkErrorClassifier = _
   @transient private var headers: Seq[(String, String)] = _
   @transient private var contentType: String = _
-  @transient private var idempotencyHeader: Option[String] = None
-  @transient private var epoch: Long = 0L
-  @transient private var partition: Long = 0L
-  @transient private var seq: Long = 0L
+  @transient private var keying: Option[(String, IdempotencyKeys.Keyer)] = None
 
   override def open(partitionId: Long, epochId: Long): Boolean = {
-    idempotencyHeader = HttpOptions(options).strOpt(HttpOptions.SinkIdempotencyHeader)
-    epoch = epochId
-    partition = partitionId
-    seq = 0L
     val o = HttpOptions(options)
+    keying = o.strOpt(HttpOptions.SinkIdempotencyHeader).map { h =>
+      (
+        h,
+        new IdempotencyKeys.Keyer(
+          o.str(HttpOptions.SinkIdempotencyNonce, ""),
+          epochId,
+          partitionId.toInt))
+    }
     url = o.required(HttpOptions.Url)
     method = o.str(HttpOptions.InsertMethod, "POST").toUpperCase
     timeoutMs = o.durationMs(HttpOptions.SinkRequestTimeout, 30000L)
@@ -70,14 +71,11 @@ final class HttpForeachWriter(
       .timeout(java.time.Duration.ofMillis(timeoutMs))
       .header("Content-Type", contentType)
     headers.foreach { case (k, v) => b.header(k, v) }
-    // deterministic replay identity (see IdempotencyKeys): the foreach sink
-    // re-runs a failed epoch's partition with the same (epoch, partition)
-    // and row order, so replayed rows re-carry their original keys
-    idempotencyHeader.foreach { h =>
-      b.header(
-        h,
-        IdempotencyKeys.of(epoch, partition.toInt, seq, row.getString(payloadIdx)))
-      seq += 1
+    // deterministic replay identity (see IdempotencyKeys): a replayed
+    // (epoch, partition) re-carries the identical key SET under any
+    // within-partition reorder — occurrence keying, not a sequence number
+    keying.foreach { case (h, keyer) =>
+      b.setHeader(h, keyer.keyFor(row.getString(payloadIdx)))
     }
     val req = b
       .method(

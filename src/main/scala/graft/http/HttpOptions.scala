@@ -106,5 +106,7 @@ object HttpOptions {
   val SinkThreadPool = "http.sink.writer.thread-pool.size"
   val SinkMaxInflight = "sink.requests.max-inflight"
   val SinkIdempotencyHeader = "http.sink.idempotency.header"
+  val SinkIdempotencyNonce = "http.sink.idempotency.nonce"
+  val SinkIdempotencySort = "http.sink.idempotency.sort"
   val AllowSelfSigned = "http.security.cert.server.allowSelfSigned"
 }

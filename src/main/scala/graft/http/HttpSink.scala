@@ -47,7 +47,14 @@ object HttpSink {
     val rt = SinkRuntime(options, headerPreprocessors)
     val payloadCol =
       payload.getOrElse(rt.format.encode(struct(df.columns.map(col): _*)))
-    val staged = df.select(payloadCol.cast("string").as("payload"))
+    val rendered = df.select(payloadCol.cast("string").as("payload"))
+    // idempotency.sort: deterministic intra-partition order (local sort, no
+    // shuffle) so batch framing — and with it every idempotency key — is
+    // replay-stable even when the upstream plan ends in a shuffle, whose
+    // reduce-side fetch order Spark does not fix (see IdempotencyKeys)
+    val staged =
+      if (rt.idempotencySort) rendered.sortWithinPartitions("payload")
+      else rendered
 
     staged.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val w = rt.newPartitionWriter(
@@ -59,9 +66,10 @@ object HttpSink {
   }
 
   /** `writeStream.foreachBatch(HttpSink.foreachBatchWriter(options))`.
-    * The micro-batch id becomes the replay epoch for idempotency keys, so a
-    * re-run batch (post-failure recovery) re-sends byte-identical requests
-    * under the SAME keys.
+    * The micro-batch id becomes the replay epoch for idempotency keys: a
+    * re-run batch (post-failure recovery) re-sends the same key SET —
+    * exactly, in single mode or under `http.sink.idempotency.sort`; see
+    * [[IdempotencyKeys]] for the precise guarantee.
     */
   def foreachBatchWriter(
       options: Map[String, String],
@@ -98,7 +106,9 @@ object HttpSink {
         .timeout(java.time.Duration.ofMillis(timeoutMs))
         .header("Content-Type", contentType)
       headers.foreach { case (k, v) => b.header(k, v) }
-      extraHeaders.foreach { case (k, v) => b.header(k, v) }
+      // setHeader: a per-request header (the idempotency key) REPLACES any
+      // same-named static sink header instead of doubling the header
+      extraHeaders.foreach { case (k, v) => b.setHeader(k, v) }
       val req = b
         .method(
           method,
@@ -145,26 +155,65 @@ object HttpSink {
   * (`sink/HttpSinkWriterStateSerializer.java:30-41`) so a restored job
   * re-submits exactly the buffered requests. Spark's recovery unit is the
   * partition/micro-batch — a failed task or a recovered stream REPLAYS the
-  * whole deterministic partition. The Spark-idiomatic equivalent of the
-  * reference's guarantee is therefore deterministic request IDENTITY: every
-  * request carries a key derived from (replay epoch, partition, sequence
-  * number, body hash), so a replay re-sends byte-identical requests under
-  * identical keys and an endpoint that stores seen keys (the standard
-  * `Idempotency-Key` contract) deduplicates at-least-once delivery into
-  * effectively-once. Enabled by setting `http.sink.idempotency.header` to
-  * the header name the endpoint expects; off by default.
+  * partition. The Spark-idiomatic equivalent of the reference's guarantee is
+  * deterministic request IDENTITY: every request carries a key an endpoint
+  * that stores seen keys (the standard `Idempotency-Key` contract) can
+  * deduplicate on, turning at-least-once delivery into effectively-once.
+  * Enabled by setting `http.sink.idempotency.header` to the header name the
+  * endpoint expects; off by default.
+  *
+  * '''What is actually guaranteed.''' The key is
+  * `[nonce-]<epoch>-<partition>-<sha256(body) first 16 hex>-<occurrence>`
+  * where `occurrence` counts prior requests with the SAME body hash in this
+  * (epoch, partition) — NOT an arrival sequence number. A replayed
+  * partition therefore re-emits the identical key SET under any
+  * within-partition reorder of its rows in `single` mode, because the
+  * multiset of request bodies is order-invariant. Spark guarantees
+  * partition CONTENTS are deterministic on replay (hash partitioning is
+  * content-addressed; round-robin repartition sorts first —
+  * `spark.sql.execution.sortBeforeRepartition`), but NOT reduce-side fetch
+  * ORDER, which is exactly the gap occurrence keying closes.
+  *
+  * In `batch` mode the request body itself concatenates `batch.size` rows
+  * in arrival order, so reorder changes the bodies, not just the keys. Set
+  * `http.sink.idempotency.sort=true` to sort payloads WITHIN each partition
+  * before batching (a local spillable sort, no shuffle; on the DSv2 table
+  * it is declared as the write's required ordering so Spark plans the
+  * sort) — batch boundaries and bodies are then replay-stable too.
+  *
+  * Batch-mode `write` runs on the default epoch 0: two intentional job runs
+  * over identical data emit identical keys, and an endpoint still holding
+  * the first run's keys will drop the second's — set
+  * `http.sink.idempotency.nonce` per run when re-runs must be distinct
+  * deliveries (streaming replays of a FAILED epoch must NOT set a fresh
+  * nonce: same nonce = same keys is what makes the replay deduplicable).
   */
 private[graft] object IdempotencyKeys {
-  /** `<epoch>-<partition>-<seq>-<sha256(body) first 16 hex>` — collision-free
-    * within a job run and stable across task retries / micro-batch replays
-    * (partition contents and order are deterministic on replay; the body
-    * hash additionally ties the key to the exact payload).
-    */
-  def of(epochId: Long, partitionId: Int, seq: Long, body: String): String = {
+
+  private[http] def bodyHex(body: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val d = md.digest(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hex = d.take(8).map(b => f"$b%02x").mkString
-    s"$epochId-$partitionId-$seq-$hex"
+    d.take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Per-(epoch, partition) key generator. Occurrence counting needs one
+    * map entry per DISTINCT request body in the partition — bounded by the
+    * partition's request count (batches, or rows in single mode), the same
+    * order of memory the in-flight request machinery already implies.
+    */
+  final class Keyer(nonce: String, epochId: Long, partitionId: Int)
+      extends Serializable {
+    private val seen = new scala.collection.mutable.LongMap[Int]()
+    private val prefix = (if (nonce.isEmpty) "" else s"$nonce-") +
+      s"$epochId-$partitionId-"
+
+    def keyFor(body: String): String = {
+      val hex = bodyHex(body)
+      val h = java.lang.Long.parseUnsignedLong(hex, 16)
+      val occ = seen.getOrElse(h, 0)
+      seen(h) = occ + 1
+      s"$prefix$hex-$occ"
+    }
   }
 }
 
@@ -189,7 +238,9 @@ private[graft] final case class SinkRuntime(
     callbackName: String,
     loggingLevel: String,
     headerPreprocessors: Seq[HeaderPreprocessor],
-    idempotencyHeader: Option[String] = None)
+    idempotencyHeader: Option[String] = None,
+    idempotencyNonce: String = "",
+    idempotencySort: Boolean = false)
     extends Serializable {
 
   /** Executor-side: a buffering writer over a bounded-in-flight submitter.
@@ -225,7 +276,8 @@ private[graft] final case class SinkRuntime(
       contentType = format.contentType)
     new SinkRuntime.PartitionWriter(
       submitter, batchSize, mode, format,
-      idempotencyHeader, epochId, partitionId)
+      idempotencyHeader.map(h =>
+        (h, new IdempotencyKeys.Keyer(idempotencyNonce, epochId, partitionId))))
   }
 }
 
@@ -278,7 +330,9 @@ private[graft] object SinkRuntime {
       callbackName = o.str(HttpOptions.SinkRequestCallback, "slf4j-logger"),
       loggingLevel = o.str("http.logging.level", "MIN"),
       headerPreprocessors = headerPreprocessors,
-      idempotencyHeader = o.strOpt(HttpOptions.SinkIdempotencyHeader))
+      idempotencyHeader = o.strOpt(HttpOptions.SinkIdempotencyHeader),
+      idempotencyNonce = o.str(HttpOptions.SinkIdempotencyNonce, ""),
+      idempotencySort = o.bool(HttpOptions.SinkIdempotencySort, default = false))
   }
 
   private[graft] final class PartitionWriter(
@@ -286,19 +340,14 @@ private[graft] object SinkRuntime {
       batchSize: Int,
       mode: String,
       format: PayloadFormat,
-      idempotencyHeader: Option[String] = None,
-      epochId: Long = 0L,
-      partitionId: Int = 0) {
+      keying: Option[(String, IdempotencyKeys.Keyer)] = None) {
     private val batch = new scala.collection.mutable.ArrayBuffer[String](batchSize)
-    private var seq = 0L
 
     private def submit(body: String): Unit = {
-      val extra = idempotencyHeader match {
-        case Some(h) =>
-          Seq(h -> graft.http.IdempotencyKeys.of(epochId, partitionId, seq, body))
+      val extra = keying match {
+        case Some((h, keyer)) => Seq(h -> keyer.keyFor(body))
         case None => Nil
       }
-      seq += 1
       submitter.submit(body, extra)
     }
 

@@ -5,8 +5,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, CreateNamedStruct, Literal, SafeProjection, StructsToCsv, StructsToJson}
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -92,15 +93,45 @@ private[streaming] class HttpSinkTable(
             s"but the table declares ${schema0.length}")
     // fail fast on the driver for bad config / unsupported format
     HttpSinkDataWriterFactory.validate(wireSchema, options)
+    val sortForIdempotency = graft.http.HttpOptions(options)
+      .bool(graft.http.HttpOptions.SinkIdempotencySort, default = false)
     new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new HttpSinkBatchWrite(wireSchema, options)
-        override def toStreaming: StreamingWrite =
-          new HttpSinkStreamingWrite(wireSchema, options)
-      }
+      override def build(): Write =
+        if (sortForIdempotency)
+          // idempotency.sort on the DSv2 surface: declare a required
+          // ordering over every written column so Spark PLANS the
+          // intra-partition sort — writer input order (hence batch framing
+          // and idempotency keys) becomes replay-stable even when the
+          // inserted query ends in a shuffle (see graft.http.IdempotencyKeys)
+          new HttpSinkWrite(wireSchema, options)
+            with RequiresDistributionAndOrdering {
+            override def requiredDistribution(): Distribution =
+              Distributions.unspecified()
+            override def requiredNumPartitions(): Int = 0
+            override def requiredOrdering(): Array[SortOrder] =
+              // query attribute names, not the DDL wire names — the sort is
+              // planned against the INSERTed query's own output columns
+              info.schema().fieldNames.map(n =>
+                Expressions.sort(
+                  Expressions.column(quoteIfNeeded(n)),
+                  SortDirection.ASCENDING))
+          }
+        else new HttpSinkWrite(wireSchema, options)
     }
   }
+
+  // minimal identifier quoting for Expressions.column's multi-part parser
+  private def quoteIfNeeded(name: String): String =
+    if (name.matches("[a-zA-Z_][a-zA-Z0-9_]*")) name
+    else "`" + name.replace("`", "``") + "`"
+}
+
+private[streaming] class HttpSinkWrite(
+    schema: StructType,
+    options: Map[String, String]) extends Write {
+  override def toBatch: BatchWrite = new HttpSinkBatchWrite(schema, options)
+  override def toStreaming: StreamingWrite =
+    new HttpSinkStreamingWrite(schema, options)
 }
 
 private[streaming] class HttpSinkBatchWrite(

@@ -170,8 +170,8 @@ class HttpSinkSpec extends SparkSpec with BeforeAndAfterAll {
     val first = keysFor(7L)
     first should have size 3
     first.distinct should have size 3
-    // keys embed epoch-partition-seq-bodyhash
-    all(first) should fullyMatch regex "7-0-\\d+-[0-9a-f]{16}"
+    // keys embed epoch-partition-bodyhash-occurrence
+    all(first) should fullyMatch regex "7-0-[0-9a-f]{16}-\\d+"
     // a replay of the same epoch (task retry / recovered micro-batch)
     // re-sends byte-identical requests under the SAME keys …
     keysFor(7L) shouldBe first
@@ -206,8 +206,103 @@ class HttpSinkSpec extends SparkSpec with BeforeAndAfterAll {
     }
     val first = replay()
     first should have size 2
-    all(first) should fullyMatch regex "11-3-\\d+-[0-9a-f]{16}"
-    // epoch replay after failure: open() resets the sequence → same keys
+    all(first) should fullyMatch regex "11-3-[0-9a-f]{16}-\\d+"
+    // epoch replay after failure: open() resets occurrence counts → same keys
     replay() shouldBe first
+  }
+
+  test("single-mode idempotency key set is invariant under partition reorder") {
+    import spark.implicits._
+    // same multiset of rows — including a duplicate payload — in two
+    // different within-partition orders, as a post-shuffle replay could
+    // deliver them (Spark fixes partition CONTENTS, not fetch ORDER)
+    val rowsAsc = Seq(1L, 2L, 2L, 3L, 4L)
+    def keysFor(rows: Seq[Long]): List[String] = {
+      server.clear()
+      HttpSink.write(
+        rows.toDF("id").coalesce(1),
+        Map(
+          "url" -> server.url("/ok"),
+          "http.sink.writer.request.mode" -> "single",
+          "http.sink.idempotency.header" -> "Idempotency-Key"),
+        epochId = 5L)
+      server.requests
+        .filter(_.path == "/ok")
+        .flatMap(_.headers.getOrElse("Idempotency-key", Nil))
+    }
+    val asc = keysFor(rowsAsc)
+    asc should have size 5
+    asc.distinct should have size 5 // the duplicate body got occurrence 1
+    keysFor(rowsAsc.reverse).sorted shouldBe asc.sorted
+  }
+
+  test("idempotency.sort makes batch bodies and keys order-stable") {
+    import spark.implicits._
+    def run(rows: Seq[Long]): (List[String], List[String]) = {
+      server.clear()
+      HttpSink.write(
+        rows.toDF("id").coalesce(1),
+        Map(
+          "url" -> server.url("/ok"),
+          "http.sink.request.batch.size" -> "4",
+          "http.sink.idempotency.sort" -> "true",
+          "http.sink.idempotency.header" -> "Idempotency-Key"),
+        epochId = 9L)
+      val reqs = server.requests.filter(_.path == "/ok")
+      (
+        reqs.map(_.body).sorted,
+        reqs.flatMap(_.headers.getOrElse("Idempotency-key", Nil)).sorted)
+    }
+    val rows = Seq(5L, 3L, 9L, 1L, 7L, 2L, 8L)
+    val (bodiesA, keysA) = run(rows)
+    bodiesA should have size 2 // 4 + 3
+    // a reordered replay frames the SAME batches and re-carries the SAME keys
+    run(rows.reverse) shouldBe ((bodiesA, keysA))
+    // without the sort, the reordered replay frames different batch bodies
+    def unsortedBodies(rs: Seq[Long]): List[String] = {
+      server.clear()
+      HttpSink.write(
+        rs.toDF("id").coalesce(1),
+        Map(
+          "url" -> server.url("/ok"),
+          "http.sink.request.batch.size" -> "4"))
+      server.requests.filter(_.path == "/ok").map(_.body).sorted
+    }
+    unsortedBodies(rows) should not be unsortedBodies(rows.reverse)
+  }
+
+  test("idempotency nonce separates intentional batch re-runs") {
+    def keysFor(nonce: String): List[String] = {
+      server.clear()
+      HttpSink.write(
+        df(5),
+        Map(
+          "url" -> server.url("/ok"),
+          "http.sink.idempotency.header" -> "Idempotency-Key",
+          "http.sink.idempotency.nonce" -> nonce))
+      server.requests
+        .filter(_.path == "/ok")
+        .flatMap(_.headers.getOrElse("Idempotency-key", Nil))
+        .sorted
+    }
+    val run1 = keysFor("run-2026-08-12a")
+    all(run1) should startWith("run-2026-08-12a-0-")
+    keysFor("run-2026-08-12a") shouldBe run1 // same nonce = replay identity
+    keysFor("run-2026-08-12b") should not be run1 // fresh nonce = new delivery
+  }
+
+  test("idempotency header replaces a same-named static sink header") {
+    server.clear()
+    HttpSink.write(
+      df(1),
+      Map(
+        "url" -> server.url("/ok"),
+        "http.sink.header.Idempotency-Key" -> "static-value",
+        "http.sink.idempotency.header" -> "Idempotency-Key"))
+    val vals = server.requests
+      .filter(_.path == "/ok")
+      .flatMap(_.headers.getOrElse("Idempotency-key", Nil))
+    vals should have size 1 // replaced, not appended
+    vals.head should not be "static-value"
   }
 }

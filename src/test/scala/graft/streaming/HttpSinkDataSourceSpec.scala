@@ -113,6 +113,34 @@ class HttpSinkDataSourceSpec extends SparkSpec with BeforeAndAfterAll {
     rows.toSet shouldBe Set(1L, 2L, 3L)
   }
 
+  test("idempotency.sort plans the required ordering: keys replay-stable") {
+    import spark.implicits._
+    // two inserts of the same multiset in opposite input orders must frame
+    // identical batches with identical idempotency keys — the write declares
+    // RequiresDistributionAndOrdering, so SPARK plans the partition-local
+    // sort; nothing here pre-sorts
+    def run(rows: Seq[Long]): (List[String], List[String]) = {
+      server.clear()
+      rows.toDF("id").coalesce(1).write
+        .format("graft-http-sink")
+        .option("url", server.url("/ok"))
+        .option("http.sink.request.batch.size", "4")
+        .option("http.sink.idempotency.sort", "true")
+        .option("http.sink.idempotency.header", "Idempotency-Key")
+        .mode("append")
+        .save()
+      val reqs = server.requests.filter(_.path == "/ok")
+      (
+        reqs.map(_.body).sorted,
+        reqs.flatMap(_.headers.getOrElse("Idempotency-key", Nil)).sorted)
+    }
+    val rows = Seq(6L, 1L, 9L, 4L, 2L, 8L, 3L)
+    val (bodies, keys) = run(rows)
+    bodies should have size 2
+    keys should have size 2
+    run(rows.reverse) shouldBe ((bodies, keys))
+  }
+
   test("custom formats are rejected with a pointer at the Scala API") {
     // a REGISTERED custom format: resolvable, but its encode is a Column
     // tree needing analysis, which the DSv2 writer can't run
