@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
+    // lookup-join planning for CREATE TABLE … USING graft-http-lookup —
+    // post-resolution so the rewrite happens before capability checks and
+    // physical planning (see HttpLookupJoinRule)
+    ext.injectPostHocResolutionRule(sp => HttpLookupJoinRule(sp))
   }
 }
 
@@ -55,7 +59,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => HttpLookupTvf.build(args)))
 
   /** Imperative registration for sessions created without the extensions
-    * config.
+    * config. Covers functions and the TVF only — analyzer rules (the
+    * `graft-http-lookup` join planning) cannot be added to a live session;
+    * they need `spark.sql.extensions=graft.plans.GraftExtensions` at
+    * session build.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>

@@ -13,4 +13,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap an analyzed [[LogicalPlan]] back into the DataFrame API (the
+    * `Dataset.ofRows` seam, `private[sql]` since Spark 4) — lets planner
+    * rules hand a rewritten subtree to high-level operators like
+    * [[graft.http.HttpLookup.join]].
+    */
+  def dataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan)
 }
