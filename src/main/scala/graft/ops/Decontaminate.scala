@@ -25,10 +25,20 @@ object Decontaminate {
     array_distinct(
       transform(TextFunctions.shingleSet(text, n), s => TextFunctions.hash61(s)))
 
-  /** Per-document overlap counts against the benchmark:
-    * (idCol, n_shared_ngrams) for every corpus document sharing at least one
-    * distinct n-gram with any benchmark document. Anti-join the result
-    * against the corpus to drop contaminated docs.
+  /** Per-document overlap against the benchmark: `(idCol, n_shared_ngrams,
+    * n_doc_ngrams, contaminated_frac)` for every corpus document sharing at
+    * least one distinct n-gram with any benchmark document.
+    * `contaminated_frac` = shared grams / the document's own distinct grams
+    * — the ratio real contamination filters threshold on (a 10k-gram doc
+    * sharing 3 grams is noise; a 30-gram doc sharing 25 is a leaked eval
+    * row). Anti-join the result (optionally pre-filtered on the ratio)
+    * against the corpus to drop contaminated docs, or use
+    * [[dropContaminated]] directly.
+    *
+    * Real sweeps run long grams (GPT-3's appendix-C used 13-grams; n=8–13
+    * is typical) — at long n the shingle sets get sparse and most docs
+    * overlap nothing, which is exactly why the matched-grams shuffle stays
+    * bounded by contamination volume.
     *
     * `broadcastBenchmark=false` falls back to a shuffle hash join for
     * benchmark sets too large to broadcast (unusual — eval suites are small).
@@ -47,11 +57,54 @@ object Decontaminate {
     val bench = if (broadcastBenchmark) broadcast(benchGrams) else benchGrams
     // Per-doc grams are distinct (gramSet), bench grams are distinct, so the
     // post-join count(1) per doc IS the distinct shared-gram count — no
-    // second distinct pass needed.
+    // second distinct pass needed. The gram set is aliased in its own
+    // projection below the size/explode one: CollapseProject keeps a
+    // non-cheap alias referenced twice un-inlined, so the shingle+hash pass
+    // runs once per row.
     Par.fan(corpus)
-      .select(col(idCol), explode(gramSet(textCol, n)).as("g"))
+      .select(col(idCol), gramSet(textCol, n).as("__graft_grams"))
+      .select(
+        col(idCol),
+        size(col("__graft_grams")).cast("long").as("n_doc_ngrams"),
+        explode(col("__graft_grams")).as("g"))
       .join(bench, Seq("g"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .agg(
+        count(lit(1)).as("n_shared_ngrams"),
+        max(col("n_doc_ngrams")).as("n_doc_ngrams"))
+      .withColumn(
+        "contaminated_frac",
+        col("n_shared_ngrams").cast("double") / col("n_doc_ngrams"))
+      .select(
+        col(idCol),
+        col("n_shared_ngrams"),
+        col("n_doc_ngrams"),
+        col("contaminated_frac"))
+  }
+
+  /** One-call decontamination: drop corpus documents whose contaminated
+    * fraction reaches `maxFrac` (or that share ANY benchmark gram, the
+    * strict default). The corpus scan stays map-side; the anti-join's build
+    * side is only the flagged ids (bounded by contamination volume).
+    *
+    * {{{
+    * val clean = Decontaminate.dropContaminated(
+    *   corpus, "doc_id", col("text"), evalSuite, col("question"), n = 13)
+    * }}}
+    */
+  def dropContaminated(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: Column,
+      benchmark: DataFrame,
+      benchTextCol: Column,
+      n: Int = 3,
+      maxFrac: Double = 0.0,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    val flagged = ngramOverlap(
+      corpus, idCol, textCol, benchmark, benchTextCol, n, broadcastBenchmark)
+      .filter(col("contaminated_frac") > maxFrac)
+      .select(col(idCol))
+    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
   }
 }

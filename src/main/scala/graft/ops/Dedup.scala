@@ -261,6 +261,33 @@ object Dedup {
     labels.select(col("n").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** One-call near-dup removal: pairs → [[nearDupClusters]] → anti-join,
+    * keeping each cluster's representative (its min id — the propagated
+    * label) and every unclustered document.
+    *
+    * {{{
+    * val pairs = Dedup.minhashLshPairs(docs, "doc_id", col("text"))
+    * val deduped = Dedup.keepOnePerCluster(docs, "doc_id", pairs)
+    * }}}
+    *
+    * Scale posture: the anti-join's build side is the clustered
+    * NON-representatives — duplicate volume, not corpus volume. AQE
+    * broadcasts it when small; on dup-heavy corpora it is a doc-id shuffle
+    * whose build side is still only the duplicates.
+    */
+  def keepOnePerCluster(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIters: Int = 20): DataFrame = {
+    val drop = nearDupClusters(pairs, idA, idB, maxIters)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** 16-bit SimHash over the distinct word set (portable md5-derived word
     * hashes; bit i set when the ±1 votes of that bit across words sum
     * positive). 16 bits keeps the oracle SQL tractable while exercising the

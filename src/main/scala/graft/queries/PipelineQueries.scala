@@ -26,16 +26,37 @@ object PipelineQueries {
   private val WsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
   /** DuckDB: distinct 3-word shingles from a word-array column `ws`. */
-  private def shinglesSql(ws: String): String =
-    s"list_distinct(list_transform(range(1, greatest(len($ws) - 1, 1)), " +
-      s"i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2]))"
+  private def shinglesSql(ws: String, n: Int = 3): String = {
+    val parts = (0 until n).map(j => s"$ws[i+$j]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(1, greatest(len($ws) - ${n - 2}, 1)), " +
+      s"i -> $parts))"
+  }
 
   /** DuckDB: distinct hashed 3-word shingle set (matches the Spark side,
     * which compares shingle HASH sets so the pairwise intersects run on
     * longs).
     */
-  private def hashedShinglesSql(ws: String): String =
-    s"list_distinct(list_transform(${shinglesSql(ws)}, s -> ${hash61Sql("s")}))"
+  private def hashedShinglesSql(ws: String, n: Int = 3): String =
+    s"list_distinct(list_transform(${shinglesSql(ws, n)}, s -> ${hash61Sql("s")}))"
+
+  /** Shared decontamination oracle, parameterized on gram length; the frac
+    * is an exact int→double division on both engines (bit-identical).
+    */
+  private def decontaminateSql(n: Int): String =
+    s"""WITH bench AS (
+       |  SELECT DISTINCT g FROM (
+       |    SELECT unnest(${hashedShinglesSql(WsSql, n)}) AS g
+       |    FROM documents WHERE doc_id % 50 = 0)),
+       |d AS (
+       |  SELECT doc_id, len(sh) AS n_doc_ngrams, unnest(sh) AS g FROM (
+       |    SELECT doc_id, ${hashedShinglesSql(WsSql, n)} AS sh
+       |    FROM documents WHERE doc_id % 50 <> 0))
+       |SELECT doc_id,
+       |  count(*) AS n_shared_ngrams,
+       |  max(n_doc_ngrams) AS n_doc_ngrams,
+       |  CAST(count(*) AS DOUBLE) / max(n_doc_ngrams) AS contaminated_frac
+       |FROM d JOIN bench USING (g)
+       |GROUP BY doc_id""".stripMargin
 
   /** DuckDB: portable 60-bit md5 hash of a string expression. */
   private def hash61Sql(x: String): String =
@@ -276,6 +297,20 @@ object PipelineQueries {
         docs.filter(col("doc_id") % 50 === 0),
         col("text"),
         n = 3)
+    },
+
+    // ----- decontamination at production gram length (sparse shingles) -----
+    // Real sweeps run n=8-13 (GPT-3 appendix C used 13): at long n most
+    // docs share nothing and only genuine leaks surface.
+    "t_decontaminate8" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.ngramOverlap(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        "doc_id",
+        col("text"),
+        docs.filter(col("doc_id") % 50 === 0),
+        col("text"),
+        n = 8)
     },
 
     // ----- language identification vs. labeled lang column -----
@@ -569,18 +604,8 @@ object PipelineQueries {
          |  cum // 256 AS bin, cum % 256 AS bin_offset
          |FROM c""".stripMargin
     },
-    "t_decontaminate" -> {
-      s"""WITH bench AS (
-         |  SELECT DISTINCT g FROM (
-         |    SELECT unnest(${hashedShinglesSql(WsSql)}) AS g
-         |    FROM documents WHERE doc_id % 50 = 0)),
-         |d AS (
-         |  SELECT doc_id, unnest(${hashedShinglesSql(WsSql)}) AS g
-         |  FROM documents WHERE doc_id % 50 <> 0)
-         |SELECT doc_id, count(*) AS n_shared_ngrams
-         |FROM d JOIN bench USING (g)
-         |GROUP BY doc_id""".stripMargin
-    },
+    "t_decontaminate" -> decontaminateSql(3),
+    "t_decontaminate8" -> decontaminateSql(8),
     "t_quality_score" -> {
       val sw = TextFunctions.LangProfiles.head._2
         .map(s => s"'$s'").mkString("[", ", ", "]")

@@ -45,6 +45,46 @@ class DecontaminateSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("n=8 production sweep: sparse shingles, exact contaminated fraction") {
+    val leaked = "q1 q2 q3 q4 q5 q6 q7 q8 q9"
+    val corpus = Seq(
+      // contains the 9-word benchmark passage verbatim → two distinct
+      // 8-grams leak into a 12-word doc (5 distinct 8-grams total)
+      (1L, s"intro words here $leaked"),
+      // shares a 7-gram only — NOT flagged at n=8
+      (2L, "q1 q2 q3 q4 q5 q6 q7 different tail words"),
+      (3L, "completely clean document with many harmless words in it")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, leaked)).toDF("doc_id", "text")
+
+    val out = Decontaminate
+      .ngramOverlap(corpus, "doc_id", col("text"), bench, col("text"), n = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    out shouldBe Array((1L, 2L, 5L, 0.4))
+  }
+
+  test("dropContaminated anti-joins flagged docs in one call") {
+    val leaked = "e1 e2 e3 e4 e5 e6 e7 e8"
+    val corpus = Seq(
+      (1L, s"prefix $leaked suffix"),
+      (2L, "clean as can be with other words entirely"),
+      (3L, s"$leaked")
+    ).toDF("doc_id", "text")
+    val bench = Seq((9L, leaked)).toDF("doc_id", "text")
+
+    val clean = Decontaminate
+      .dropContaminated(corpus, "doc_id", col("text"), bench, col("text"), n = 8)
+    clean.select("doc_id").as[Long].collect().sorted shouldBe Array(2L)
+    // a loose threshold keeps docs under the fraction
+    val loose = Decontaminate.dropContaminated(
+      corpus, "doc_id", col("text"), bench, col("text"), n = 8, maxFrac = 0.9)
+    // doc 3 is 100% contaminated (its only 8-gram IS the benchmark) and
+    // drops; doc 1 is 1/3 contaminated and survives at maxFrac=0.9
+    loose.select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+  }
+
   test("empty benchmark flags nothing") {
     val corpus = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val bench = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")

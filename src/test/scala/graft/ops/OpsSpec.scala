@@ -162,6 +162,16 @@ class DedupSpec extends SparkSpec {
     Par.releaseCaches()
   }
 
+  test("keepOnePerCluster keeps cluster representatives and singletons") {
+    val corpus = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters {1,2,3} (transitive) and {5,6}; 4 and 7 unclustered
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepOnePerCluster(corpus, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 4L, 5L, 7L)
+    Par.releaseCaches()
+  }
+
   test("simhash: identical docs same signature; near docs close; far docs far") {
     val sigs = df
       .select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
