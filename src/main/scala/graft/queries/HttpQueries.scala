@@ -70,6 +70,29 @@ object HttpQueries {
     StructField("c_acctbal", DoubleType),
     StructField("c_mktsegment", StringType)))
 
+  // Dedicated session carrying GraftExtensions (analyzer rules can only be
+  // attached at session build, and the driver's Verify/Bench session is
+  // extension-free): built once per JVM on the shared SparkContext, exactly
+  // like HttpLookupTableSpec does.
+  private val extSessions = new ConcurrentHashMap[String, SparkSession]()
+  private def extensionsSession(s: SparkSession): SparkSession =
+    extSessions.computeIfAbsent(
+      "x",
+      _ => {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        val x = SparkSession.builder()
+          .config(
+            "spark.sql.shuffle.partitions",
+            s.conf.get("spark.sql.shuffle.partitions"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .withExtensions(new graft.plans.GraftExtensions)
+          .getOrCreate()
+        SparkSession.setDefaultSession(s)
+        SparkSession.setActiveSession(s)
+        x
+      })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- HTTP lookup join: orders enriched from the customer service -----
     "h_lookup_join" -> { (s, dir) =>
@@ -110,6 +133,35 @@ object HttpQueries {
           col("c_mktsegment"))
     },
 
+    // ----- DSv2 lookup TABLE: pure-SQL DDL + JOIN via HttpLookupJoinRule ---
+    "h_table_lookup_join" -> { (s, dir) =>
+      val url = customerServiceUrl(s, dir)
+      val x = extensionsSession(s)
+      x.sql("DROP TABLE IF EXISTS customer_api")
+      x.sql(
+        s"""CREATE TABLE customer_api (
+           |  c_custkey STRING, c_name STRING, c_nationkey INT,
+           |  c_acctbal DOUBLE, c_mktsegment STRING)
+           |USING `graft-http-lookup`
+           |OPTIONS (
+           |  url '$url',
+           |  asyncPolling 'true',
+           |  `http.source.lookup.request.thread-pool.size` '2',
+           |  `http.source.lookup.dedup-keys` 'true',
+           |  `lookup.cache` 'PARTIAL',
+           |  `lookup.partial-cache.max-rows` '200000',
+           |  `http.source.lookup.success-codes` '2XX',
+           |  `http.source.lookup.ignored-response-codes` '404')""".stripMargin)
+      x.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView("orders_probe")
+      // WHERE on a lookup column rides through the join rewrite
+      x.sql(
+        """SELECT p.o_orderkey, a.c_name, a.c_nationkey, a.c_acctbal
+          |FROM orders_probe p JOIN customer_api a
+          |  ON p.o_custkey = a.c_custkey
+          |WHERE a.c_acctbal > 0""".stripMargin)
+    },
+
     // ----- HTTP sink round-trip: aggregate → POST batches → reassemble -----
     "h_sink_roundtrip" -> { (s, dir) =>
       val agg = s.read
@@ -146,6 +198,10 @@ object HttpQueries {
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice_r,
         |  c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "h_table_lookup_join" ->
+      """SELECT o_orderkey, c_name, c_nationkey, c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 0""".stripMargin,
     "h_sink_roundtrip" ->
       """SELECT c_nationkey, count(*) AS n_customers,
         |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
