@@ -26,6 +26,62 @@ object Dedup {
         min(col(idCol)).as("doc_id_kept"),
         count(lit(1)).as("n_copies"))
 
+  /** Segment-level corpus dedup (C4-style "drop any span seen before"):
+    * within the whole corpus, each distinct segment survives only at its
+    * first occurrence — the minimum (doc id, position) — and every later
+    * occurrence is dropped; surviving segments are reassembled per document
+    * in original order.
+    *
+    * `segments` is any array-of-string column: paragraphs
+    * (`split(col("text"), "\n\n")`), sentences, or fixed word windows
+    * ([[graft.ops.Chunking.wordWindows]]). Output: (`idCol`, `clean_text`,
+    * `n_kept`, `n_dropped`) for EVERY input document — a document whose
+    * segments all occurred earlier elsewhere comes back with an empty
+    * `clean_text` and `n_kept = 0` (filter on `n_kept` to drop such docs).
+    *
+    * Scale posture: occurrences shuffle ONCE, on the 60-bit segment hash
+    * (the window's min-struct needs no ordering, so no sort beyond the
+    * exchange); reassembly is a per-document aggregation whose state is
+    * bounded by document size. Intersecting on hashed longs keeps the
+    * shuffle narrow; the reassembly carries segment text exactly once per
+    * occurrence. Caveat: a boilerplate segment duplicated K times lands in
+    * one hash partition — at extreme K pre-aggregate with a salted
+    * two-phase min, same shape as [[graft.ops.SkewJoin]].
+    */
+  def dedupSegments(
+      df: DataFrame,
+      idCol: String,
+      segments: Column,
+      sep: String = " "): DataFrame = {
+    val occ = Par.fan(df).select(
+      col(idCol).as("__id"),
+      posexplode(segments).as(Seq("__pos", "__seg")))
+      .withColumn("__h", TextFunctions.hash61(col("__seg")))
+    val perSeg = Window.partitionBy(col("__h"))
+    val kept = occ
+      .withColumn(
+        "__keeper",
+        min(struct(col("__id"), col("__pos"))).over(perSeg))
+      .filter(
+        col("__keeper.__id") === col("__id") &&
+          col("__keeper.__pos") === col("__pos"))
+      .groupBy(col("__id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+            x => x.getField("__seg")),
+          sep).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    Par.fan(df).select(col(idCol), size(segments).cast(LongType).as("__n"))
+      .join(kept, col(idCol) === col("__id"), "left")
+      .select(
+        col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs within blocking buckets.
     *
     * `blockCols` bound the pair space (classic blocking); the join shuffles

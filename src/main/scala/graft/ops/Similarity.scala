@@ -204,6 +204,31 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos").as("cos_sim"))
   }
 
+  /** SemDeDup-style semantic dedup: drop all but one member of each
+    * embedding-cosine near-duplicate cluster. Pairs come from the
+    * LSH-blocked [[cosineNearDupPairs]] (pair space bounded per bucket, not
+    * corpus²), clusters from connected components over the pair graph
+    * ([[graft.ops.Dedup.nearDupClusters]] — min-label propagation on the
+    * edge list only), and each cluster keeps its minimum id.
+    *
+    * Returns the surviving rows of `corpus`, schema unchanged. Scale
+    * posture inherits from the parts: one bucket join over LSH blocks, a
+    * bounded-iteration edge-list propagation, and an anti-join whose build
+    * side is only the duplicates.
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      planes: Int = 0,
+      maxIters: Int = 20): DataFrame =
+    graft.ops.Dedup.keepOnePerCluster(
+      corpus,
+      idCol,
+      cosineNearDupPairs(corpus, idCol, vecCol, threshold, planes),
+      maxIters = maxIters)
+
   /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     * path: corpus vectors are assigned to the nearest of `cells` centroids;
     * each query probes its `nprobe` nearest cells and ranks exact cosine

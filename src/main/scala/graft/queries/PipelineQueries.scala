@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextFunctions}
+import graft.ops.{Chunking, Dedup, Multimodal, Similarity, TextFunctions}
 
 /** LLM-training-data pipeline queries (dedup, text analysis, similarity,
   * multimodal) over the `documents` / `embeddings` tables, each paired with
@@ -79,6 +79,40 @@ object PipelineQueries {
   private val MixWeights: scala.collection.immutable.ListMap[String, Int] =
     scala.collection.immutable.ListMap("en" -> 300, "zh" -> 2500)
   private val MixDefault: Int = 1000
+
+  /** DuckDB: double-fold dot product of two float-list columns (same index
+    * order and double math as the Spark side's `DotProductF`).
+    */
+  private def embDotSql(x: String, y: String): String =
+    s"list_reduce(list_transform(range(1, len($x) + 1), " +
+      s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (acc, v) -> acc + v)"
+
+  /** DuckDB: replay of the seeded random-hyperplane bucket
+    * (`Similarity.lshBucket`): sign(p, i) = ±1 from hash61("plane<p>:<i>")
+    * & 1; bit p set when the signed projection folds positive (same index
+    * order, double math).
+    */
+  private def embBucketSql(v: String, planes: Int): String = {
+    def bitSql(p: Int) = {
+      val sign = s"(CASE WHEN (${hash61Sql(s"'plane$p:' || CAST(i AS VARCHAR)")} & 1) = 1 " +
+        "THEN 1.0 ELSE -1.0 END)"
+      s"(CASE WHEN list_reduce(list_transform(range(1, len($v) + 1), " +
+        s"i -> CAST($v[i] AS DOUBLE) * $sign), (acc, x) -> acc + x) > 0 " +
+        s"THEN ${1L << p} ELSE 0 END)"
+    }
+    (0 until planes).map(bitSql).mkString(" + ")
+  }
+
+  /** DuckDB CTE `emb_lsh(vec_id, embedding, n, bucket)`: embeddings with
+    * norm and 2-plane LSH bucket — shared by the near-dup-pair and
+    * semantic-dedup oracles.
+    */
+  private def embedNearDupCte: String =
+    s"""emb_lsh AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${embDotSql("embedding", "embedding")}) AS n,
+       |    ${embBucketSql("embedding", 2)} AS bucket
+       |  FROM embeddings)""".stripMargin
 
   /** DuckDB CTE chain replaying the minhash-LSH pair pipeline, ending in a
     * `verified(id_a, id_b, i, u)` relation — shared by the p_minhash_lsh
@@ -367,6 +401,45 @@ object PipelineQueries {
         "embedding",
         threshold = 0.45,
         planes = 2)
+    },
+
+    // ----- SemDeDup-style semantic dedup (bucketed pairs → clusters →
+    // keep-one) — survivors of the embedding corpus -----
+    "s_semantic_dedup" -> { (s, dir) =>
+      Similarity.semanticDedup(
+        t(s, dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold = 0.45,
+        planes = 2)
+        .select(col("vec_id"), col("label"))
+    },
+
+    // ----- overlapping word-window chunking (RAG / sequence prep) -----
+    "t_chunk_docs" -> { (s, dir) =>
+      Chunking.chunkWords(
+        t(s, dir, "documents"), "doc_id", col("text"),
+        chunkSize = 50, overlap = 10)
+    },
+
+    // ----- segment-level corpus dedup (first occurrence survives) -----
+    "p_segment_dedup" -> { (s, dir) =>
+      Dedup.dedupSegments(
+        t(s, dir, "documents"),
+        "doc_id",
+        Chunking.wordWindows(col("text"), 10))
+    },
+
+    // ----- bloom-prefiltered exact anti-join (blocklist drop) -----
+    "p_bloom_antijoin" -> { (s, dir) =>
+      val blocked = t(s, dir, "customer")
+        .filter(col("c_acctbal") < 0)
+        .select(col("c_custkey"))
+      graft.ops.BloomJoin.antiJoin(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        "o_custkey",
+        blocked,
+        "c_custkey")
     },
 
     // ----- multimodal metadata extraction (stub decoder over binary) -----
@@ -686,31 +759,80 @@ object PipelineQueries {
          |FROM ranked WHERE rank <= 5""".stripMargin
     },
     "s_embed_neardup" -> {
-      def dotSql(x: String, y: String) =
-        s"list_reduce(list_transform(range(1, len($x) + 1), " +
-          s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (acc, v) -> acc + v)"
-      // replay the seeded random-hyperplane bucket (Similarity.lshBucket):
-      // sign(p, i) = ±1 from hash61("plane<p>:<i>") & 1; bit p set when the
-      // signed projection folds positive (same index order, double math)
-      def bitSql(v: String, p: Int) = {
-        val sign = s"(CASE WHEN (${hash61Sql(s"'plane$p:' || CAST(i AS VARCHAR)")} & 1) = 1 " +
-          "THEN 1.0 ELSE -1.0 END)"
-        s"(CASE WHEN list_reduce(list_transform(range(1, len($v) + 1), " +
-          s"i -> CAST($v[i] AS DOUBLE) * $sign), (acc, x) -> acc + x) > 0 " +
-          s"THEN ${1L << p} ELSE 0 END)"
-      }
-      def bucketSql(v: String) =
-        (0 until 2).map(p => bitSql(v, p)).mkString(" + ")
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(${dotSql("embedding", "embedding")}) AS n,
-         |    ${bucketSql("embedding")} AS bucket
-         |  FROM embeddings)
+      s"""WITH $embedNearDupCte
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  ${dotSql("a.embedding", "b.embedding")} / (a.n * b.n) AS cos_sim
-         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.n * b.n) >= 0.45""".stripMargin
+         |  ${embDotSql("a.embedding", "b.embedding")} / (a.n * b.n) AS cos_sim
+         |FROM emb_lsh a JOIN emb_lsh b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${embDotSql("a.embedding", "b.embedding")} / (a.n * b.n) >= 0.45""".stripMargin
     },
+    "s_semantic_dedup" -> {
+      // pairs (same bucket-blocked cosine as s_embed_neardup) → transitive
+      // closure (as p_dup_clusters) → drop non-representatives → survivors
+      s"""WITH RECURSIVE $embedNearDupCte,
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM emb_lsh a JOIN emb_lsh b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${embDotSql("a.embedding", "b.embedding")} / (a.n * b.n) >= 0.45),
+         |edges AS (
+         |  SELECT id_a AS n, id_b AS m FROM p
+         |  UNION ALL
+         |  SELECT id_b AS n, id_a AS m FROM p),
+         |reach(n, m) AS (
+         |  SELECT n, m FROM edges
+         |  UNION
+         |  SELECT e.n, r.m FROM edges e JOIN reach r ON e.m = r.n),
+         |lbl AS (SELECT n, least(n, min(m)) AS c FROM reach GROUP BY n)
+         |SELECT emb.vec_id, emb.label FROM embeddings emb
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM lbl WHERE lbl.n = emb.vec_id AND lbl.n <> lbl.c)""".stripMargin
+    },
+    "t_chunk_docs" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, len(w) AS L,
+        |    CASE WHEN len(w) <= 50 THEN 1
+        |         ELSE CAST(ceil((len(w) - 50) / 40.0) AS BIGINT) + 1 END AS nc,
+        |    w
+        |  FROM d),
+        |x AS (SELECT doc_id, L, w, unnest(range(0, nc)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  array_to_string(list_slice(w, i*40 + 1, i*40 + 50), ' ') AS chunk_text,
+        |  CAST(least(50, L - i*40) AS INT) AS n_words
+        |FROM x""".stripMargin,
+    "p_segment_dedup" -> {
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, CAST(ceil(len(w) / 10.0) AS BIGINT) AS nc, w FROM d),
+         |x AS (SELECT doc_id, w, unnest(range(0, nc)) AS i FROM c),
+         |s AS (
+         |  SELECT doc_id, CAST(i AS INT) AS pos,
+         |    array_to_string(list_slice(w, i*10 + 1, i*10 + 10), ' ') AS seg
+         |  FROM x),
+         |r AS (
+         |  SELECT doc_id, pos, seg,
+         |    row_number() OVER (
+         |      PARTITION BY ${hash61Sql("seg")} ORDER BY doc_id, pos) AS rn
+         |  FROM s),
+         |k AS (
+         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM r WHERE rn = 1 GROUP BY doc_id)
+         |SELECT c.doc_id, coalesce(k.clean_text, '') AS clean_text,
+         |  coalesce(k.n_kept, 0) AS n_kept,
+         |  c.nc - coalesce(k.n_kept, 0) AS n_dropped
+         |FROM c LEFT JOIN k ON c.doc_id = k.doc_id""".stripMargin
+    },
+    "p_bloom_antijoin" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer c
+        |  WHERE c.c_acctbal < 0 AND c.c_custkey = o.o_custkey)""".stripMargin,
     "m_frame_sample" ->
       """SELECT doc_id,
         |  CAST(unnest(range(0, octet_length(encode(text)) % 24 + 1, 4)) AS INT)

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SegmentDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)], segSize: Int = 2) =
+    Dedup
+      .dedupSegments(
+        docs.toDF("doc_id", "text"),
+        "doc_id",
+        Chunking.wordWindows(col("text"), segSize))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("first occurrence survives; later repeats drop; order preserved") {
+    val out = run(Seq(
+      1L -> "a b c d e f",   // segments: "a b" "c d" "e f"
+      2L -> "c d x y",       // "c d" seen in doc 1 -> dropped; "x y" kept
+      3L -> "e f a b"))      // both segments seen -> doc comes back empty
+    out(1L) shouldBe (("a b c d e f", 3L, 0L))
+    out(2L) shouldBe (("x y", 1L, 1L))
+    out(3L) shouldBe (("", 0L, 2L))
+  }
+
+  test("duplicate segment inside ONE doc also dedupes (first position wins)") {
+    val out = run(Seq(1L -> "a b a b c d"))
+    out(1L) shouldBe (("a b c d", 2L, 1L))
+  }
+
+  test("keeper is the minimum (doc_id, pos) across the corpus") {
+    // "z z" appears at pos 1 of doc 5 and pos 0 of doc 9: doc 5 wins on id
+    val out = run(Seq(5L -> "m m z z", 9L -> "z z q q"))
+    out(5L) shouldBe (("m m z z", 2L, 0L))
+    out(9L) shouldBe (("q q", 1L, 1L))
+  }
+
+  test("every input doc appears in the output exactly once") {
+    val docs = (1L to 40L).map(i => i -> s"w${i % 7} w${i % 7} tail$i x")
+    val out = run(docs)
+    out.keySet shouldBe docs.map(_._1).toSet
+    // conservation: kept + dropped = total segments per doc
+    out.values.foreach { case (_, kept, dropped) =>
+      kept + dropped shouldBe 2L
+    }
+  }
+
+  test("semanticDedup keeps one representative per embedding cluster") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f)), // near-dup of 1 -> dropped
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.98f, 0.1f)),   // near-dup of 3 -> dropped
+      (5L, Array(0.0f, 0.0f, 1.0f)))    // singleton -> kept
+    val out = Similarity
+      .semanticDedup(
+        vecs.toDF("vec_id", "embedding"),
+        "vec_id",
+        "embedding",
+        threshold = 0.95,
+        planes = 1)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    out shouldBe Set(1L, 3L, 5L)
+  }
+}
