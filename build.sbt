@@ -46,4 +46,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx$graftHeap",
   s"-Xms$graftHeap",
   "-XX:+AlwaysPreTouch",
+  // This sandbox's guest memory is demand-paged by the host (measured
+  // r7: first-touch 0.03-0.8 GB/s vs 13 GB/s resident; bench JVMs show
+  // sys > user). THP-madvised pages fault ~2.3x faster here (measured
+  // 0.80 -> 1.86 GB/s), and with AlwaysPreTouch the hugepage setup cost
+  // lands in untimed startup. Harmless on hosts with THP=never.
+  "-XX:+UseTransparentHugePages",
 )

@@ -72,25 +72,12 @@ object HttpLookup {
       callbackName: String,
       preprocessors: Seq[HeaderPreprocessor])
 
-  def join(
-      probe: DataFrame,
-      keyCols: Seq[String],
-      responseSchema: StructType,
+  private def makeIoConfig(
+      o: HttpOptions,
       options: Map[String, String],
-      includeMetadata: Boolean = false,
-      headerPreprocessors: Seq[HeaderPreprocessor] = Nil): DataFrame = {
-    val o = HttpOptions(options)
-    // reference `lookup-request.format` / `format` (both default json):
-    // request serialization and response deserialization resolve through the
-    // PayloadFormats registry (the SPI-discovery analog) — a CSV endpoint is
-    // 'format'='csv', a custom wire format is PayloadFormats.register(...)
-    val requestFormat =
-      PayloadFormats(o.str(HttpOptions.LookupRequestFormat, "json"))
-    val responseFormat = PayloadFormats(o.str(HttpOptions.Format, "json"))
-    val creator = QueryCreator.fromOptions(o, requestFormat)
-    val compiled = creator.compile(probe, keyCols)
-
-    val io = IoConfig(
+      requestFormat: PayloadFormat,
+      headerPreprocessors: Seq[HeaderPreprocessor]): IoConfig =
+    IoConfig(
       method = o.str(HttpOptions.LookupMethod, "GET").toUpperCase,
       successExpr = o.str(HttpOptions.SuccessCodes, "2XX"),
       retryExpr = o.str(HttpOptions.RetryCodes, "500,503,504"),
@@ -127,6 +114,26 @@ object HttpLookup {
       callbackName =
         o.str(HttpOptions.SourceRequestCallback, "slf4j-lookup-logger"),
       preprocessors = headerPreprocessors)
+
+  def join(
+      probe: DataFrame,
+      keyCols: Seq[String],
+      responseSchema: StructType,
+      options: Map[String, String],
+      includeMetadata: Boolean = false,
+      headerPreprocessors: Seq[HeaderPreprocessor] = Nil): DataFrame = {
+    val o = HttpOptions(options)
+    // reference `lookup-request.format` / `format` (both default json):
+    // request serialization and response deserialization resolve through the
+    // PayloadFormats registry (the SPI-discovery analog) — a CSV endpoint is
+    // 'format'='csv', a custom wire format is PayloadFormats.register(...)
+    val requestFormat =
+      PayloadFormats(o.str(HttpOptions.LookupRequestFormat, "json"))
+    val responseFormat = PayloadFormats(o.str(HttpOptions.Format, "json"))
+    val creator = QueryCreator.fromOptions(o, requestFormat)
+    val compiled = creator.compile(probe, keyCols)
+
+    val io = makeIoConfig(o, options, requestFormat, headerPreprocessors)
 
     // fail fast on the driver like the reference's factory discovery does
     RequestCallback.named(
@@ -192,11 +199,160 @@ object HttpLookup {
           .drop(ReqUrl + "_r", ReqBody + "_r")
       } else ioResults
 
-    // --- back in Catalyst: decode + classify + project --------------------
-    // A corrupt-record field detects undecodable bodies (PERMISSIVE decode
-    // yields an all-null struct, not a null struct, on garbage — the corrupt
-    // column is the reliable signal). Decoding goes through the resolved
-    // PayloadFormat, so a csv (or registered custom) endpoint plugs in here.
+    decodeProject(ioDf, probe.columns.toSeq, responseSchema, responseFormat, o, includeMetadata)
+  }
+
+  /** Serializable state-store record for [[joinStateCached]]. */
+  private[http] final case class CachedLookup(
+      status: Option[Int],
+      body: String,
+      headers: Map[String, Seq[String]],
+      state: String,
+      error: String,
+      fetchedAtMs: Long)
+
+  /** Streaming lookup join whose cache lives in the STREAMING STATE STORE —
+    * the Spark-native re-expression of Flink's cache-in-operator-state
+    * restart semantics (the reference's lookup runs inside a Flink job whose
+    * state survives restarts; the per-executor LRU of [[join]] dies with the
+    * executor). Each micro-batch groups probe rows by rendered request; one
+    * state entry per distinct request holds the classified response with its
+    * fetch timestamp. A checkpointed restart RESTORES the cache — cached
+    * keys are served with zero re-fetches by the new run. Entries expire
+    * `lookup.partial-cache.expire-after-write` (default 10 min) after their
+    * fetch and are evicted via processing-time timeouts, so state size is
+    * bounded by the distinct-request working set, not stream length.
+    *
+    * Costs one shuffle per micro-batch (the groupByKey on the rendered
+    * request) — the same keyed exchange Flink's lookup operator implies.
+    * Requests also de-duplicate within the batch for free (one group = one
+    * call). Use [[join]] when restart-transparent caching is not needed and
+    * the narrow shuffle-free plan matters more.
+    *
+    * Because eviction uses processing-time timers, the engine re-triggers
+    * batches even without data to evaluate them — run the query with a
+    * `Trigger.ProcessingTime(...)` interval so an idle stream doesn't
+    * busy-loop empty batches.
+    */
+  def joinStateCached(
+      probe: DataFrame,
+      keyCols: Seq[String],
+      responseSchema: StructType,
+      options: Map[String, String],
+      includeMetadata: Boolean = false,
+      headerPreprocessors: Seq[HeaderPreprocessor] = Nil): DataFrame = {
+    require(
+      probe.isStreaming,
+      "joinStateCached needs a streaming probe; use join for batch inputs")
+    val o = HttpOptions(options)
+    val requestFormat =
+      PayloadFormats(o.str(HttpOptions.LookupRequestFormat, "json"))
+    val responseFormat = PayloadFormats(o.str(HttpOptions.Format, "json"))
+    val creator = QueryCreator.fromOptions(o, requestFormat)
+    val compiled = creator.compile(probe, keyCols)
+    val io = makeIoConfig(o, options, requestFormat, headerPreprocessors)
+    RequestCallback.named(
+      io.callbackName,
+      RequestCallback.Level.parse(io.loggingLevel))
+    val ttlMs = o.durationMs(HttpOptions.CacheExpireAfterWrite, 600000L)
+
+    val staged = probe
+      .withColumn(ReqUrl, compiled.url)
+      .withColumn(
+        ReqBody,
+        compiled.body.getOrElse(lit(null).cast(StringType)))
+    val stagedSchema = staged.schema
+    val urlIdx = stagedSchema.fieldIndex(ReqUrl)
+    val bodyIdx = stagedSchema.fieldIndex(ReqBody)
+    val outSchema = StructType(
+      stagedSchema.fields ++ Array(
+        StructField(RespStatus, IntegerType),
+        StructField(RespBody, StringType),
+        StructField(
+          RespHeaders,
+          MapType(StringType, ArrayType(StringType))),
+        StructField(RespState, StringType),
+        StructField(RespError, StringType)))
+
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    val stateEnc = Encoders.product[CachedLookup]
+    val outEnc = Encoders.row(outSchema)
+
+    val grouped = staged.groupByKey { row =>
+      (row.getString(urlIdx), Option(rowBody(row, bodyIdx)).getOrElse(""))
+    }(keyEnc)
+
+    val ioDf = grouped.flatMapGroupsWithState[CachedLookup, Row](
+      OutputMode.Append,
+      GroupStateTimeout.ProcessingTimeTimeout) {
+      (key: (String, String), rows: Iterator[Row], state: GroupState[CachedLookup]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val buffered = rows.toSeq // bounded: rows for ONE key in ONE batch
+          val now = System.currentTimeMillis()
+          val oc = state.getOption
+            .filter(c => now - c.fetchedAtMs < ttlMs)
+            .map(c => HttpOutcome(
+              c.status.map(Integer.valueOf).orNull,
+              c.body, c.headers, c.state, c.error))
+            .getOrElse {
+              val body = buffered.headOption
+                .map(r => rowBody(r, bodyIdx)).orNull
+              val outcome = lookupClientFor(io)
+                .execute(io.method, key._1, Option(body))
+              val cacheable = outcome.state == CompletionState.Success ||
+                (io.cacheMissingKey &&
+                  outcome.state == CompletionState.IgnoreStatusCode)
+              if (cacheable) {
+                state.update(CachedLookup(
+                  Option(outcome.status).map(_.intValue),
+                  outcome.body, outcome.headers, outcome.state,
+                  outcome.error, now))
+              }
+              outcome
+            }
+          // keep the eviction clock armed whenever state exists
+          if (state.exists) state.setTimeoutDuration(ttlMs)
+          val tail = Seq(oc.status, oc.body, oc.headers, oc.state, oc.error)
+          buffered.iterator.map { row =>
+            if (!io.continueOnError &&
+              (oc.state == CompletionState.HttpErrorStatus ||
+                oc.state == CompletionState.Exception))
+              throw new HttpStatusCodeValidationFailedException(
+                s"HTTP lookup failed (${oc.error}); set " +
+                  s"'${HttpOptions.ContinueOnError}'='true' to continue " +
+                  "with null enrichment columns")
+            Row.fromSeq(row.toSeq ++ tail)
+          }
+        }
+    }(stateEnc, outEnc)
+
+    decodeProject(
+      ioDf.toDF(),
+      probe.columns.toSeq,
+      responseSchema,
+      responseFormat,
+      o,
+      includeMetadata)
+  }
+
+  /** Back in Catalyst after the I/O op: decode + classify + project.
+    *
+    * A corrupt-record field detects undecodable bodies (PERMISSIVE decode
+    * yields an all-null struct, not a null struct, on garbage — the corrupt
+    * column is the reliable signal). Decoding goes through the resolved
+    * PayloadFormat, so a csv (or registered custom) endpoint plugs in here.
+    */
+  private def decodeProject(
+      ioDf: DataFrame,
+      probeColumns: Seq[String],
+      responseSchema: StructType,
+      responseFormat: PayloadFormat,
+      o: HttpOptions,
+      includeMetadata: Boolean): DataFrame = {
     val Corrupt = "__graft_corrupt"
     val schemaWithCorrupt =
       StructType(responseSchema.fields :+ StructField(Corrupt, StringType))
@@ -275,9 +431,9 @@ object HttpLookup {
       out = out.filter(col(RespState) =!= CompletionState.IgnoreStatusCode)
     }
 
-    val probeCols = probe.columns.map(col).toSeq
+    val probeCols = probeColumns.map(col)
     val respCols = responseSchema.fields.toSeq
-      .filterNot(f => probe.columns.contains(f.name))
+      .filterNot(f => probeColumns.contains(f.name))
       .map(f => col(RespParsed).getField(f.name).as(f.name))
     val metaCols =
       if (includeMetadata)
@@ -309,26 +465,33 @@ object HttpLookup {
         }
       }))
 
-  private def executePartition(
-      iter: Iterator[Row],
-      io: IoConfig,
-      urlIdx: Int,
-      bodyIdx: Int): Iterator[Row] = {
+  /** Build the per-task lookup client (per-executor shared JDK client +
+    * rendered headers + classification/retry) — used by the mapPartitions
+    * I/O op and the state-store-cached streaming variant.
+    */
+  private def lookupClientFor(io: IoConfig): HttpLookupClient = {
     val shard = Option(org.apache.spark.TaskContext.get())
       .map(_.partitionId()).getOrElse(0)
     val httpClient = HttpClientFactory.shared(io.clientCfg, shard)
-    val headers = renderHeaders(io, httpClient)
-    val client = new HttpLookupClient(
+    new HttpLookupClient(
       httpClient,
       ResponseChecker(io.successExpr, io.retryExpr),
       if (io.ignoredExpr.trim.isEmpty) Set.empty
       else HttpCodes.parse(io.ignoredExpr),
       io.retryPolicy,
       io.requestTimeoutMs,
-      headers,
+      renderHeaders(io, httpClient),
       RequestCallback.named(
         io.callbackName,
         RequestCallback.Level.parse(io.loggingLevel)))
+  }
+
+  private def executePartition(
+      iter: Iterator[Row],
+      io: IoConfig,
+      urlIdx: Int,
+      bodyIdx: Int): Iterator[Row] = {
+    val client = lookupClientFor(io)
     val cache = LookupCache.shared(io.cacheId, HttpOptions(io.cacheOptions))
 
     def call(url: String, body: String): HttpOutcome = {

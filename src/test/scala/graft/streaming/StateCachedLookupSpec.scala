@@ -1,0 +1,153 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkSpec
+import graft.http.HttpLookup
+import graft.http.testkit.StubServer
+
+/** [[HttpLookup.joinStateCached]]: the lookup cache lives in the streaming
+  * state store, so a checkpointed RESTART serves cached keys with zero
+  * re-fetches — the Spark re-expression of the reference's
+  * cache-survives-with-the-job semantics (Flink operator state).
+  *
+  * Sink is `foreachBatch` into a concurrent map (the memory sink refuses
+  * checkpoint recovery), and the specs poll for expected rows instead of
+  * `processAllAvailable`: a ProcessingTimeTimeout query re-triggers batches
+  * continuously to evaluate timers, so "all available" never quiesces (the
+  * same reason Spark's own FlatMapGroupsWithStateSuite drives timeouts with
+  * a manual clock).
+  */
+class StateCachedLookupSpec extends SparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  private var server: StubServer = _
+  private val hits = new AtomicInteger()
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = StubServer()
+      .route("/user") { req =>
+        hits.incrementAndGet()
+        StubServer.queryMap(req.query).get("id") match {
+          case Some(id) => (200, s"""{"name": "user-$id"}""")
+          case None => (400, "no id")
+        }
+      }
+      .start()
+  }
+
+  override def afterAll(): Unit = {
+    server.stop()
+    super.afterAll()
+  }
+
+  private val responseSchema = StructType(Seq(StructField("name", StringType)))
+
+  private def options(ttl: String): Map[String, String] = Map(
+    "url" -> server.url("/user"),
+    "lookup-method" -> "GET",
+    "lookup.partial-cache.expire-after-write" -> ttl)
+
+  /** event -> looked-up name, accumulated across batches (idempotent under
+    * foreachBatch replay).
+    */
+  private def startQuery(
+      input: MemoryStream[(Long, String)],
+      ckpt: String,
+      sink: ConcurrentHashMap[Long, String],
+      ttl: String = "10 min"): StreamingQuery =
+    HttpLookup.joinStateCached(
+      input.toDF().toDF("event", "id"),
+      keyCols = Seq("id"),
+      responseSchema = responseSchema,
+      options = options(ttl))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.collect().foreach(r => sink.put(r.getLong(0), r.getString(2)))
+      }
+      .start()
+
+  private def awaitEvents(
+      q: StreamingQuery,
+      sink: ConcurrentHashMap[Long, String],
+      events: Long*): Unit = {
+    val deadline = System.currentTimeMillis() + 120000L
+    while (!events.forall(sink.containsKey(_))) {
+      if (System.currentTimeMillis() > deadline)
+        fail(s"sink never saw events ${events.mkString(",")}; has " +
+          s"${sink.keySet()} (query exception: ${q.exception})")
+      Thread.sleep(100)
+    }
+  }
+
+  test("state-store cache: in-batch dedup, cross-batch hits, restart survival") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-state-lookup").toString
+    hits.set(0)
+
+    val input = MemoryStream[(Long, String)]
+    // batch 1: keys 1,2 (key 1 twice -> in-batch dedup, one call per key)
+    input.addData((100L, "1"), (101L, "2"), (102L, "1"))
+    val sink1 = new ConcurrentHashMap[Long, String]()
+    val q1 = startQuery(input, ckpt, sink1)
+    try {
+      awaitEvents(q1, sink1, 100L, 101L, 102L)
+      hits.get() shouldBe 2
+      // batch 2: same keys -> pure cache hits
+      input.addData((103L, "1"), (104L, "2"))
+      awaitEvents(q1, sink1, 103L, 104L)
+      hits.get() shouldBe 2
+      sink1.get(103L) shouldBe "user-1"
+    } finally q1.stop()
+
+    // RESTART from the same checkpoint: a NEW run restores the state store
+    // from checkpoint files; cached keys must not re-fetch. The fresh
+    // MemoryStream is pre-fed the committed rows so its offsets line up
+    // with the checkpoint (the engine may replay the final batch — those
+    // keys are cache hits, which is exactly the property under test).
+    val input2 = MemoryStream[(Long, String)]
+    input2.addData((100L, "1"), (101L, "2"), (102L, "1"))
+    input2.addData((103L, "1"), (104L, "2"))
+    val before = hits.get()
+    val sink2 = new ConcurrentHashMap[Long, String]()
+    val q2 = startQuery(input2, ckpt, sink2)
+    try {
+      input2.addData((200L, "1"), (201L, "2"), (202L, "3"))
+      awaitEvents(q2, sink2, 200L, 201L, 202L)
+      // keys 1,2 restored from the checkpointed state -> only "3" fetched
+      hits.get() shouldBe (before + 1)
+      sink2.get(202L) shouldBe "user-3"
+      sink2.get(200L) shouldBe "user-1"
+    } finally q2.stop()
+  }
+
+  test("expire-after-write forces a re-fetch once the entry is stale") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-state-lookup-ttl").toString
+    hits.set(0)
+
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "9"))
+    val sink = new ConcurrentHashMap[Long, String]()
+    val q = startQuery(input, ckpt, sink, ttl = "300 ms")
+    try {
+      awaitEvents(q, sink, 1L)
+      hits.get() shouldBe 1
+      Thread.sleep(600)
+      input.addData((2L, "9"))
+      awaitEvents(q, sink, 2L)
+      hits.get() shouldBe 2
+    } finally q.stop()
+  }
+}
