@@ -55,6 +55,41 @@ object Sampling {
     df.filter(bucket(col(idCol)) < rate)
   }
 
+  /** Deterministic exact-quota sampling: the `k` rows with the smallest
+    * salted id hash per stratum (ties broken by id) — the "exactly 10k eval
+    * docs per language" step where a rate-based sample's ±binomial noise is
+    * not acceptable. Like all hash sampling here it is reproducible
+    * run-to-run and engine-to-engine, but NOT stable under corpus growth: a
+    * new id can hash under the current cutoff and displace the largest
+    * selected hash (inherent to any exact-k selection).
+    *
+    * Scale posture: one shuffle on the strata columns and a per-stratum
+    * sort (rank-k needs an order). For strata too large to sort, prefer
+    * [[stratifiedHashSample]] (shuffle-free, rate-based) or pre-filter with
+    * it to ~2-3× the quota and quota-sample the survivors.
+    */
+  def quotaSample(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      strataCols: Seq[String],
+      salt: String = "quota:"): DataFrame = {
+    require(k > 0, "quota k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(
+        TextFunctions.hash61(concat(lit(salt), col(idCol).cast(StringType))),
+        col(idCol))
+    val rn = Iterator
+      .from(0)
+      .map(i => if (i == 0) "__quota_rn" else s"__quota_rn$i")
+      .find(!df.columns.contains(_))
+      .get
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .drop(rn)
+  }
+
   /** Deterministic weighted corpus mixing: emit each row
     * `weight/1000` times — the "3× books, 0.3× common-crawl" resampling
     * step that turns per-source mixture weights into a physical training

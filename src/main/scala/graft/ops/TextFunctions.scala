@@ -110,6 +110,26 @@ object TextFunctions {
       "\\s{2,}",
       " "))
 
+  /** C4-style line-quality filtering: split `text` on newlines, keep only
+    * lines with at least `minWords` whitespace words that end in terminal
+    * punctuation (`. ! ? "` optionally followed by a closing quote), and
+    * rejoin the survivors with newlines. The boilerplate-removal rule from
+    * the C4 pipeline (Raffel et al. 2020 §2.2), as pure array/regex
+    * expressions — per-row codegen, shuffle-free at any corpus size.
+    *
+    * Returns the cleaned text; an all-boilerplate document comes back
+    * empty (filter on `length > 0` to drop such docs).
+    */
+  def keepQualityLines(text: Column, minWords: Int = 3): Column = {
+    val lines = split(text, "\n")
+    val kept = filter(
+      lines,
+      l =>
+        size(split(trim(l), "\\s+")) >= minWords &&
+          trim(l).rlike("[.!?\"][\"')\\]]?$"))
+    array_join(kept, "\n")
+  }
+
   /** PII redaction: emails, IPv4 addresses and phone-shaped digit runs
     * replaced by typed placeholders. Patterns are deliberately simple and
     * deterministic (a corpus pipeline wants recall + reproducibility, not a

@@ -403,6 +403,14 @@ object PipelineQueries {
         planes = 2)
     },
 
+    // ----- deterministic exact-quota sample (k smallest salted hashes
+    // per stratum) -----
+    "t_quota_sample" -> { (s, dir) =>
+      graft.ops.Sampling
+        .quotaSample(t(s, dir, "documents"), "doc_id", 20, Seq("lang"))
+        .select(col("doc_id"), col("lang"))
+    },
+
     // ----- SemDeDup-style semantic dedup (bucketed pairs → clusters →
     // keep-one) — survivors of the embedding corpus -----
     "s_semantic_dedup" -> { (s, dir) =>
@@ -787,6 +795,14 @@ object PipelineQueries {
          |SELECT emb.vec_id, emb.label FROM embeddings emb
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM lbl WHERE lbl.n = emb.vec_id AND lbl.n <> lbl.c)""".stripMargin
+    },
+    "t_quota_sample" -> {
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${hash61Sql("'quota:' || CAST(doc_id AS VARCHAR)")},
+         |        doc_id) AS rn
+         |  FROM documents) WHERE rn <= 20""".stripMargin
     },
     "t_chunk_docs" ->
       """WITH d AS (

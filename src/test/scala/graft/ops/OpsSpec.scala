@@ -351,6 +351,49 @@ class SamplingSpec extends SparkSpec {
         Map("en" -> 1001), 10)
   }
 
+  test("quotaSample takes exactly k per stratum, deterministically") {
+    val docs = (1L to 500L)
+      .map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    def run() = Sampling
+      .quotaSample(docs, "doc_id", 25, Seq("lang"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    val a = run()
+    a shouldBe run()
+    a.count(_._2 == "en") shouldBe 25
+    a.count(_._2 == "de") shouldBe 25
+    // quota larger than the stratum -> whole stratum
+    val small = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "lang")
+    Sampling.quotaSample(small, "doc_id", 10, Seq("lang")).count() shouldBe 2L
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.quotaSample(docs, "doc_id", 0, Seq("lang"))
+  }
+
+  test("keepQualityLines drops short and unpunctuated lines") {
+    val text = Seq(
+      "This is a proper sentence.",       // kept
+      "menu",                             // too short, no punctuation
+      "Click here now",                   // 3 words but no terminal punct
+      "Is this kept too?",                // kept
+      "He said \"stop.\"",                // kept: quote after period
+      "short.",                           // punctuated but < 3 words
+      "Another good line ends here!"      // kept
+    ).mkString("\n")
+    val out = Seq(text)
+      .toDF("text")
+      .select(TextFunctions.keepQualityLines(col("text"), 3).as("t"))
+      .collect()
+      .head
+      .getString(0)
+    out.split("\n").toSeq shouldBe Seq(
+      "This is a proper sentence.",
+      "Is this kept too?",
+      "He said \"stop.\"",
+      "Another good line ends here!")
+  }
+
   test("weightedMix emits floor(w) copies plus a hash-gated extra") {
     val docs = (1L to 1000L)
       .map(i => (i, if (i % 2 == 0) "books" else "crawl"))
