@@ -26,6 +26,30 @@ object Dedup {
         min(col(idCol)).as("doc_id_kept"),
         count(lit(1)).as("n_copies"))
 
+  /** Cross-corpus exact dedup: drop every row of `df` whose content hash
+    * appears in `seen` — dedupe a new crawl against already-ingested dumps,
+    * or a training corpus against a held-out set. Exact result (the Bloom
+    * pass only routes rows; see [[BloomJoin.antiJoin]]): rows the filter
+    * proves unseen never shuffle, so the join moves only the
+    * might-match slice — at 100 TB that is the overlap volume, not the
+    * corpus.
+    */
+  def dropSeenIn(
+      df: DataFrame,
+      textCol: String,
+      seen: DataFrame,
+      seenTextCol: String): DataFrame = {
+    val fp = "__graft_seen_fp"
+    val fp2 = "__graft_seen_fp2"
+    BloomJoin
+      .antiJoin(
+        df.withColumn(fp, md5(col(textCol))),
+        fp,
+        seen.select(md5(col(seenTextCol)).as(fp2)),
+        fp2)
+      .drop(fp)
+  }
+
   /** Segment-level corpus dedup (C4-style "drop any span seen before"):
     * within the whole corpus, each distinct segment survives only at its
     * first occurrence — the minimum (doc id, position) — and every later

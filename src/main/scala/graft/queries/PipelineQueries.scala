@@ -438,6 +438,15 @@ object PipelineQueries {
         Chunking.wordWindows(col("text"), 10))
     },
 
+    // ----- cross-corpus exact dedup (drop docs seen in another corpus) --
+    "p_cross_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val seen = docs.filter(col("doc_id") % 50 === 0).select(col("text"))
+      Dedup
+        .dropSeenIn(docs, "text", seen, "text")
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+
     // ----- bloom-prefiltered exact anti-join (blocklist drop) -----
     "p_bloom_antijoin" -> { (s, dir) =>
       val blocked = t(s, dir, "customer")
@@ -844,6 +853,11 @@ object PipelineQueries {
          |  c.nc - coalesce(k.n_kept, 0) AS n_dropped
          |FROM c LEFT JOIN k ON c.doc_id = k.doc_id""".stripMargin
     },
+    "p_cross_dedup" ->
+      """SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents s
+        |  WHERE s.doc_id % 50 = 0 AND md5(s.text) = md5(d.text))""".stripMargin,
     "p_bloom_antijoin" ->
       """SELECT o_orderkey, o_custkey FROM orders o
         |WHERE NOT EXISTS (

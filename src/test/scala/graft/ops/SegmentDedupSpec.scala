@@ -49,6 +49,23 @@ class SegmentDedupSpec extends SparkSpec {
     }
   }
 
+  test("dropSeenIn removes exact text matches against another corpus") {
+    val corpus = Seq(
+      (1L, "alpha beta"),
+      (2L, "gamma delta"),
+      (3L, "epsilon zeta")).toDF("doc_id", "text")
+    val seen = Seq("gamma delta", "unrelated").toDF("t")
+    val kept = Dedup
+      .dropSeenIn(corpus, "text", seen, "t")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    kept shouldBe Set(1L, 3L)
+    // schema unchanged (no helper columns leak)
+    Dedup.dropSeenIn(corpus, "text", seen, "t").columns.toSeq shouldBe
+      Seq("doc_id", "text")
+  }
+
   test("semanticDedup keeps one representative per embedding cluster") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
