@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.StructType
 
 import graft.http.{HttpLookup, HttpSink}
-import graft.ops.{AsOfJoin, Dedup, Multimodal, Similarity}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, Dedup, Multimodal, Sampling, Similarity}
 
 /** Fluent entry points: `import graft.syntax._` and every operator hangs off
   * DataFrame — the one-line switch path for users of the reference connector
@@ -91,6 +91,68 @@ object syntax {
 
     def mediaMeta(idCol: String, blobCol: String): DataFrame =
       Multimodal.extractMeta(df, idCol, blobCol)
+
+    /** Streaming lookup join with a state-store-backed cache (survives
+      * checkpointed restarts — Flink operator-state cache semantics).
+      */
+    def httpLookupStateCached(
+        keyCols: Seq[String],
+        responseSchema: StructType,
+        options: Map[String, String],
+        includeMetadata: Boolean = false): DataFrame =
+      HttpLookup.joinStateCached(
+        df, keyCols, responseSchema, options, includeMetadata)
+
+    def chunkWords(
+        idCol: String,
+        textCol: Column,
+        chunkSize: Int,
+        overlap: Int = 0): DataFrame =
+      Chunking.chunkWords(df, idCol, textCol, chunkSize, overlap)
+
+    def dedupSegments(
+        idCol: String,
+        segments: Column,
+        sep: String = " "): DataFrame =
+      Dedup.dedupSegments(df, idCol, segments, sep)
+
+    def semanticDedup(
+        idCol: String,
+        vecCol: String,
+        threshold: Double = 0.95,
+        planes: Int = 0): DataFrame =
+      Similarity.semanticDedup(df, idCol, vecCol, threshold, planes)
+
+    def dropSeenIn(
+        textCol: String,
+        seen: DataFrame,
+        seenTextCol: String): DataFrame =
+      Dedup.dropSeenIn(df, textCol, seen, seenTextCol)
+
+    def bloomAntiJoin(
+        probeKey: String,
+        build: DataFrame,
+        buildKey: String,
+        expectedItems: Long = 0L,
+        fpp: Double = BloomJoin.DefaultFpp): DataFrame =
+      BloomJoin.antiJoin(df, probeKey, build, buildKey, expectedItems, fpp)
+
+    def bloomSemiJoin(
+        probeKey: String,
+        build: DataFrame,
+        buildKey: String,
+        expectedItems: Long = 0L,
+        fpp: Double = BloomJoin.DefaultFpp): DataFrame =
+      BloomJoin.semiJoin(df, probeKey, build, buildKey, expectedItems, fpp)
+
+    def quotaSample(
+        idCol: String,
+        k: Int,
+        strataCols: Seq[String]): DataFrame =
+      Sampling.quotaSample(df, idCol, k, strataCols)
+
+    def keepOnePerCluster(idCol: String, pairs: DataFrame): DataFrame =
+      Dedup.keepOnePerCluster(df, idCol, pairs)
 
     def asOfJoinLeft(
         leftTime: String,

@@ -49,6 +49,25 @@ class SegmentDedupSpec extends SparkSpec {
     }
   }
 
+  test("graft.syntax exposes the r7 operators fluently") {
+    import graft.syntax._
+    val docs = Seq((1L, "a b c d", "en"), (2L, "a b e f", "en"), (3L, "x", "de"))
+      .toDF("doc_id", "text", "lang")
+    docs.chunkWords("doc_id", col("text"), 2).count() shouldBe 5L
+    docs
+      .dedupSegments("doc_id", Chunking.wordWindows(col("text"), 2))
+      .count() shouldBe 3L
+    docs.quotaSample("doc_id", 1, Seq("lang")).count() shouldBe 2L
+    docs
+      .dropSeenIn("text", Seq("x").toDF("t"), "t")
+      .collect()
+      .map(_.getLong(0))
+      .toSet shouldBe Set(1L, 2L)
+    docs
+      .bloomSemiJoin("doc_id", Seq(2L, 3L).toDF("k"), "k")
+      .count() shouldBe 2L
+  }
+
   test("dropSeenIn removes exact text matches against another corpus") {
     val corpus = Seq(
       (1L, "alpha beta"),
