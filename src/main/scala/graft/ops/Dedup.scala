@@ -68,24 +68,39 @@ object Dedup {
     * exchange); reassembly is a per-document aggregation whose state is
     * bounded by document size. Intersecting on hashed longs keeps the
     * shuffle narrow; the reassembly carries segment text exactly once per
-    * occurrence. Caveat: a boilerplate segment duplicated K times lands in
-    * one hash partition — at extreme K pre-aggregate with a salted
-    * two-phase min, same shape as [[graft.ops.SkewJoin]].
+    * occurrence.
+    *
+    * `skewSafe = true` swaps the window for a two-phase min aggregation
+    * plus a hash-join back: partial aggregation collapses a boilerplate
+    * segment's occurrences map-side (the keeper relation holds one row per
+    * DISTINCT segment), and the join probes the hot hash partition
+    * linearly instead of sorting it — the right mode when one segment
+    * ("", a cookie banner) repeats billions of times. Same result; one
+    * extra (tiny, pre-collapsed) shuffle.
     */
   def dedupSegments(
       df: DataFrame,
       idCol: String,
       segments: Column,
-      sep: String = " "): DataFrame = {
+      sep: String = " ",
+      skewSafe: Boolean = false): DataFrame = {
     val occ = Par.fan(df).select(
       col(idCol).as("__id"),
       posexplode(segments).as(Seq("__pos", "__seg")))
       .withColumn("__h", TextFunctions.hash61(col("__seg")))
-    val perSeg = Window.partitionBy(col("__h"))
-    val kept = occ
-      .withColumn(
-        "__keeper",
-        min(struct(col("__id"), col("__pos"))).over(perSeg))
+    val marked =
+      if (skewSafe) {
+        val keepers = occ
+          .groupBy(col("__h"))
+          .agg(min(struct(col("__id"), col("__pos"))).as("__keeper"))
+        occ.join(keepers, "__h")
+      } else {
+        val perSeg = Window.partitionBy(col("__h"))
+        occ.withColumn(
+          "__keeper",
+          min(struct(col("__id"), col("__pos"))).over(perSeg))
+      }
+    val kept = marked
       .filter(
         col("__keeper.__id") === col("__id") &&
           col("__keeper.__pos") === col("__pos"))

@@ -39,6 +39,26 @@ class SegmentDedupSpec extends SparkSpec {
     out(9L) shouldBe (("q q", 1L, 1L))
   }
 
+  test("skewSafe mode produces the identical result on a boilerplate-heavy corpus") {
+    // one segment ("x x") repeated across most docs — the hot-hash case
+    val docs = (1L to 60L).map { i =>
+      i -> (if (i % 3 == 0) s"u$i v$i x x" else s"x x u$i v$i")
+    }
+    val window = run(docs)
+    val agg = Dedup
+      .dedupSegments(
+        docs.toDF("doc_id", "text"),
+        "doc_id",
+        Chunking.wordWindows(col("text"), 2),
+        skewSafe = true)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    agg shouldBe window
+    // "x x" survives exactly once corpus-wide
+    agg.values.count(_._1.contains("x x")) shouldBe 1
+  }
+
   test("every input doc appears in the output exactly once") {
     val docs = (1L to 40L).map(i => i -> s"w${i % 7} w${i % 7} tail$i x")
     val out = run(docs)
