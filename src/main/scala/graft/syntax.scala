@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.StructType
 
 import graft.http.{HttpLookup, HttpSink}
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, Dedup, Multimodal, Sampling, Similarity}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, Dedup, Multimodal, Pca, Sampling, Similarity}
 
 /** Fluent entry points: `import graft.syntax._` and every operator hangs off
   * DataFrame — the one-line switch path for users of the reference connector
@@ -153,6 +153,9 @@ object syntax {
 
     def keepOnePerCluster(idCol: String, pairs: DataFrame): DataFrame =
       Dedup.keepOnePerCluster(df, idCol, pairs)
+
+    def pcaReduce(vecCol: String, k: Int, outCol: String = "pca"): DataFrame =
+      Pca.reduce(df, vecCol, k, outCol)
 
     def asOfJoinLeft(
         leftTime: String,
