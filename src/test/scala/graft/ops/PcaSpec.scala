@@ -65,6 +65,40 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("PCA-reduced vectors preserve brute-force cosine top-1 on clustered data") {
+    // three well-separated direction clusters in 8 dims; after a 3-dim PCA
+    // the nearest neighbor by cosine must be a same-cluster vector
+    val dirs = Seq(
+      Array(1.0, 0, 0, 0, 0, 0, 0, 0),
+      Array(0, 0, 1.0, 0, 0, 0, 0, 0),
+      Array(0, 0, 0, 0, 0, 1.0, 0, 0))
+    val pts = (0 until 90).map { i =>
+      val c = i % 3
+      val v = Array.tabulate(8)(d => dirs(c)(d) + 0.05 * noise(i, d))
+      (i.toLong, c, v.map(_.toFloat))
+    }
+    val df = pts.toDF("id", "cluster", "vec")
+    val m = Pca.fit(df, "vec", 3)
+    val reduced = df
+      .withColumn("rvec", Pca.project(m, col("vec")).cast("array<float>"))
+      .select(col("id"), col("cluster"), col("rvec"))
+    val queries = reduced
+      .filter(col("id") < 3)
+      .select(col("id").as("qid"), col("rvec").as("qvec"))
+    val top = Similarity
+      .bruteForceTopK(
+        reduced.filter(col("id") >= 3), "id", "rvec",
+        queries, "qid", "qvec", k = 1)
+      .collect()
+    top.length shouldBe 3
+    // neighbor cluster == query cluster (ids 0,1,2 are clusters 0,1,2)
+    top.foreach { r =>
+      val qid = r.getLong(0)
+      val nid = r.getLong(1)
+      (nid % 3) shouldBe (qid % 3)
+    }
+  }
+
   test("reduce appends the projection column; invalid k rejected") {
     val df = (0 until 10)
       .map(i => (i.toLong, Array.tabulate(3)(d => noise(i, d).toFloat)))

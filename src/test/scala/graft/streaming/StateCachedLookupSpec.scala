@@ -42,6 +42,17 @@ class StateCachedLookupSpec extends SparkSpec with BeforeAndAfterAll {
           case None => (400, "no id")
         }
       }
+      .route("/search") { req =>
+        hits.incrementAndGet()
+        // body-based lookup: {"id":"<v>"} → name echo
+        val id = "\"id\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(req.body).map(_.group(1)).getOrElse("?")
+        (200, s"""{"name": "post-$id"}""")
+      }
+      .route("/flaky") { _ =>
+        hits.incrementAndGet()
+        (500, "boom")
+      }
       .start()
   }
 
@@ -130,6 +141,76 @@ class StateCachedLookupSpec extends SparkSpec with BeforeAndAfterAll {
       sink2.get(202L) shouldBe "user-3"
       sink2.get(200L) shouldBe "user-1"
     } finally q2.stop()
+  }
+
+  test("body-based POST lookups key the state by rendered body") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-state-lookup-post").toString
+    hits.set(0)
+
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "a"), (2L, "b"), (3L, "a"))
+    val sink = new ConcurrentHashMap[Long, String]()
+    val q = HttpLookup.joinStateCached(
+      input.toDF().toDF("event", "id"),
+      keyCols = Seq("id"),
+      responseSchema = responseSchema,
+      options = Map(
+        "url" -> server.url("/search"),
+        "lookup-method" -> "POST",
+        "lookup.partial-cache.expire-after-write" -> "10 min"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.collect().foreach(r => sink.put(r.getLong(0), r.getString(2)))
+      }
+      .start()
+    try {
+      awaitEvents(q, sink, 1L, 2L, 3L)
+      // two distinct bodies -> two calls; duplicate body served from group
+      hits.get() shouldBe 2
+      sink.get(1L) shouldBe "post-a"
+      sink.get(3L) shouldBe "post-a"
+      sink.get(2L) shouldBe "post-b"
+    } finally q.stop()
+  }
+
+  test("error outcomes are not cached; continue-on-error yields null enrichment") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-state-lookup-err").toString
+    hits.set(0)
+
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "x"))
+    val sink = new ConcurrentHashMap[Long, String]()
+    val q = HttpLookup.joinStateCached(
+      input.toDF().toDF("event", "id"),
+      keyCols = Seq("id"),
+      responseSchema = responseSchema,
+      options = Map(
+        "url" -> server.url("/flaky"),
+        "lookup-method" -> "GET",
+        "http.source.lookup.continue-on-error" -> "true",
+        "lookup.partial-cache.expire-after-write" -> "10 min"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          sink.put(r.getLong(0), Option(r.getString(2)).getOrElse("<null>")))
+      }
+      .start()
+    try {
+      awaitEvents(q, sink, 1L)
+      sink.get(1L) shouldBe "<null>"
+      val after = hits.get()
+      after should be >= 1
+      // a 500 outcome must NOT be cached: the next batch re-attempts
+      input.addData((2L, "x"))
+      awaitEvents(q, sink, 2L)
+      hits.get() should be > after
+    } finally q.stop()
   }
 
   test("expire-after-write forces a re-fetch once the entry is stale") {
