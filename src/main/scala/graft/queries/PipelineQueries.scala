@@ -191,6 +191,18 @@ object PipelineQueries {
           n = 3, bands = 4, threshold = 0.5))
     },
 
+    // ----- end-to-end near-dup removal: pairs → clusters → keep-one -----
+    "p_dedup_survivors" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup
+        .keepOnePerCluster(
+          docs,
+          "doc_id",
+          Dedup.minhashLshPairs(
+            docs, "doc_id", "text", n = 3, bands = 4, threshold = 0.5))
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+
     // ----- trained bigram-LM fluency scoring -----
     "t_bigram_fluency" -> { (s, dir) =>
       graft.ops.NgramLm.bigramFluency(
@@ -515,6 +527,26 @@ object PipelineQueries {
          |  SELECT e.n, r.m FROM edges e JOIN reach r ON e.m = r.n)
          |SELECT n AS doc_id, least(n, min(m)) AS cluster_id
          |FROM reach GROUP BY n""".stripMargin
+    },
+    "p_dedup_survivors" -> {
+      // the full dedup pipeline: minhash pairs → transitive closure →
+      // drop non-representatives; survivors = docs that are their own
+      // cluster label (or unclustered)
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pairs AS (
+         |  SELECT id_a, id_b FROM verified WHERE i * 1.0 / u >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS n, id_b AS m FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS n, id_a AS m FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT n, m FROM edges
+         |  UNION
+         |  SELECT e.n, r.m FROM edges e JOIN reach r ON e.m = r.n),
+         |lbl AS (SELECT n, least(n, min(m)) AS c FROM reach GROUP BY n)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM lbl WHERE lbl.n = d.doc_id AND lbl.n <> lbl.c)""".stripMargin
     },
     "t_bigram_fluency" -> {
       // replays NgramLm.bigramFluency: integer-scaled conditional
