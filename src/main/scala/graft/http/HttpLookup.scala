@@ -51,6 +51,9 @@ object HttpLookup {
   val MetaHeadersMap = "http_headers_map"
   val MetaCompletionState = "http_completion_state"
 
+  /** Emitted only under [[HttpOptions.EmitMatchColumn]] (internal). */
+  val MatchedColumn = "__graft_matched"
+
   /** Serializable per-task I/O config. */
   private final case class IoConfig(
       method: String,
@@ -96,9 +99,13 @@ object HttpLookup {
       },
       clientCfg = HttpClientFactory.ClientConfig.fromOptions(o),
       concurrency =
-        if (o.bool(HttpOptions.AsyncPolling, default = false))
-          o.int(HttpOptions.RequestThreadPool, 8)
-        else 1,
+        if (o.bool(HttpOptions.AsyncPolling, default = false)) {
+          // no separate response stage in the pipelined iterator: honor
+          // both reference pool knobs as one in-flight bound (see
+          // HttpOptions.ResponseThreadPool)
+          val req = o.int(HttpOptions.RequestThreadPool, 8)
+          math.max(req, o.int(HttpOptions.ResponseThreadPool, req))
+        } else 1,
       continueOnError = o.bool(HttpOptions.ContinueOnError, default = false),
       cacheId = options.toSeq.sorted.mkString("|"),
       cacheOptions = options,
@@ -293,7 +300,8 @@ object HttpLookup {
         } else {
           val buffered = rows.toSeq // bounded: rows for ONE key in ONE batch
           val now = System.currentTimeMillis()
-          val oc = state.getOption
+          val cached = state.getOption
+          val oc = cached
             .filter(c => now - c.fetchedAtMs < ttlMs)
             .map(c => HttpOutcome(
               c.status.map(Integer.valueOf).orNull,
@@ -311,6 +319,12 @@ object HttpLookup {
                   Option(outcome.status).map(_.intValue),
                   outcome.body, outcome.headers, outcome.state,
                   outcome.error, now))
+              } else if (cached.isDefined) {
+                // Validity is write-based but eviction is access-based:
+                // without this, a stale entry for a persistently failing key
+                // would have its timer re-armed on every access and never
+                // leave the store.
+                state.remove()
               }
               outcome
             }
@@ -415,17 +429,33 @@ object HttpLookup {
         when(col(Undec), lit(null).cast(schemaWithCorrupt))
           .otherwise(col(RespParsed)))
 
-    if (isArray) {
+    val leftOuter = o.str(HttpOptions.LookupJoinType, "inner")
+      .toLowerCase match {
+      case "inner" => false
+      case "left" | "left_outer" | "leftouter" => true
+      case other => throw new HttpConfigException(
+        s"Unknown ${HttpOptions.LookupJoinType} '$other' (inner|left)")
+    }
+
+    if (isArray && !leftOuter) {
       // A valid empty-array response means "no result": the reference's
       // lookup function returns zero rows and the (inner) lookup join emits
       // nothing — drop the explode_outer placeholder row rather than
-      // misreporting it.
+      // misreporting it. (LEFT keeps it: probe row with null enrichment.)
       out = out.filter(
         !(col(RespState) === CompletionState.Success &&
           col(ArrParsed).isNotNull && size(col(ArrParsed)) === 0))
     }
 
-    if (!includeMetadata) {
+    if (leftOuter) {
+      // LEFT-join semantics: a no-match (ignored status, e.g. 404) keeps
+      // the probe row; its enrichment struct is nulled so the response
+      // columns come out null rather than parsed from the error body.
+      out = out.withColumn(
+        RespParsed,
+        when(col(RespState) === CompletionState.Success, col(RespParsed))
+          .otherwise(lit(null).cast(schemaWithCorrupt)))
+    } else if (!includeMetadata) {
       // Inner-join semantics: ignored responses emit no row when no metadata
       // columns are declared (docs: "Available Metadata").
       out = out.filter(col(RespState) =!= CompletionState.IgnoreStatusCode)
@@ -443,8 +473,15 @@ object HttpLookup {
           col(RespHeaders).as(MetaHeadersMap),
           col(RespState).as(MetaCompletionState))
       else Seq.empty[Column]
+    // internal marker for SQL LEFT-join rewrites: did the lookup produce an
+    // actual enrichment struct (vs a kept-but-unmatched probe row)?
+    val matchCols =
+      if (o.bool(HttpOptions.EmitMatchColumn, default = false))
+        Seq((col(RespState) === CompletionState.Success &&
+          col(RespParsed).isNotNull).as(MatchedColumn))
+      else Seq.empty[Column]
 
-    out.select(probeCols ++ respCols ++ metaCols: _*)
+    out.select(probeCols ++ respCols ++ metaCols ++ matchCols: _*)
   }
 
   // ---------------------------------------------------------------------

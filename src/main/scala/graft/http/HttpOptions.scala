@@ -80,6 +80,16 @@ object HttpOptions {
   val RequestTimeout = "http.source.lookup.request.timeout"
   val ConnectionTimeout = "http.source.lookup.connection.timeout"
   val RequestThreadPool = "http.source.lookup.request.thread-pool.size"
+
+  /** Reference parity (`table/http.md` option table): Flink's async lookup
+    * splits request issuing and response processing into two pools. The
+    * Spark re-expression pipelines request + decode on one bounded worker
+    * set inside each partition, so there is no separate response stage —
+    * the effective in-flight bound honors BOTH knobs as
+    * `max(request-pool, response-pool)`, so a user sizing either one gets
+    * at least the parallelism they asked for.
+    */
+  val ResponseThreadPool = "http.source.lookup.response.thread-pool.size"
   val UseRawAuthHeader = "http.source.lookup.use-raw-authorization-header"
   val ResultType = "http.source.lookup.result-type"
   val BodyTemplate = "http.request.body-template"
@@ -105,8 +115,34 @@ object HttpOptions {
   val SinkRequestTimeout = "http.sink.request.timeout"
   val SinkThreadPool = "http.sink.writer.thread-pool.size"
   val SinkMaxInflight = "sink.requests.max-inflight"
+  /** Reference parity (AsyncSinkBase `maxTimeInBufferMS` /
+    * `sink.flush-buffer.timeout`): oldest buffered row age that forces a
+    * partial-batch submit, bounding buffer residency inside long streaming
+    * micro-batches. 0 (default) disables: batches flush when full and at
+    * partition end. Time-based flush makes batch FRAMING time-dependent —
+    * don't combine with idempotency keys expecting replay-stable batch
+    * bodies (single mode is unaffected).
+    */
+  val SinkFlushTimeout = "sink.flush-buffer.timeout"
+
   val SinkIdempotencyHeader = "http.sink.idempotency.header"
   val SinkIdempotencyNonce = "http.sink.idempotency.nonce"
   val SinkIdempotencySort = "http.sink.idempotency.sort"
   val AllowSelfSigned = "http.security.cert.server.allowSelfSigned"
+
+  /** `inner` (default) or `left`: LEFT keeps probe rows whose lookup found
+    * no match (ignored status such as a 404, or a valid empty-array
+    * response) with null enrichment columns — the lookup-join analog of
+    * Flink's `LEFT JOIN … FOR SYSTEM_TIME AS OF`. Transport errors are
+    * still governed by [[ContinueOnError]]: LEFT answers "no such key",
+    * not "the service is down".
+    */
+  val LookupJoinType = "http.source.lookup.join-type"
+
+  /** Internal (used by the SQL join rewrite): emit a boolean
+    * `__graft_matched` column marking rows whose lookup produced an actual
+    * enrichment struct, so LEFT-join rewrites can null the echoed key
+    * columns on non-matches.
+    */
+  val EmitMatchColumn = "http.source.lookup.emit-match-column"
 }

@@ -240,7 +240,8 @@ private[graft] final case class SinkRuntime(
     headerPreprocessors: Seq[HeaderPreprocessor],
     idempotencyHeader: Option[String] = None,
     idempotencyNonce: String = "",
-    idempotencySort: Boolean = false)
+    idempotencySort: Boolean = false,
+    flushTimeoutMs: Long = 0L)
     extends Serializable {
 
   /** Executor-side: a buffering writer over a bounded-in-flight submitter.
@@ -277,7 +278,8 @@ private[graft] final case class SinkRuntime(
     new SinkRuntime.PartitionWriter(
       submitter, batchSize, mode, format,
       idempotencyHeader.map(h =>
-        (h, new IdempotencyKeys.Keyer(idempotencyNonce, epochId, partitionId))))
+        (h, new IdempotencyKeys.Keyer(idempotencyNonce, epochId, partitionId))),
+      flushTimeoutMs)
   }
 }
 
@@ -332,16 +334,51 @@ private[graft] object SinkRuntime {
       headerPreprocessors = headerPreprocessors,
       idempotencyHeader = o.strOpt(HttpOptions.SinkIdempotencyHeader),
       idempotencyNonce = o.str(HttpOptions.SinkIdempotencyNonce, ""),
-      idempotencySort = o.bool(HttpOptions.SinkIdempotencySort, default = false))
+      idempotencySort = o.bool(HttpOptions.SinkIdempotencySort, default = false),
+      flushTimeoutMs = o.durationMs(HttpOptions.SinkFlushTimeout, 0L))
   }
+
+  /** Shared daemon scheduler for time-based partial-batch flushes: one
+    * thread per executor JVM regardless of task count (the checks are
+    * microsecond no-ops unless a flush fires).
+    */
+  private lazy val flushScheduler =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-http-sink-flush")
+      t.setDaemon(true)
+      t
+    })
 
   private[graft] final class PartitionWriter(
       submitter: HttpSink.BatchSubmitter,
       batchSize: Int,
       mode: String,
       format: PayloadFormat,
-      keying: Option[(String, IdempotencyKeys.Keyer)] = None) {
+      keying: Option[(String, IdempotencyKeys.Keyer)] = None,
+      flushTimeoutMs: Long = 0L) {
     private val batch = new scala.collection.mutable.ArrayBuffer[String](batchSize)
+    private var oldestAddNanos = 0L
+
+    // `sink.flush-buffer.timeout`: bound how long a partially-filled batch
+    // can sit while the partition iterator is slow (long streaming
+    // micro-batches) — the AsyncSink maxTimeInBufferMS analog. Single mode
+    // never buffers, so no timer.
+    private val timer: Option[java.util.concurrent.ScheduledFuture[_]] =
+      if (flushTimeoutMs > 0 && batchSize > 1)
+        Some(flushScheduler.scheduleWithFixedDelay(
+          () => timedFlush(),
+          flushTimeoutMs,
+          math.max(flushTimeoutMs / 2, 10L),
+          java.util.concurrent.TimeUnit.MILLISECONDS))
+      else None
+
+    private def timedFlush(): Unit = synchronized {
+      if (batch.nonEmpty &&
+        System.nanoTime() - oldestAddNanos >= flushTimeoutMs * 1000000L) {
+        submit(frame(batch.toSeq))
+        batch.clear()
+      }
+    }
 
     private def submit(body: String): Unit = {
       val extra = keying match {
@@ -351,7 +388,8 @@ private[graft] object SinkRuntime {
       submitter.submit(body, extra)
     }
 
-    def add(payload: String): Unit = {
+    def add(payload: String): Unit = synchronized {
+      if (batch.isEmpty) oldestAddNanos = System.nanoTime()
       batch += payload
       if (batch.size >= batchSize) {
         submit(frame(batch.toSeq))
@@ -360,9 +398,12 @@ private[graft] object SinkRuntime {
     }
 
     def flush(): Unit = {
-      if (batch.nonEmpty) {
-        submit(frame(batch.toSeq))
-        batch.clear()
+      timer.foreach(_.cancel(false))
+      synchronized {
+        if (batch.nonEmpty) {
+          submit(frame(batch.toSeq))
+          batch.clear()
+        }
       }
       submitter.awaitAll()
     }

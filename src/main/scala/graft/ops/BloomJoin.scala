@@ -21,9 +21,14 @@ import org.apache.spark.sql.types._
   * is EXACTLY the plain join's: the Bloom pass only routes rows, the exact
   * join decides them.
   *
-  * Memory bound: `numBits = -n·ln(fpp)/ln²2` ≈ 7.3 bits/key at fpp=0.03 —
-  * 10⁹ build keys ≈ 0.9 GB, so size `fpp` to the driver/executor budget
-  * (the default cap keeps it ≤ 64 MB unless raised).
+  * Memory bound: `numBits = -n·ln(fpp)/ln²2` ≈ 7.3 bits/key at fpp=0.03.
+  * [[BloomFilterAggregate]] rejects sizes above the session confs
+  * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4M keys)
+  * and `.maxNumBits` (default 64 Mbit = 8 MB), so both are clamped to the
+  * session's values here — past the clamp the filter silently degrades
+  * toward a higher effective fpp (more rows take the exact-join detour;
+  * the result stays exact). For very large build sides raise those confs
+  * to the executor-memory budget.
   */
 object BloomJoin {
 
@@ -32,36 +37,40 @@ object BloomJoin {
     */
   val DefaultFpp = 0.03
 
-  /** Hard cap on filter size (512 MB) — past this the filter itself becomes
-    * the broadcast problem it was meant to avoid.
-    */
-  val MaxNumBits: Long = 1L << 32
-
-  private def numBitsFor(n: Long, fpp: Double): Long = {
+  private def numBitsFor(n: Long, fpp: Double, maxBits: Long): Long = {
     val bits = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    math.min(math.max(bits, 64L), MaxNumBits)
+    math.min(math.max(bits, 64L), maxBits)
   }
 
   /** The build side's keys as a Bloom filter byte blob (driver-held,
-    * size-bounded by `numBitsFor`), built in one distributed partial-agg
-    * pass over `xxhash64(key)`.
+    * size-clamped to the session's runtime bloom-filter confs), built in
+    * one distributed partial-agg pass over `xxhash64(key)`. `None` when the
+    * build side has no non-null keys — the aggregate evaluates to SQL NULL
+    * over zero rows, which the callers must treat as "no filter", not
+    * "matches nothing".
     */
   private def buildFilter(
       build: DataFrame,
       buildKey: String,
       expectedItems: Long,
-      fpp: Double): Array[Byte] = {
-    val n = if (expectedItems > 0) expectedItems
+      fpp: Double): Option[Array[Byte]] = {
+    val conf = build.sparkSession.sessionState.conf
+    import org.apache.spark.sql.internal.SQLConf
+    val maxItems = conf.getConf(SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
+    val maxBits = conf.getConf(SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
+    val requested = if (expectedItems > 0) expectedItems
       else math.max(build.count(), 1L)
+    val n = math.min(requested, maxItems)
     val agg = new BloomFilterAggregate(
       ColumnShim.expression(xxhash64(col(buildKey))),
       Literal(n),
-      Literal(numBitsFor(n, fpp))).toAggregateExpression()
-    build
-      .filter(col(buildKey).isNotNull)
-      .select(ColumnShim.column(agg))
-      .head()
-      .getAs[Array[Byte]](0)
+      Literal(numBitsFor(n, fpp, maxBits))).toAggregateExpression()
+    Option(
+      build
+        .filter(col(buildKey).isNotNull)
+        .select(ColumnShim.column(agg))
+        .head()
+        .getAs[Array[Byte]](0))
   }
 
   /** `might-contain(key)` as a codegen'd predicate over the serialized
@@ -102,14 +111,22 @@ object BloomJoin {
     require(
       probeKey != BuildKeyAlias,
       s"probe key must not be named $BuildKeyAlias")
-    val bloom = buildFilter(build, buildKey, expectedItems, fpp)
-    val k = col(probeKey)
-    val maybe = mightContain(bloom, k)
-    val clear = probe.filter(k.isNull || !maybe)
-    val checked = probe
-      .filter(k.isNotNull && maybe)
-      .join(keyedBuild(build, buildKey), k === col(BuildKeyAlias), "left_anti")
-    clear.union(checked)
+    buildFilter(build, buildKey, expectedItems, fpp) match {
+      case None =>
+        // Empty build side: nothing to subtract — the anti-join identity.
+        probe
+      case Some(bloom) =>
+        val k = col(probeKey)
+        val maybe = mightContain(bloom, k)
+        val clear = probe.filter(k.isNull || !maybe)
+        val checked = probe
+          .filter(k.isNotNull && maybe)
+          .join(
+            keyedBuild(build, buildKey),
+            k === col(BuildKeyAlias),
+            "left_anti")
+        clear.union(checked)
+    }
   }
 
   /** Exact semi-join, Bloom-accelerated: rows of `probe` whose `probeKey`
@@ -127,10 +144,18 @@ object BloomJoin {
     require(
       probeKey != BuildKeyAlias,
       s"probe key must not be named $BuildKeyAlias")
-    val bloom = buildFilter(build, buildKey, expectedItems, fpp)
-    val k = col(probeKey)
-    probe
-      .filter(k.isNotNull && mightContain(bloom, k))
-      .join(keyedBuild(build, buildKey), k === col(BuildKeyAlias), "left_semi")
+    buildFilter(build, buildKey, expectedItems, fpp) match {
+      case None =>
+        // Empty build side: nothing can match — the semi-join zero.
+        probe.filter(lit(false))
+      case Some(bloom) =>
+        val k = col(probeKey)
+        probe
+          .filter(k.isNotNull && mightContain(bloom, k))
+          .join(
+            keyedBuild(build, buildKey),
+            k === col(BuildKeyAlias),
+            "left_semi")
+    }
   }
 }

@@ -70,20 +70,25 @@ object Dedup {
     * shuffle narrow; the reassembly carries segment text exactly once per
     * occurrence.
     *
-    * `skewSafe = true` swaps the window for a two-phase min aggregation
-    * plus a hash-join back: partial aggregation collapses a boilerplate
-    * segment's occurrences map-side (the keeper relation holds one row per
-    * DISTINCT segment), and the join probes the hot hash partition
-    * linearly instead of sorting it — the right mode when one segment
-    * ("", a cookie banner) repeats billions of times. Same result; one
-    * extra (tiny, pre-collapsed) shuffle.
+    * `skewSafe` (the DEFAULT) swaps the per-segment window for a two-phase
+    * min aggregation plus a hash-join back: partial aggregation collapses a
+    * boilerplate segment's occurrences map-side (the keeper relation holds
+    * one row per DISTINCT segment), and the join probes the hot hash
+    * partition linearly instead of sorting it. Segment dedup exists for
+    * boilerplate-heavy corpora, where a hot segment ("", a cookie banner)
+    * repeats billions of times — under the window mode all those
+    * occurrences land on ONE task, so the scale-safe plan must be the one
+    * you get without reading scaladoc. Same result either way; the
+    * two-phase mode costs one extra (tiny, pre-collapsed) shuffle, which is
+    * why `skewSafe = false` remains available for corpora known to have no
+    * hot segments.
     */
   def dedupSegments(
       df: DataFrame,
       idCol: String,
       segments: Column,
       sep: String = " ",
-      skewSafe: Boolean = false): DataFrame = {
+      skewSafe: Boolean = true): DataFrame = {
     val occ = Par.fan(df).select(
       col(idCol).as("__id"),
       posexplode(segments).as(Seq("__pos", "__seg")))

@@ -32,12 +32,23 @@ object NgramLm {
     * Output: (doc_id, n_bigrams, fluency) — documents with fewer than two
     * words carry no bigrams and emit no row. `fluency` is in [0, scale]:
     * scale means every transition is deterministic given its prefix.
+    *
+    * Skew posture: natural-language bigram frequency is power-law ("of
+    * the" can be percents of the whole stream), so joining the exploded
+    * stream against the probability table on the raw bigram would send a
+    * hot bigram's entire occurrence mass to one shuffle partition. The
+    * `hotK` most frequent bigrams' probabilities (a bounded top-K — K rows
+    * on the driver, never the model) are therefore BROADCAST and joined
+    * map-side; only the tail — whose per-key count is by construction
+    * ≤ the K-th hottest count — takes the shuffled join. Result-identical
+    * to the single-join plan; `hotK = 0` disables the split.
     */
   def bigramFluency(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      hotK: Int = 1024): DataFrame = {
     // one explode feeds training and scoring (cached: read three times)
     val bigrams = Par.cached(
       Par.fan(df).select(
@@ -57,9 +68,27 @@ object NgramLm {
       .join(prefixCounts, "w1")
       .select(
         col("bigram"),
+        col("c2"),
         expr(s"(c2 * ${scale}L) div c1").as("micro"))
-    bigrams
-      .join(probs, "bigram")
+
+    val scored =
+      if (hotK <= 0)
+        bigrams.join(probs.drop("c2"), "bigram")
+      else {
+        // hot/tail split on the K most frequent bigrams (ties broken on the
+        // bigram itself so the split is deterministic)
+        val hot = probs
+          .orderBy(col("c2").desc, col("bigram"))
+          .limit(hotK)
+          .drop("c2")
+        val hotMass = bigrams.join(broadcast(hot), "bigram")
+        val tailProbs = probs.drop("c2")
+          .join(broadcast(hot.select(col("bigram"))), Seq("bigram"), "left_anti")
+        val tailMass = bigrams.join(tailProbs, "bigram")
+        hotMass.unionByName(tailMass)
+      }
+
+    scored
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),

@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, EqualTo, Expression, ExprId, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -48,16 +48,27 @@ case class HttpLookupJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
         "a graft-http-lookup table must be joined directly " +
           "(probe JOIN api ON probe.k = api.k); apply projections or " +
           "filters around the join, not between the join and the table"))
-      if (j.joinType != Inner)
-        throw new HttpConfigException(
-          s"graft-http-lookup joins must be INNER joins (got " +
-            s"${j.joinType.sql}); rows without a lookup response are kept " +
-            "with null enrichment by setting " +
-            "'http.source.lookup.continue-on-error'='true' instead")
+      // INNER drops probe rows without a lookup match; LEFT (probe LEFT
+      // JOIN api — or api RIGHT JOIN probe) keeps them with null
+      // enrichment, the lookup analog of Flink's outer
+      // `FOR SYSTEM_TIME AS OF` joins. Outer-preserving the LOOKUP side is
+      // meaningless (the service's key space is not enumerable) and fails.
+      val leftOuter = j.joinType match {
+        case Inner => false
+        case LeftOuter if lookupOnRight => true
+        case RightOuter if !lookupOnRight => true
+        case other =>
+          throw new HttpConfigException(
+            s"graft-http-lookup joins support INNER, and LEFT OUTER " +
+              s"preserving the probe side (got ${other.sql} preserving the " +
+              "lookup table, whose key space cannot be enumerated); for " +
+              "transport errors see " +
+              "'http.source.lookup.continue-on-error'")
+      }
       val cond = j.condition.getOrElse(throw new HttpConfigException(
         "a graft-http-lookup join needs an equi-join condition naming the " +
           "lookup key columns (ON probe.k = api.k)"))
-      rewrite(probeSide, lookupSide, rel, cond, lookupOnRight)
+      rewrite(probeSide, lookupSide, rel, cond, lookupOnRight, leftOuter)
   }
 
   private def containsLookup(p: LogicalPlan): Boolean = p.exists {
@@ -92,7 +103,8 @@ case class HttpLookupJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       lookupSide: LogicalPlan,
       rel: DataSourceV2Relation,
       cond: Expression,
-      lookupOnRight: Boolean): LogicalPlan = {
+      lookupOnRight: Boolean,
+      leftOuter: Boolean): LogicalPlan = {
     val table = rel.table.asInstanceOf[HttpLookupTable]
     val lookupAttrs = lookupSide.outputSet
     val probeAttrs = probeSide.outputSet
@@ -149,8 +161,36 @@ case class HttpLookupJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       }
 
+    if (leftOuter && extraFilters.nonEmpty)
+      throw new HttpConfigException(
+        "LEFT graft-http-lookup joins do not support multiple equalities " +
+          "against the same lookup key in the ON clause (a failed extra " +
+          "equality would need to null the enrichment, not drop the row); " +
+          "use one equality per key and move the rest to WHERE")
+
+    val options =
+      if (leftOuter)
+        table.options +
+          (graft.http.HttpOptions.LookupJoinType -> "left") +
+          (graft.http.HttpOptions.EmitMatchColumn -> "true")
+      else table.options
     var enriched =
-      HttpLookup.join(probe, keyNames.toSeq, table.schema(), table.options)
+      HttpLookup.join(probe, keyNames.toSeq, table.schema(), options)
+    if (leftOuter) {
+      // SQL outer-join semantics: the lookup side's ECHOED key columns must
+      // be null on non-matching rows (the render column naturally carries
+      // the probe's key value).
+      val matched = col(HttpLookup.MatchedColumn)
+      pairs.map(_._1).distinctBy(_.exprId).foreach { lk =>
+        enriched = enriched.withColumn(
+          lk.name,
+          org.apache.spark.sql.functions
+            .when(matched, col(lk.name))
+            .otherwise(org.apache.spark.sql.functions.lit(null)
+              .cast(lk.dataType)))
+      }
+      enriched = enriched.drop(HttpLookup.MatchedColumn)
+    }
     extraFilters.foreach(f => enriched = enriched.filter(f))
     val enrichedPlan = enriched.queryExecution.analyzed
     val byName = enrichedPlan.output.map(a => a.name -> a).toMap

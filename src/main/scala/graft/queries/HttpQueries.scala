@@ -74,24 +74,35 @@ object HttpQueries {
   // attached at session build, and the driver's Verify/Bench session is
   // extension-free): built once per JVM on the shared SparkContext, exactly
   // like HttpLookupTableSpec does.
+  //
+  // The clear/getOrCreate/restore dance below briefly unsets the JVM-global
+  // default/active session; a concurrent query on the primary session in
+  // another driver thread during that window could observe no default
+  // session or bind to the extensions session. The Verify/Bench drivers run
+  // queries sequentially, and the `SparkSession` class lock serializes any
+  // overlap with another builder — but guard the window anyway so the
+  // helper stays safe if a harness ever goes concurrent.
   private val extSessions = new ConcurrentHashMap[String, SparkSession]()
   private def extensionsSession(s: SparkSession): SparkSession =
     extSessions.computeIfAbsent(
       "x",
-      _ => {
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        val x = SparkSession.builder()
-          .config(
-            "spark.sql.shuffle.partitions",
-            s.conf.get("spark.sql.shuffle.partitions"))
-          .config("spark.sql.session.timeZone", "UTC")
-          .withExtensions(new graft.plans.GraftExtensions)
-          .getOrCreate()
-        SparkSession.setDefaultSession(s)
-        SparkSession.setActiveSession(s)
-        x
-      })
+      _ =>
+        classOf[SparkSession].synchronized {
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          try {
+            SparkSession.builder()
+              .config(
+                "spark.sql.shuffle.partitions",
+                s.conf.get("spark.sql.shuffle.partitions"))
+              .config("spark.sql.session.timeZone", "UTC")
+              .withExtensions(new graft.plans.GraftExtensions)
+              .getOrCreate()
+          } finally {
+            SparkSession.setDefaultSession(s)
+            SparkSession.setActiveSession(s)
+          }
+        })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- HTTP lookup join: orders enriched from the customer service -----
@@ -162,6 +173,42 @@ object HttpQueries {
           |WHERE a.c_acctbal > 0""".stripMargin)
     },
 
+    // ----- DSv2 lookup TABLE, LEFT JOIN: probe rows without a match (the
+    // stub 404s unknown keys; every third probe key is negated so it cannot
+    // exist) survive with null enrichment AND a null echoed key — plain SQL
+    // outer-join semantics over the HTTP lookup. -----
+    "h_table_lookup_left" -> { (s, dir) =>
+      val url = customerServiceUrl(s, dir)
+      val x = extensionsSession(s)
+      x.sql("DROP TABLE IF EXISTS customer_api_left")
+      x.sql(
+        s"""CREATE TABLE customer_api_left (
+           |  c_custkey STRING, c_name STRING, c_nationkey INT,
+           |  c_acctbal DOUBLE, c_mktsegment STRING)
+           |USING `graft-http-lookup`
+           |OPTIONS (
+           |  url '$url',
+           |  asyncPolling 'true',
+           |  `http.source.lookup.request.thread-pool.size` '2',
+           |  `http.source.lookup.dedup-keys` 'true',
+           |  `lookup.cache` 'PARTIAL',
+           |  `lookup.partial-cache.max-rows` '200000',
+           |  `http.source.lookup.success-codes` '2XX',
+           |  `http.source.lookup.ignored-response-codes` '404')""".stripMargin)
+      x.read.parquet(s"$dir/orders.parquet")
+        .withColumn(
+          "probe_key",
+          when(col("o_orderkey") % 3 === 0, -col("o_custkey"))
+            .otherwise(col("o_custkey")))
+        .createOrReplaceTempView("orders_probe_left")
+      x.sql(
+        """SELECT p.o_orderkey, p.probe_key,
+          |  CAST(a.c_custkey AS BIGINT) AS c_custkey_r,
+          |  a.c_name, a.c_nationkey, a.c_acctbal
+          |FROM orders_probe_left p LEFT JOIN customer_api_left a
+          |  ON p.probe_key = a.c_custkey""".stripMargin)
+    },
+
     // ----- HTTP sink round-trip: aggregate → POST batches → reassemble -----
     "h_sink_roundtrip" -> { (s, dir) =>
       val agg = s.read
@@ -202,6 +249,14 @@ object HttpQueries {
       """SELECT o_orderkey, c_name, c_nationkey, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_acctbal > 0""".stripMargin,
+    "h_table_lookup_left" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN -o_custkey ELSE o_custkey END
+        |    AS probe_key,
+        |  c_custkey AS c_custkey_r, c_name, c_nationkey, c_acctbal
+        |FROM orders LEFT JOIN customer
+        |  ON (CASE WHEN o_orderkey % 3 = 0 THEN -o_custkey
+        |      ELSE o_custkey END) = c_custkey""".stripMargin,
     "h_sink_roundtrip" ->
       """SELECT c_nationkey, count(*) AS n_customers,
         |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal

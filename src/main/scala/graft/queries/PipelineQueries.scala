@@ -401,6 +401,23 @@ object PipelineQueries {
       Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
     },
 
+    // ----- PCA -> ANN end-to-end (rows-only gate: float-sum reassociation
+    // keeps PCA itself out of hash gating, but the composed pipeline's
+    // schema and row count are pinned here: every vector reduces to k dims
+    // and lands in exactly one coarse cell) -----
+    "s_pca_ann" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val reduced = graft.ops.Pca.reduce(emb, "embedding", 8, "pca")
+        .withColumn("pca", col("pca").cast("array<float>"))
+      val centroids = reduced
+        .filter(col("vec_id") < 4)
+        .orderBy(col("vec_id"))
+        .select(col("pca"))
+        .collect()
+        .map(_.getSeq[Float](0).toArray)
+      Similarity.ivfAssign(reduced, "vec_id", "pca", centroids)
+    },
+
     // ----- embedding-cosine near-dup pairs (LSH-blocked scale path) -----
     // Gates the bucket-blocked variant (pair space per bucket, never
     // corpus²); the deterministic md5-derived hyperplanes are replayed in
@@ -443,7 +460,19 @@ object PipelineQueries {
     },
 
     // ----- segment-level corpus dedup (first occurrence survives) -----
+    // window mode (explicit opt-out of the skew-safe default)
     "p_segment_dedup" -> { (s, dir) =>
+      Dedup.dedupSegments(
+        t(s, dir, "documents"),
+        "doc_id",
+        Chunking.wordWindows(col("text"), 10),
+        skewSafe = false)
+    },
+
+    // the skew-safe two-phase plan (the default): same oracle, different
+    // physical shape — hot segments collapse map-side instead of landing on
+    // one window task
+    "p_segment_dedup_skewsafe" -> { (s, dir) =>
       Dedup.dedupSegments(
         t(s, dir, "documents"),
         "doc_id",
@@ -488,6 +517,31 @@ object PipelineQueries {
       Multimodal.frameSample(staged, "doc_id", "blob", every = 4)
         .select(col("doc_id"), col("frame_idx"))
     })
+
+  private lazy val segmentDedupOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, CAST(ceil(len(w) / 10.0) AS BIGINT) AS nc, w FROM d),
+       |x AS (SELECT doc_id, w, unnest(range(0, nc)) AS i FROM c),
+       |s AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |    array_to_string(list_slice(w, i*10 + 1, i*10 + 10), ' ') AS seg
+       |  FROM x),
+       |r AS (
+       |  SELECT doc_id, pos, seg,
+       |    row_number() OVER (
+       |      PARTITION BY ${hash61Sql("seg")} ORDER BY doc_id, pos) AS rn
+       |  FROM s),
+       |k AS (
+       |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+       |    count(*) AS n_kept
+       |  FROM r WHERE rn = 1 GROUP BY doc_id)
+       |SELECT c.doc_id, coalesce(k.clean_text, '') AS clean_text,
+       |  coalesce(k.n_kept, 0) AS n_kept,
+       |  c.nc - coalesce(k.n_kept, 0) AS n_dropped
+       |FROM c LEFT JOIN k ON c.doc_id = k.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "p_exact_dedup" ->
@@ -860,31 +914,9 @@ object PipelineQueries {
         |  array_to_string(list_slice(w, i*40 + 1, i*40 + 50), ' ') AS chunk_text,
         |  CAST(least(50, L - i*40) AS INT) AS n_words
         |FROM x""".stripMargin,
-    "p_segment_dedup" -> {
-      s"""WITH d AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, CAST(ceil(len(w) / 10.0) AS BIGINT) AS nc, w FROM d),
-         |x AS (SELECT doc_id, w, unnest(range(0, nc)) AS i FROM c),
-         |s AS (
-         |  SELECT doc_id, CAST(i AS INT) AS pos,
-         |    array_to_string(list_slice(w, i*10 + 1, i*10 + 10), ' ') AS seg
-         |  FROM x),
-         |r AS (
-         |  SELECT doc_id, pos, seg,
-         |    row_number() OVER (
-         |      PARTITION BY ${hash61Sql("seg")} ORDER BY doc_id, pos) AS rn
-         |  FROM s),
-         |k AS (
-         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
-         |    count(*) AS n_kept
-         |  FROM r WHERE rn = 1 GROUP BY doc_id)
-         |SELECT c.doc_id, coalesce(k.clean_text, '') AS clean_text,
-         |  coalesce(k.n_kept, 0) AS n_kept,
-         |  c.nc - coalesce(k.n_kept, 0) AS n_dropped
-         |FROM c LEFT JOIN k ON c.doc_id = k.doc_id""".stripMargin
-    },
+    "p_segment_dedup" -> segmentDedupOracle,
+    // same oracle: the skew-safe two-phase plan is result-identical
+    "p_segment_dedup_skewsafe" -> segmentDedupOracle,
     "p_cross_dedup" ->
       """SELECT d.doc_id, d.lang, d.source FROM documents d
         |WHERE NOT EXISTS (

@@ -113,8 +113,9 @@ object syntax {
     def dedupSegments(
         idCol: String,
         segments: Column,
-        sep: String = " "): DataFrame =
-      Dedup.dedupSegments(df, idCol, segments, sep)
+        sep: String = " ",
+        skewSafe: Boolean = true): DataFrame =
+      Dedup.dedupSegments(df, idCol, segments, sep, skewSafe)
 
     def semanticDedup(
         idCol: String,

@@ -85,6 +85,35 @@ class HttpLookupSpec extends SparkSpec with BeforeAndAfterAll {
     out.map(_.getAs[String]("name")).toSeq shouldBe Seq("alice", "bob", "carol")
   }
 
+  test("response.thread-pool.size alone provisions async in-flight concurrency") {
+    // reference parity knob: the pipelined iterator has one worker pool, so
+    // either pool option must raise the in-flight bound. The stub barrier
+    // only releases once 4 requests are simultaneously in flight — a
+    // smaller effective pool would deadlock until the await times out.
+    val barrier = new java.util.concurrent.CyclicBarrier(4)
+    val srv = StubServer()
+      .route("/barrier") { _ =>
+        barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        (200, """{"name":"z","balance":1.0}""")
+      }
+      .start()
+    try {
+      val rows = (1L to 4L).map(i => (i, i.toString))
+      import spark.implicits._
+      val out = HttpLookup
+        .join(
+          rows.toDF("event", "id").repartition(1),
+          Seq("id"),
+          userSchema,
+          Map(
+            "url" -> srv.url("/barrier"),
+            "asyncPolling" -> "true",
+            "http.source.lookup.response.thread-pool.size" -> "4"))
+        .collect()
+      out should have length 4
+    } finally srv.stop()
+  }
+
   test("POST body lookup (keys as JSON body)") {
     val out = HttpLookup
       .join(

@@ -152,6 +152,39 @@ class HttpSinkSpec extends SparkSpec with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("flush-buffer.timeout flushes a partial batch before the micro-batch ends") {
+    // slow streaming micro-batch: each row takes ~700ms to reach the sink
+    // (sleeping UDF drained by the partition iterator), batch.size is never
+    // reached — without the timeout all rows would sit buffered until the
+    // batch ends; with it the first row's request must land while the
+    // iterator is still sleeping.
+    server.clear()
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val slow = udf { (v: Long) => Thread.sleep(700); v }
+    val input = MemoryStream[Long]
+    val query = input
+      .toDF()
+      .repartition(1)
+      .select(slow(col("value")).as("v"))
+      .writeStream
+      .foreachBatch(HttpSink.foreachBatchWriter(Map(
+        "url" -> server.url("/ok"),
+        "http.sink.request.batch.size" -> "100",
+        "sink.flush-buffer.timeout" -> "300 ms")))
+      .start()
+    try {
+      input.addData(1L to 4L: _*)
+      query.processAllAvailable()
+      val reqs = server.requests.filter(_.path == "/ok")
+      // one request per timed-out single-row batch (plus possibly a tail
+      // flush) instead of ONE request for the whole micro-batch
+      reqs.size should be > 1
+      reqs.map(b => Json.mapper.readTree(b.body).size()).sum shouldBe 4
+    } finally query.stop()
+  }
+
   test("idempotency keys: replayed write re-sends identical keys; epochs differ") {
     def keysFor(epoch: Long): List[String] = {
       server.clear()

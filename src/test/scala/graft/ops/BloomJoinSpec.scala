@@ -59,6 +59,31 @@ class BloomJoinSpec extends SparkSpec {
       Set("b", "d")
   }
 
+  test("empty build side: antiJoin is the identity, semiJoin is empty") {
+    // BloomFilterAggregate over zero rows evaluates to SQL NULL; a naive
+    // might-contain over a null blob would drop EVERY probe row.
+    val emptyBuild = build.filter($"bk" < 0L)
+    BloomJoin.antiJoin(probe, "k", emptyBuild, "bk").count() shouldBe
+      probe.count()
+    BloomJoin.semiJoin(probe, "k", emptyBuild, "bk").count() shouldBe 0L
+    // all-null build keys are the same zero-key case
+    val nullBuild = build.withColumn(
+      "bk",
+      org.apache.spark.sql.functions.lit(null).cast("long"))
+    BloomJoin.antiJoin(probe, "k", nullBuild, "bk").count() shouldBe
+      probe.count()
+    BloomJoin.semiJoin(probe, "k", nullBuild, "bk").count() shouldBe 0L
+  }
+
+  test("build side above maxNumItems clamps to session conf and stays exact") {
+    // default conf: maxNumItems = 4M; requesting more must not throw —
+    // the filter degrades toward higher fpp, the exact join still decides.
+    val got = BloomJoin
+      .antiJoin(probe, "k", build, "bk", expectedItems = 100_000_000L)
+      .count()
+    got shouldBe probe.join(build, probe("k") === build("bk"), "left_anti").count()
+  }
+
   test("explicit expectedItems skips the sizing count and stays exact") {
     val got = BloomJoin
       .antiJoin(probe, "k", build, "bk", expectedItems = 1000L, fpp = 0.5)

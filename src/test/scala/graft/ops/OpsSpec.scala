@@ -540,6 +540,68 @@ class NgramLmSpec extends SparkSpec {
     out.map(_.getLong(0)).toSet shouldBe Set(3L)
     Par.releaseCaches()
   }
+
+  test("hot-bigram broadcast keeps a skewed scoring join off the shuffle") {
+    // boilerplate-heavy corpus: one bigram ("x x") is >90% of the stream —
+    // the exact distribution the raw bigram-keyed join would collapse onto
+    // one task. With the hot split, the hot mass rides a broadcast join and
+    // only the tail (one bigram per doc) plus the bounded histograms are
+    // shuffled.
+    val docs = (1L to 100L)
+      .map(i => (i, ("x " * 40).trim + s" u$i"))
+      .toDF("doc_id", "text")
+    // 100 docs x (39 "x x" + 1 "x u$i") = 4000 bigrams, 3900 hot
+
+    def run(hotK: Int): (Map[Long, (Long, Double)], Long) = {
+      val read = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            read.addAndGet(t.taskMetrics.shuffleReadMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val out = NgramLm
+          .bigramFluency(docs, "doc_id", "text", hotK = hotK)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+          .toMap
+        // the listener bus is async: wait until the counter stops moving
+        var last = -1L
+        var stable = 0
+        var waited = 0
+        while (stable < 3 && waited < 100) {
+          Thread.sleep(100)
+          waited += 1
+          val cur = read.get
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
+        (out, read.get())
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        Par.releaseCaches()
+      }
+    }
+
+    // At scale the probability table is vocab-sized and cannot
+    // auto-broadcast; model that here by disabling the threshold (explicit
+    // broadcast() hints — the hot path — are unaffected), so the plain plan
+    // shows its true shuffled-stream shape even on a toy corpus.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (split, splitShuffle) = run(hotK = 8)
+      val (plain, plainShuffle) = run(hotK = 0)
+      split shouldBe plain // result-identical
+      split should have size 100
+      // the plain plan shuffles the whole scored stream; the split plan's
+      // bigram-keyed shuffle carries only the tail — assert the hot mass
+      // (3900 records) stayed off the wire
+      splitShuffle should be < (plainShuffle - 3000L)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }
 
 class MinhashSigSpec extends SparkSpec {

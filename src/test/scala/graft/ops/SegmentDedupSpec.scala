@@ -39,18 +39,20 @@ class SegmentDedupSpec extends SparkSpec {
     out(9L) shouldBe (("q q", 1L, 1L))
   }
 
-  test("skewSafe mode produces the identical result on a boilerplate-heavy corpus") {
-    // one segment ("x x") repeated across most docs — the hot-hash case
+  test("window mode produces the identical result on a boilerplate-heavy corpus") {
+    // one segment ("x x") repeated across most docs — the hot-hash case.
+    // skewSafe (two-phase agg+join) is the default; the window mode is the
+    // opt-out for corpora known to have no hot segments, and must agree.
     val docs = (1L to 60L).map { i =>
       i -> (if (i % 3 == 0) s"u$i v$i x x" else s"x x u$i v$i")
     }
-    val window = run(docs)
-    val agg = Dedup
+    val agg = run(docs) // default: skewSafe
+    val window = Dedup
       .dedupSegments(
         docs.toDF("doc_id", "text"),
         "doc_id",
         Chunking.wordWindows(col("text"), 2),
-        skewSafe = true)
+        skewSafe = false)
       .collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
       .toMap

@@ -213,6 +213,72 @@ class StateCachedLookupSpec extends SparkSpec with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stale entry for a failing key is removed, not timer-retained") {
+    // Validity is write-based but eviction is access-based: a fresh-hit
+    // access re-arms the timer past the entry's staleness point, so a later
+    // access in the (stale, timer-armed) window that re-fetches and FAILS
+    // must remove the entry — otherwise periodic traffic on a persistently
+    // failing key re-arms the timer forever and the dead entry never leaves
+    // the store. Observed via the state operator's numRowsTotal.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-state-lookup-stale").toString
+    val failing = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val srv = StubServer()
+      .route("/mut") { _ =>
+        if (failing.get()) (500, "down") else (200, """{"name":"ok"}""")
+      }
+      .start()
+    val ttlMs = 10000L
+    val input = MemoryStream[(Long, String)]
+    val sink = new ConcurrentHashMap[Long, String]()
+    val q = HttpLookup.joinStateCached(
+      input.toDF().toDF("event", "id"),
+      keyCols = Seq("id"),
+      responseSchema = responseSchema,
+      options = Map(
+        "url" -> srv.url("/mut"),
+        "lookup-method" -> "GET",
+        "http.source.lookup.continue-on-error" -> "true",
+        "lookup.partial-cache.expire-after-write" -> s"$ttlMs ms"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          sink.put(r.getLong(0), Option(r.getString(2)).getOrElse("<null>")))
+      }
+      .start()
+    try {
+      input.addData((1L, "k"))
+      awaitEvents(q, sink, 1L)
+      sink.get(1L) shouldBe "ok"
+      // fetchedAtMs is at most "now" (the fetch finished before the sink
+      // write we just observed) — sleeping a full TTL from here guarantees
+      // the entry is stale at the next access
+      val fetchUpper = System.currentTimeMillis()
+      failing.set(true)
+      Thread.sleep(ttlMs - (System.currentTimeMillis() - fetchUpper) + 500)
+      input.addData((2L, "k")) // stale access; re-fetch fails -> remove
+      awaitEvents(q, sink, 2L)
+      sink.get(2L) shouldBe "<null>" // proves the stale path ran, not a hit
+      // WITH the fix the entry leaves the store in that same batch; WITHOUT
+      // it the access re-armed the timer to a full TTL, so a poll window of
+      // ttl/2 from here cannot be satisfied by timer eviction
+      val deadline = System.currentTimeMillis() + ttlMs / 2
+      var rows = -1L
+      while (rows != 0L && System.currentTimeMillis() < deadline) {
+        rows = Option(q.lastProgress)
+          .map(_.stateOperators.apply(0).numRowsTotal)
+          .getOrElse(-1L)
+        if (rows != 0L) Thread.sleep(200)
+      }
+      rows shouldBe 0L
+    } finally {
+      q.stop()
+      srv.stop()
+    }
+  }
+
   test("expire-after-write forces a re-fetch once the entry is stale") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = Files.createTempDirectory("graft-state-lookup-ttl").toString
