@@ -81,10 +81,16 @@ object NgramLm {
           .orderBy(col("c2").desc, col("bigram"))
           .limit(hotK)
           .drop("c2")
+        val hotSet = hot.select(col("bigram"))
         val hotMass = bigrams.join(broadcast(hot), "bigram")
+        // the STREAM side must be pre-filtered map-side too (a broadcast
+        // anti-join against the K hot bigrams) — otherwise the tail join
+        // still shuffles every hot occurrence just to find no match
+        val tailStream =
+          bigrams.join(broadcast(hotSet), Seq("bigram"), "left_anti")
         val tailProbs = probs.drop("c2")
-          .join(broadcast(hot.select(col("bigram"))), Seq("bigram"), "left_anti")
-        val tailMass = bigrams.join(tailProbs, "bigram")
+          .join(broadcast(hotSet), Seq("bigram"), "left_anti")
+        val tailMass = tailStream.join(tailProbs, "bigram")
         hotMass.unionByName(tailMass)
       }
 

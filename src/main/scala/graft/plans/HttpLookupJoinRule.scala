@@ -21,8 +21,11 @@ import graft.streaming.HttpLookupTable
   * (reference: `table/lookup/HttpLookupTableSource.java` —
   * `getLookupRuntimeProvider(context)` receives the join's key indices).
   *
-  * The rule runs post-resolution: it matches an inner equi-join whose one
-  * side is (an alias chain over) a [[HttpLookupTable]] relation, derives the
+  * The rule runs post-resolution: it matches an equi-join (INNER, or an
+  * outer join preserving the probe side — `probe LEFT JOIN api` /
+  * `api RIGHT JOIN probe`, the lookup analog of Flink's LEFT
+  * `FOR SYSTEM_TIME AS OF` joins) whose one side is (an alias chain over) a
+  * [[HttpLookupTable]] relation, derives the
   * lookup keys from the ON clause exactly as Flink does, splices in the plan
   * [[HttpLookup.join]] builds (codegen'd request rendering → narrow
   * mapPartitions I/O → format decode), and projects the result back onto the

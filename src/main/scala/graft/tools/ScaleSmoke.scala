@@ -1,0 +1,127 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke for the three headline dedup pipelines: run them on a corpus
+  * 10× the largest driver scale factor and assert completion plus a
+  * shuffle-volume ceiling from task metrics — wall time is untrustworthy in
+  * this sandbox (SURVEY §5), but shuffle bytes/records are deterministic
+  * properties of the plan, so THEY are the scale evidence.
+  *
+  * The 10× corpus derives from the driver's own sf0.1 parquet (no synthetic
+  * distributions): each document/embedding appears in 10 copies under
+  * distinct ids. Duplication is the adversarial case for dedup — every
+  * segment is corpus-wide hot, every doc sits in a 10-member duplicate
+  * cluster, every embedding has 9 exact cosine twins — so the smoke
+  * stresses precisely the paths the 100 TB scaladoc claims are bounded.
+  *
+  * `runMain graft.tools.ScaleSmoke [copies]` — prints one report block;
+  * non-zero exit on any violated ceiling.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleWrite = new AtomicLong()
+    val shuffleRecords = new AtomicLong()
+    val spillBytes = new AtomicLong()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        Option(t.taskMetrics).foreach { m =>
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          spillBytes.addAndGet(m.diskBytesSpilled)
+        }
+    })
+
+    def fan(name: String, df: DataFrame): DataFrame = {
+      // distinct ids per copy; every other column identical
+      val out = df
+        .crossJoin(
+          spark.range(copies).select(col("id").as("__copy")))
+        .withColumn(
+          name,
+          col(name) * copies + col("__copy"))
+        .drop("__copy")
+      out
+    }
+
+    val docs = fan(
+      "doc_id",
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")))
+    val embs = fan(
+      "vec_id",
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")))
+
+    val nDocs = docs.count()
+    val nEmbs = embs.count()
+    println(s"[smoke] corpus: $nDocs docs, $nEmbs embeddings ($copies x $sfDir)")
+
+    final case class Step(name: String, run: () => Long, ceilingGB: Double)
+    var failed = false
+
+    def measure(step: Step): Unit = {
+      shuffleWrite.set(0); shuffleRecords.set(0); spillBytes.set(0)
+      val t0 = System.nanoTime()
+      val rows =
+        try step.run()
+        catch {
+          case e: Throwable =>
+            println(s"[smoke] ${step.name} FAILED: ${e.getMessage}")
+            failed = true
+            return
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000) // listener bus drain
+      val gb = shuffleWrite.get / 1e9
+      val ok = gb <= step.ceilingGB
+      if (!ok) failed = true
+      println(f"[smoke] ${step.name}: rows=$rows wall=${secs}%.0fs " +
+        f"shuffleWrite=${gb}%.2fGB (ceiling ${step.ceilingGB}%.1fGB) " +
+        f"records=${shuffleRecords.get} spill=${spillBytes.get / 1e9}%.2fGB " +
+        (if (ok) "OK" else "CEILING EXCEEDED"))
+    }
+
+    // ceilings: generous multiples of the ~0.55 GB (10x) text volume — the
+    // claim under test is "shuffle volume is bounded by corpus + bounded
+    // candidate sets", i.e. it cannot go quadratic in the duplication factor
+    measure(Step(
+      "p_segment_dedup(skewSafe default)",
+      () => graft.ops.Dedup.dedupSegments(
+        docs, "doc_id",
+        graft.ops.Chunking.wordWindows(col("text"), 10)).count(),
+      ceilingGB = 8.0))
+    measure(Step(
+      "p_dedup_survivors(minhash->closure->keep-one)",
+      () => {
+        val pairs = graft.ops.Dedup.minhashLshPairs(
+          docs, "doc_id", "text", n = 3, bands = 4, threshold = 0.8)
+        graft.ops.Dedup.keepOnePerCluster(docs, "doc_id", pairs).count()
+      },
+      ceilingGB = 8.0))
+    measure(Step(
+      "s_semantic_dedup(lsh pairs->clusters->keep-one)",
+      () => graft.ops.Similarity.semanticDedup(
+        embs, "vec_id", "embedding", threshold = 0.95).count(),
+      ceilingGB = 8.0))
+
+    graft.ops.Par.releaseCaches()
+    spark.stop()
+    sys.exit(if (failed) 1 else 0)
+  }
+}

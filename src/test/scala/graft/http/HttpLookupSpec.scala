@@ -69,6 +69,24 @@ class HttpLookupSpec extends SparkSpec with BeforeAndAfterAll {
     out.map(_.getAs[Double]("balance")).toSeq shouldBe Seq(10.5, -3.25, 0.0)
   }
 
+  test("join-type=left keeps no-match rows with null enrichment") {
+    val out = HttpLookup
+      .join(
+        probe,
+        Seq("id"),
+        userSchema,
+        Map(
+          "url" -> server.url("/user"),
+          "http.source.lookup.join-type" -> "left",
+          "http.source.lookup.ignored-response-codes" -> "404"))
+      .orderBy("event")
+      .collect()
+    // the inner variant above drops the 404 row; LEFT keeps it, enrichment null
+    out.map(_.getLong(0)).toSeq shouldBe Seq(100L, 101L, 102L, 103L)
+    out.map(r => Option(r.getAs[String]("name"))).toSeq shouldBe
+      Seq(Some("alice"), Some("bob"), Some("carol"), None)
+  }
+
   test("async polling preserves order and matches sync results") {
     val out = HttpLookup
       .join(

@@ -145,6 +145,72 @@ class HttpLookupTableSpec extends SparkSpec with BeforeAndAfterAll {
     } finally xspark.sql("DROP TABLE IF EXISTS api_users5")
   }
 
+  test("LEFT JOIN keeps unmatched probe rows with null enrichment AND null echoed key") {
+    ddl("api_left1")
+    probeView()
+    try {
+      val rows = xspark.sql(
+        """SELECT p.event, a.id, a.name, a.balance
+          |FROM probe_t p LEFT JOIN api_left1 a ON p.id = a.id
+          |ORDER BY p.event""".stripMargin).collect()
+      rows.length shouldBe 4
+      // id=4 → 404 → kept, with a.* ALL null (echoed key included)
+      val unmatched = rows.find(_.getLong(0) == 103L).get
+      unmatched.isNullAt(1) shouldBe true
+      unmatched.isNullAt(2) shouldBe true
+      unmatched.isNullAt(3) shouldBe true
+      rows.find(_.getLong(0) == 100L).get.getString(2) shouldBe "alice"
+    } finally xspark.sql("DROP TABLE IF EXISTS api_left1")
+  }
+
+  test("RIGHT JOIN preserving the probe side is routed like LEFT") {
+    ddl("api_left2")
+    probeView()
+    try {
+      val rows = xspark.sql(
+        """SELECT p.event, a.name
+          |FROM api_left2 a RIGHT JOIN probe_t p ON p.id = a.id
+          |ORDER BY p.event""".stripMargin).collect()
+      rows.length shouldBe 4
+      rows.find(_.getLong(0) == 103L).get.isNullAt(1) shouldBe true
+    } finally xspark.sql("DROP TABLE IF EXISTS api_left2")
+  }
+
+  test("LEFT JOIN: probe/response collisions and WHERE behave like SQL outer joins") {
+    ddl("api_left3")
+    val sx = xspark
+    import sx.implicits._
+    Seq(("probe-name", "1"), ("probe-name4", "4")).toDF("name", "id")
+      .createOrReplaceTempView("probe_lc")
+    try {
+      val rows = xspark.sql(
+        """SELECT p.name, a.name
+          |FROM probe_lc p LEFT JOIN api_left3 a ON p.id = a.id
+          |ORDER BY p.id""".stripMargin).collect()
+      rows.map(r => (r.getString(0), Option(r.getString(1)))) shouldBe
+        Array(("probe-name", Some("alice")), ("probe-name4", None))
+      // IS NULL on a lookup column: the standard find-the-unmatched idiom
+      val misses = xspark.sql(
+        """SELECT p.id FROM probe_lc p LEFT JOIN api_left3 a ON p.id = a.id
+          |WHERE a.name IS NULL""".stripMargin).collect()
+      misses.map(_.getString(0)) shouldBe Array("4")
+    } finally xspark.sql("DROP TABLE IF EXISTS api_left3")
+  }
+
+  test("outer joins preserving the LOOKUP side produce guidance errors") {
+    ddl("api_left4")
+    probeView()
+    try {
+      val e = intercept[Throwable] {
+        xspark.sql(
+          """SELECT * FROM api_left4 a LEFT JOIN probe_t p
+            |ON p.id = a.id""".stripMargin).collect()
+      }
+      causeChain(e).map(_.getMessage).mkString("\n") should
+        include("preserving the probe side")
+    } finally xspark.sql("DROP TABLE IF EXISTS api_left4")
+  }
+
   test("non-equi ON predicates and bare scans produce guidance errors") {
     ddl("api_users6")
     probeView()
