@@ -72,29 +72,50 @@ object ScaleSmoke {
     val nEmbs = embs.count()
     println(s"[smoke] corpus: $nDocs docs, $nEmbs embeddings ($copies x $sfDir)")
 
-    final case class Step(name: String, run: () => Long, ceilingGB: Double)
+    final case class Step(name: String, run: () => DataFrame, ceilingGB: Double)
     var failed = false
 
+    // listener bus is async: wait until the counters stop moving
+    def drain(): Unit = {
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 5 && waited < 300) {
+        Thread.sleep(100)
+        waited += 1
+        val cur = shuffleWrite.get + shuffleRecords.get
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+    }
+
     def measure(step: Step): Unit = {
-      shuffleWrite.set(0); shuffleRecords.set(0); spillBytes.set(0)
-      val t0 = System.nanoTime()
-      val rows =
-        try step.run()
-        catch {
-          case e: Throwable =>
-            println(s"[smoke] ${step.name} FAILED: ${e.getMessage}")
-            failed = true
-            return
-        }
-      val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(2000) // listener bus drain
-      val gb = shuffleWrite.get / 1e9
-      val ok = gb <= step.ceilingGB
-      if (!ok) failed = true
-      println(f"[smoke] ${step.name}: rows=$rows wall=${secs}%.0fs " +
-        f"shuffleWrite=${gb}%.2fGB (ceiling ${step.ceilingGB}%.1fGB) " +
-        f"records=${shuffleRecords.get} spill=${spillBytes.get / 1e9}%.2fGB " +
-        (if (ok) "OK" else "CEILING EXCEEDED"))
+      // counters reset BEFORE the build: iterative pipelines (cluster label
+      // propagation) execute eagerly while the DataFrame is constructed, so
+      // build + noop-write together are the pipeline's true shuffle bill.
+      // The noop write fully evaluates every output column (count() would
+      // prune the string payloads off the shuffles); the trailing count
+      // rides the pipeline's caches and is untracked.
+      try {
+        graft.ops.Par.releaseCaches() // previous step's caches
+        shuffleWrite.set(0); shuffleRecords.set(0); spillBytes.set(0)
+        val t0 = System.nanoTime()
+        val df = step.run()
+        df.write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        drain()
+        val rows = df.count()
+        val gb = shuffleWrite.get / 1e9
+        val ok = gb <= step.ceilingGB
+        if (!ok) failed = true
+        println(f"[smoke] ${step.name}: rows=$rows wall=${secs}%.0fs " +
+          f"shuffleWrite=${gb}%.2fGB (ceiling ${step.ceilingGB}%.1fGB) " +
+          f"records=${shuffleRecords.get} spill=${spillBytes.get / 1e9}%.2fGB " +
+          (if (ok) "OK" else "CEILING EXCEEDED"))
+      } catch {
+        case e: Throwable =>
+          println(s"[smoke] ${step.name} FAILED: ${e.getMessage}")
+          failed = true
+      }
     }
 
     // ceilings: generous multiples of the ~0.55 GB (10x) text volume — the
@@ -104,20 +125,20 @@ object ScaleSmoke {
       "p_segment_dedup(skewSafe default)",
       () => graft.ops.Dedup.dedupSegments(
         docs, "doc_id",
-        graft.ops.Chunking.wordWindows(col("text"), 10)).count(),
+        graft.ops.Chunking.wordWindows(col("text"), 10)),
       ceilingGB = 8.0))
     measure(Step(
       "p_dedup_survivors(minhash->closure->keep-one)",
       () => {
         val pairs = graft.ops.Dedup.minhashLshPairs(
           docs, "doc_id", "text", n = 3, bands = 4, threshold = 0.8)
-        graft.ops.Dedup.keepOnePerCluster(docs, "doc_id", pairs).count()
+        graft.ops.Dedup.keepOnePerCluster(docs, "doc_id", pairs)
       },
       ceilingGB = 8.0))
     measure(Step(
       "s_semantic_dedup(lsh pairs->clusters->keep-one)",
       () => graft.ops.Similarity.semanticDedup(
-        embs, "vec_id", "embedding", threshold = 0.95).count(),
+        embs, "vec_id", "embedding", threshold = 0.95),
       ceilingGB = 8.0))
 
     graft.ops.Par.releaseCaches()
