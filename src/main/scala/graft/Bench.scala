@@ -57,6 +57,20 @@ object Bench {
     // ~1s steady-state) while every neighbor stayed fast.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val qseq = SparkEntry.queries.toSeq
+    // Warm the HTTP query FIXTURES untimed (same rationale as the generic
+    // warmup above): the first lookup-table query otherwise pays one-time
+    // costs — the stub server's driver-side parquet collect and the
+    // extensions-session build — that belong to the harness, not the
+    // operator. Measured: with cold fixtures `h_table_lookup_join` medians
+    // 6.6s in a round-robin bench while a warmed interleaved probe of the
+    // same query settles at 1.7s (= its Scala twin). Per-sample execution
+    // stays fully timed.
+    locally {
+      try
+        graft.SparkEntry.queries("h_table_lookup_join")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () } // a warmup failure will re-surface timed
+    }
     val samples = collection.mutable.Map[String, List[Double]]()
     val failed = collection.mutable.SortedSet[String]()
     for (_ <- 1 to iters; (name, fn) <- qseq) {
