@@ -50,6 +50,62 @@ object Dedup {
       .drop(fp)
   }
 
+  /** Cross-corpus NEAR-dup dedup: drop every row of `df` whose text is a
+    * MinHash/LSH near-duplicate (exact n-gram Jaccard ≥ `threshold`,
+    * verified) of some document in `seen` — the near-dup analog of
+    * [[dropSeenIn]] for the "new crawl vs already-ingested corpus" and
+    * "training corpus vs eval set" steps, where lightly-edited copies
+    * survive an exact-hash pass.
+    *
+    * Same bucketed machinery as [[minhashLshPairs]], but the band-bucket
+    * join is ACROSS the two corpora instead of a self-join: only band keys
+    * (id + short string per band) of either corpus move in the candidate
+    * join, candidate pairs are bounded by bucket co-occupancy, and the
+    * Jaccard verify re-reads shingle arrays only for candidate ids
+    * (left-semi narrowed). The unmatched bulk of `df` — at 100 TB, almost
+    * all of it — is removed by one left-anti join on the matched-id set,
+    * which is at most `df`'s row count and in practice the overlap volume.
+    * Rows of `df` too short to shingle (< n words) cannot near-match and
+    * are kept, mirroring [[minhashLshPairs]]'s empty-shingle prefilter.
+    */
+  def dropNearSeenIn(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seen: DataFrame,
+      seenIdCol: String,
+      seenTextCol: String,
+      n: Int = 3,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val k = MinhashA.length
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val (shN, bandedN) = shinglesAndBands(df, idCol, textCol, n, bands, rows)
+    val (shS, bandedS) =
+      shinglesAndBands(seen, seenIdCol, seenTextCol, n, bands, rows)
+    val candidates = bandedN
+      .join(
+        bandedS.select(col("band"), col("band_key"), col("id").as("id_b")),
+        Seq("band", "band_key"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .distinct()
+    val shA = shN
+      .join(candidates.select(col("id_a").as("id")), Seq("id"), "left_semi")
+    val shB = shS
+      .join(candidates.select(col("id_b").as("id")), Seq("id"), "left_semi")
+    val verified = candidates
+      .join(shA.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shB.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    val matched = jaccardVerify(verified, threshold)
+      .select(col("id_a").as("__graft_near_seen_id"))
+      .distinct()
+    df.join(
+        matched,
+        col(idCol) === col("__graft_near_seen_id"),
+        "left_anti")
+  }
+
   /** Segment-level corpus dedup (C4-style "drop any span seen before"):
     * within the whole corpus, each distinct segment survives only at its
     * first occurrence — the minimum (doc id, position) — and every later
@@ -170,6 +226,51 @@ object Dedup {
     * avoid one extra map-side array intersect; this formulation stays
     * map-side at any scale.
     */
+  /** One corpus's hashed shingle sets (`(id, sh)`, cached — the signature
+    * pass and the verification join both read them) and its banded
+    * signature keys (`(id, band, band_key)`).
+    *
+    * Per-row codegen'd signature (MinhashSigF: one pass over the hashed
+    * shingles) and band keys in the SAME narrow stage — the signature never
+    * leaves its row, so there is no explode, no signature shuffle, and no
+    * second cache. The ONLY shuffle that moves documents is the caller's
+    * band-bucket join.
+    *
+    * Empty shingle sets (text shorter than n words, or null) are dropped
+    * BEFORE banding: they all share the sentinel signature [P,...,P], so
+    * banding them would put every such doc in one bucket in every band —
+    * O(m²) candidate pairs that the Jaccard verify can never pass (0/0
+    * intersect). On real corpora short docs are common; the filter keeps
+    * the band-bucket shuffle bounded. Output is unchanged.
+    */
+  private def shinglesAndBands(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      bands: Int,
+      rows: Int): (DataFrame, DataFrame) = {
+    val sh = Par.cached(Par.fan(df).select(
+      col(idCol).as("id"),
+      array_distinct(
+        transform(
+          TextFunctions.shingleSet(col(textCol), n),
+          s => TextFunctions.hash61(s))).as("sh")))
+    val sig = sh
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh")).as("sig"))
+    val banded = sig.select(
+      col("id"),
+      posexplode(
+        array((0 until bands).map { b =>
+          concat_ws(
+            "-",
+            (0 until rows).map(j =>
+              element_at(col("sig"), b * rows + j + 1).cast(StringType)): _*)
+        }: _*)).as(Seq("band", "band_key")))
+    (sh, banded)
+  }
+
   private def jaccardVerify(pairs: DataFrame, threshold: Double): DataFrame = {
     val i = size(array_intersect(col("sh_a"), col("sh_b")))
     val ss = size(col("sh_a")) + size(col("sh_b"))
@@ -242,39 +343,7 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
 
-    // Hashed shingle sets (see ngramJaccardPairs for why hashes + persist):
-    // the signature pass and the verification join both read these.
-    val sh = Par.cached(Par.fan(df).select(
-      col(idCol).as("id"),
-      array_distinct(
-        transform(
-          TextFunctions.shingleSet(col(textCol), n),
-          s => TextFunctions.hash61(s))).as("sh")))
-
-    // Per-row codegen'd signature (MinhashSigF: one pass over the hashed
-    // shingles) and band keys in the SAME narrow stage — the signature never
-    // leaves its row, so there is no explode, no signature shuffle, and no
-    // second cache. The ONLY shuffle that moves documents is the band-bucket
-    // self-join below.
-    //
-    // Empty shingle sets (text shorter than n words, or null) are dropped
-    // BEFORE banding: they all share the sentinel signature [P,...,P], so
-    // banding them would put every such doc in one bucket in every band —
-    // O(m²) candidate pairs that the Jaccard verify can never pass (0/0
-    // intersect). On real corpora short docs are common; the filter keeps
-    // the band-bucket shuffle bounded. Output is unchanged.
-    val sig = sh
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), minhashSignature(col("sh")).as("sig"))
-    val banded = sig.select(
-      col("id"),
-      posexplode(
-        array((0 until bands).map { b =>
-          concat_ws(
-            "-",
-            (0 until rows).map(j =>
-              element_at(col("sig"), b * rows + j + 1).cast(StringType)): _*)
-        }: _*)).as(Seq("band", "band_key")))
+    val (sh, banded) = shinglesAndBands(df, idCol, textCol, n, bands, rows)
 
     val candidates = banded
       .join(

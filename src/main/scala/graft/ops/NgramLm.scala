@@ -71,28 +71,11 @@ object NgramLm {
         col("c2"),
         expr(s"(c2 * ${scale}L) div c1").as("micro"))
 
-    val scored =
-      if (hotK <= 0)
-        bigrams.join(probs.drop("c2"), "bigram")
-      else {
-        // hot/tail split on the K most frequent bigrams (ties broken on the
-        // bigram itself so the split is deterministic)
-        val hot = probs
-          .orderBy(col("c2").desc, col("bigram"))
-          .limit(hotK)
-          .drop("c2")
-        val hotSet = hot.select(col("bigram"))
-        val hotMass = bigrams.join(broadcast(hot), "bigram")
-        // the STREAM side must be pre-filtered map-side too (a broadcast
-        // anti-join against the K hot bigrams) — otherwise the tail join
-        // still shuffles every hot occurrence just to find no match
-        val tailStream =
-          bigrams.join(broadcast(hotSet), Seq("bigram"), "left_anti")
-        val tailProbs = probs.drop("c2")
-          .join(broadcast(hotSet), Seq("bigram"), "left_anti")
-        val tailMass = tailStream.join(tailProbs, "bigram")
-        hotMass.unionByName(tailMass)
-      }
+    // hot/tail split on the K most frequent bigrams (ties broken on the
+    // bigram itself so the split is deterministic)
+    val scored = SkewJoin.hotTailEquiJoin(
+      bigrams, probs, "bigram",
+      Seq(col("c2").desc, col("bigram")), hotK, rankCols = Seq("c2"))
 
     scored
       .groupBy(col("doc_id"))

@@ -48,6 +48,42 @@ object SkewJoin {
       .drop("__graft_salt")
   }
 
+  /** Skew-proof equi-join of a power-law-keyed stream against a build table
+    * with exactly ONE row per key (a probability/idf/statistics table): the
+    * `hotK` build rows ranked first by `hotOrder` are BROADCAST and joined
+    * map-side, so the hot keys' occurrence mass never enters a shuffle; only
+    * stream rows whose key is outside the top-K take the shuffled join — and
+    * those keys' per-key count is by construction at most the K-th hottest
+    * count. Result-identical to `stream.join(build.drop(rankCols), key)`;
+    * `hotK = 0` disables the split.
+    *
+    * The stream side is pre-filtered map-side too (broadcast anti-join
+    * against the K hot keys) — otherwise the tail join would still shuffle
+    * every hot occurrence just to find no match. `rankCols` are build
+    * columns used only for ranking (e.g. a frequency count) and are dropped
+    * from the output.
+    */
+  def hotTailEquiJoin(
+      stream: DataFrame,
+      build: DataFrame,
+      key: String,
+      hotOrder: Seq[Column],
+      hotK: Int,
+      rankCols: Seq[String] = Nil): DataFrame = {
+    val buildVals = build.drop(rankCols: _*)
+    if (hotK <= 0) stream.join(buildVals, key)
+    else {
+      val hot = build.orderBy(hotOrder: _*).limit(hotK).drop(rankCols: _*)
+      val hotSet = hot.select(col(key))
+      val hotMass = stream.join(broadcast(hot), key)
+      val tailStream =
+        stream.join(broadcast(hotSet), Seq(key), "left_anti")
+      val tailBuild =
+        buildVals.join(broadcast(hotSet), Seq(key), "left_anti")
+      hotMass.unionByName(tailStream.join(tailBuild, key))
+    }
+  }
+
   /** Skew diagnosis: per-key row counts of the top `n` heaviest keys —
     * cheap input to choosing `salts`.
     */

@@ -155,6 +155,49 @@ object PipelineQueries {
        |  JOIN d db ON db.doc_id = c.id_b)""".stripMargin
   }
 
+  /** Cross-corpus variant of [[minhashPairCtes]]: banded signatures built
+    * separately for the `newPred` and `seenPred` slices of documents, the
+    * candidate join ACROSS them (no `<` — ids come from different corpora),
+    * yielding `verified(id_a, id_b, i, u)` with id_a from the new slice.
+    * Same Scala constants as the Spark side so they cannot drift.
+    */
+  private def minhashCrossCtes(newPred: String, seenPred: String): String = {
+    val a = listLit(Dedup.MinhashA)
+    val b = listLit(Dedup.MinhashB)
+    val p = Dedup.MinhashP
+    def corpus(s: String, pred: String) =
+      s"""d$s AS (
+         |  SELECT doc_id, ${hashedShinglesSql(WsSql)} AS sh
+         |  FROM documents WHERE $pred),
+         |sig$s AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 16), k ->
+         |      coalesce(list_min(list_transform(sh,
+         |        x -> ($a[k+1] * (x % $p) + $b[k+1]) % $p)), $p)) AS sig
+         |  FROM d$s WHERE len(sh) > 0),
+         |banded$s AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, 4)) AS band,
+         |    unnest(list_transform(range(0, 4), bi ->
+         |      CAST(sig[bi*4+1] AS VARCHAR) || '-' || CAST(sig[bi*4+2] AS VARCHAR) ||
+         |      '-' || CAST(sig[bi*4+3] AS VARCHAR) || '-' || CAST(sig[bi*4+4] AS VARCHAR)))
+         |      AS band_key
+         |  FROM sig$s)""".stripMargin
+    s"""${corpus("N", newPred)},
+       |${corpus("S", seenPred)},
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM bandedN l JOIN bandedS r
+       |    ON l.band = r.band AND l.band_key = r.band_key),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(da.sh, db.sh)) AS i,
+       |    len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS u
+       |  FROM cand c
+       |  JOIN dN da ON da.doc_id = c.id_a
+       |  JOIN dS db ON db.doc_id = c.id_b)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- exact dedup by content hash -----
     "p_exact_dedup" -> { (s, dir) =>
@@ -207,6 +250,15 @@ object PipelineQueries {
     "t_bigram_fluency" -> { (s, dir) =>
       graft.ops.NgramLm.bigramFluency(
         t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ----- TF-IDF distinctiveness scoring + keyword extraction -----
+    "t_tfidf" -> { (s, dir) =>
+      graft.ops.TfIdf.scoreDocs(t(s, dir, "documents"), "doc_id", "text")
+    },
+    "t_keywords" -> { (s, dir) =>
+      graft.ops.TfIdf.topKeywords(
+        t(s, dir, "documents"), "doc_id", "text", k = 3)
     },
 
     // ----- simhash signatures -----
@@ -488,6 +540,18 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("source"))
     },
 
+    // ----- cross-corpus NEAR-dup dedup (parity split: even doc_ids are
+    // the "new crawl", odd the already-ingested corpus) -----
+    "p_cross_neardup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup
+        .dropNearSeenIn(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          n = 3, bands = 4, threshold = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+
     // ----- bloom-prefiltered exact anti-join (blocklist drop) -----
     "p_bloom_antijoin" -> { (s, dir) =>
       val blocked = t(s, dir, "customer")
@@ -625,6 +689,40 @@ object PipelineQueries {
          |SELECT doc_id, n_bigrams,
          |  CAST(sum_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS fluency
          |FROM s""".stripMargin
+    },
+    "t_tfidf" -> {
+      // replays TfIdf.scoreDocs: integer-scaled rational idf
+      // floor((n_docs*1e6)/df) — no logarithm, so no libm variance — with
+      // exact long tf*idf weights and one double division at the end. df
+      // counts rows of the (doc, term) table, i.e. documents per term.
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($WsSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |idf AS (SELECT term, (n_docs * 1000000) // df AS idf FROM dfreq, n),
+         |w AS (SELECT tf.doc_id, tf.tf, tf.tf * idf.idf AS weight
+         |      FROM tf JOIN idf USING (term))
+         |SELECT doc_id, count(*) AS n_terms,
+         |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(sum(weight) AS BIGINT) AS DOUBLE) /
+         |    CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS tfidf
+         |FROM w GROUP BY doc_id""".stripMargin
+    },
+    "t_keywords" -> {
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($WsSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |idf AS (SELECT term, (n_docs * 1000000) // df AS idf FROM dfreq, n),
+         |w AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS weight
+         |      FROM tf JOIN idf USING (term)),
+         |r AS (SELECT doc_id, term, weight,
+         |        row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY weight DESC, term) AS rank
+         |      FROM w)
+         |SELECT doc_id, term, weight, rank FROM r WHERE rank <= 3""".stripMargin
     },
     "p_simhash" -> {
       s"""WITH h AS (
@@ -922,6 +1020,12 @@ object PipelineQueries {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM documents s
         |  WHERE s.doc_id % 50 = 0 AND md5(s.text) = md5(d.text))""".stripMargin,
+    "p_cross_neardup" ->
+      s"""WITH ${minhashCrossCtes("doc_id % 2 = 0", "doc_id % 2 = 1")}
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id % 2 = 0 AND NOT EXISTS (
+         |  SELECT 1 FROM verified v
+         |  WHERE v.id_a = d.doc_id AND v.i * 1.0 / v.u >= 0.5)""".stripMargin,
     "p_bloom_antijoin" ->
       """SELECT o_orderkey, o_custkey FROM orders o
         |WHERE NOT EXISTS (

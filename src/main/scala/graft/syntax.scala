@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.StructType
 
 import graft.http.{HttpLookup, HttpSink}
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, Dedup, Multimodal, Pca, Sampling, Similarity}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, Dedup, Multimodal, Pca, Sampling, Similarity, TfIdf}
 
 /** Fluent entry points: `import graft.syntax._` and every operator hangs off
   * DataFrame — the one-line switch path for users of the reference connector
@@ -124,6 +124,17 @@ object syntax {
         planes: Int = 0): DataFrame =
       Similarity.semanticDedup(df, idCol, vecCol, threshold, planes)
 
+    def dropNearSeenIn(
+        idCol: String,
+        textCol: String,
+        seen: DataFrame,
+        seenIdCol: String,
+        seenTextCol: String,
+        threshold: Double = 0.5): DataFrame =
+      Dedup.dropNearSeenIn(
+        df, idCol, textCol, seen, seenIdCol, seenTextCol,
+        threshold = threshold)
+
     def dropSeenIn(
         textCol: String,
         seen: DataFrame,
@@ -157,6 +168,12 @@ object syntax {
 
     def pcaReduce(vecCol: String, k: Int, outCol: String = "pca"): DataFrame =
       Pca.reduce(df, vecCol, k, outCol)
+
+    def tfidfScores(idCol: String, textCol: String): DataFrame =
+      TfIdf.scoreDocs(df, idCol, textCol)
+
+    def topKeywords(idCol: String, textCol: String, k: Int = 3): DataFrame =
+      TfIdf.topKeywords(df, idCol, textCol, k)
 
     def asOfJoinLeft(
         leftTime: String,

@@ -661,3 +661,56 @@ class PlanesForSpec extends SparkSpec {
     Par.releaseCaches()
   }
 }
+
+class TfIdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scoreDocs computes hand-checked integer-scaled tf-idf") {
+    // corpus: d1 = "a b a", d2 = "b c"
+    //   df: a->1, b->2, c->1; n_docs=2
+    //   idf (scale 1e6): a=2000000, b=1000000, c=2000000
+    //   weights: (d1,a)=4000000, (d1,b)=1000000, (d2,b)=1000000,
+    //            (d2,c)=2000000
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TfIdf.scoreDocs(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    out(1L) shouldBe ((2L, 3L, 5000000.0 / 3.0))
+    out(2L) shouldBe ((2L, 2L, 1500000.0))
+    Par.releaseCaches()
+  }
+
+  test("topKeywords ranks by weight with deterministic term tie-break") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "p q"))
+      .toDF("doc_id", "text")
+    val out = TfIdf.topKeywords(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getString(1))
+      .toMap
+    out((1L, 1)) shouldBe "a" // weight 4000000 beats b's 1000000
+    out((2L, 1)) shouldBe "c" // 2000000 beats b's 1000000
+    // d3: p and q tie on weight -> lexicographic term order breaks it
+    out((3L, 1)) should be < out((3L, 2))
+    Par.releaseCaches()
+  }
+
+  test("hot/tail split is result-identical to the plain idf join") {
+    // one term ("the") in every doc dominates; hotK=1 broadcasts exactly it
+    val docs = (1L to 20L)
+      .map(i => (i, s"the the the unique$i"))
+      .toDF("doc_id", "text")
+    def rows(hotK: Int) =
+      TfIdf.termWeights(docs, "doc_id", "text", hotK = hotK)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val split = rows(1)
+    rows(0) shouldBe split
+    // sanity: the hot term's weight reflects df = all 20 docs:
+    // idf = (20 * 1e6) div 20 = 1e6, tf = 3 -> weight 3e6
+    split should contain ((1L, "the", 3L, 3000000L))
+    Par.releaseCaches()
+  }
+}

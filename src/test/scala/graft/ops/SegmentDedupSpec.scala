@@ -127,3 +127,35 @@ class SegmentDedupSpec extends SparkSpec {
     out shouldBe Set(1L, 3L, 5L)
   }
 }
+
+class CrossNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dropNearSeenIn drops near- and exact dups of the seen corpus") {
+    val fresh = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog today"), // near-dup
+      (4L, "the quick brown fox jumps over the lazy dog tonight"), // exact
+      (6L, "completely different text with other words entirely here"),
+      (8L, "tiny")) // < 3 words: cannot shingle, must be kept
+      .toDF("doc_id", "text")
+    val seen = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "some archived document nothing like the new crawl at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropNearSeenIn(
+      fresh, "doc_id", "text", seen, "doc_id", "text")
+    out.collect().map(_.getLong(0)).toSet shouldBe Set(6L, 8L)
+    // schema unchanged (no helper columns leak)
+    out.columns.toSeq shouldBe Seq("doc_id", "text")
+    Par.releaseCaches()
+  }
+
+  test("dropNearSeenIn with an empty seen corpus keeps everything") {
+    val fresh = Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val seen = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Dedup.dropNearSeenIn(fresh, "doc_id", "text", seen, "doc_id", "text")
+      .count() shouldBe 1L
+    Par.releaseCaches()
+  }
+}
