@@ -139,4 +139,63 @@ object Sampling {
       .withColumn(copyCol, explode(sequence(lit(0L), col(nCol) - 1)))
       .drop(nCol)
   }
+
+  /** Token-budget corpus selection: keep the best documents — by `score`
+    * descending, ties broken on `idCol` — until their cumulative token
+    * count fills `budget`; the first document that would overflow the
+    * budget, and everything after it, is dropped. The "take the
+    * highest-quality B tokens" curation step that turns a scored corpus
+    * plus a training-compute budget into a dataset. Appends `cumCol` (the
+    * kept row's global cumulative token count) to the input columns.
+    *
+    * The global cumulative sum is computed WITHOUT a single-task sort:
+    * `repartitionByRange` on (score desc, id) range-buckets the corpus in
+    * selection order, per-bucket token sums (one row per partition — the
+    * only driver-side data) become broadcast prefix offsets, and each
+    * bucket's interior cumulative sum is a window partitioned by bucket.
+    * The result is exact and deterministic: the (score desc, id) order is
+    * total, so neither range-boundary sampling nor partition count affects
+    * which documents are kept or their `cumCol` values.
+    */
+  def tokenBudgetSelect(
+      df: DataFrame,
+      idCol: String,
+      tokens: Column,
+      score: Column,
+      budget: Long,
+      cumCol: String = "cum_tokens"): DataFrame = {
+    require(
+      !df.columns.contains(cumCol),
+      s"input already has a column named '$cumCol'; pass a different cumCol")
+    val (tok, sc, bkt) = ("__tb_tok", "__tb_score", "__tb_bucket")
+    val ranged = Par.cached(
+      df.withColumn(tok, tokens)
+        .withColumn(sc, score)
+        .repartitionByRange(col(sc).desc, col(idCol).asc)
+        .withColumn(bkt, spark_partition_id()))
+    // one row per partition — bounded driver data, like IVF's centroids
+    val sums = ranged
+      .groupBy(col(bkt))
+      .agg(sum(col(tok)).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getAs[Number]("s").longValue())
+      .sortBy(_._1)
+    val offsets = sums
+      .scanLeft((0, 0L)) { case ((_, acc), (b, s)) => (b, acc + s) }
+      .sliding(2)
+      .collect { case Array((_, acc), (b, _)) => (b, acc) }
+      .toSeq
+    val offsetsDf = df.sparkSession
+      .createDataFrame(offsets.map { case (b, o) => (b, o) })
+      .toDF(bkt, "__tb_offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(bkt))
+      .orderBy(col(sc).desc, col(idCol).asc)
+    ranged
+      .withColumn("__tb_local", sum(col(tok)).over(w))
+      .join(broadcast(offsetsDf), bkt)
+      .withColumn(cumCol, col("__tb_offset") + col("__tb_local"))
+      .filter(col(cumCol) <= budget)
+      .drop(tok, sc, bkt, "__tb_local", "__tb_offset")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{Chunking, Dedup, Multimodal, Similarity, TextFunctions}
+import graft.ops.{Chunking, Dedup, Multimodal, Sampling, Similarity, TextFunctions}
 
 /** LLM-training-data pipeline queries (dedup, text analysis, similarity,
   * multimodal) over the `documents` / `embeddings` tables, each paired with
@@ -540,6 +540,19 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("source"))
     },
 
+    // ----- token-budget corpus selection (best docs by n_chars until the
+    // cumulative whitespace-token count fills the budget) -----
+    "t_token_budget" -> { (s, dir) =>
+      Sampling
+        .tokenBudgetSelect(
+          t(s, dir, "documents"),
+          "doc_id",
+          TextFunctions.tokenCount(col("text")),
+          col("n_chars"),
+          budget = 15000L)
+        .select(col("doc_id"), col("n_chars"), col("cum_tokens"))
+    },
+
     // ----- cross-corpus NEAR-dup dedup (parity split: even doc_ids are
     // the "new crawl", odd the already-ingested corpus) -----
     "p_cross_neardup" -> { (s, dir) =>
@@ -1020,6 +1033,14 @@ object PipelineQueries {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM documents s
         |  WHERE s.doc_id % 50 = 0 AND md5(s.text) = md5(d.text))""".stripMargin,
+    "t_token_budget" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, n_chars,
+         |    sum(len($WsSql)) OVER (
+         |      ORDER BY n_chars DESC, doc_id) AS cum
+         |  FROM documents)
+         |SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum <= 15000""".stripMargin,
     "p_cross_neardup" ->
       s"""WITH ${minhashCrossCtes("doc_id % 2 = 0", "doc_id % 2 = 1")}
          |SELECT d.doc_id, d.lang, d.source FROM documents d

@@ -157,6 +157,13 @@ object syntax {
         fpp: Double = BloomJoin.DefaultFpp): DataFrame =
       BloomJoin.semiJoin(df, probeKey, build, buildKey, expectedItems, fpp)
 
+    def tokenBudgetSelect(
+        idCol: String,
+        tokens: Column,
+        score: Column,
+        budget: Long): DataFrame =
+      Sampling.tokenBudgetSelect(df, idCol, tokens, score, budget)
+
     def quotaSample(
         idCol: String,
         k: Int,

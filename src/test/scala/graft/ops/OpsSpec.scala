@@ -351,6 +351,51 @@ class SamplingSpec extends SparkSpec {
         Map("en" -> 1001), 10)
   }
 
+  test("tokenBudgetSelect keeps best-first docs up to the exact budget") {
+    // (id, tokens, score): selection order by score desc then id is
+    // 3 (10 tok, cum 10), 1 (20 tok, cum 30), 4 (5 tok, cum 35), 2 —
+    // budget 30 keeps {3, 1}; doc 4 would fit alone but comes after the
+    // boundary and must NOT be kept (prefix semantics, not knapsack)
+    val docs = Seq(
+      (1L, 20, 90), (2L, 50, 10), (3L, 10, 95), (4L, 5, 80))
+      .toDF("doc_id", "tok", "score")
+    val out = Sampling
+      .tokenBudgetSelect(docs, "doc_id", col("tok"), col("score"), 30L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tokens"))
+      .toMap
+    out shouldBe Map(1L -> 30L, 3L -> 10L)
+    Par.releaseCaches()
+  }
+
+  test("tokenBudgetSelect cumulative sums are exact across range buckets") {
+    // 400 docs across many range partitions: the bucket-offset plumbing
+    // must reproduce the single-ordering prefix sum exactly
+    val docs = (1L to 400L)
+      .map(i => (i, (i % 7 + 1).toInt, ((i * 37) % 101).toInt))
+      .toDF("doc_id", "tok", "score")
+    val rows = docs.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val expected = rows
+      .sortBy { case (id, _, s) => (-s, id) }
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, tk, _)) => (id, acc + tk) }
+      .drop(1)
+      .takeWhile(_._2 <= 700L)
+      .toMap
+    val out = Sampling
+      .tokenBudgetSelect(docs, "doc_id", col("tok"), col("score"), 700L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tokens"))
+      .toMap
+    out shouldBe expected
+    Par.releaseCaches()
+  }
+
+  test("tokenBudgetSelect rejects a cumCol collision") {
+    val docs = Seq((1L, 1, 1, 0L)).toDF("doc_id", "tok", "score", "cum_tokens")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.tokenBudgetSelect(docs, "doc_id", col("tok"), col("score"), 10L)
+  }
+
   test("quotaSample takes exactly k per stratum, deterministically") {
     val docs = (1L to 500L)
       .map(i => (i, if (i % 2 == 0) "en" else "de"))
