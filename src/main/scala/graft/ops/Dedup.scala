@@ -106,6 +106,48 @@ object Dedup {
         "left_anti")
   }
 
+  /** INTRA-document segment dedup: within each document, keep only the
+    * first occurrence of every distinct segment (repeated paragraphs,
+    * chorus lines, templated blocks inside one page) and reassemble in
+    * order — the within-doc complement of the corpus-level
+    * [[dedupSegments]]. Output mirrors it:
+    * (`idCol`, `clean_text`, `n_kept`, `n_dropped`).
+    *
+    * Scale posture: SHUFFLE-FREE — the whole operation is a per-row
+    * `aggregate` fold over the segment array (first-occurrence order
+    * preserved by construction), so it composes into any scan stage at
+    * 100 TB with zero exchanges. The fold's seen-set check is O(k²) string
+    * compares per doc for k segments — fine at paragraph/window
+    * granularity; a document so huge that k² matters belongs to the
+    * corpus-level operator anyway. The segment array is staged through its
+    * own projection (multi-referenced, so CollapseProject keeps it
+    * un-inlined and the fold runs once per row).
+    */
+  def dedupSegmentsWithinDoc(
+      df: DataFrame,
+      idCol: String,
+      segments: Column,
+      sep: String = " "): DataFrame = {
+    val staged = Par.fan(df).select(
+      col(idCol),
+      coalesce(segments, array().cast(ArrayType(StringType))).as("__segs"))
+    staged
+      .select(
+        col(idCol),
+        col("__segs"),
+        aggregate(
+          col("__segs"),
+          array().cast(ArrayType(StringType)),
+          (acc, s) =>
+            when(array_contains(acc, s), acc)
+              .otherwise(concat(acc, array(s)))).as("__kept"))
+      .select(
+        col(idCol),
+        array_join(col("__kept"), sep).as("clean_text"),
+        size(col("__kept")).as("n_kept"),
+        (size(col("__segs")) - size(col("__kept"))).as("n_dropped"))
+  }
+
   /** Segment-level corpus dedup (C4-style "drop any span seen before"):
     * within the whole corpus, each distinct segment survives only at its
     * first occurrence — the minimum (doc id, position) — and every later

@@ -521,6 +521,15 @@ object PipelineQueries {
         skewSafe = false)
     },
 
+    // intra-document variant: first occurrence per distinct segment WITHIN
+    // each doc, shuffle-free fold
+    "p_segment_dedup_doc" -> { (s, dir) =>
+      Dedup.dedupSegmentsWithinDoc(
+        t(s, dir, "documents"),
+        "doc_id",
+        Chunking.wordWindows(col("text"), 10))
+    },
+
     // the skew-safe two-phase plan (the default): same oracle, different
     // physical shape — hot segments collapse map-side instead of landing on
     // one window task
@@ -538,6 +547,29 @@ object PipelineQueries {
       Dedup
         .dropSeenIn(docs, "text", seen, "text")
         .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // ----- END-TO-END curation pipeline: quality gate -> exact dedup ->
+    // decontaminate vs held-out benchmark -> token-budget cut. Every stage
+    // is an individually-gated operator; this gate pins their COMPOSITION
+    // (the library's primary use) against one chained oracle. -----
+    "p_curation_e2e" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      val quality =
+        corpus.filter(TextFunctions.tokenCount(col("text")) >= 20)
+      val keep = Dedup.exact(quality, "doc_id", "text")
+        .select(col("doc_id_kept").as("doc_id"))
+      val deduped = quality.join(keep, Seq("doc_id"), "left_semi")
+      val clean = graft.ops.Decontaminate.dropContaminated(
+        deduped, "doc_id", col("text"), bench, col("text"), n = 3)
+      Sampling
+        .tokenBudgetSelect(
+          clean, "doc_id",
+          TextFunctions.tokenCount(col("text")), col("n_chars"),
+          budget = 8000L)
+        .select(col("doc_id"), col("n_chars"), col("cum_tokens"))
     },
 
     // ----- token-budget corpus selection (best docs by n_chars until the
@@ -1028,11 +1060,63 @@ object PipelineQueries {
     "p_segment_dedup" -> segmentDedupOracle,
     // same oracle: the skew-safe two-phase plan is result-identical
     "p_segment_dedup_skewsafe" -> segmentDedupOracle,
+    // intra-doc variant: first occurrence per (doc, segment) instead of
+    // per segment corpus-wide
+    "p_segment_dedup_doc" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, CAST(ceil(len(w) / 10.0) AS BIGINT) AS nc, w FROM d),
+         |x AS (SELECT doc_id, w, unnest(range(0, nc)) AS i FROM c),
+         |s AS (
+         |  SELECT doc_id, i AS pos,
+         |    array_to_string(list_slice(w, i*10 + 1, i*10 + 10), ' ') AS seg
+         |  FROM x),
+         |r AS (
+         |  SELECT doc_id, pos, seg,
+         |    row_number() OVER (PARTITION BY doc_id, seg ORDER BY pos) AS rn
+         |  FROM s),
+         |k AS (
+         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM r WHERE rn = 1 GROUP BY doc_id)
+         |SELECT c.doc_id, coalesce(k.clean_text, '') AS clean_text,
+         |  CAST(coalesce(k.n_kept, 0) AS INT) AS n_kept,
+         |  CAST(c.nc - coalesce(k.n_kept, 0) AS INT) AS n_dropped
+         |FROM c LEFT JOIN k ON c.doc_id = k.doc_id""".stripMargin,
     "p_cross_dedup" ->
       """SELECT d.doc_id, d.lang, d.source FROM documents d
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM documents s
         |  WHERE s.doc_id % 50 = 0 AND md5(s.text) = md5(d.text))""".stripMargin,
+    "p_curation_e2e" ->
+      s"""WITH corpus AS (
+         |  SELECT * FROM documents WHERE doc_id % 50 <> 0),
+         |bench AS (
+         |  SELECT DISTINCT g FROM (
+         |    SELECT unnest(${hashedShinglesSql(WsSql, 3)}) AS g
+         |    FROM documents WHERE doc_id % 50 = 0)),
+         |quality AS (
+         |  SELECT * FROM corpus WHERE len($WsSql) >= 20),
+         |dedup AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM quality) WHERE rn = 1),
+         |contaminated AS (
+         |  SELECT DISTINCT d.doc_id FROM (
+         |    SELECT doc_id, unnest(${hashedShinglesSql(WsSql, 3)}) AS g
+         |    FROM dedup) d JOIN bench USING (g)),
+         |clean AS (
+         |  SELECT * FROM dedup
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |cum AS (
+         |  SELECT doc_id, n_chars,
+         |    sum(len($WsSql)) OVER (ORDER BY n_chars DESC, doc_id) AS cum
+         |  FROM clean)
+         |SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM cum WHERE cum <= 8000""".stripMargin,
     "t_token_budget" ->
       s"""WITH c AS (
          |  SELECT doc_id, n_chars,

@@ -110,6 +110,9 @@ object syntax {
         overlap: Int = 0): DataFrame =
       Chunking.chunkWords(df, idCol, textCol, chunkSize, overlap)
 
+    def dedupSegmentsWithinDoc(idCol: String, segments: Column): DataFrame =
+      Dedup.dedupSegmentsWithinDoc(df, idCol, segments)
+
     def dedupSegments(
         idCol: String,
         segments: Column,

@@ -159,3 +159,49 @@ class CrossNearDupSpec extends SparkSpec {
     Par.releaseCaches()
   }
 }
+
+class WithinDocDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupSegmentsWithinDoc keeps first occurrence per doc only") {
+    // doc 1 repeats "a b"; doc 2 independently contains "a b" and keeps it
+    // (intra-doc semantics: no cross-doc suppression)
+    val docs = Seq(
+      (1L, Seq("a b", "c d", "a b", "a b")),
+      (2L, Seq("a b", "x y"))).toDF("doc_id", "segs")
+    val out = Dedup
+      .dedupSegmentsWithinDoc(docs, "doc_id", col("segs"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    out(1L) shouldBe (("a b c d", 2, 2))
+    out(2L) shouldBe (("a b x y", 2, 0))
+  }
+
+  test("dedupSegmentsWithinDoc: null and empty arrays yield empty docs") {
+    val docs = Seq(
+      (1L, null.asInstanceOf[Seq[String]]),
+      (2L, Seq.empty[String])).toDF("doc_id", "segs")
+    val out = Dedup
+      .dedupSegmentsWithinDoc(docs, "doc_id", col("segs"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    out(1L) shouldBe (("", 0, 0))
+    out(2L) shouldBe (("", 0, 0))
+  }
+
+  test("dedupSegmentsWithinDoc adds no shuffle of its own") {
+    // pre-widen the input so Par.fan's small-scan repartition (the only
+    // Exchange allowed) is already present in the baseline plan
+    val docs = Seq((1L, Seq("a", "b"))).toDF("doc_id", "segs")
+      .repartition(spark.sparkContext.defaultParallelism)
+    def exchanges(p: String) = "Exchange".r.findAllIn(p).size
+    val base = exchanges(docs.queryExecution.executedPlan.toString)
+    val plan = Dedup
+      .dedupSegmentsWithinDoc(docs, "doc_id", col("segs"))
+      .queryExecution.executedPlan.toString
+    exchanges(plan) shouldBe base
+  }
+}
