@@ -140,6 +140,32 @@ object ScaleSmoke {
       () => graft.ops.Similarity.semanticDedup(
         embs, "vec_id", "embedding", threshold = 0.95),
       ceilingGB = 8.0))
+    // r8 additions. tfidf: the duplicated corpus makes every term 10x
+    // hotter — the hot/tail split must keep the tf⋈idf join off the hot
+    // mass; shuffle is bounded by distinct (doc, term) pairs.
+    measure(Step(
+      "t_tfidf(score 10x corpus)",
+      () => graft.ops.TfIdf.scoreDocs(docs, "doc_id", "text"),
+      ceilingGB = 8.0))
+    // cross near-dup: every even-id copy has 5 exact odd-id twins — the
+    // adversarial all-buckets-hot case for the cross-corpus band join.
+    measure(Step(
+      "p_cross_neardup(even vs odd halves)",
+      () => graft.ops.Dedup.dropNearSeenIn(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        n = 3, bands = 4, threshold = 0.8),
+      ceilingGB = 8.0))
+    // token budget: two corpus-wide exchanges by design (range bucketing +
+    // bucket-window regroup) — linear in the corpus, never quadratic.
+    measure(Step(
+      "t_token_budget(half the 10x tokens)",
+      () => graft.ops.Sampling.tokenBudgetSelect(
+        docs, "doc_id",
+        graft.ops.TextFunctions.tokenCount(col("text")),
+        length(col("text")),
+        budget = (nDocs / 2) * 60L),
+      ceilingGB = 6.0))
 
     graft.ops.Par.releaseCaches()
     spark.stop()
