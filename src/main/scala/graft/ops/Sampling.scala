@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
 
@@ -157,6 +158,65 @@ object Sampling {
     * total, so neither range-boundary sampling nor partition count affects
     * which documents are kept or their `cumCol` values.
     */
+  /** Exact distributed quantiles of `value` — the "where is the p75 length
+    * cap / p10 quality floor" step that thresholds corpus filters. Unlike
+    * `approx_percentile` this is EXACT and engine-portable: the selected
+    * element is the rank-`max(1, ceil(q*n))` value in the sorted multiset
+    * (DuckDB `quantile_disc` semantics, pinned by probe), so the oracle
+    * can hash-match.
+    *
+    * Same no-global-sort machinery as [[tokenBudgetSelect]], summing 1s
+    * instead of tokens: `repartitionByRange` on (value, id) buckets the
+    * corpus in sort order, per-bucket COUNTS (one row per partition)
+    * become broadcast prefix offsets, global rank = offset + bucket-local
+    * row_number, and the `qs.size` target ranks are a broadcast join.
+    * Null values are excluded (quantile_disc semantics). Output:
+    * (`q` DOUBLE, `value`), one row per requested quantile.
+    *
+    * Prefer binary-exact `q`s (0.25, 0.5, 0.875, ...): `ceil(q*n)` is then
+    * integer-exact, immune to last-ulp divergence between engines.
+    */
+  def exactQuantiles(
+      df: DataFrame,
+      idCol: String,
+      value: Column,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must be in [0, 1]")
+    val (v, bkt) = ("__eq_v", "__eq_bucket")
+    val ranged = Par.cached(
+      df.select(col(idCol), value.as(v))
+        .filter(col(v).isNotNull)
+        .repartitionByRange(col(v).asc, col(idCol).asc)
+        .withColumn(bkt, spark_partition_id()))
+    val counts = ranged
+      .groupBy(col(bkt))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets = counts
+      .scanLeft((0, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
+      .sliding(2)
+      .collect { case Array((_, acc), (b, _)) => (b, acc) }
+      .toSeq
+    val offsetsDf = df.sparkSession
+      .createDataFrame(offsets.map { case (b, o) => (b, o) })
+      .toDF(bkt, "__eq_offset")
+    val targets = df.sparkSession
+      .createDataFrame(
+        qs.map(q => (q, math.max(1L, math.ceil(q * n).toLong))))
+      .toDF("q", "__eq_rank")
+    val w = Window.partitionBy(col(bkt)).orderBy(col(v).asc, col(idCol).asc)
+    ranged
+      .withColumn("__eq_rn", row_number().over(w))
+      .join(broadcast(offsetsDf), bkt)
+      .withColumn("__eq_rank", col("__eq_offset") + col("__eq_rn"))
+      .join(broadcast(targets), "__eq_rank")
+      .select(col("q"), col(v).as("value"))
+  }
+
   def tokenBudgetSelect(
       df: DataFrame,
       idCol: String,

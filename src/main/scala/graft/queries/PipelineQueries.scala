@@ -549,6 +549,16 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("source"))
     },
 
+    // ----- exact distributed quantiles (length-cap / quality-floor
+    // thresholds; binary-exact qs keep ceil(q*n) integer-exact) -----
+    "t_quantiles" -> { (s, dir) =>
+      Sampling.exactQuantiles(
+        t(s, dir, "documents"),
+        "doc_id",
+        col("n_chars"),
+        Seq(0.25, 0.5, 0.75, 0.875, 1.0))
+    },
+
     // ----- END-TO-END curation pipeline: quality gate -> exact dedup ->
     // decontaminate vs held-out benchmark -> token-budget cut. Every stage
     // is an individually-gated operator; this gate pins their COMPOSITION
@@ -1090,6 +1100,14 @@ object PipelineQueries {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM documents s
         |  WHERE s.doc_id % 50 = 0 AND md5(s.text) = md5(d.text))""".stripMargin,
+    "t_quantiles" ->
+      """WITH a AS (
+        |  SELECT quantile_disc(n_chars, [0.25, 0.5, 0.75, 0.875, 1.0]) AS vs
+        |  FROM documents)
+        |SELECT
+        |  CAST(unnest([0.25, 0.5, 0.75, 0.875, 1.0]) AS DOUBLE) AS q,
+        |  unnest(vs) AS value
+        |FROM a""".stripMargin,
     "p_curation_e2e" ->
       s"""WITH corpus AS (
          |  SELECT * FROM documents WHERE doc_id % 50 <> 0),

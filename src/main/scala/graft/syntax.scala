@@ -160,6 +160,12 @@ object syntax {
         fpp: Double = BloomJoin.DefaultFpp): DataFrame =
       BloomJoin.semiJoin(df, probeKey, build, buildKey, expectedItems, fpp)
 
+    def exactQuantiles(
+        idCol: String,
+        value: Column,
+        qs: Seq[Double]): DataFrame =
+      Sampling.exactQuantiles(df, idCol, value, qs)
+
     def tokenBudgetSelect(
         idCol: String,
         tokens: Column,

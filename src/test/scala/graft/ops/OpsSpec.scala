@@ -390,6 +390,34 @@ class SamplingSpec extends SparkSpec {
     Par.releaseCaches()
   }
 
+  test("exactQuantiles matches the rank formula across range buckets") {
+    // 1..1000 shuffled in by id: quantile q = value at rank ceil(q*n)
+    val docs = (1L to 1000L).map(i => (i, (i * 617) % 1000 + 1))
+      .toDF("doc_id", "v")
+    val out = Sampling
+      .exactQuantiles(docs, "doc_id", col("v"), Seq(0.25, 0.5, 1.0))
+      .collect()
+      .map(r => r.getDouble(0) -> r.getAs[Number]("value").longValue())
+      .toMap
+    out shouldBe Map(0.25 -> 250L, 0.5 -> 500L, 1.0 -> 1000L)
+    Par.releaseCaches()
+  }
+
+  test("exactQuantiles excludes nulls and handles duplicates") {
+    val docs = Seq(
+      (1L, java.lang.Long.valueOf(5L)), (2L, java.lang.Long.valueOf(5L)),
+      (3L, java.lang.Long.valueOf(5L)), (4L, null.asInstanceOf[java.lang.Long]))
+      .toDF("doc_id", "v")
+    val out = Sampling
+      .exactQuantiles(docs, "doc_id", col("v"), Seq(0.5, 1.0))
+      .collect()
+      .map(r => r.getDouble(0) -> r.getAs[Number]("value").longValue())
+      .toMap
+    // n = 3 after null exclusion; both ranks land on the duplicate value
+    out shouldBe Map(0.5 -> 5L, 1.0 -> 5L)
+    Par.releaseCaches()
+  }
+
   test("tokenBudgetSelect rejects a cumCol collision") {
     val docs = Seq((1L, 1, 1, 0L)).toDF("doc_id", "tok", "score", "cum_tokens")
     an[IllegalArgumentException] should be thrownBy
