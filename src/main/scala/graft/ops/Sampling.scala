@@ -217,6 +217,42 @@ object Sampling {
       .select(col("q"), col(v).as("value"))
   }
 
+  /** Per-GROUP exact quantiles (per-language length caps, per-source
+    * quality floors): same rank-selection semantics as [[exactQuantiles]]
+    * — within each group the result is the rank-`max(1, ceil(q·n_g))`
+    * value — but fully declarative: ONE shuffle on the group key, interior
+    * rank and group size as group-partitioned windows, quantile targets as
+    * a map-side explode + filter (no driver-side pass at all). A single
+    * pathologically large group serializes on one window task — slice it
+    * through [[exactQuantiles]] instead; across many groups (the
+    * per-language/per-source shape) this parallelizes on the group key.
+    * Output: (groupCols..., `q` DOUBLE, `value`), one row per (group, q).
+    */
+  def groupQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      value: Column,
+      qs: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty, "groupQuantiles needs at least one group col")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must be in [0, 1]")
+    val v = "__gq_v"
+    val base = df
+      .select(groupCols.map(col) ++ Seq(col(idCol), value.as(v)): _*)
+      .filter(col(v).isNotNull)
+    val rankW = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(v).asc, col(idCol).asc)
+    val sizeW = Window.partitionBy(groupCols.map(col): _*)
+    base
+      .withColumn("__gq_rn", row_number().over(rankW))
+      .withColumn("__gq_n", count(lit(1)).over(sizeW))
+      .withColumn("q", explode(array(qs.map(lit(_)): _*)))
+      .filter(col("__gq_rn") ===
+        greatest(lit(1L), ceil(col("q") * col("__gq_n"))))
+      .select(groupCols.map(col) ++ Seq(col("q"), col(v).as("value")): _*)
+  }
+
   def tokenBudgetSelect(
       df: DataFrame,
       idCol: String,

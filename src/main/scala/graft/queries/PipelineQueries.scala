@@ -559,6 +559,16 @@ object PipelineQueries {
         Seq(0.25, 0.5, 0.75, 0.875, 1.0))
     },
 
+    // per-group variant: one shuffle on the group key, no driver pass
+    "t_group_quantiles" -> { (s, dir) =>
+      Sampling.groupQuantiles(
+        t(s, dir, "documents"),
+        Seq("lang"),
+        "doc_id",
+        col("n_chars"),
+        Seq(0.25, 0.5, 0.875))
+    },
+
     // ----- END-TO-END curation pipeline: quality gate -> exact dedup ->
     // decontaminate vs held-out benchmark -> token-budget cut. Every stage
     // is an individually-gated operator; this gate pins their COMPOSITION
@@ -1106,6 +1116,14 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT
         |  CAST(unnest([0.25, 0.5, 0.75, 0.875, 1.0]) AS DOUBLE) AS q,
+        |  unnest(vs) AS value
+        |FROM a""".stripMargin,
+    "t_group_quantiles" ->
+      """WITH a AS (
+        |  SELECT lang, quantile_disc(n_chars, [0.25, 0.5, 0.875]) AS vs
+        |  FROM documents GROUP BY lang)
+        |SELECT lang,
+        |  CAST(unnest([0.25, 0.5, 0.875]) AS DOUBLE) AS q,
         |  unnest(vs) AS value
         |FROM a""".stripMargin,
     "p_curation_e2e" ->

@@ -166,6 +166,13 @@ object syntax {
         qs: Seq[Double]): DataFrame =
       Sampling.exactQuantiles(df, idCol, value, qs)
 
+    def groupQuantiles(
+        groupCols: Seq[String],
+        idCol: String,
+        value: Column,
+        qs: Seq[Double]): DataFrame =
+      Sampling.groupQuantiles(df, groupCols, idCol, value, qs)
+
     def tokenBudgetSelect(
         idCol: String,
         tokens: Column,

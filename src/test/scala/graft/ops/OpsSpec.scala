@@ -418,6 +418,29 @@ class SamplingSpec extends SparkSpec {
     Par.releaseCaches()
   }
 
+  test("groupQuantiles agrees with exactQuantiles per group slice") {
+    val docs = (1L to 300L)
+      .map(i => (i, if (i % 3 == 0) "de" else "en", (i * 271) % 500))
+      .toDF("doc_id", "lang", "v")
+    val qs = Seq(0.25, 0.5, 1.0)
+    val grouped = Sampling
+      .groupQuantiles(docs, Seq("lang"), "doc_id", col("v"), qs)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getAs[Number]("value").longValue())
+      .toMap
+    for (lang <- Seq("en", "de")) {
+      val slice = Sampling
+        .exactQuantiles(
+          docs.filter(col("lang") === lang), "doc_id", col("v"), qs)
+        .collect()
+        .map(r => r.getDouble(0) -> r.getAs[Number]("value").longValue())
+        .toMap
+      qs.foreach(q => grouped((lang, q)) shouldBe slice(q))
+    }
+    Par.releaseCaches()
+  }
+
   test("tokenBudgetSelect rejects a cumCol collision") {
     val docs = Seq((1L, 1, 1, 0L)).toDF("doc_id", "tok", "score", "cum_tokens")
     an[IllegalArgumentException] should be thrownBy
