@@ -60,8 +60,14 @@ object HttpSink {
       val w = rt.newPartitionWriter(
         epochId,
         org.apache.spark.TaskContext.getPartitionId())
-      rows.foreach(r => w.add(r.getString(0)))
-      w.flush()
+      // abort() in finally: on task failure the recurring flush timer must
+      // be cancelled (it would otherwise outlive the task and double-send
+      // the buffered partial batch alongside Spark's retry); no-op after a
+      // successful flush()
+      try {
+        rows.foreach(r => w.add(r.getString(0)))
+        w.flush()
+      } finally w.abort()
     }
   }
 
@@ -100,6 +106,23 @@ object HttpSink {
     def submit(body: String, extraHeaders: Seq[(String, String)] = Nil): Unit = {
       checkFailure()
       permits.acquire()
+      send(body, extraHeaders)
+    }
+
+    /** Non-blocking submit for the shared flush-timer thread: sends only
+      * if an in-flight permit is free RIGHT NOW and no async failure is
+      * recorded (a recorded failure is the task thread's to throw, at its
+      * next blocking call). Returns whether the body was submitted.
+      */
+    def trySubmit(
+        body: String,
+        extraHeaders: Seq[(String, String)] = Nil): Boolean =
+      failure == null && permits.tryAcquire() && {
+        send(body, extraHeaders)
+        true
+      }
+
+    private def send(body: String, extraHeaders: Seq[(String, String)]): Unit = {
       val b = java.net.http.HttpRequest
         .newBuilder()
         .uri(java.net.URI.create(url))
@@ -372,13 +395,25 @@ private[graft] object SinkRuntime {
           java.util.concurrent.TimeUnit.MILLISECONDS))
       else None
 
-    private def timedFlush(): Unit = synchronized {
-      if (batch.nonEmpty &&
-        System.nanoTime() - oldestAddNanos >= flushTimeoutMs * 1000000L) {
-        submit(frame(batch.toSeq))
-        batch.clear()
-      }
-    }
+    // Runs on the SHARED scheduler thread: must neither block (one
+    // saturated submitter would stall every writer's timed flush in the
+    // JVM) nor throw (ScheduledExecutorService silently suppresses all
+    // later runs of a task that threw). Submission is attempted
+    // non-blocking; no permit → skip this tick, retry next. A recorded
+    // async failure is left for the task thread to surface at the next
+    // add()/flush() checkFailure.
+    private def timedFlush(): Unit =
+      try synchronized {
+        if (batch.nonEmpty &&
+          System.nanoTime() - oldestAddNanos >= flushTimeoutMs * 1000000L) {
+          val body = frame(batch.toSeq)
+          val extra = keying match {
+            case Some((h, keyer)) => Seq(h -> keyer.keyFor(body))
+            case None => Nil
+          }
+          if (submitter.trySubmit(body, extra)) batch.clear()
+        }
+      } catch { case _: Throwable => () }
 
     private def submit(body: String): Unit = {
       val extra = keying match {
@@ -406,6 +441,18 @@ private[graft] object SinkRuntime {
         }
       }
       submitter.awaitAll()
+    }
+
+    /** Failure-path cleanup: cancel the flush timer WITHOUT submitting the
+      * buffered partial batch — a failed task's rows will be re-sent by
+      * Spark's retry, and an orphaned recurring timer would both leak the
+      * schedule for the executor's lifetime and double-send those rows
+      * outside the idempotency-key replay guarantee. Idempotent; a no-op
+      * after a successful [[flush]].
+      */
+    def abort(): Unit = {
+      timer.foreach(_.cancel(false))
+      synchronized(batch.clear())
     }
 
     /** Batch bodies are framed by the format (JSON arrays `[e1,e2,…]` for

@@ -128,9 +128,15 @@ object Dedup {
       idCol: String,
       segments: Column,
       sep: String = " "): DataFrame = {
+    // null ELEMENTS are dropped up front: array_contains(acc, null) is SQL
+    // NULL, which would route every null to the append branch (never
+    // deduped) while array_join silently drops them from clean_text —
+    // n_kept would overcount the reassembly
     val staged = Par.fan(df).select(
       col(idCol),
-      coalesce(segments, array().cast(ArrayType(StringType))).as("__segs"))
+      filter(
+        coalesce(segments, array().cast(ArrayType(StringType))),
+        s => s.isNotNull).as("__segs"))
     staged
       .select(
         col(idCol),

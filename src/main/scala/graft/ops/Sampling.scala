@@ -141,23 +141,45 @@ object Sampling {
       .drop(nCol)
   }
 
-  /** Token-budget corpus selection: keep the best documents — by `score`
-    * descending, ties broken on `idCol` — until their cumulative token
-    * count fills `budget`; the first document that would overflow the
-    * budget, and everything after it, is dropped. The "take the
-    * highest-quality B tokens" curation step that turns a scored corpus
-    * plus a training-compute budget into a dataset. Appends `cumCol` (the
-    * kept row's global cumulative token count) to the input columns.
-    *
-    * The global cumulative sum is computed WITHOUT a single-task sort:
-    * `repartitionByRange` on (score desc, id) range-buckets the corpus in
-    * selection order, per-bucket token sums (one row per partition — the
-    * only driver-side data) become broadcast prefix offsets, and each
-    * bucket's interior cumulative sum is a window partitioned by bucket.
-    * The result is exact and deterministic: the (score desc, id) order is
-    * total, so neither range-boundary sampling nor partition count affects
-    * which documents are kept or their `cumCol` values.
+  /** Shared no-global-sort prefix machinery: range-bucket `base` by
+    * `order` (which must be a total order), compute per-bucket sums of
+    * `measure` (one row per partition — the only driver-side data), and
+    * return the cached bucketed frame, a broadcastable (bucket → prefix
+    * offset) frame, and the grand total. Offsets are exclusive prefix
+    * sums in bucket order; buckets that received no rows simply don't
+    * appear (they contribute nothing and have nothing to join). Used by
+    * [[tokenBudgetSelect]] (measure = token count) and [[exactQuantiles]]
+    * (measure = 1 → offsets are ranks).
     */
+  private def rangePrefix(
+      base: DataFrame,
+      order: Seq[Column],
+      measure: Column,
+      bkt: String,
+      offCol: String): (DataFrame, DataFrame, Long) = {
+    val ranged = Par.cached(
+      base
+        .repartitionByRange(order: _*)
+        .withColumn(bkt, spark_partition_id()))
+    val sums = ranged
+      .groupBy(col(bkt))
+      .agg(sum(measure).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getAs[Number]("s").longValue())
+      .sortBy(_._1)
+    val scanned = sums.scanLeft((0, 0L)) {
+      case ((_, acc), (b, s)) => (b, acc + s)
+    }
+    val pairs = scanned
+      .sliding(2)
+      .collect { case Array((_, acc), (b, _)) => (b, acc) }
+      .toSeq
+    val offsetsDf = base.sparkSession
+      .createDataFrame(pairs)
+      .toDF(bkt, offCol)
+    (ranged, offsetsDf, scanned.last._2)
+  }
+
   /** Exact distributed quantiles of `value` — the "where is the p75 length
     * cap / p10 quality floor" step that thresholds corpus filters. Unlike
     * `approx_percentile` this is EXACT and engine-portable: the selected
@@ -184,26 +206,12 @@ object Sampling {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "quantiles must be in [0, 1]")
     val (v, bkt) = ("__eq_v", "__eq_bucket")
-    val ranged = Par.cached(
-      df.select(col(idCol), value.as(v))
-        .filter(col(v).isNotNull)
-        .repartitionByRange(col(v).asc, col(idCol).asc)
-        .withColumn(bkt, spark_partition_id()))
-    val counts = ranged
-      .groupBy(col(bkt))
-      .agg(count(lit(1)).as("c"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(_._1)
-    val n = counts.map(_._2).sum
-    val offsets = counts
-      .scanLeft((0, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
-      .sliding(2)
-      .collect { case Array((_, acc), (b, _)) => (b, acc) }
-      .toSeq
-    val offsetsDf = df.sparkSession
-      .createDataFrame(offsets.map { case (b, o) => (b, o) })
-      .toDF(bkt, "__eq_offset")
+    val (ranged, offsetsDf, n) = rangePrefix(
+      df.select(col(idCol), value.as(v)).filter(col(v).isNotNull),
+      Seq(col(v).asc, col(idCol).asc),
+      lit(1L),
+      bkt,
+      "__eq_offset")
     val targets = df.sparkSession
       .createDataFrame(
         qs.map(q => (q, math.max(1L, math.ceil(q * n).toLong))))
@@ -253,6 +261,25 @@ object Sampling {
       .select(groupCols.map(col) ++ Seq(col("q"), col(v).as("value")): _*)
   }
 
+  /** Token-budget corpus selection: keep the best documents — by `score`
+    * descending, ties broken on `idCol` — until their cumulative token
+    * count fills `budget`; the first document that would overflow the
+    * budget, and everything after it, is dropped. The "take the
+    * highest-quality B tokens" curation step that turns a scored corpus
+    * plus a training-compute budget into a dataset. Appends `cumCol` (the
+    * kept row's global cumulative token count) to the input columns.
+    *
+    * The global cumulative sum is computed WITHOUT a single-task sort (see
+    * [[rangePrefix]]): range buckets in selection order, broadcast prefix
+    * offsets, bucket-partitioned interior window. The result is exact and
+    * deterministic: the (score desc, id) order is total, so neither
+    * range-boundary sampling nor partition count affects which documents
+    * are kept or their `cumCol` values. Rows whose token count evaluates
+    * NULL or negative are EXCLUDED — a null text's `tokenCount` (or
+    * `size(null)` = −1 under non-ANSI semantics) would otherwise corrupt
+    * the monotone prefix, and SQL engines drop such rows the same way
+    * (`len(NULL)` is NULL).
+    */
   def tokenBudgetSelect(
       df: DataFrame,
       idCol: String,
@@ -264,27 +291,15 @@ object Sampling {
       !df.columns.contains(cumCol),
       s"input already has a column named '$cumCol'; pass a different cumCol")
     val (tok, sc, bkt) = ("__tb_tok", "__tb_score", "__tb_bucket")
-    val ranged = Par.cached(
+    val (ranged, offsetsDf, _) = rangePrefix(
       df.withColumn(tok, tokens)
         .withColumn(sc, score)
-        .repartitionByRange(col(sc).desc, col(idCol).asc)
-        .withColumn(bkt, spark_partition_id()))
-    // one row per partition — bounded driver data, like IVF's centroids
-    val sums = ranged
-      .groupBy(col(bkt))
-      .agg(sum(col(tok)).as("s"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getAs[Number]("s").longValue())
-      .sortBy(_._1)
-    val offsets = sums
-      .scanLeft((0, 0L)) { case ((_, acc), (b, s)) => (b, acc + s) }
-      .sliding(2)
-      .collect { case Array((_, acc), (b, _)) => (b, acc) }
-      .toSeq
-    val offsetsDf = df.sparkSession
-      .createDataFrame(offsets.map { case (b, o) => (b, o) })
-      .toDF(bkt, "__tb_offset")
-    val w = org.apache.spark.sql.expressions.Window
+        .filter(col(tok).isNotNull && col(tok) >= 0),
+      Seq(col(sc).desc, col(idCol).asc),
+      col(tok),
+      bkt,
+      "__tb_offset")
+    val w = Window
       .partitionBy(col(bkt))
       .orderBy(col(sc).desc, col(idCol).asc)
     ranged

@@ -73,7 +73,11 @@ object SkewJoin {
     val buildVals = build.drop(rankCols: _*)
     if (hotK <= 0) stream.join(buildVals, key)
     else {
-      val hot = build.orderBy(hotOrder: _*).limit(hotK).drop(rankCols: _*)
+      // ≤ hotK rows, read three times (hot broadcast, hotSet broadcast,
+      // and implicitly by both anti-joins) — cache it so the build
+      // relation's top-K aggregation runs once, not per consumer
+      val hot = Par.cached(
+        build.orderBy(hotOrder: _*).limit(hotK).drop(rankCols: _*))
       val hotSet = hot.select(col(key))
       val hotMass = stream.join(broadcast(hot), key)
       val tailStream =

@@ -79,15 +79,21 @@ object HttpQueries {
   // default/active session; a concurrent query on the primary session in
   // another driver thread during that window could observe no default
   // session or bind to the extensions session. The Verify/Bench drivers run
-  // queries sequentially, and the `SparkSession` class lock serializes any
-  // overlap with another builder — but guard the window anyway so the
-  // helper stays safe if a harness ever goes concurrent.
+  // queries sequentially; locking the `classic.SparkSession` COMPANION —
+  // the monitor Spark's own Builder.getOrCreate takes around its
+  // default-session bookkeeping (verified against the 4.1.2 bytecode:
+  // monitorenter on `classic.SparkSession$.MODULE$`; `classOf` or the api
+  // companion would be different, useless monitors) — additionally
+  // excludes any concurrent builder, so the helper stays safe if a
+  // harness ever goes concurrent. A plain reader of `SparkSession.active`
+  // in that window is still unguarded — documented limitation of the
+  // build-time-extensions design.
   private val extSessions = new ConcurrentHashMap[String, SparkSession]()
   private def extensionsSession(s: SparkSession): SparkSession =
     extSessions.computeIfAbsent(
       "x",
       _ =>
-        classOf[SparkSession].synchronized {
+        org.apache.spark.sql.classic.SparkSession.synchronized {
           SparkSession.clearActiveSession()
           SparkSession.clearDefaultSession()
           try {

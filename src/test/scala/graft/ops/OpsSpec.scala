@@ -810,3 +810,25 @@ class TfIdfSpec extends SparkSpec {
     Par.releaseCaches()
   }
 }
+
+class BudgetEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenBudgetSelect excludes null and negative token counts") {
+    // doc 2's tokens are null, doc 3's negative (the size(null) = -1
+    // shape): both are excluded; the prefix over the rest stays monotone
+    val docs = Seq(
+      (1L, java.lang.Long.valueOf(10L), 90),
+      (2L, null.asInstanceOf[java.lang.Long], 95),
+      (3L, java.lang.Long.valueOf(-1L), 93),
+      (4L, java.lang.Long.valueOf(10L), 80))
+      .toDF("doc_id", "tok", "score")
+    val out = Sampling
+      .tokenBudgetSelect(docs, "doc_id", col("tok"), col("score"), 20L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tokens"))
+      .toMap
+    out shouldBe Map(1L -> 10L, 4L -> 20L)
+    Par.releaseCaches()
+  }
+}

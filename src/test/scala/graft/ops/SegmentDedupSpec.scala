@@ -205,3 +205,20 @@ class WithinDocDedupSpec extends SparkSpec {
     exchanges(plan) shouldBe base
   }
 }
+
+class WithinDocNullSegmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupSegmentsWithinDoc drops null segments consistently") {
+    // null elements must neither survive into clean_text nor inflate
+    // n_kept (array_contains(acc, null) is SQL NULL -> would append)
+    val docs = Seq((1L, Seq("a", null, null, "a", "b")))
+      .toDF("doc_id", "segs")
+    val out = Dedup
+      .dedupSegmentsWithinDoc(docs, "doc_id", col("segs"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    out(1L) shouldBe (("a b", 2, 1)) // 3 non-null segs: a, a, b -> 1 dropped
+  }
+}
