@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** URL curation for web-crawl corpora: parsing, canonicalization,
+  * registered-domain extraction, per-domain caps and domain blocklists —
+  * the steps every CommonCrawl-style pipeline runs before any text-level
+  * filtering (C4 and friends dedup BY canonical URL and cap docs per
+  * domain before looking at a single byte of body text).
+  *
+  * Everything except the cap/blocklist joins is pure per-row codegen
+  * (`regexp_extract` / array HOFs) — shuffle-free at any corpus size — and
+  * deterministic cross-engine: the DuckDB oracle replays the same regexes
+  * and the same byte-lexicographic param sort bit-for-bit.
+  *
+  * Canonicalization contract (pinned by spec + driver gate):
+  *   - scheme and host lowercase; path/query case preserved
+  *   - fragment stripped; userinfo stripped from the host
+  *   - default port stripped (http:80, https:443); other ports kept
+  *   - tracking params dropped: key starts with `utm_` or key ∈
+  *     {fbclid, gclid, msclkid, ref}
+  *   - surviving params sorted byte-lexicographically (param order is not
+  *     semantic for the dedup use-case; sorting makes `?a=1&b=2` and
+  *     `?b=2&a=1` the same document)
+  *   - empty query after filtering → no `?`
+  *
+  * Registered domain ("example.co.uk" from "www.example.co.uk") uses a
+  * deterministic public-suffix heuristic: take the last two labels, or the
+  * last three when the TLD is 2 letters and the second-level label is a
+  * well-known suffix (co/com/net/org/gov/ac/edu) — the ccTLD pattern. A
+  * production system would swap in the full Mozilla public-suffix list;
+  * the operator shape (broadcast-free per-row derivation) is the same.
+  */
+object Urls {
+
+  private val SchemePrefix = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+  /** Lowercased scheme of `url` ("" when the string has no scheme). */
+  def urlScheme(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** Lowercased host of `url`, userinfo and port stripped. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, SchemePrefix + "(?:[^/?#@]*@)?([^/?#:]+)", 1))
+
+  /** Explicit port of `url` as a string ("" when none). */
+  def urlPort(url: Column): Column =
+    regexp_extract(url, SchemePrefix + "(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)", 1)
+
+  /** Path of `url` ("" when the authority is followed by nothing). */
+  def urlPath(url: Column): Column =
+    regexp_extract(url, SchemePrefix + "[^/?#]*([^?#]*)", 1)
+
+  /** Raw query string of `url` (no `?`, "" when none). */
+  def urlQuery(url: Column): Column =
+    regexp_extract(url, "\\?([^#]*)", 1)
+
+  /** Registered domain of a (lowercase) host column — see object scaladoc
+    * for the suffix heuristic. Single- and two-label hosts pass through.
+    */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val ccSecondLevel = element_at(labels, -2)
+      .isin("co", "com", "net", "org", "gov", "ac", "edu") &&
+      length(element_at(labels, -1)) === 2
+    when(n <= 2, host)
+      .when(n >= 3 && ccSecondLevel, concat_ws(".", slice(labels, -3, 3)))
+      .otherwise(concat_ws(".", slice(labels, -2, 2)))
+  }
+
+  /** Registered domain straight from a URL column. */
+  def urlDomain(url: Column): Column = registeredDomain(urlHost(url))
+
+  private val TrackingKeys = Seq("fbclid", "gclid", "msclkid", "ref")
+
+  /** Canonical form of `url` under the contract in the object scaladoc.
+    * Pure codegen — compose freely with exact dedup
+    * ([[Dedup.exact]] on the canonical URL is THE crawl-level dedup pass).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = urlScheme(url)
+    val host = urlHost(url)
+    val port = urlPort(url)
+    val kept = filter(
+      split(urlQuery(url), "&"),
+      p => {
+        val key = regexp_extract(p, "^([^=]*)", 1)
+        p =!= "" && !key.startsWith("utm_") &&
+        !key.isin(TrackingKeys: _*)
+      })
+    val sortedQuery = array_join(array_sort(kept), "&")
+    val portPart = when(
+      port === "" ||
+        (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"),
+      lit("")).otherwise(concat(lit(":"), port))
+    concat(
+      scheme,
+      lit("://"),
+      host,
+      portPart,
+      urlPath(url),
+      when(sortedQuery === "", lit(""))
+        .otherwise(concat(lit("?"), sortedQuery)))
+  }
+
+  /** Keep at most `k` docs per registered domain — the C4-style "no single
+    * domain dominates the corpus" cap. Deterministic: the kept set is the
+    * `k` smallest salted id-hashes per domain ([[Sampling.quotaSample]]
+    * machinery — ONE shuffle on the domain key; the scaladoc there covers
+    * the pathological single-domain case).
+    *
+    * Output = input columns + `domain`.
+    */
+  def capPerDomain(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      k: Int): DataFrame =
+    Sampling.quotaSample(
+      df.withColumn("domain", urlDomain(col(urlCol))),
+      idCol,
+      k,
+      Seq("domain"))
+
+  /** Drop rows whose registered domain appears in `blocked` — spam/adult/
+    * SEO-farm blocklists. [[BloomJoin.antiJoin]] underneath: rows whose
+    * domain clears the broadcast Bloom filter never shuffle, so at 100 TB
+    * the moved volume is the blocked slice, not the corpus (and an empty
+    * blocklist is the identity).
+    *
+    * @param blocked one domain per row in `blockedDomainCol`
+    */
+  def dropBlockedDomains(
+      df: DataFrame,
+      urlCol: String,
+      blocked: DataFrame,
+      blockedDomainCol: String): DataFrame = {
+    val withDomain = df.withColumn("__domain", urlDomain(col(urlCol)))
+    BloomJoin
+      .antiJoin(withDomain, "__domain", blocked, blockedDomainCol)
+      .drop("__domain")
+  }
+}

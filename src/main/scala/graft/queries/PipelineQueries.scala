@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{Chunking, Dedup, Multimodal, Sampling, Similarity, TextFunctions}
+import graft.ops.{Chunking, Dedup, Multimodal, Quantize, Sampling, Similarity, TextFunctions, Urls}
 
 /** LLM-training-data pipeline queries (dedup, text analysis, similarity,
   * multimodal) over the `documents` / `embeddings` tables, each paired with
@@ -645,7 +645,93 @@ object PipelineQueries {
         .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
       Multimodal.frameSample(staged, "doc_id", "blob", every = 4)
         .select(col("doc_id"), col("frame_idx"))
+    },
+
+    // ----- URL curation (P39) -----
+    // over a url column derived deterministically from doc_id/source/lang
+    // (documents has no url field); the oracle builds the identical string
+    "u_canonical" -> { (s, dir) =>
+      withUrl(t(s, dir, "documents")).select(
+        col("doc_id"),
+        Urls.urlHost(col("url")).as("host"),
+        Urls.urlDomain(col("url")).as("domain"),
+        Urls.canonicalizeUrl(col("url")).as("url_canon"))
+    },
+    "u_domain_cap" -> { (s, dir) =>
+      Urls
+        .capPerDomain(withUrl(t(s, dir, "documents")), "doc_id", "url", k = 3)
+        .select(col("doc_id"), col("domain"))
+    },
+    "u_domain_block" -> { (s, dir) =>
+      val u = withUrl(t(s, dir, "documents"))
+      val blocked = u
+        .select(Urls.urlDomain(col("url")).as("dom"))
+        .filter(col("dom").endsWith(".io"))
+        .distinct()
+      Urls.dropBlockedDomains(u, "url", blocked, "dom")
+    },
+
+    // ----- int8 embedding quantization (P40) -----
+    "s_quantize_int8" -> { (s, dir) =>
+      Quantize
+        .quantize(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(
+          col("vec_id"),
+          col("scale"),
+          size(filter(col("q"), v => abs(v) === 127)).as("n_sat"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x.cast(LongType))
+            .as("sum_q"),
+          aggregate(col("q"), lit(0L), (a, x) => a + abs(x.cast(LongType)))
+            .as("sum_abs_q"))
+    },
+    "s_quant_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Quantize.quantizedTopK(
+        emb,
+        "vec_id",
+        "embedding",
+        emb.filter(col("vec_id") < 100),
+        "vec_id",
+        "embedding",
+        k = 5)
     })
+
+  /** The derived url column for the P39 gates: scheme/host-case/port/
+    * tracking-param/fragment diversity keyed on doc_id so every
+    * canonicalization rule fires on some slice of the corpus.
+    */
+  private def withUrl(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    docs.select(
+      col("doc_id"),
+      concat(
+        when(d % 5 === 0, lit("HTTP://")).otherwise(lit("HTTPS://")),
+        lit("WWW."),
+        upper(col("source")),
+        lit("X."),
+        when(d % 4 === 0, lit("co.uk"))
+          .when(d % 4 === 1, lit("com"))
+          .when(d % 4 === 2, lit("org"))
+          .otherwise(lit("io")),
+        when(d % 3 === 0, lit(":443"))
+          .when(d % 3 === 1, lit(":8080"))
+          .otherwise(lit("")),
+        lit("/docs/"),
+        col("lang"),
+        lit("/"),
+        d.cast(StringType),
+        when(d % 6 === 5, lit(""))
+          .when(
+            d % 2 === 0,
+            concat(
+              lit("?utm_source=feed&id="),
+              (d % 7).cast(StringType),
+              lit("&b=2&a=1")))
+          .otherwise(
+            concat(lit("?id="), (d % 7).cast(StringType), lit("&ref=x"))),
+        when(d % 2 === 1, concat(lit("#sec"), (d % 3).cast(StringType)))
+          .otherwise(lit(""))).as("url"))
+  }
 
   private lazy val segmentDedupOracle: String =
     s"""WITH d AS (
@@ -671,6 +757,72 @@ object PipelineQueries {
        |  coalesce(k.n_kept, 0) AS n_kept,
        |  c.nc - coalesce(k.n_kept, 0) AS n_dropped
        |FROM c LEFT JOIN k ON c.doc_id = k.doc_id""".stripMargin
+
+  /** DuckDB: the derived url column — mirrors [[withUrl]] bit-for-bit. */
+  private val UrlSql =
+    """CASE WHEN doc_id % 5 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END ||
+      |    'WWW.' || upper(source) || 'X.' ||
+      |    CASE doc_id % 4 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com'
+      |      WHEN 2 THEN 'org' ELSE 'io' END ||
+      |    CASE doc_id % 3 WHEN 0 THEN ':443' WHEN 1 THEN ':8080'
+      |      ELSE '' END ||
+      |    '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) ||
+      |    CASE WHEN doc_id % 6 = 5 THEN ''
+      |      WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' ||
+      |        CAST(doc_id % 7 AS VARCHAR) || '&b=2&a=1'
+      |      ELSE '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&ref=x' END ||
+      |    CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
+      |      ELSE '' END""".stripMargin
+
+  /** DuckDB CTE chain `u` → `p` → `dm`: url, parsed fields, registered
+    * domain (same regexes and suffix heuristic as [[graft.ops.Urls]]).
+    */
+  private val UrlDomainCtes =
+    s"""u AS (SELECT doc_id, $UrlSql AS url FROM documents),
+       |p AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+       |      AS scheme,
+       |    lower(regexp_extract(url,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))
+       |      AS host,
+       |    regexp_extract(url,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)', 1)
+       |      AS port,
+       |    regexp_extract(url,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+       |    regexp_extract(url, '\\?([^#]*)', 1) AS qs
+       |  FROM u),
+       |dm AS (
+       |  SELECT p.*,
+       |    CASE WHEN len(labels) <= 2 THEN host
+       |      WHEN length(labels[len(labels)]) = 2
+       |        AND labels[len(labels)-1] IN
+       |          ('co','com','net','org','gov','ac','edu')
+       |        THEN array_to_string(
+       |          list_slice(labels, len(labels)-2, len(labels)), '.')
+       |      ELSE array_to_string(
+       |          list_slice(labels, len(labels)-1, len(labels)), '.')
+       |    END AS domain
+       |  FROM (SELECT p.*, string_split(host, '.') AS labels FROM p) p)"""
+      .stripMargin
+
+  /** DuckDB CTE chain `q8`: per-vector int8 scale + codes (mirrors
+    * [[graft.ops.Quantize]]: round-half-up `floor(x/s + 0.5)`).
+    */
+  private val QuantizeCtes =
+    """q8 AS (
+      |  SELECT vec_id, s,
+      |    list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)) AS q
+      |  FROM (
+      |    SELECT vec_id, embedding,
+      |      CASE WHEN m = 0 THEN CAST(1.0 AS DOUBLE) ELSE m / 127 END AS s
+      |    FROM (
+      |      SELECT vec_id, embedding,
+      |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+      |          AS m
+      |      FROM embeddings)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "p_exact_dedup" ->
@@ -1185,6 +1337,74 @@ object PipelineQueries {
         |  CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames,
         |  CASE WHEN octet_length(encode(text)) % 2 = 0
         |       THEN 'even' ELSE 'odd' END AS format
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "u_canonical" ->
+      s"""WITH $UrlDomainCtes,
+         |f AS (
+  -- array_to_string([]) is NULL in DuckDB vs '' for Spark's array_join
+         |  SELECT dm.*,
+         |    coalesce(
+         |      array_to_string(list_sort(list_filter(string_split(qs, '&'),
+         |        x -> x <> ''
+         |          AND NOT starts_with(
+         |            regexp_extract(x, '^([^=]*)', 1), 'utm_')
+         |          AND NOT (regexp_extract(x, '^([^=]*)', 1) IN
+         |            ('fbclid','gclid','msclkid','ref')))), '&'), '') AS sq
+         |  FROM dm)
+         |SELECT doc_id, host, domain,
+         |  scheme || '://' || host ||
+         |  CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+         |         OR (scheme = 'http' AND port = '80')
+         |    THEN '' ELSE ':' || port END ||
+         |  path ||
+         |  CASE WHEN sq = '' THEN '' ELSE '?' || sq END AS url_canon
+         |FROM f""".stripMargin,
+    "u_domain_cap" ->
+      s"""WITH $UrlDomainCtes
+         |SELECT doc_id, domain FROM (
+         |  SELECT doc_id, domain,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY ${hash61Sql("'quota:' || CAST(doc_id AS VARCHAR)")},
+         |        doc_id) AS rn
+         |  FROM dm) WHERE rn <= 3""".stripMargin,
+    "u_domain_block" ->
+      s"""WITH $UrlDomainCtes
+         |SELECT doc_id, url FROM dm
+         |WHERE domain NOT IN (
+         |  SELECT domain FROM dm WHERE domain LIKE '%.io')""".stripMargin,
+    "s_quantize_int8" ->
+      s"""WITH $QuantizeCtes
+         |SELECT vec_id, s AS scale,
+         |  CAST(len(list_filter(q, v -> abs(v) = 127)) AS INT) AS n_sat,
+         |  CAST(list_sum(q) AS BIGINT) AS sum_q,
+         |  CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT)
+         |    AS sum_abs_q
+         |FROM q8""".stripMargin,
+    "s_quant_topk" ->
+      s"""WITH $QuantizeCtes,
+         |n AS (
+         |  SELECT vec_id, q,
+         |    CAST(list_reduce(
+         |      list_transform(range(1, len(q)+1), i -> q[i]*q[i]),
+         |      (acc, v) -> acc + v) AS BIGINT) AS nrm
+         |  FROM q8),
+         |pr AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(list_reduce(
+         |      list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]),
+         |      (acc, v) -> acc + v) AS BIGINT) AS qdot,
+         |    a.nrm AS na, b.nrm AS nb
+         |  FROM n a, n b WHERE a.vec_id < 100 AND a.vec_id <> b.vec_id),
+         |sc AS (
+         |  SELECT query_id, neighbor_id, qdot,
+         |    CASE WHEN na = 0 OR nb = 0 THEN CAST(0.0 AS DOUBLE)
+         |      ELSE CAST(qdot AS DOUBLE) /
+         |        (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END
+         |      AS qcos
+         |  FROM pr)
+         |SELECT query_id, neighbor_id, rank, qdot, qcos FROM (
+         |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY qcos DESC, neighbor_id) AS rank
+         |  FROM sc) WHERE rank <= 5""".stripMargin
   )
 }

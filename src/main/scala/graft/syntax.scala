@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.StructType
 
 import graft.http.{HttpLookup, HttpSink}
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, Dedup, Multimodal, Pca, Sampling, Similarity, TfIdf}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, Dedup, Multimodal, Pca, Quantize, Sampling, Similarity, TfIdf, Urls}
 
 /** Fluent entry points: `import graft.syntax._` and every operator hangs off
   * DataFrame — the one-line switch path for users of the reference connector
@@ -206,5 +206,26 @@ object syntax {
         payload: Seq[String],
         tieBreak: Option[String] = None): DataFrame =
       AsOfJoin.leftAsOf(df, leftTime, right, rightTime, keys, payload, tieBreak)
+
+    def quantizeInt8(idCol: String, vecCol: String): DataFrame =
+      Quantize.quantize(df, idCol, vecCol)
+
+    def quantizedTopK(
+        idCol: String,
+        vecCol: String,
+        queries: DataFrame,
+        queryId: String,
+        queryVec: String,
+        k: Int): DataFrame =
+      Quantize.quantizedTopK(df, idCol, vecCol, queries, queryId, queryVec, k)
+
+    def capPerDomain(idCol: String, urlCol: String, k: Int): DataFrame =
+      Urls.capPerDomain(df, idCol, urlCol, k)
+
+    def dropBlockedDomains(
+        urlCol: String,
+        blocked: DataFrame,
+        blockedDomainCol: String): DataFrame =
+      Urls.dropBlockedDomains(df, urlCol, blocked, blockedDomainCol)
   }
 }

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq(url)
+      .toDF("u")
+      .select(Urls.canonicalizeUrl($"u"))
+      .as[String]
+      .head()
+
+  private def domain(host: String): String =
+    Seq(host)
+      .toDF("h")
+      .select(Urls.registeredDomain($"h"))
+      .as[String]
+      .head()
+
+  test("parse extracts scheme/host/port/path/query") {
+    val row = Seq("HTTPS://User:pw@Ex.COM:8443/A/b?x=1&y=2#frag")
+      .toDF("u")
+      .select(
+        Urls.urlScheme($"u"),
+        Urls.urlHost($"u"),
+        Urls.urlPort($"u"),
+        Urls.urlPath($"u"),
+        Urls.urlQuery($"u"))
+      .as[(String, String, String, String, String)]
+      .head()
+    row shouldBe (("https", "ex.com", "8443", "/A/b", "x=1&y=2"))
+  }
+
+  test("parse of portless/queryless/fragmentless urls yields empty fields") {
+    val row = Seq("http://a.org/p")
+      .toDF("u")
+      .select(Urls.urlPort($"u"), Urls.urlQuery($"u"), Urls.urlPath($"u"))
+      .as[(String, String, String)]
+      .head()
+    row shouldBe (("", "", "/p"))
+  }
+
+  test("canonicalize lowercases scheme+host, keeps path case") {
+    canon("HTTP://WWW.Ex.COM/Path/File") shouldBe "http://www.ex.com/Path/File"
+  }
+
+  test("canonicalize strips default ports per scheme, keeps others") {
+    canon("https://a.com:443/x") shouldBe "https://a.com/x"
+    canon("http://a.com:80/x") shouldBe "http://a.com/x"
+    // 443 is only default for https
+    canon("http://a.com:443/x") shouldBe "http://a.com:443/x"
+    canon("https://a.com:8443/x") shouldBe "https://a.com:8443/x"
+  }
+
+  test("canonicalize strips fragment and userinfo") {
+    canon("https://u:p@a.com/x#sec2") shouldBe "https://a.com/x"
+  }
+
+  test("canonicalize drops tracking params, sorts the rest") {
+    canon("https://a.com/x?utm_source=f&b=2&gclid=z&a=1&ref=r") shouldBe
+      "https://a.com/x?a=1&b=2"
+    // all params tracking -> no '?'
+    canon("https://a.com/x?utm_a=1&utm_b=2") shouldBe "https://a.com/x"
+    // param order is not semantic: both spellings canonicalize equal
+    canon("https://a.com/x?b=2&a=1") shouldBe canon("https://a.com/x?a=1&b=2")
+  }
+
+  test("registeredDomain handles ccTLD second-level suffixes") {
+    domain("www.example.co.uk") shouldBe "example.co.uk"
+    domain("a.b.example.ac.jp") shouldBe "example.ac.jp"
+    domain("www.example.com") shouldBe "example.com"
+    domain("deep.sub.example.org") shouldBe "example.org"
+    // 2-letter TLD without a known second-level suffix: two labels
+    domain("www.example.io") shouldBe "example.io"
+    // short hosts pass through
+    domain("example.com") shouldBe "example.com"
+    domain("localhost") shouldBe "localhost"
+  }
+
+  test("capPerDomain keeps at most k per registered domain") {
+    val df = (0L until 300L)
+      .map(i => (i, s"https://www.d${i % 3}.com/p/$i"))
+      .toDF("id", "url")
+    val capped = Urls.capPerDomain(df, "id", "url", k = 7)
+    capped.groupBy("domain").count().as[(String, Long)].collect().toMap
+      .values.toSet shouldBe Set(7L)
+    // deterministic: same kept set on re-run
+    val again = Urls.capPerDomain(df, "id", "url", k = 7)
+    capped.select("id").as[Long].collect().sorted shouldBe
+      again.select("id").as[Long].collect().sorted
+  }
+
+  test("dropBlockedDomains removes exactly the blocked domains") {
+    val df = (0L until 100L)
+      .map(i => (i, s"https://sub.d${i % 5}.org/p"))
+      .toDF("id", "url")
+    val blocked = Seq("d0.org", "d3.org").toDF("dom")
+    val kept = Urls.dropBlockedDomains(df, "url", blocked, "dom")
+    kept.columns.toSeq shouldBe Seq("id", "url")
+    kept.count() shouldBe 60L
+    kept
+      .select(Urls.urlDomain($"url"))
+      .as[String]
+      .collect()
+      .toSet shouldBe Set("d1.org", "d2.org", "d4.org")
+  }
+
+  test("dropBlockedDomains with an empty blocklist is the identity") {
+    val df = (0L until 10L)
+      .map(i => (i, s"https://d$i.net/"))
+      .toDF("id", "url")
+    val none = Seq.empty[String].toDF("dom")
+    Urls.dropBlockedDomains(df, "url", none, "dom").count() shouldBe 10L
+  }
+
+  test("graft.syntax exposes the url curation ops") {
+    import graft.syntax._
+    val df = (0L until 12L)
+      .map(i => (i, s"https://d${i % 2}.com/$i"))
+      .toDF("id", "url")
+    df.capPerDomain("id", "url", k = 2).count() shouldBe 4L
+    df.dropBlockedDomains("url", Seq("d0.com").toDF("dom"), "dom")
+      .count() shouldBe 6L
+  }
+}
