@@ -66,6 +66,14 @@ object Quantize {
       intDot(a, b).cast(DoubleType) /
         (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType))))
 
+  /** Reconstruct approximate float vectors from codes: `q_i · scale`.
+    * Map-side; reconstruction error is bounded by `scale/2` per dimension
+    * (spec'd). Feed the result to any float-vector consumer
+    * ([[Similarity.ivfTopK]], [[Pca.project]]) when exact inputs are gone.
+    */
+  def dequantize(codes: Column, scale: Column): Column =
+    transform(codes, q => (q.cast(DoubleType) * scale).cast(FloatType))
+
   /** Quantize an embedding table: `(id, scale, q)` with `q: array<int>`.
     * Pure map-side projection — partitioning of `df` is preserved.
     */

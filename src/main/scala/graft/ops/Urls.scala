@@ -107,6 +107,36 @@ object Urls {
         .otherwise(concat(lit("?"), sortedQuery)))
   }
 
+  /** Crawl-level dedup: keep ONE row per canonical URL (smallest id wins —
+    * deterministic under retries). The first dedup pass of every web
+    * pipeline: it needs no text comparison at all, so it runs before any
+    * content op.
+    *
+    * Scale posture ([[Dedup.keepOnePerCluster]]'s anti-join shape): the
+    * duplicate DROP ids are computed on a narrow (id, url_canon)
+    * projection — two partial-agg'd shuffles of two thin columns — and the
+    * full-width corpus only takes the final anti-join against that drop
+    * set, whose size is the duplicate volume, not the corpus (AQE
+    * broadcasts it when small).
+    *
+    * Output = input columns + `url_canon`.
+    */
+  def dedupByCanonicalUrl(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String): DataFrame = {
+    val canon = df.withColumn("url_canon", canonicalizeUrl(col(urlCol)))
+    val ids = canon.select(col(idCol), col("url_canon"))
+    val keepMin = ids
+      .groupBy(col("url_canon"))
+      .agg(min(col(idCol)).as("__keep_id"))
+    val drop = ids
+      .join(keepMin, Seq("url_canon"))
+      .filter(col(idCol) =!= col("__keep_id"))
+      .select(col(idCol))
+    canon.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Keep at most `k` docs per registered domain — the C4-style "no single
     * domain dominates the corpus" cap. Deterministic: the kept set is the
     * `k` smallest salted id-hashes per domain ([[Sampling.quotaSample]]

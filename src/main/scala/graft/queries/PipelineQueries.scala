@@ -670,6 +670,14 @@ object PipelineQueries {
         .distinct()
       Urls.dropBlockedDomains(u, "url", blocked, "dom")
     },
+    "u_url_dedup" -> { (s, dir) =>
+      Urls
+        .dedupByCanonicalUrl(
+          withDupUrl(t(s, dir, "documents")),
+          "doc_id",
+          "url")
+        .select(col("doc_id"), col("url_canon"))
+    },
 
     // ----- int8 embedding quantization (P40) -----
     "s_quantize_int8" -> { (s, dir) =>
@@ -733,6 +741,26 @@ object PipelineQueries {
           .otherwise(lit(""))).as("url"))
   }
 
+  /** Url fixture with deliberate cross-doc collisions AFTER
+    * canonicalization (doc_id appears only in tracking params / fragments,
+    * which canonicalization strips) — the `u_url_dedup` fixture; mirrors
+    * [[DupUrlSql]].
+    */
+  private def withDupUrl(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    docs.select(
+      col("doc_id"),
+      concat(
+        lit("https://WWW."),
+        upper(col("source")),
+        lit("X.com/"),
+        col("lang"),
+        lit("?id="),
+        (d % 3).cast(StringType),
+        when(d % 2 === 0, lit("&utm_s=1")).otherwise(lit("")),
+        when(d % 2 === 1, lit("#f")).otherwise(lit(""))).as("url"))
+  }
+
   private lazy val segmentDedupOracle: String =
     s"""WITH d AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
@@ -774,11 +802,23 @@ object PipelineQueries {
       |    CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
       |      ELSE '' END""".stripMargin
 
-  /** DuckDB CTE chain `u` → `p` → `dm`: url, parsed fields, registered
-    * domain (same regexes and suffix heuristic as [[graft.ops.Urls]]).
+  /** DuckDB: url with deliberate CROSS-DOC collisions after
+    * canonicalization (no doc_id in the canonical part; tracking params /
+    * fragments differ per row and are canonicalized away) — the
+    * `u_url_dedup` fixture. Mirrors [[withDupUrl]] bit-for-bit.
     */
-  private val UrlDomainCtes =
-    s"""u AS (SELECT doc_id, $UrlSql AS url FROM documents),
+  private val DupUrlSql =
+    """'https://WWW.' || upper(source) || 'X.com/' || lang ||
+      |    '?id=' || CAST(doc_id % 3 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 2 = 0 THEN '&utm_s=1' ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 1 THEN '#f' ELSE '' END""".stripMargin
+
+  /** DuckDB CTE chain `u` → `p` → `dm` over the given url expression:
+    * url, parsed fields, registered domain (same regexes and suffix
+    * heuristic as [[graft.ops.Urls]]).
+    */
+  private def urlDomainCtes(urlSql: String): String =
+    s"""u AS (SELECT doc_id, $urlSql AS url FROM documents),
        |p AS (
        |  SELECT doc_id, url,
        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
@@ -806,6 +846,31 @@ object PipelineQueries {
        |    END AS domain
        |  FROM (SELECT p.*, string_split(host, '.') AS labels FROM p) p)"""
       .stripMargin
+
+  /** DuckDB CTE `f` (over `dm`): the filtered+sorted surviving query
+    * string `sq` (tracking params dropped, byte-sorted; [] → '').
+    */
+  private val CanonQueryCte =
+    """f AS (
+      |  -- array_to_string([]) is NULL in DuckDB vs '' for Spark array_join
+      |  SELECT dm.*,
+      |    coalesce(
+      |      array_to_string(list_sort(list_filter(string_split(qs, '&'),
+      |        x -> x <> ''
+      |          AND NOT starts_with(
+      |            regexp_extract(x, '^([^=]*)', 1), 'utm_')
+      |          AND NOT (regexp_extract(x, '^([^=]*)', 1) IN
+      |            ('fbclid','gclid','msclkid','ref')))), '&'), '') AS sq
+      |  FROM dm)""".stripMargin
+
+  /** DuckDB: the canonical url expression over `f`'s columns. */
+  private val CanonUrlSql =
+    """scheme || '://' || host ||
+      |  CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+      |         OR (scheme = 'http' AND port = '80')
+      |    THEN '' ELSE ':' || port END ||
+      |  path ||
+      |  CASE WHEN sq = '' THEN '' ELSE '?' || sq END""".stripMargin
 
   /** DuckDB CTE chain `q8`: per-vector int8 scale + codes (mirrors
     * [[graft.ops.Quantize]]: round-half-up `floor(x/s + 0.5)`).
@@ -1339,28 +1404,13 @@ object PipelineQueries {
         |       THEN 'even' ELSE 'odd' END AS format
         |FROM documents""".stripMargin,
     "u_canonical" ->
-      s"""WITH $UrlDomainCtes,
-         |f AS (
-  -- array_to_string([]) is NULL in DuckDB vs '' for Spark's array_join
-         |  SELECT dm.*,
-         |    coalesce(
-         |      array_to_string(list_sort(list_filter(string_split(qs, '&'),
-         |        x -> x <> ''
-         |          AND NOT starts_with(
-         |            regexp_extract(x, '^([^=]*)', 1), 'utm_')
-         |          AND NOT (regexp_extract(x, '^([^=]*)', 1) IN
-         |            ('fbclid','gclid','msclkid','ref')))), '&'), '') AS sq
-         |  FROM dm)
+      s"""WITH ${urlDomainCtes(UrlSql)},
+         |$CanonQueryCte
          |SELECT doc_id, host, domain,
-         |  scheme || '://' || host ||
-         |  CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
-         |         OR (scheme = 'http' AND port = '80')
-         |    THEN '' ELSE ':' || port END ||
-         |  path ||
-         |  CASE WHEN sq = '' THEN '' ELSE '?' || sq END AS url_canon
+         |  $CanonUrlSql AS url_canon
          |FROM f""".stripMargin,
     "u_domain_cap" ->
-      s"""WITH $UrlDomainCtes
+      s"""WITH ${urlDomainCtes(UrlSql)}
          |SELECT doc_id, domain FROM (
          |  SELECT doc_id, domain,
          |    row_number() OVER (PARTITION BY domain
@@ -1368,10 +1418,20 @@ object PipelineQueries {
          |        doc_id) AS rn
          |  FROM dm) WHERE rn <= 3""".stripMargin,
     "u_domain_block" ->
-      s"""WITH $UrlDomainCtes
+      s"""WITH ${urlDomainCtes(UrlSql)}
          |SELECT doc_id, url FROM dm
          |WHERE domain NOT IN (
          |  SELECT domain FROM dm WHERE domain LIKE '%.io')""".stripMargin,
+    "u_url_dedup" ->
+      s"""WITH ${urlDomainCtes(DupUrlSql)},
+         |$CanonQueryCte,
+         |c AS (SELECT doc_id, $CanonUrlSql AS url_canon FROM f),
+         |r AS (
+         |  SELECT doc_id, url_canon,
+         |    row_number() OVER (PARTITION BY url_canon ORDER BY doc_id)
+         |      AS rn
+         |  FROM c)
+         |SELECT doc_id, url_canon FROM r WHERE rn = 1""".stripMargin,
     "s_quantize_int8" ->
       s"""WITH $QuantizeCtes
          |SELECT vec_id, s AS scale,

@@ -222,6 +222,9 @@ object syntax {
     def capPerDomain(idCol: String, urlCol: String, k: Int): DataFrame =
       Urls.capPerDomain(df, idCol, urlCol, k)
 
+    def dedupByCanonicalUrl(idCol: String, urlCol: String): DataFrame =
+      Urls.dedupByCanonicalUrl(df, idCol, urlCol)
+
     def dropBlockedDomains(
         urlCol: String,
         blocked: DataFrame,

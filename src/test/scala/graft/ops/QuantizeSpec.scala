@@ -112,6 +112,19 @@ class QuantizeSpec extends SparkSpec {
     plan should include regex "/ scale#\\d+"
   }
 
+  test("dequantize reconstructs within scale/2 per dimension") {
+    val vec = Seq(0.93f, -0.41f, 0.07f, 0.555f)
+    val got = Quantize
+      .quantize(Seq((1L, vec)).toDF("id", "vec"), "id", "vec")
+      .select($"scale", Quantize.dequantize($"q", $"scale").as("r"))
+      .as[(Double, Seq[Float])]
+      .head()
+    val (scale, recon) = got
+    recon.zip(vec).foreach { case (r, x) =>
+      math.abs(r.toDouble - x.toDouble) should be <= (scale / 2 + 1e-7)
+    }
+  }
+
   test("graft.syntax exposes the quantization ops") {
     import graft.syntax._
     val df = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("id", "vec")

@@ -117,6 +117,25 @@ class UrlsSpec extends SparkSpec {
     Urls.dropBlockedDomains(df, "url", none, "dom").count() shouldBe 10L
   }
 
+  test("dedupByCanonicalUrl keeps the min id per canonical url") {
+    // four spellings of ONE canonical url + one distinct url
+    val df = Seq(
+      (3L, "https://a.com/x?b=2&a=1"),
+      (1L, "HTTPS://A.com/x?a=1&utm_s=z&b=2"),
+      (2L, "https://a.com:443/x?a=1&b=2#frag"),
+      (5L, "https://a.com/x?a=1&b=2"),
+      (9L, "https://a.com/OTHER")).toDF("id", "url")
+    val got = Urls
+      .dedupByCanonicalUrl(df, "id", "url")
+      .select($"id", $"url_canon")
+      .as[(Long, String)]
+      .collect()
+      .toSet
+    got shouldBe Set(
+      (1L, "https://a.com/x?a=1&b=2"),
+      (9L, "https://a.com/OTHER"))
+  }
+
   test("graft.syntax exposes the url curation ops") {
     import graft.syntax._
     val df = (0L until 12L)
