@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.StructType
 
 import graft.http.{HttpLookup, HttpSink}
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, Dedup, Multimodal, Pca, Quantize, Sampling, Similarity, TfIdf, Urls}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, Dedup, HeavyHitters, Multimodal, Pca, Quantize, Sampling, Similarity, TfIdf, Urls}
 
 /** Fluent entry points: `import graft.syntax._` and every operator hangs off
   * DataFrame — the one-line switch path for users of the reference connector
@@ -224,6 +224,9 @@ object syntax {
 
     def dedupByCanonicalUrl(idCol: String, urlCol: String): DataFrame =
       Urls.dedupByCanonicalUrl(df, idCol, urlCol)
+
+    def heavyHitters(key: Column, k: Int): DataFrame =
+      HeavyHitters.topK(df, key, k)
 
     def dropBlockedDomains(
         urlCol: String,

@@ -166,6 +166,31 @@ object ScaleSmoke {
         length(col("text")),
         budget = (nDocs / 2) * 60L),
       ceilingGB = 6.0))
+    // url dedup: ~10 copies per canonical url (tracking params differ per
+    // copy and are canonicalized away) — the drop-id pipeline must stay on
+    // the narrow (id, url) projection; the corpus shuffles once (anti-join)
+    measure(Step(
+      "u_url_dedup(10 copies per canonical url)",
+      () => graft.ops.Urls.dedupByCanonicalUrl(
+        docs.withColumn(
+          "url",
+          concat(
+            lit("https://www.d"),
+            (col("doc_id") % (nDocs / 10)).cast("string"),
+            lit(".com/x?utm_c="),
+            col("doc_id").cast("string"))),
+        "doc_id", "url"),
+      ceilingGB = 6.0))
+    // quantized ANN: the corpus-side scan is map-side quantization; only
+    // per-query top-k survivors reach the final exchange (WindowGroupLimit
+    // prunes map-side), so shuffle stays far below the vector volume
+    measure(Step(
+      "s_quant_topk(100 queries vs 10x corpus)",
+      () => graft.ops.Quantize.quantizedTopK(
+        embs, "vec_id", "embedding",
+        embs.filter(col("vec_id") < 100), "vec_id", "embedding",
+        k = 5),
+      ceilingGB = 2.0))
 
     graft.ops.Par.releaseCaches()
     spark.stop()
