@@ -55,4 +55,46 @@ object Packing {
       .withColumn("bin_offset", expr(s"__cum % ${capacity}L"))
       .drop("__cum")
   }
+
+  /** Assign every row to one of `nShards` output shards so the per-shard
+    * total `weight` (token count, byte size) is near-balanced — the
+    * "write N equal training files" step. Round-robin over the global
+    * DESCENDING weight order: the j-th heaviest row lands in shard
+    * (j-1) % n, which bounds any two shard totals to within the single
+    * largest row's weight (telescoping over rounds — spec'd), and the
+    * assignment is a pure function of (weight, id), so it is reproducible
+    * across runs, partitionings and engines.
+    *
+    * No single-task sort: global rank comes from the
+    * [[Sampling.rangePrefix]] machinery (`repartitionByRange` buckets in
+    * weight order, per-bucket counts → broadcast prefix offsets, interior
+    * rank per bucket-partitioned window) — the same no-global-sort path
+    * as [[Sampling.tokenBudgetSelect]].
+    *
+    * Output = input columns + `shard` (0-based INT).
+    */
+  def balancedShards(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val base = df.withColumn("__bs_w", weight.cast("long"))
+    val (ranged, offsets, _) = Sampling.rangePrefix(
+      base,
+      Seq(col("__bs_w").desc, col(idCol)),
+      lit(1L),
+      "__bs_bkt",
+      "__bs_off")
+    val w = Window
+      .partitionBy(col("__bs_bkt"))
+      .orderBy(col("__bs_w").desc, col(idCol))
+    ranged
+      .join(broadcast(offsets), Seq("__bs_bkt"))
+      .withColumn("__bs_rank", col("__bs_off") + row_number().over(w))
+      .withColumn(
+        "shard",
+        ((col("__bs_rank") - 1L) % nShards).cast("int"))
+      .drop("__bs_bkt", "__bs_off", "__bs_rank", "__bs_w")
+  }
 }

@@ -151,7 +151,7 @@ object Sampling {
     * [[tokenBudgetSelect]] (measure = token count) and [[exactQuantiles]]
     * (measure = 1 → offsets are ranks).
     */
-  private def rangePrefix(
+  private[ops] def rangePrefix(
       base: DataFrame,
       order: Seq[Column],
       measure: Column,

@@ -679,6 +679,17 @@ object PipelineQueries {
         .select(col("doc_id"), col("url_canon"))
     },
 
+    // ----- balanced output sharding (P42) -----
+    "t_balanced_shards" -> { (s, dir) =>
+      graft.ops.Packing
+        .balancedShards(
+          t(s, dir, "documents"),
+          "doc_id",
+          col("n_chars"),
+          nShards = 8)
+        .select(col("doc_id"), col("shard"))
+    },
+
     // ----- int8 embedding quantization (P40) -----
     "s_quantize_int8" -> { (s, dir) =>
       Quantize
@@ -1432,6 +1443,11 @@ object PipelineQueries {
          |      AS rn
          |  FROM c)
          |SELECT doc_id, url_canon FROM r WHERE rn = 1""".stripMargin,
+    "t_balanced_shards" ->
+      """SELECT doc_id,
+        |  CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 8
+        |    AS INT) AS shard
+        |FROM documents""".stripMargin,
     "s_quantize_int8" ->
       s"""WITH $QuantizeCtes
          |SELECT vec_id, s AS scale,

@@ -607,6 +607,25 @@ class PackingSpec extends SparkSpec {
     perShard.sum shouldBe 200L
     all(perShard) should be < 60L // ~25 expected per shard, bounded
   }
+
+  test("balancedShards: shard sums within one max item, deterministic") {
+    import org.apache.spark.sql.functions.col
+    // skewed weights: a few giants + a long tail
+    val rows = (1L to 500L).map(i => (i, if (i <= 5) 900L + i else i % 37 + 1L))
+    val df = rows.toDF("id", "w")
+    val out = Packing.balancedShards(df, "id", col("w"), nShards = 8)
+    out.columns.toSeq shouldBe Seq("id", "w", "shard")
+    val sums = out.groupBy("shard").sum("w").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    sums.keySet shouldBe (0 until 8).toSet
+    val maxW = rows.map(_._2).max
+    (sums.values.max - sums.values.min) should be <= maxW
+    // assignment is a pure function of (weight, id): partitioning-invariant
+    val again = Packing
+      .balancedShards(df.repartition(13), "id", col("w"), nShards = 8)
+      .select("id", "shard").as[(Long, Int)].collect().toMap
+    out.select("id", "shard").as[(Long, Int)].collect().toMap shouldBe again
+  }
 }
 
 class NgramLmSpec extends SparkSpec {
