@@ -679,6 +679,15 @@ object PipelineQueries {
         .select(col("doc_id"), col("url_canon"))
     },
 
+    // ----- z-order layout key (P43) -----
+    "t_zorder" -> { (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        graft.ops.ZOrder
+          .zValue2(col("o_custkey"), col("o_orderkey"), bits = 21)
+          .as("zval"))
+    },
+
     // ----- balanced output sharding (P42) -----
     "t_balanced_shards" -> { (s, dir) =>
       graft.ops.Packing
@@ -882,6 +891,17 @@ object PipelineQueries {
       |    THEN '' ELSE ':' || port END ||
       |  path ||
       |  CASE WHEN sq = '' THEN '' ELSE '?' || sq END""".stripMargin
+
+  /** DuckDB: the Morton interleave as the same shift/mask sum
+    * [[graft.ops.ZOrder.zValue]] computes — generated from the identical
+    * (bit position, weight) constants so the two sides cannot drift.
+    */
+  private def zorderSql(cols: Seq[String], bits: Int): String =
+    (for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bits
+    } yield s"(((CAST($c AS BIGINT) >> $i) & 1) * " +
+      s"${1L << (i * cols.size + j)})").mkString(" + ")
 
   /** DuckDB CTE chain `q8`: per-vector int8 scale + codes (mirrors
     * [[graft.ops.Quantize]]: round-half-up `floor(x/s + 0.5)`).
@@ -1443,6 +1463,9 @@ object PipelineQueries {
          |      AS rn
          |  FROM c)
          |SELECT doc_id, url_canon FROM r WHERE rn = 1""".stripMargin,
+    "t_zorder" ->
+      (s"SELECT o_orderkey, ${zorderSql(Seq("o_custkey", "o_orderkey"), 21)}" +
+        " AS zval FROM orders"),
     "t_balanced_shards" ->
       """SELECT doc_id,
         |  CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 8

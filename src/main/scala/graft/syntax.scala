@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.StructType
 
 import graft.http.{HttpLookup, HttpSink}
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, Dedup, HeavyHitters, Multimodal, Packing, Pca, Quantize, Sampling, Similarity, TfIdf, Urls}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, Dedup, HeavyHitters, Multimodal, Packing, Pca, Quantize, Sampling, Similarity, TfIdf, Urls, ZOrder}
 
 /** Fluent entry points: `import graft.syntax._` and every operator hangs off
   * DataFrame — the one-line switch path for users of the reference connector
@@ -230,6 +230,12 @@ object syntax {
 
     def balancedShards(idCol: String, weight: Column, n: Int): DataFrame =
       Packing.balancedShards(df, idCol, weight, n)
+
+    def zorderRepartition(
+        keyCols: Seq[String],
+        bits: Int,
+        numPartitions: Int): DataFrame =
+      ZOrder.zorderRepartition(df, keyCols, bits, numPartitions)
 
     def dropBlockedDomains(
         urlCol: String,
