@@ -679,6 +679,51 @@ object PipelineQueries {
         .select(col("doc_id"), col("url_canon"))
     },
 
+    // ----- LSH bucket assignment (P6 — the blocking step of lshTopK) -----
+    "s_lsh_bucket" -> { (s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        Similarity.lshBucket(col("embedding"), planes = 8).as("bucket"))
+    },
+
+    // ----- PII redaction + C4 line filter (P14) -----
+    // over text derived deterministically from doc_id/source/lang: the
+    // synthetic documents carry no emails/IPs/newlines, so the fixtures
+    // inject them the same way in Spark and the oracle (the withUrl trick)
+    "t_pii_redact" -> { (s, dir) =>
+      val d = col("doc_id")
+      val pii = concat(
+        lit("Contact "),
+        col("source"),
+        lit("@"),
+        col("lang"),
+        lit("mail.com or 10.0."),
+        (d % 256).cast(StringType),
+        lit("."),
+        (d % 100).cast(StringType),
+        lit(" call +1 555 "),
+        (d % 900 + 100).cast(StringType),
+        lit(" "),
+        (d % 9000 + 1000).cast(StringType),
+        lit(" now"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.redactPii(pii).as("redacted"))
+    },
+    "t_line_filter" -> { (s, dir) =>
+      val d = col("doc_id")
+      val multiline = concat(
+        lit("This is a proper sentence.\nok\nno terminal punct here\n"),
+        when(d % 2 === 0, lit("Another good line stays!"))
+          .otherwise(lit("too short.")),
+        lit("\nFinal words for doc "),
+        d.cast(StringType),
+        lit(" right?"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.keepQualityLines(multiline, minWords = 3).as("kept"))
+    },
+
     // ----- z-order layout key (P43) -----
     "t_zorder" -> { (s, dir) =>
       t(s, dir, "orders").select(
@@ -1466,6 +1511,38 @@ object PipelineQueries {
     "t_zorder" ->
       (s"SELECT o_orderkey, ${zorderSql(Seq("o_custkey", "o_orderkey"), 21)}" +
         " AS zval FROM orders"),
+    "s_lsh_bucket" ->
+      s"""SELECT vec_id, ${embBucketSql("embedding", 8)} AS bucket
+         |FROM embeddings""".stripMargin,
+    "t_pii_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |    'Contact ' || source || '@' || lang || 'mail.com or 10.0.' ||
+         |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         |      CAST(doc_id % 100 AS VARCHAR) || ' call +1 555 ' ||
+         |      CAST(doc_id % 900 + 100 AS VARCHAR) || ' ' ||
+         |      CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' now',
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+         |    '<EMAIL>', 'g'),
+         |    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+         |    '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g') AS redacted
+         |FROM documents""".stripMargin,
+    "t_line_filter" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    'This is a proper sentence.' || chr(10) || 'ok' || chr(10) ||
+         |    'no terminal punct here' || chr(10) ||
+         |    CASE WHEN doc_id % 2 = 0 THEN 'Another good line stays!'
+         |         ELSE 'too short.' END || chr(10) ||
+         |    'Final words for doc ' || CAST(doc_id AS VARCHAR) || ' right?'
+         |      AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(list_filter(string_split(text, chr(10)),
+         |    l -> len(regexp_split_to_array(trim(l), '\\s+')) >= 3
+         |      AND regexp_matches(trim(l),
+         |        '[.!?"]["'')\\]]?${"$"}')), chr(10)), '') AS kept
+         |FROM m""".stripMargin,
     "t_balanced_shards" ->
       """SELECT doc_id,
         |  CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 8
