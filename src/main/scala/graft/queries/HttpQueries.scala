@@ -22,13 +22,13 @@ object HttpQueries {
 
   // one stub per (purpose, sfDir), started lazily, never torn down (driver
   // process exits at the end of Verify/Bench)
-  private val lookupServers = new ConcurrentHashMap[String, String]()
+  private val lookupServers = new ConcurrentHashMap[String, StubServer]()
   private val sinkServers = new ConcurrentHashMap[String, StubServer]()
 
   /** Customer-lookup stub: GET /customer?c_custkey=N → the customer row as
     * a JSON object (404 for unknown keys).
     */
-  private def customerServiceUrl(spark: SparkSession, dir: String): String =
+  private def lookupStub(spark: SparkSession, dir: String): StubServer =
     lookupServers.computeIfAbsent(
       dir,
       _ => {
@@ -45,15 +45,32 @@ object HttpQueries {
           .collect()
           .map(r => r.getString(0) -> r.getString(1))
           .toMap
-        val server = StubServer.serveOnly().route("/customer") { req =>
-          StubServer.queryMap(req.query).get("c_custkey").flatMap(rows.get) match {
-            case Some(json) => (200, json)
-            case None => (404, """{"error":"not found"}""")
+        val keyInBody = "\"c_custkey\"\\s*:\\s*\"?(-?\\d+)\"?".r
+        val server = StubServer
+          .serveOnly()
+          .route("/customer") { req =>
+            StubServer.queryMap(req.query).get("c_custkey").flatMap(rows.get) match {
+              case Some(json) => (200, json)
+              case None => (404, """{"error":"not found"}""")
+            }
           }
-        }
+          // POST twin: the key arrives in a JSON body rendered from the
+          // `http.request.body-template` creator instead of the query string
+          .route("/customer-post") { req =>
+            keyInBody
+              .findFirstMatchIn(req.body)
+              .map(_.group(1))
+              .flatMap(rows.get) match {
+              case Some(json) => (200, json)
+              case None => (404, """{"error":"not found"}""")
+            }
+          }
         server.start()
-        server.url("/customer")
+        server
       })
+
+  private def customerServiceUrl(spark: SparkSession, dir: String): String =
+    lookupStub(spark, dir).url("/customer")
 
   private def sinkServer(dir: String): StubServer =
     sinkServers.computeIfAbsent(
@@ -148,6 +165,34 @@ object HttpQueries {
           col("c_nationkey"),
           col("c_acctbal"),
           col("c_mktsegment"))
+    },
+
+    // ----- POST lookup: key rendered into a JSON body template (L3/L4) ---
+    "h_post_lookup" -> { (s, dir) =>
+      val probe = s.read
+        .parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      HttpLookup
+        .join(
+          probe,
+          keyCols = Seq("c_custkey"),
+          responseSchema = customerResponseSchema,
+          options = Map(
+            "url" -> lookupStub(s, dir).url("/customer-post"),
+            "lookup-method" -> "POST",
+            "http.request.body-template" -> """{"c_custkey": {{c_custkey}}}""",
+            "http.source.lookup.request.thread-pool.size" -> "2",
+            "http.source.lookup.dedup-keys" -> "true",
+            "lookup.cache" -> "PARTIAL",
+            "lookup.partial-cache.max-rows" -> "200000",
+            "http.source.lookup.success-codes" -> "2XX",
+            "http.source.lookup.ignored-response-codes" -> "404"))
+        .select(
+          col("o_orderkey"),
+          col("c_custkey"),
+          col("c_name"),
+          col("c_acctbal"))
     },
 
     // ----- DSv2 lookup TABLE: pure-SQL DDL + JOIN via HttpLookupJoinRule ---
@@ -251,6 +296,10 @@ object HttpQueries {
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice_r,
         |  c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "h_post_lookup" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 5 = 0""".stripMargin,
     "h_table_lookup_join" ->
       """SELECT o_orderkey, c_name, c_nationkey, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
