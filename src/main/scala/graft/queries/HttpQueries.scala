@@ -65,6 +65,18 @@ object HttpQueries {
               case None => (404, """{"error":"not found"}""")
             }
           }
+          // Elasticsearch-lite twin: the key arrives as a Lucene-style
+          // `q=c_custkey:"N"` query param (url-decoded by queryMap)
+          .route("/customer-es") { req =>
+            val q = StubServer.queryMap(req.query).getOrElse("q", "")
+            "c_custkey:\"(-?\\d+)\"".r
+              .findFirstMatchIn(q)
+              .map(_.group(1))
+              .flatMap(rows.get) match {
+              case Some(json) => (200, json)
+              case None => (404, """{"error":"not found"}""")
+            }
+          }
         server.start()
         server
       })
@@ -195,6 +207,34 @@ object HttpQueries {
           col("c_acctbal"))
     },
 
+    // ----- Elasticsearch-lite creator: Lucene q= query string (L5) -----
+    "h_es_lookup" -> { (s, dir) =>
+      val probe = s.read
+        .parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      HttpLookup
+        .join(
+          probe,
+          keyCols = Seq("c_custkey"),
+          responseSchema = customerResponseSchema,
+          options = Map(
+            "url" -> lookupStub(s, dir).url("/customer-es"),
+            "lookup-method" -> "GET",
+            "lookup-query-creator" -> "elasticsearch-lite",
+            "http.source.lookup.request.thread-pool.size" -> "2",
+            "http.source.lookup.dedup-keys" -> "true",
+            "lookup.cache" -> "PARTIAL",
+            "lookup.partial-cache.max-rows" -> "200000",
+            "http.source.lookup.success-codes" -> "2XX",
+            "http.source.lookup.ignored-response-codes" -> "404"))
+        .select(
+          col("o_orderkey"),
+          col("c_custkey"),
+          col("c_name"),
+          col("c_mktsegment"))
+    },
+
     // ----- DSv2 lookup TABLE: pure-SQL DDL + JOIN via HttpLookupJoinRule ---
     "h_table_lookup_join" -> { (s, dir) =>
       val url = customerServiceUrl(s, dir)
@@ -288,6 +328,38 @@ object HttpQueries {
         .toDF("body")
         .select(explode(from_json(col("body"), bodySchema)).as("rec"))
         .select(col("rec.c_nationkey"), col("rec.n_customers"), col("rec.sum_acctbal"))
+    },
+
+    // ----- single-mode sink: one request per row (K2), PUT method -----
+    "h_sink_single" -> { (s, dir) =>
+      val agg = s.read
+        .parquet(s"$dir/customer.parquet")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal").cast(DecimalType(18, 2))), 2)
+            .cast(DoubleType).as("sum_acctbal"))
+      val server = sinkServer(dir)
+      server.clear()
+      HttpSink.write(
+        agg.repartition(2),
+        Map(
+          "url" -> server.url("/ingest"),
+          "insert-method" -> "PUT",
+          "http.sink.writer.request.mode" -> "single"))
+      val bodies = server.requests.map(_.body)
+      val recSchema = StructType(Seq(
+        StructField("c_nationkey", IntegerType),
+        StructField("n_customers", LongType),
+        StructField("sum_acctbal", DoubleType)))
+      import s.implicits._
+      s.createDataset(bodies)
+        .toDF("body")
+        .select(from_json(col("body"), recSchema).as("rec"))
+        .select(
+          col("rec.c_nationkey"),
+          col("rec.n_customers"),
+          col("rec.sum_acctbal"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -300,6 +372,10 @@ object HttpQueries {
       """SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey % 5 = 0""".stripMargin,
+    "h_es_lookup" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 7 = 0""".stripMargin,
     "h_table_lookup_join" ->
       """SELECT o_orderkey, c_name, c_nationkey, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -312,6 +388,10 @@ object HttpQueries {
         |FROM orders LEFT JOIN customer
         |  ON (CASE WHEN o_orderkey % 3 = 0 THEN -o_custkey
         |      ELSE o_custkey END) = c_custkey""".stripMargin,
+    "h_sink_single" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
     "h_sink_roundtrip" ->
       """SELECT c_nationkey, count(*) AS n_customers,
         |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
