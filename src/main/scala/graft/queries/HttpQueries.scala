@@ -23,6 +23,8 @@ object HttpQueries {
   // one stub per (purpose, sfDir), started lazily, never torn down (driver
   // process exits at the end of Verify/Bench)
   private val lookupServers = new ConcurrentHashMap[String, StubServer]()
+  private val flakyAttempts =
+    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
   private val sinkServers = new ConcurrentHashMap[String, StubServer]()
 
   /** Customer-lookup stub: GET /customer?c_custkey=N → the customer row as
@@ -75,6 +77,44 @@ object HttpQueries {
               .flatMap(rows.get) match {
               case Some(json) => (200, json)
               case None => (404, """{"error":"not found"}""")
+            }
+          }
+          // renamed-param twin: the probe column c_custkey maps to the API
+          // field `cust` via http.request.query-param-fields-with-key
+          .route("/customer-renamed") { req =>
+            StubServer.queryMap(req.query).get("cust").flatMap(rows.get) match {
+              case Some(json) => (200, json)
+              case None => (404, """{"error":"not found"}""")
+            }
+          }
+          // auth-gated twin: requires the Basic header the preprocessor
+          // builds from the raw `user:pass` option value
+          .route("/customer-auth") { req =>
+            val expected = "Basic " + java.util.Base64.getEncoder
+              .encodeToString("svc:secret".getBytes("UTF-8"))
+            if (!req.headers.get("Authorization").exists(_.contains(expected)))
+              (401, """{"error":"unauthorized"}""")
+            else
+              StubServer.queryMap(req.query).get("c_custkey").flatMap(rows.get) match {
+                case Some(json) => (200, json)
+                case None => (404, """{"error":"not found"}""")
+              }
+          }
+          // flaky twin: the FIRST attempt for every key fails 503; the
+          // retry policy must recover (per-JVM counters — later bench
+          // iterations see a warm stub, which only makes retries moot)
+          .route("/customer-flaky") { req =>
+            StubServer.queryMap(req.query).get("c_custkey") match {
+              case None => (404, """{"error":"no key"}""")
+              case Some(k) =>
+                val n = flakyAttempts
+                  .computeIfAbsent(k, _ => new java.util.concurrent.atomic.AtomicInteger())
+                  .incrementAndGet()
+                if (n == 1) (503, """{"error":"warming up"}""")
+                else rows.get(k) match {
+                  case Some(json) => (200, json)
+                  case None => (404, """{"error":"not found"}""")
+                }
             }
           }
         server.start()
@@ -235,6 +275,80 @@ object HttpQueries {
           col("c_mktsegment"))
     },
 
+    // ----- query-param rename (L21), basic auth (L13), retries (L7) -----
+    "h_param_rename" -> { (s, dir) =>
+      val probe = s.read
+        .parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      HttpLookup
+        .join(
+          probe,
+          keyCols = Seq("c_custkey"),
+          responseSchema = customerResponseSchema,
+          options = Map(
+            "url" -> lookupStub(s, dir).url("/customer-renamed"),
+            "lookup-method" -> "GET",
+            "http.request.query-param-fields-with-key" -> "c_custkey:cust",
+            "http.source.lookup.request.thread-pool.size" -> "2",
+            "http.source.lookup.dedup-keys" -> "true",
+            "lookup.cache" -> "PARTIAL",
+            "lookup.partial-cache.max-rows" -> "200000",
+            "http.source.lookup.success-codes" -> "2XX",
+            "http.source.lookup.ignored-response-codes" -> "404"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"))
+    },
+    "h_auth_lookup" -> { (s, dir) =>
+      val probe = s.read
+        .parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      HttpLookup
+        .join(
+          probe,
+          keyCols = Seq("c_custkey"),
+          responseSchema = customerResponseSchema,
+          options = Map(
+            "url" -> lookupStub(s, dir).url("/customer-auth"),
+            "lookup-method" -> "GET",
+            // raw user:pass — the Basic preprocessor base64s it
+            "http.source.lookup.header.Authorization" -> "svc:secret",
+            "http.source.lookup.request.thread-pool.size" -> "2",
+            "http.source.lookup.dedup-keys" -> "true",
+            "lookup.cache" -> "PARTIAL",
+            "lookup.partial-cache.max-rows" -> "200000",
+            "http.source.lookup.success-codes" -> "2XX",
+            "http.source.lookup.ignored-response-codes" -> "404"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_acctbal"))
+    },
+    "h_retry_lookup" -> { (s, dir) =>
+      val probe = s.read
+        .parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 17 === 0)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      HttpLookup
+        .join(
+          probe,
+          keyCols = Seq("c_custkey"),
+          responseSchema = customerResponseSchema,
+          options = Map(
+            "url" -> lookupStub(s, dir).url("/customer-flaky"),
+            "lookup-method" -> "GET",
+            "lookup.max-retries" -> "3",
+            "http.source.lookup.retry-codes" -> "503",
+            // 1ms delay: the gate exercises the retry PATH, not the wait
+            // (default fixed-delay 1s x one-retry-per-key would serialize
+            // ~900 seconds of sleep through a 2-thread pool)
+            "http.source.lookup.retry-strategy.fixed-delay.delay" -> "1ms",
+            "http.source.lookup.request.thread-pool.size" -> "2",
+            "http.source.lookup.dedup-keys" -> "true",
+            "lookup.cache" -> "PARTIAL",
+            "lookup.partial-cache.max-rows" -> "200000",
+            "http.source.lookup.success-codes" -> "2XX",
+            "http.source.lookup.ignored-response-codes" -> "404"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_nationkey"))
+    },
+
     // ----- DSv2 lookup TABLE: pure-SQL DDL + JOIN via HttpLookupJoinRule ---
     "h_table_lookup_join" -> { (s, dir) =>
       val url = customerServiceUrl(s, dir)
@@ -376,6 +490,18 @@ object HttpQueries {
       """SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey % 7 = 0""".stripMargin,
+    "h_param_rename" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 11 = 0""".stripMargin,
+    "h_auth_lookup" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 13 = 0""".stripMargin,
+    "h_retry_lookup" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_nationkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 17 = 0""".stripMargin,
     "h_table_lookup_join" ->
       """SELECT o_orderkey, c_name, c_nationkey, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
