@@ -444,6 +444,42 @@ object HttpQueries {
         .select(col("rec.c_nationkey"), col("rec.n_customers"), col("rec.sum_acctbal"))
     },
 
+    // ----- csv sink framing: to_csv rows joined by newline (K11) -----
+    "h_sink_csv" -> { (s, dir) =>
+      val agg = s.read
+        .parquet(s"$dir/customer.parquet")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal").cast(DecimalType(18, 2))), 2)
+            .cast(DoubleType).as("sum_acctbal"))
+      val server = sinkServer(dir)
+      server.clear()
+      HttpSink.write(
+        agg.repartition(2),
+        Map(
+          "url" -> server.url("/ingest"),
+          "insert-method" -> "POST",
+          "http.sink.writer.request.mode" -> "batch",
+          "http.sink.request.batch.size" -> "10",
+          "format" -> "csv"))
+      val bodies = server.requests.map(_.body)
+      val recSchema = StructType(Seq(
+        StructField("c_nationkey", IntegerType),
+        StructField("n_customers", LongType),
+        StructField("sum_acctbal", DoubleType)))
+      import s.implicits._
+      s.createDataset(bodies)
+        .toDF("body")
+        .select(explode(split(col("body"), "\n")).as("line"))
+        .filter(col("line") =!= "")
+        .select(from_csv(col("line"), recSchema, Map.empty[String, String]).as("rec"))
+        .select(
+          col("rec.c_nationkey"),
+          col("rec.n_customers"),
+          col("rec.sum_acctbal"))
+    },
+
     // ----- single-mode sink: one request per row (K2), PUT method -----
     "h_sink_single" -> { (s, dir) =>
       val agg = s.read
@@ -514,6 +550,10 @@ object HttpQueries {
         |FROM orders LEFT JOIN customer
         |  ON (CASE WHEN o_orderkey % 3 = 0 THEN -o_custkey
         |      ELSE o_custkey END) = c_custkey""".stripMargin,
+    "h_sink_csv" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
     "h_sink_single" ->
       """SELECT c_nationkey, count(*) AS n_customers,
         |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
