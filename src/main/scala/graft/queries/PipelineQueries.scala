@@ -679,6 +679,17 @@ object PipelineQueries {
         .select(col("doc_id"), col("url_canon"))
     },
 
+    // ----- count-min sketch estimates (P44) -----
+    "t_cms_counts" -> { (s, dir) =>
+      import s.implicits._
+      val words = t(s, dir, "documents")
+        .select(explode(TextFunctions.words(col("text"))).as("w"))
+      val sk = graft.ops.CountMin.sketch(words, col("w"), width = 1024, depth = 3)
+      val probe =
+        Seq("the", "a", "spark", "table", "hash", "zzz_nothere").toDF("w")
+      graft.ops.CountMin.estimates(sk, probe, "w", width = 1024, depth = 3)
+    },
+
     // ----- LSH bucket assignment (P6 — the blocking step of lshTopK) -----
     "s_lsh_bucket" -> { (s, dir) =>
       t(s, dir, "embeddings").select(
@@ -1514,6 +1525,26 @@ object PipelineQueries {
     "s_lsh_bucket" ->
       s"""SELECT vec_id, ${embBucketSql("embedding", 8)} AS bucket
          |FROM embeddings""".stripMargin,
+    "t_cms_counts" ->
+      s"""WITH tok AS (
+         |  SELECT unnest($WsSql) AS w FROM documents),
+         |e AS (SELECT w, unnest([0, 1, 2]) AS r FROM tok),
+         |sk AS (
+         |  SELECT r,
+         |    ${hash61Sql("'cms' || CAST(r AS VARCHAR) || ':' || w")} % 1024
+         |      AS bucket,
+         |    count(*) AS c
+         |  FROM e GROUP BY 1, 2),
+         |probe AS (SELECT unnest(
+         |  ['the', 'a', 'spark', 'table', 'hash', 'zzz_nothere']) AS w),
+         |pe AS (SELECT w, unnest([0, 1, 2]) AS r FROM probe),
+         |j AS (
+         |  SELECT pe.w, coalesce(sk.c, 0) AS c FROM pe LEFT JOIN sk
+         |  ON sk.r = pe.r AND sk.bucket =
+         |    ${hash61Sql("'cms' || CAST(pe.r AS VARCHAR) || ':' || pe.w")}
+         |      % 1024)
+         |SELECT w, CAST(min(c) AS BIGINT) AS est FROM j GROUP BY w"""
+        .stripMargin,
     "t_pii_redact" ->
       s"""SELECT doc_id,
          |  regexp_replace(regexp_replace(regexp_replace(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.StructType
 
 import graft.http.{HttpLookup, HttpSink}
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, Dedup, HeavyHitters, Multimodal, Packing, Pca, Quantize, Sampling, Similarity, TfIdf, Urls, ZOrder}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, CountMin, Dedup, HeavyHitters, Multimodal, Packing, Pca, Quantize, Sampling, Similarity, TfIdf, Urls, ZOrder}
 
 /** Fluent entry points: `import graft.syntax._` and every operator hangs off
   * DataFrame — the one-line switch path for users of the reference connector
@@ -227,6 +227,9 @@ object syntax {
 
     def heavyHitters(key: Column, k: Int): DataFrame =
       HeavyHitters.topK(df, key, k)
+
+    def countMinSketch(key: Column, width: Int, depth: Int): DataFrame =
+      CountMin.sketch(df, key, width, depth)
 
     def balancedShards(idCol: String, weight: Column, n: Int): DataFrame =
       Packing.balancedShards(df, idCol, weight, n)
