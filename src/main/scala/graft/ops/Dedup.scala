@@ -492,6 +492,52 @@ object Dedup {
     * broadcasts it when small; on dup-heavy corpora it is a doc-id shuffle
     * whose build side is still only the duplicates.
     */
+  /** One-call near-dup dedup — minhash pairs → transitive closure →
+    * keep-min — with an EXACT-COLLAPSE prefilter that makes it safe for
+    * corpora with extreme copy counts: 100 identical copies of a page
+    * would otherwise meet in every band bucket and contribute ~100²/2
+    * candidate pairs (measured: the 100×-duplicated scale smoke pushes
+    * the plain pipeline's band join to ~6 GB shuffle + spill, while this
+    * variant stays at the distinct-content volume).
+    *
+    * Result-IDENTICAL to
+    * `keepOnePerCluster(df, minhashLshPairs(df, ...))` (gated against the
+    * same recursive-closure oracle):
+    *   - exact copies have Jaccard 1 ≥ any threshold, so each exact group
+    *     lands in one cluster with its representative; the representative
+    *     is the group's MIN id, so cluster minima are unchanged;
+    *   - docs too short to shingle (< n words) never generate pairs in
+    *     the plain pipeline — every copy survives — so they bypass the
+    *     collapse here too.
+    *
+    * Scale shape: one narrow (id, content-hash) shuffle picks the
+    * representatives, the full-width corpus takes one semi join on id
+    * (broadcast when duplication is high — the rep-id list is the
+    * distinct-content count), and minhash runs on representatives only.
+    */
+  def nearDupSurvivors(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val hasShingles = size(TextFunctions.words(col(textCol))) >= n
+    val shingled = df.filter(hasShingles)
+    val short = df.filter(!hasShingles)
+    val repIds = shingled
+      .select(col(idCol), md5(col(textCol)).as("__fp"))
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val reps = shingled.join(repIds, Seq(idCol), "left_semi")
+    val survivors = keepOnePerCluster(
+      reps,
+      idCol,
+      minhashLshPairs(reps, idCol, textCol, n, bands, threshold))
+    survivors.unionByName(short)
+  }
+
   def keepOnePerCluster(
       df: DataFrame,
       idCol: String,

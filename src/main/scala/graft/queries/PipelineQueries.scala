@@ -245,6 +245,13 @@ object PipelineQueries {
             docs, "doc_id", "text", n = 3, bands = 4, threshold = 0.5))
         .select(col("doc_id"), col("lang"), col("source"))
     },
+    "p_dedup_survivors_fast" -> { (s, dir) =>
+      Dedup
+        .nearDupSurvivors(
+          t(s, dir, "documents"), "doc_id", "text",
+          n = 3, bands = 4, threshold = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
 
     // ----- trained bigram-LM fluency scoring -----
     "t_bigram_fluency" -> { (s, dir) =>
@@ -837,6 +844,29 @@ object PipelineQueries {
         when(d % 2 === 1, lit("#f")).otherwise(lit(""))).as("url"))
   }
 
+  /** The full dedup pipeline: minhash pairs → transitive closure → drop
+    * non-representatives; survivors = docs that are their own cluster
+    * label (or unclustered). Shared verbatim by `p_dedup_survivors` and
+    * `p_dedup_survivors_fast` (the latter must be result-identical).
+    */
+  private lazy val dedupSurvivorsOracle: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |pairs AS (
+       |  SELECT id_a, id_b FROM verified WHERE i * 1.0 / u >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS n, id_b AS m FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS n, id_a AS m FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT n, m FROM edges
+       |  UNION
+       |  SELECT e.n, r.m FROM edges e JOIN reach r ON e.m = r.n),
+       |lbl AS (SELECT n, least(n, min(m)) AS c FROM reach GROUP BY n)
+       |SELECT d.doc_id, d.lang, d.source FROM documents d
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM lbl WHERE lbl.n = d.doc_id AND lbl.n <> lbl.c)"""
+      .stripMargin
+
   private lazy val segmentDedupOracle: String =
     s"""WITH d AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
@@ -1015,26 +1045,10 @@ object PipelineQueries {
          |SELECT n AS doc_id, least(n, min(m)) AS cluster_id
          |FROM reach GROUP BY n""".stripMargin
     },
-    "p_dedup_survivors" -> {
-      // the full dedup pipeline: minhash pairs → transitive closure →
-      // drop non-representatives; survivors = docs that are their own
-      // cluster label (or unclustered)
-      s"""WITH RECURSIVE $minhashPairCtes,
-         |pairs AS (
-         |  SELECT id_a, id_b FROM verified WHERE i * 1.0 / u >= 0.5),
-         |edges AS (
-         |  SELECT id_a AS n, id_b AS m FROM pairs
-         |  UNION ALL
-         |  SELECT id_b AS n, id_a AS m FROM pairs),
-         |reach(n, m) AS (
-         |  SELECT n, m FROM edges
-         |  UNION
-         |  SELECT e.n, r.m FROM edges e JOIN reach r ON e.m = r.n),
-         |lbl AS (SELECT n, least(n, min(m)) AS c FROM reach GROUP BY n)
-         |SELECT d.doc_id, d.lang, d.source FROM documents d
-         |WHERE NOT EXISTS (
-         |  SELECT 1 FROM lbl WHERE lbl.n = d.doc_id AND lbl.n <> lbl.c)""".stripMargin
-    },
+    "p_dedup_survivors" -> dedupSurvivorsOracle,
+    // the exact-collapse-prefiltered variant is result-IDENTICAL by
+    // construction — gated against the very same recursive oracle
+    "p_dedup_survivors_fast" -> dedupSurvivorsOracle,
     "t_bigram_fluency" -> {
       // replays NgramLm.bigramFluency: integer-scaled conditional
       // probabilities (floor((c2*1e6)/c1) over exact counts) summed as

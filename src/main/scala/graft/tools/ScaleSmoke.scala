@@ -135,6 +135,15 @@ object ScaleSmoke {
         graft.ops.Dedup.keepOnePerCluster(docs, "doc_id", pairs)
       },
       ceilingGB = 8.0))
+    // the exact-collapse-prefiltered one-call variant: result-identical
+    // (driver-gated against the same oracle), but the band join only ever
+    // sees one representative per distinct content — the 100x-duplication
+    // quadratic blowup above collapses to the distinct-content volume
+    measure(Step(
+      "p_dedup_survivors_fast(exact-collapse prefilter)",
+      () => graft.ops.Dedup.nearDupSurvivors(
+        docs, "doc_id", "text", n = 3, bands = 4, threshold = 0.8),
+      ceilingGB = 1.0))
     measure(Step(
       "s_semantic_dedup(lsh pairs->clusters->keep-one)",
       () => graft.ops.Similarity.semanticDedup(

@@ -172,6 +172,37 @@ class DedupSpec extends SparkSpec {
     Par.releaseCaches()
   }
 
+  test("nearDupSurvivors equals the plain pipeline, incl. short-doc copies") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val near = "alpha beta gamma delta epsilon zeta eta iota"
+    val corpus = Seq(
+      // 5 exact copies of one long doc (collapse path)
+      1L -> base, 8L -> base, 9L -> base, 10L -> base, 11L -> base,
+      // a near-dup of it (survives collapse, clusters via minhash)
+      3L -> near,
+      // 3 exact copies of a SHORT doc (< 3 words: never shingles, never
+      // pairs — ALL copies must survive in both pipelines)
+      4L -> "hi there", 5L -> "hi there", 6L -> "hi there",
+      // an unrelated singleton
+      7L -> "completely different words about ships and oceans sailing far"
+    ).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    val plain = ids(
+      Dedup.keepOnePerCluster(
+        corpus,
+        "doc_id",
+        Dedup.minhashLshPairs(
+          corpus, "doc_id", "text", n = 3, bands = 4, threshold = 0.5)))
+    val fast = ids(
+      Dedup.nearDupSurvivors(
+        corpus, "doc_id", "text", n = 3, bands = 4, threshold = 0.5))
+    fast shouldBe plain
+    // and the short-doc copies are all present
+    Seq(4L, 5L, 6L).foreach(id => fast should contain(id))
+    Par.releaseCaches()
+  }
+
   test("simhash: identical docs same signature; near docs close; far docs far") {
     val sigs = df
       .select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
