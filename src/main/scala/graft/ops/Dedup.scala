@@ -62,11 +62,15 @@ object Dedup {
     * (id + short string per band) of either corpus move in the candidate
     * join, candidate pairs are bounded by bucket co-occupancy, and the
     * Jaccard verify re-reads shingle arrays only for candidate ids
-    * (left-semi narrowed). The unmatched bulk of `df` — at 100 TB, almost
-    * all of it — is removed by one left-anti join on the matched-id set,
-    * which is at most `df`'s row count and in practice the overlap volume.
-    * Rows of `df` too short to shingle (< n words) cannot near-match and
-    * are kept, mirroring [[minhashLshPairs]]'s empty-shingle prefilter.
+    * (left-semi narrowed). Both sides are first EXACT-COLLAPSED to one
+    * representative per distinct content (keyed by content hash — see the
+    * inline note; result-identical, kills the quadratic-in-copy-count
+    * band blowup). The unmatched bulk of `df` — at 100 TB, almost all of
+    * it — is removed by one left-anti join on the matched-content set,
+    * which is at most the distinct-content count and in practice the
+    * overlap volume. Rows of `df` too short to shingle (< n words) cannot
+    * near-match and are kept, mirroring [[minhashLshPairs]]'s
+    * empty-shingle prefilter.
     */
   def dropNearSeenIn(
       df: DataFrame,
@@ -81,9 +85,25 @@ object Dedup {
     val k = MinhashA.length
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val (shN, bandedN) = shinglesAndBands(df, idCol, textCol, n, bands, rows)
+    // EXACT-COLLAPSE prefilter (r8, same trick as [[nearDupSurvivors]]):
+    // both sides shrink to ONE representative per distinct content keyed
+    // by the content hash itself — exact copies share their content's
+    // shingles, so the per-content match decision is unchanged while a
+    // 100-copy page stops contributing 100 members to every band bucket
+    // (measured on the 100x smoke: 6.4 GB shuffle + spill → the
+    // distinct-content volume). The final anti-join keys on the content
+    // hash, so every copy of a matched content drops; shingle-less rows
+    // never band and are kept, exactly as before.
+    def collapse(src: DataFrame, text: String): DataFrame =
+      src
+        .select(md5(col(text)).as("__fp"), col(text))
+        .groupBy(col("__fp"))
+        .agg(first(col(text)).as(text))
+    val repsN = collapse(df, textCol)
+    val repsS = collapse(seen, seenTextCol)
+    val (shN, bandedN) = shinglesAndBands(repsN, "__fp", textCol, n, bands, rows)
     val (shS, bandedS) =
-      shinglesAndBands(seen, seenIdCol, seenTextCol, n, bands, rows)
+      shinglesAndBands(repsS, "__fp", seenTextCol, n, bands, rows)
     val candidates = bandedN
       .join(
         bandedS.select(col("band"), col("band_key"), col("id").as("id_b")),
@@ -98,12 +118,14 @@ object Dedup {
       .join(shA.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shB.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
     val matched = jaccardVerify(verified, threshold)
-      .select(col("id_a").as("__graft_near_seen_id"))
+      .select(col("id_a").as("__graft_near_seen_fp"))
       .distinct()
-    df.join(
+    df.withColumn("__graft_fp", md5(col(textCol)))
+      .join(
         matched,
-        col(idCol) === col("__graft_near_seen_id"),
+        col("__graft_fp") === col("__graft_near_seen_fp"),
         "left_anti")
+      .drop("__graft_fp")
   }
 
   /** INTRA-document segment dedup: within each document, keep only the
