@@ -74,10 +74,8 @@ object Dedup {
     */
   def dropNearSeenIn(
       df: DataFrame,
-      idCol: String,
       textCol: String,
       seen: DataFrame,
-      seenIdCol: String,
       seenTextCol: String,
       n: Int = 3,
       bands: Int = 4,

@@ -79,6 +79,16 @@ object Packing {
       weight: Column,
       nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    // collision guards, matching tokenBudgetSelect/quotaSample: the output
+    // column and the staging helpers must not silently clobber input
+    // columns (sequencePack also emits `shard` — rename before chaining)
+    require(
+      !df.columns.contains("shard"),
+      "input already has a 'shard' column; rename it before balancedShards")
+    val helpers = Seq("__bs_w", "__bs_bkt", "__bs_off", "__bs_rank")
+    require(
+      !df.columns.exists(helpers.contains),
+      s"input must not contain ${helpers.mkString("/")}")
     val base = df.withColumn("__bs_w", weight.cast("long"))
     val (ranged, offsets, _) = Sampling.rangePrefix(
       base,

@@ -618,8 +618,8 @@ object PipelineQueries {
       val docs = t(s, dir, "documents")
       Dedup
         .dropNearSeenIn(
-          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          docs.filter(col("doc_id") % 2 === 0), "text",
+          docs.filter(col("doc_id") % 2 === 1), "text",
           n = 3, bands = 4, threshold = 0.5)
         .select(col("doc_id"), col("lang"), col("source"))
     },
@@ -932,12 +932,12 @@ object PipelineQueries {
        |    lower(regexp_extract(url,
        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))
        |      AS host,
-       |    regexp_extract(url,
-       |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)', 1)
-       |      AS port,
+       |    regexp_extract(regexp_extract(url,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+       |      ':([0-9]+)${"$"}', 1) AS port,
        |    regexp_extract(url,
        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-       |    regexp_extract(url, '\\?([^#]*)', 1) AS qs
+       |    regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS qs
        |  FROM u),
        |dm AS (
        |  SELECT p.*,

@@ -128,14 +128,11 @@ object syntax {
       Similarity.semanticDedup(df, idCol, vecCol, threshold, planes)
 
     def dropNearSeenIn(
-        idCol: String,
         textCol: String,
         seen: DataFrame,
-        seenIdCol: String,
         seenTextCol: String,
         threshold: Double = 0.5): DataFrame =
-      Dedup.dropNearSeenIn(
-        df, idCol, textCol, seen, seenIdCol, seenTextCol,
+      Dedup.dropNearSeenIn(df, textCol, seen, seenTextCol,
         threshold = threshold)
 
     def dropSeenIn(

@@ -161,8 +161,8 @@ object ScaleSmoke {
     measure(Step(
       "p_cross_neardup(even vs odd halves)",
       () => graft.ops.Dedup.dropNearSeenIn(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 0), "text",
+        docs.filter(col("doc_id") % 2 === 1), "text",
         n = 3, bands = 4, threshold = 0.8),
       ceilingGB = 8.0))
     // token budget: two corpus-wide exchanges by design (range bucketing +

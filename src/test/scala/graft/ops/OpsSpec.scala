@@ -656,6 +656,11 @@ class PackingSpec extends SparkSpec {
       .balancedShards(df.repartition(13), "id", col("w"), nShards = 8)
       .select("id", "shard").as[(Long, Int)].collect().toMap
     out.select("id", "shard").as[(Long, Int)].collect().toMap shouldBe again
+    // collision guard: an existing shard column (e.g. from sequencePack)
+    // must be rejected, not silently clobbered
+    an[IllegalArgumentException] should be thrownBy
+      Packing.balancedShards(
+        df.withColumn("shard", col("w")), "id", col("w"), nShards = 2)
   }
 }
 

@@ -142,8 +142,7 @@ class CrossNearDupSpec extends SparkSpec {
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
       (3L, "some archived document nothing like the new crawl at all"))
       .toDF("doc_id", "text")
-    val out = Dedup.dropNearSeenIn(
-      fresh, "doc_id", "text", seen, "doc_id", "text")
+    val out = Dedup.dropNearSeenIn(fresh, "text", seen, "text")
     out.collect().map(_.getLong(0)).toSet shouldBe Set(6L, 8L)
     // schema unchanged (no helper columns leak)
     out.columns.toSeq shouldBe Seq("doc_id", "text")
@@ -154,7 +153,7 @@ class CrossNearDupSpec extends SparkSpec {
     val fresh = Seq((1L, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text")
     val seen = Seq.empty[(Long, String)].toDF("doc_id", "text")
-    Dedup.dropNearSeenIn(fresh, "doc_id", "text", seen, "doc_id", "text")
+    Dedup.dropNearSeenIn(fresh, "text", seen, "text")
       .count() shouldBe 1L
     Par.releaseCaches()
   }
