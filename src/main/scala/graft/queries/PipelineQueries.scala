@@ -686,6 +686,24 @@ object PipelineQueries {
         .select(col("doc_id"), col("url_canon"))
     },
 
+    // ----- IVF ANN end-to-end (rows-only: k-means training + nprobe
+    // search compose FP sums that cannot hash-match cross-engine; the
+    // map-side assignment math is hash-gated separately as s_ivf_assign)
+    "s_ivf_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb,
+        "vec_id",
+        "embedding",
+        emb.filter(col("vec_id") < 50),
+        "vec_id",
+        "embedding",
+        k = 5,
+        cells = 8,
+        nprobe = 3,
+        trainIters = 2)
+    },
+
     // ----- count-min sketch estimates (P44) -----
     "t_cms_counts" -> { (s, dir) =>
       import s.implicits._
