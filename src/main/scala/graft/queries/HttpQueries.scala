@@ -25,6 +25,13 @@ object HttpQueries {
   private val lookupServers = new ConcurrentHashMap[String, StubServer]()
   private val flakyAttempts =
     new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  private val proxyServers =
+    new ConcurrentHashMap[String, graft.http.testkit.ProxyServer]()
+
+  private def proxyFor(dir: String): graft.http.testkit.ProxyServer =
+    proxyServers.computeIfAbsent(
+      dir,
+      _ => new graft.http.testkit.ProxyServer().start())
   private val sinkServers = new ConcurrentHashMap[String, StubServer]()
 
   /** Customer-lookup stub: GET /customer?c_custkey=N → the customer row as
@@ -93,6 +100,24 @@ object HttpQueries {
             val expected = "Basic " + java.util.Base64.getEncoder
               .encodeToString("svc:secret".getBytes("UTF-8"))
             if (!req.headers.get("Authorization").exists(_.contains(expected)))
+              (401, """{"error":"unauthorized"}""")
+            else
+              StubServer.queryMap(req.query).get("c_custkey").flatMap(rows.get) match {
+                case Some(json) => (200, json)
+                case None => (404, """{"error":"not found"}""")
+              }
+          }
+          // OIDC twins: a token endpoint issuing a fixed bearer token, and
+          // a customer route that only answers that bearer
+          .route("/token") { req =>
+            if (req.method == "POST" && req.body.contains("grant_type"))
+              (200, """{"access_token":"graft-tok-1","expires_in":3600}""")
+            else (400, """{"error":"bad token request"}""")
+          }
+          .route("/customer-oidc") { req =>
+            if (!req.headers
+                .get("Authorization")
+                .exists(_.contains("Bearer graft-tok-1")))
               (401, """{"error":"unauthorized"}""")
             else
               StubServer.queryMap(req.query).get("c_custkey").flatMap(rows.get) match {
@@ -349,6 +374,59 @@ object HttpQueries {
         .select(col("o_orderkey"), col("c_custkey"), col("c_nationkey"))
     },
 
+    // ----- OIDC bearer lookup (L14): token endpoint + Bearer gate -----
+    "h_oidc_lookup" -> { (s, dir) =>
+      val stub = lookupStub(s, dir)
+      val probe = s.read
+        .parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 19 === 0)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      HttpLookup
+        .join(
+          probe,
+          keyCols = Seq("c_custkey"),
+          responseSchema = customerResponseSchema,
+          options = Map(
+            "url" -> stub.url("/customer-oidc"),
+            "lookup-method" -> "GET",
+            "http.security.oidc.token.request" ->
+              "grant_type=client_credentials&client_id=graft",
+            "http.security.oidc.token.endpoint.url" -> stub.url("/token"),
+            "http.source.lookup.request.thread-pool.size" -> "2",
+            "http.source.lookup.dedup-keys" -> "true",
+            "lookup.cache" -> "PARTIAL",
+            "lookup.partial-cache.max-rows" -> "200000",
+            "http.source.lookup.success-codes" -> "2XX",
+            "http.source.lookup.ignored-response-codes" -> "404"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"))
+    },
+
+    // ----- lookup through an authenticated-capable forward proxy (L16) --
+    "h_proxy_lookup" -> { (s, dir) =>
+      val proxy = proxyFor(dir)
+      val probe = s.read
+        .parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 23 === 0)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      HttpLookup
+        .join(
+          probe,
+          keyCols = Seq("c_custkey"),
+          responseSchema = customerResponseSchema,
+          options = Map(
+            "url" -> customerServiceUrl(s, dir),
+            "lookup-method" -> "GET",
+            "http.source.lookup.proxy.host" -> proxy.host,
+            "http.source.lookup.proxy.port" -> proxy.port.toString,
+            "http.source.lookup.request.thread-pool.size" -> "2",
+            "http.source.lookup.dedup-keys" -> "true",
+            "lookup.cache" -> "PARTIAL",
+            "lookup.partial-cache.max-rows" -> "200000",
+            "http.source.lookup.success-codes" -> "2XX",
+            "http.source.lookup.ignored-response-codes" -> "404"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"))
+    },
+
     // ----- DSv2 lookup TABLE: pure-SQL DDL + JOIN via HttpLookupJoinRule ---
     "h_table_lookup_join" -> { (s, dir) =>
       val url = customerServiceUrl(s, dir)
@@ -538,6 +616,14 @@ object HttpQueries {
       """SELECT o_orderkey, o_custkey AS c_custkey, c_nationkey
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey % 17 = 0""".stripMargin,
+    "h_oidc_lookup" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 19 = 0""".stripMargin,
+    "h_proxy_lookup" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 23 = 0""".stripMargin,
     "h_table_lookup_join" ->
       """SELECT o_orderkey, c_name, c_nationkey, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
