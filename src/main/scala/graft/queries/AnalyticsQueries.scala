@@ -232,6 +232,39 @@ object AnalyticsQueries {
           countDistinct(col("user_id")).as("n_users"))
     },
 
+    // ----- STREAMING/batch parity through the batch oracle: the same
+    // hourly aggregation as a Structured Streaming query (file source,
+    // Trigger.AvailableNow, complete mode into a memory sink) — the
+    // driver's DuckDB compare then gates streaming semantics itself.
+    // countDistinct is unsupported on streams, so this twin carries the
+    // count + exact-decimal sum columns only.
+    "q_stream_events_hourly" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val agg = s.readStream
+        .schema(schema)
+        // glob, not the bare file path: the file stream source requires a
+        // directory basePath, which it infers from the glob's parent
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(
+          window(col("ts"), "1 hour").getField("start").as("hour_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value").cast(DecimalType(18, 6))), 4)
+            .cast(DoubleType).as("sum_value"))
+      val sinkName = "q_stream_events_hourly_out"
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+    },
+
     // ----- sessionization (gaps-and-islands, 30 min inactivity gap) -----
     "q_sessionize" -> { (s, dir) =>
       val byUser = Window
@@ -354,6 +387,12 @@ object AnalyticsQueries {
         |  count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    "q_stream_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
     "q_sessionize" ->
