@@ -704,6 +704,28 @@ object PipelineQueries {
         trainIters = 2)
     },
 
+    // ----- web-curation composition gate (P45): the URL-level pipeline
+    // chained end-to-end — canonical-url dedup → per-domain cap → token
+    // quality gate → token-budget cut — against ONE chained oracle (the
+    // P36 pattern for the r8 URL operators)
+    "p_web_curation_e2e" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val deduped =
+        Urls.dedupByCanonicalUrl(withDupUrl(docs), "doc_id", "url")
+      val capped = Urls.capPerDomain(deduped, "doc_id", "url", k = 3)
+      val enriched = capped.select(col("doc_id")).join(docs, Seq("doc_id"))
+      val quality =
+        enriched.filter(TextFunctions.tokenCount(col("text")) >= 20)
+      Sampling
+        .tokenBudgetSelect(
+          quality,
+          "doc_id",
+          TextFunctions.tokenCount(col("text")),
+          col("n_chars"),
+          budget = 3000L)
+        .select(col("doc_id"), col("cum_tokens"))
+    },
+
     // ----- count-min sketch estimates (P44) -----
     "t_cms_counts" -> { (s, dir) =>
       import s.implicits._
@@ -1557,6 +1579,31 @@ object PipelineQueries {
     "s_lsh_bucket" ->
       s"""SELECT vec_id, ${embBucketSql("embedding", 8)} AS bucket
          |FROM embeddings""".stripMargin,
+    "p_web_curation_e2e" ->
+      s"""WITH ${urlDomainCtes(DupUrlSql)},
+         |$CanonQueryCte,
+         |cc AS (SELECT doc_id, domain, $CanonUrlSql AS url_canon FROM f),
+         |d1 AS (SELECT doc_id, domain FROM (
+         |  SELECT doc_id, domain,
+         |    row_number() OVER (PARTITION BY url_canon ORDER BY doc_id)
+         |      AS rn
+         |  FROM cc) WHERE rn = 1),
+         |d2 AS (SELECT doc_id FROM (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY ${hash61Sql("'quota:' || CAST(doc_id AS VARCHAR)")},
+         |        doc_id) AS rn
+         |  FROM d1) WHERE rn <= 3),
+         |q AS (
+         |  SELECT d.doc_id, d.n_chars, len($WsSql) AS ntok
+         |  FROM documents d JOIN d2 USING (doc_id)
+         |  WHERE len($WsSql) >= 20),
+         |b AS (
+         |  SELECT doc_id,
+         |    sum(ntok) OVER (ORDER BY n_chars DESC, doc_id) AS cum
+         |  FROM q)
+         |SELECT doc_id, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM b WHERE cum <= 3000""".stripMargin,
     "t_cms_counts" ->
       s"""WITH tok AS (
          |  SELECT unnest($WsSql) AS w FROM documents),
