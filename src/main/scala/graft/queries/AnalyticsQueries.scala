@@ -30,10 +30,18 @@ object AnalyticsQueries {
     * comparisons stay bit-identical. (Integer `div`, not double `/`: nano
     * epochs exceed 2^53.)
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
+  /** events.parquet stores TIMESTAMP(NANOS); read `ts` as long (legacy
+    * conf) and truncate ns→µs — shared by the batch reader and the
+    * streaming twin so the two parity sides cannot drift.
+    */
+  private def nanosToTs: Column = timestamp_micros(expr("ts div 1000"))
+
+  private def legacyNanosConf(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    legacyNanosConf(spark)
+    t(spark, dir, "events").withColumn("ts", nanosToTs)
   }
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
@@ -239,14 +247,14 @@ object AnalyticsQueries {
     // countDistinct is unsupported on streams, so this twin carries the
     // count + exact-decimal sum columns only.
     "q_stream_events_hourly" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      legacyNanosConf(s)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val agg = s.readStream
         .schema(schema)
         // glob, not the bare file path: the file stream source requires a
         // directory basePath, which it infers from the glob's parent
         .parquet(s"$dir/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", nanosToTs)
         .groupBy(
           window(col("ts"), "1 hour").getField("start").as("hour_start"),
           col("event_type"))

@@ -32,6 +32,9 @@ object HttpQueries {
     proxyServers.computeIfAbsent(
       dir,
       _ => new graft.http.testkit.ProxyServer().start())
+
+  private val proxyAsserted =
+    ConcurrentHashMap.newKeySet[String]()
   private val sinkServers = new ConcurrentHashMap[String, StubServer]()
 
   /** Customer-lookup stub: GET /customer?c_custkey=N → the customer row as
@@ -408,7 +411,8 @@ object HttpQueries {
         .parquet(s"$dir/orders.parquet")
         .filter(col("o_orderkey") % 23 === 0)
         .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
-      HttpLookup
+      val before = proxy.requestCount
+      val out = HttpLookup
         .join(
           probe,
           keyCols = Seq("c_custkey"),
@@ -425,6 +429,19 @@ object HttpQueries {
             "http.source.lookup.success-codes" -> "2XX",
             "http.source.lookup.ignored-response-codes" -> "404"))
         .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"))
+      // a correct RESULT is not enough for this gate: a silently dropped
+      // proxy config would connect straight to the stub and still match
+      // the oracle. On the FIRST invocation in this JVM (cold partial
+      // cache — lookups must hit the wire) force one evaluation and
+      // require the proxy saw traffic; later invocations ride the cache
+      // (zero proxied requests, legitimately) and skip the probe.
+      if (proxyAsserted.add(dir)) {
+        out.count()
+        require(
+          proxy.requestCount > before,
+          "h_proxy_lookup: no request traversed the forward proxy")
+      }
+      out
     },
 
     // ----- DSv2 lookup TABLE: pure-SQL DDL + JOIN via HttpLookupJoinRule ---

@@ -714,13 +714,17 @@ object PipelineQueries {
         Urls.dedupByCanonicalUrl(withDupUrl(docs), "doc_id", "url")
       val capped = Urls.capPerDomain(deduped, "doc_id", "url", k = 3)
       val enriched = capped.select(col("doc_id")).join(docs, Seq("doc_id"))
-      val quality =
-        enriched.filter(TextFunctions.tokenCount(col("text")) >= 20)
+      // token count staged once: it feeds both the quality filter and the
+      // budget cut (a second regex split per row would double the gate's
+      // dominant per-row cost)
+      val quality = enriched
+        .withColumn("__ntok", TextFunctions.tokenCount(col("text")))
+        .filter(col("__ntok") >= 20)
       Sampling
         .tokenBudgetSelect(
           quality,
           "doc_id",
-          TextFunctions.tokenCount(col("text")),
+          col("__ntok"),
           col("n_chars"),
           budget = 3000L)
         .select(col("doc_id"), col("cum_tokens"))
