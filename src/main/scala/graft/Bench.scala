@@ -88,17 +88,31 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       samples(name) = dt :: samples.getOrElse(name, Nil)
     }
-    val results = qseq.map { case (name, _) =>
+    // A failed query appears in EXACTLY one place: `failed`. Timing a throw
+    // reads as a fast query to anything parsing the timings map alone
+    // (BENCH_r08 had q_events_hourly at 0.07s AND in `failed`).
+    val results = qseq.collect { case (name, _) if !failed.contains(name) =>
       val times = samples(name).sorted
       name -> times(times.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal timings (0.1ms — far below run-to-run noise): the driver
+    // captures this line through a bounded tail buffer, and full 17-digit
+    // double reprs truncated BENCH_r08 mid-map, losing ~34 timings
+    def f4(v: Double): String = // ROOT locale: '.' decimal point always
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces recoverable artifact: the same line on disk, immune
+    // to any stdout buffer truncation
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     spark.stop()
     // the JDK HttpServer behind the stub-backed queries keeps a non-daemon
     // HTTP-Dispatcher thread alive; exit explicitly

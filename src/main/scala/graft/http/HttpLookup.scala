@@ -532,7 +532,7 @@ object HttpLookup {
     val cache = LookupCache.shared(io.cacheId, HttpOptions(io.cacheOptions))
 
     def call(url: String, body: String): HttpOutcome = {
-      val key = url + " " + (if (body == null) "" else body)
+      val key = url + "\u0000" + (if (body == null) "" else body)
       cache.flatMap(_.get(key)) match {
         case Some(hit) => hit
         case None =>
@@ -617,7 +617,7 @@ object OidcManagers {
       endpoint: String,
       expiryReductionMs: Long): OidcTokenManager =
     instances.computeIfAbsent(
-      endpoint + " " + tokenRequest,
+      endpoint + "\u0000" + tokenRequest,
       _ =>
         new OidcTokenManager(
           client,

@@ -24,25 +24,12 @@ object AnalyticsQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to microseconds —
-    * exactly what DuckDB does natively when it narrows ns → µs, so oracle
-    * comparisons stay bit-identical. (Integer `div`, not double `/`: nano
-    * epochs exceed 2^53.)
+  /** Events with `ts` normalized to a UTC TIMESTAMP whatever the runtime
+    * decoded — one shared owner ([[Tables.events]]) for batch AND the
+    * streaming twin so the parity sides cannot drift.
     */
-  /** events.parquet stores TIMESTAMP(NANOS); read `ts` as long (legacy
-    * conf) and truncate ns→µs — shared by the batch reader and the
-    * streaming twin so the two parity sides cannot drift.
-    */
-  private def nanosToTs: Column = timestamp_micros(expr("ts div 1000"))
-
-  private def legacyNanosConf(spark: SparkSession): Unit =
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    legacyNanosConf(spark)
-    t(spark, dir, "events").withColumn("ts", nanosToTs)
-  }
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
@@ -247,14 +234,13 @@ object AnalyticsQueries {
     // countDistinct is unsupported on streams, so this twin carries the
     // count + exact-decimal sum columns only.
     "q_stream_events_hourly" -> { (s, dir) =>
-      legacyNanosConf(s)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val agg = s.readStream
         .schema(schema)
         // glob, not the bare file path: the file stream source requires a
         // directory basePath, which it infers from the glob's parent
         .parquet(s"$dir/events*.parquet")
-        .withColumn("ts", nanosToTs)
+        .withColumn("ts", Tables.normalizeEventTs(schema("ts").dataType))
         .groupBy(
           window(col("ts"), "1 hour").getField("start").as("hour_start"),
           col("event_type"))

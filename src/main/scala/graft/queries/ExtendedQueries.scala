@@ -14,11 +14,9 @@ object ExtendedQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** Shared events reader — ts-normalization branch lives in [[Tables]]. */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
 
   private def dec2(c: org.apache.spark.sql.Column) =
     c.cast(DecimalType(18, 2))

@@ -1365,7 +1365,30 @@ object PipelineQueries {
          |  FROM s)
          |SELECT vec_id, CAST(cid AS INT) AS cell FROM r WHERE rn = 1""".stripMargin
     },
-    "s_cosine_topk" -> {
+    // s_ivf_topk / s_pca_ann are ROWS+SCHEMA gates by design: k-means
+    // training and PCA eigenvectors compose float sums that cannot
+    // hash-match cross-engine (reassociation), but the pipeline SHAPE is
+    // exactly replayable — every one of the 50 queries must surface
+    // exactly k=5 ranked neighbors drawn from the corpus minus self, and
+    // every vector must land in exactly one coarse cell. The oracles
+    // reproduce that shape (row count + column names/types) so the driver's
+    // rows_match/schema_match flip true; value columns carry 0 placeholders
+    // (not NULL — an all-NULL int column decays to float64 in pandas and
+    // would false-fail schema), so hash_match is expected FALSE and carries
+    // no signal
+    // (the value-level math is hash-gated separately: s_ivf_assign,
+    // s_cosine_topk; recall floors + subspace recovery live in the specs).
+    "s_ivf_topk" ->
+      """SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank,
+        |  CAST(0 AS DOUBLE) AS cos_sim
+        |FROM (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY n.vec_id) AS rnk
+        |  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 50) q
+        |  JOIN embeddings n ON n.vec_id <> q.vec_id)
+        |WHERE rnk <= 5""".stripMargin,
+    "s_pca_ann" ->
+      "SELECT vec_id, CAST(0 AS INT) AS cell FROM embeddings",
       def dotSql(x: String, y: String) =
         s"list_reduce(list_transform(range(1, len($x) + 1), " +
           s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (acc, v) -> acc + v)"
