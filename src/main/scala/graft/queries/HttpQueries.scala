@@ -37,6 +37,40 @@ object HttpQueries {
     ConcurrentHashMap.newKeySet[String]()
   private val sinkServers = new ConcurrentHashMap[String, StubServer]()
 
+  // ----- paginated feed stub for the DSv2 polling source (L22) -----
+  // Serves the nation table in 3 JSON-array pages; the page index CYCLES
+  // (counter % pages) so the gate stays deterministic under bench re-runs
+  // in the same JVM: any 3+ consecutive polls cover every page, and the
+  // gate's final distinct() collapses whatever page the cycle started on.
+  private val pollServers = new ConcurrentHashMap[String, StubServer]()
+  private val pollCounters =
+    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+
+  private[queries] val PollPages = 3
+
+  private def pollStub(spark: SparkSession, dir: String): StubServer =
+    pollServers.computeIfAbsent(
+      dir,
+      _ => {
+        val rows = spark.read
+          .parquet(s"$dir/nation.parquet")
+          .orderBy(col("n_nationkey"))
+          .select(to_json(struct(
+            col("n_nationkey"), col("n_name"), col("n_regionkey"))))
+          .collect()
+          .map(_.getString(0))
+        val per = math.max(1, math.ceil(rows.length.toDouble / PollPages).toInt)
+        val pages = rows.grouped(per).toArray.map(_.mkString("[", ",", "]"))
+        val counter = pollCounters
+          .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicInteger())
+        StubServer
+          .serveOnly()
+          .route("/nation-feed") { _ =>
+            (200, pages(counter.getAndIncrement() % pages.length))
+          }
+          .start()
+      })
+
   /** Customer-lookup stub: GET /customer?c_custkey=N → the customer row as
     * a JSON object (404 for unknown keys).
     */
@@ -576,6 +610,46 @@ object HttpQueries {
     },
 
     // ----- single-mode sink: one request per row (K2), PUT method -----
+    // ----- DSv2 streaming HTTP polling source, end-to-end (L22) -----
+    // The one HTTP surface that had no [S] gate: poll the paginated stub
+    // across N micro-batches (one poll per batch), accumulate the emitted
+    // rows in a memory sink, decode the JSON bodies and compare the
+    // accumulated relation to the plain nation table in DuckDB. distinct()
+    // collapses page-cycle overlap if the trigger fires a 4th poll between
+    // the threshold check and stop() (see pollStub).
+    "h_poll_source" -> { (s, dir) =>
+      val server = pollStub(s, dir)
+      val sinkName = s"h_poll_source_out_${System.nanoTime()}"
+      val q = s.readStream
+        .format("graft-http-poll")
+        .option("url", server.url("/nation-feed"))
+        .load()
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10L))
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        var polls = 0L
+        while (polls < PollPages && System.currentTimeMillis() < deadline) {
+          Thread.sleep(25)
+          polls = s.table(sinkName).select(col("poll_id")).distinct().count()
+        }
+        require(
+          polls >= PollPages,
+          s"polling source produced $polls/$PollPages micro-batches in 60s")
+      } finally q.stop()
+      val recSchema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.table(sinkName)
+        .select(from_json(col("body"), recSchema).as("r"))
+        .select(col("r.n_nationkey"), col("r.n_name"), col("r.n_regionkey"))
+        .distinct()
+    },
+
     "h_sink_single" -> { (s, dir) =>
       val agg = s.read
         .parquet(s"$dir/customer.parquet")
@@ -664,6 +738,8 @@ object HttpQueries {
     "h_sink_roundtrip" ->
       """SELECT c_nationkey, count(*) AS n_customers,
         |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
-        |FROM customer GROUP BY c_nationkey""".stripMargin
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "h_poll_source" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation"
   )
 }

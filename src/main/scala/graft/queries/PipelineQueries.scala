@@ -1389,6 +1389,7 @@ object PipelineQueries {
         |WHERE rnk <= 5""".stripMargin,
     "s_pca_ann" ->
       "SELECT vec_id, CAST(0 AS INT) AS cell FROM embeddings",
+    "s_cosine_topk" -> {
       def dotSql(x: String, y: String) =
         s"list_reduce(list_transform(range(1, len($x) + 1), " +
           s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (acc, v) -> acc + v)"
