@@ -250,6 +250,64 @@ object Dedup {
         (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Boilerplate removal by DOCUMENT FREQUENCY (the RefinedWeb/Gopher-style
+    * complement of [[dedupSegments]]): drop EVERY occurrence of any segment
+    * that appears in at least `minDocs` distinct documents — cookie
+    * banners, nav bars, legal footers. [[dedupSegments]] keeps each
+    * segment's first occurrence; for boilerplate the first occurrence is
+    * still boilerplate, so the frequency pass removes it everywhere, while
+    * segments repeated only WITHIN one document (a chorus) survive intact.
+    *
+    * `segments` is any array-of-string column (lines, sentences,
+    * [[graft.ops.Chunking.wordWindows]]). Output shape = [[dedupSegments]]:
+    * (`idCol`, `clean_text`, `n_kept`, `n_dropped`) for every input row.
+    *
+    * Scale posture: document frequencies build on the 60-bit segment hash
+    * with (hash, doc) collapsed by a partial-agg'd `distinct` BEFORE the
+    * per-hash count — a segment repeated a billion times inside one crawl
+    * page contributes one row per doc past the map side. The hot set
+    * (segments crossing `minDocs`) is by definition SMALL — boilerplate is
+    * few distinct strings — so it joins back BROADCAST and the occurrence
+    * stream is filtered map-side (left_anti); the corpus itself shuffles
+    * only for the per-doc reassembly, which is bounded by document size.
+    */
+  def dropFrequentSegments(
+      df: DataFrame,
+      idCol: String,
+      segments: Column,
+      minDocs: Long,
+      sep: String = " "): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    val occ = Par.fan(df).select(
+      col(idCol).as("__id"),
+      posexplode(segments).as(Seq("__pos", "__seg")))
+      .withColumn("__h", TextFunctions.hash61(col("__seg")))
+    val hot = occ
+      .select(col("__h"), col("__id"))
+      .distinct()
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__h"))
+    val keptOcc = occ.join(broadcast(hot), Seq("__h"), "left_anti")
+    val kept = keptOcc
+      .groupBy(col("__id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+            x => x.getField("__seg")),
+          sep).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    Par.fan(df).select(col(idCol), size(segments).cast(LongType).as("__n"))
+      .join(kept, col(idCol) === col("__id"), "left")
+      .select(
+        col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs within blocking buckets.
     *
     * `blockCols` bound the pair space (classic blocking); the join shuffles

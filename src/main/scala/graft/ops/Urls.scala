@@ -86,6 +86,61 @@ object Urls {
   /** Registered domain straight from a URL column. */
   def urlDomain(url: Column): Column = registeredDomain(urlHost(url))
 
+  /** PSL-backed registered domain — the wired swap point for the heuristic
+    * above. `suffixes` carries one public suffix per row (`"com"`,
+    * `"co.uk"`, `"github.io"`, …) — e.g. a parsed Mozilla public-suffix
+    * list. Longest listed suffix wins and the registered domain is that
+    * suffix plus one label; a host with NO listed suffix falls back to the
+    * PSL default rule (`*` — suffix = last label, registered = last two);
+    * a host that IS a listed suffix passes through whole. Wildcard and
+    * exception PSL rules are not modeled (flatten them into the set).
+    *
+    * Scale posture: the suffix list is bounded (~10k rows), so membership
+    * is `maxSuffixLabels` BROADCAST hash joins on per-row candidate
+    * suffixes — map-side, no shuffle of the corpus, no 10k-literal scan
+    * per row. The zero-join heuristic stays the default everywhere.
+    *
+    * @param maxSuffixLabels longest listed suffix to probe (label count);
+    *                        the real PSL maxes out at 4
+    */
+  def withRegisteredDomain(
+      df: DataFrame,
+      urlCol: String,
+      suffixes: DataFrame,
+      suffixCol: String,
+      outCol: String = "domain",
+      maxSuffixLabels: Int = 3): DataFrame = {
+    require(maxSuffixLabels >= 1, "maxSuffixLabels must be >= 1")
+    val depths = 1 to maxSuffixLabels
+    val staged = df.withColumn("__labels", split(urlHost(col(urlCol)), "\\."))
+    val n = size(col("__labels"))
+    val withCands = depths.foldLeft(staged) { (acc, j) =>
+      acc.withColumn(
+        s"__cand_$j",
+        when(n >= j, concat_ws(".", slice(col("__labels"), -j, j))))
+    }
+    val joined = depths.foldLeft(withCands) { (acc, j) =>
+      acc.join(
+        broadcast(
+          suffixes.select(lower(col(suffixCol)).as(s"__sfx_$j")).distinct()),
+        acc(s"__cand_$j") === col(s"__sfx_$j"),
+        "left")
+    }
+    // deepest matched suffix; none matched -> the PSL default '*' rule.
+    // foldLeft makes the LAST-folded condition outermost, so folding
+    // shallow-to-deep puts the deepest probe first in the when-chain.
+    val depth = depths.foldLeft(lit(1)) { (acc, j) =>
+      when(col(s"__sfx_$j").isNotNull, lit(j)).otherwise(acc)
+    }
+    val reg = when(
+      n > depth,
+      concat_ws(".", slice(col("__labels"), -(depth + lit(1)), depth + lit(1))))
+      .otherwise(concat_ws(".", col("__labels")))
+    joined
+      .withColumn(outCol, reg)
+      .drop("__labels" +: depths.flatMap(j => Seq(s"__cand_$j", s"__sfx_$j")): _*)
+  }
+
   private val TrackingKeys = Seq("fbclid", "gclid", "msclkid", "ref")
 
   /** Canonical form of `url` under the contract in the object scaladoc.
@@ -170,6 +225,23 @@ object Urls {
       k: Int): DataFrame =
     Sampling.quotaSample(
       df.withColumn("domain", urlDomain(col(urlCol))),
+      idCol,
+      k,
+      Seq("domain"))
+
+  /** [[capPerDomain]] with a user-supplied public-suffix list deciding the
+    * domain key ([[withRegisteredDomain]]) instead of the built-in ccTLD
+    * heuristic. Same one-shuffle quota-sample shape.
+    */
+  def capPerDomainPsl(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      k: Int,
+      suffixes: DataFrame,
+      suffixCol: String): DataFrame =
+    Sampling.quotaSample(
+      withRegisteredDomain(df, urlCol, suffixes, suffixCol, "domain"),
       idCol,
       k,
       Seq("domain"))

@@ -528,6 +528,18 @@ object PipelineQueries {
         skewSafe = false)
     },
 
+    // frequency-thresholded boilerplate removal: every occurrence of any
+    // 10-word window shared by >= 2 docs is dropped (the documents table's
+    // exact-duplicate clusters make this bite: duplicated docs lose all
+    // their windows, unique docs keep everything)
+    "p_segment_boilerplate" -> { (s, dir) =>
+      Dedup.dropFrequentSegments(
+        t(s, dir, "documents"),
+        "doc_id",
+        Chunking.wordWindows(col("text"), 10),
+        minDocs = 2)
+    },
+
     // intra-document variant: first occurrence per distinct segment WITHIN
     // each doc, shuffle-free fold
     "p_segment_dedup_doc" -> { (s, dir) =>
@@ -1466,6 +1478,32 @@ object PipelineQueries {
     "p_segment_dedup" -> segmentDedupOracle,
     // same oracle: the skew-safe two-phase plan is result-identical
     "p_segment_dedup_skewsafe" -> segmentDedupOracle,
+    // frequency-thresholded boilerplate: drop ALL occurrences of windows
+    // appearing in >= 2 distinct docs (vs keep-first above)
+    "p_segment_boilerplate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, CAST(ceil(len(w) / 10.0) AS BIGINT) AS nc, w FROM d),
+         |x AS (SELECT doc_id, w, unnest(range(0, nc)) AS i FROM c),
+         |s AS (
+         |  SELECT doc_id, CAST(i AS INT) AS pos,
+         |    array_to_string(list_slice(w, i*10 + 1, i*10 + 10), ' ') AS seg
+         |  FROM x),
+         |hot AS (
+         |  SELECT h FROM (
+         |    SELECT ${hash61Sql("seg")} AS h, count(DISTINCT doc_id) AS df
+         |    FROM s GROUP BY 1) WHERE df >= 2),
+         |k AS (
+         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM s WHERE ${hash61Sql("seg")} NOT IN (SELECT h FROM hot)
+         |  GROUP BY doc_id)
+         |SELECT c.doc_id, coalesce(k.clean_text, '') AS clean_text,
+         |  coalesce(k.n_kept, 0) AS n_kept,
+         |  c.nc - coalesce(k.n_kept, 0) AS n_dropped
+         |FROM c LEFT JOIN k ON c.doc_id = k.doc_id""".stripMargin,
     // intra-doc variant: first occurrence per (doc, segment) instead of
     // per segment corpus-wide
     "p_segment_dedup_doc" ->

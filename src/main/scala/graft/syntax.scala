@@ -120,6 +120,13 @@ object syntax {
         skewSafe: Boolean = true): DataFrame =
       Dedup.dedupSegments(df, idCol, segments, sep, skewSafe)
 
+    def dropFrequentSegments(
+        idCol: String,
+        segments: Column,
+        minDocs: Long,
+        sep: String = " "): DataFrame =
+      Dedup.dropFrequentSegments(df, idCol, segments, minDocs, sep)
+
     def semanticDedup(
         idCol: String,
         vecCol: String,

@@ -72,7 +72,11 @@ object ScaleSmoke {
     val nEmbs = embs.count()
     println(s"[smoke] corpus: $nDocs docs, $nEmbs embeddings ($copies x $sfDir)")
 
-    final case class Step(name: String, run: () => DataFrame, ceilingGB: Double)
+    final case class Step(
+        name: String,
+        run: () => DataFrame,
+        ceilingGB: Double,
+        invariant: DataFrame => Seq[String] = _ => Nil)
     var failed = false
 
     // listener bus is async: wait until the counters stop moving
@@ -105,12 +109,16 @@ object ScaleSmoke {
         drain()
         val rows = df.count()
         val gb = shuffleWrite.get / 1e9
-        val ok = gb <= step.ceilingGB
+        val violations = step.invariant(df)
+        val ok = gb <= step.ceilingGB && violations.isEmpty
         if (!ok) failed = true
         println(f"[smoke] ${step.name}: rows=$rows wall=${secs}%.0fs " +
           f"shuffleWrite=${gb}%.2fGB (ceiling ${step.ceilingGB}%.1fGB) " +
           f"records=${shuffleRecords.get} spill=${spillBytes.get / 1e9}%.2fGB " +
-          (if (ok) "OK" else "CEILING EXCEEDED"))
+          (if (ok) "OK"
+           else if (violations.nonEmpty)
+             "INVARIANT VIOLATED: " + violations.mkString("; ")
+           else "CEILING EXCEEDED"))
       } catch {
         case e: Throwable =>
           println(s"[smoke] ${step.name} FAILED: ${e.getMessage}")
@@ -200,6 +208,103 @@ object ScaleSmoke {
         embs.filter(col("vec_id") < 100), "vec_id", "embedding",
         k = 5),
       ceilingGB = 2.0))
+
+    // ----- e2e COMPOSITION smokes (r9): compositions are the library's
+    // primary use, and until now only their parts were smoke-tested. Both
+    // run the driver-gated pipeline shapes at `copies`x duplication and
+    // assert RESULT invariants, not just ceilings.
+
+    // Curation chain (p_curation_e2e shape): quality -> exact dedup ->
+    // decontaminate -> token-budget cut. Every stage commutes with
+    // id-preserving duplication (quality/decontaminate are text-pure;
+    // keep-min dedup picks base_min*copies+0; budget ordering by
+    // (score, id*copies) preserves the base (score, id) order), so the
+    // fanned survivors div copies must equal the UNFANNED run's survivors
+    // EXACTLY — duplication changes nothing but the work.
+    def curation(corpus: DataFrame): DataFrame = {
+      val bench = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("text"))
+      val quality = corpus
+        .filter(graft.ops.TextFunctions.tokenCount(col("text")) >= 20)
+      val keep = graft.ops.Dedup.exact(quality, "doc_id", "text")
+        .select(col("doc_id_kept").as("doc_id"))
+      val deduped = quality.join(keep, Seq("doc_id"), "left_semi")
+      val clean = graft.ops.Decontaminate.dropContaminated(
+        deduped, "doc_id", col("text"), bench, col("text"), n = 3)
+      graft.ops.Sampling.tokenBudgetSelect(
+        clean, "doc_id",
+        graft.ops.TextFunctions.tokenCount(col("text")),
+        length(col("text")),
+        budget = 100000L)
+    }
+    val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val baseKept = curation(baseDocs.filter(col("doc_id") % 50 =!= 0))
+      .select(col("doc_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    println(s"[smoke] curation base run: ${baseKept.size} survivors")
+    measure(Step(
+      s"p_curation_e2e(${copies}x, result-invariant vs base)",
+      () => curation(docs.filter((col("doc_id") / copies).cast("long") % 50 =!= 0)),
+      ceilingGB = 8.0,
+      invariant = df => {
+        val got = df
+          .select((col("doc_id") / copies).cast("long").as("b"))
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect().toSet
+        if (got == baseKept) Nil
+        else Seq(s"fanned survivors (${got.size}) != base survivors " +
+          s"(${baseKept.size}); sym-diff=${(got diff baseKept).size + (baseKept diff got).size}")
+      }))
+
+    // Web chain (p_web_curation_e2e shape): canonical-url dedup ->
+    // per-domain cap -> quality -> budget. The fanned url set is built so
+    // every canonical url has exactly `copies` variants (per-copy utm_c
+    // param, canonicalized away) across 50 domains — so url dedup must
+    // keep EXACTLY 1/copies of the corpus and the k=3 domain cap EXACTLY
+    // 150 rows, independent of the duplication factor.
+    val baseCount = nDocs / copies
+    var webDedupCount = -1L
+    var webCapCount = -1L
+    measure(Step(
+      s"p_web_curation_e2e(${copies}x: $copies copies/url, 50 domains)",
+      () => {
+        val withUrl = docs.withColumn(
+          "url",
+          concat(
+            lit("https://www.d"),
+            ((col("doc_id") / copies).cast("long") % 50).cast("string"),
+            lit(".com/p"),
+            ((col("doc_id") / copies).cast("long")).cast("string"),
+            lit("?utm_c="),
+            col("doc_id").cast("string")))
+        val deduped = graft.ops.Urls
+          .dedupByCanonicalUrl(withUrl, "doc_id", "url")
+        webDedupCount = deduped.count()
+        val capped = graft.ops.Urls.capPerDomain(deduped, "doc_id", "url", k = 3)
+        webCapCount = capped.count()
+        val quality = capped
+          .withColumn("__ntok", graft.ops.TextFunctions.tokenCount(col("text")))
+          .filter(col("__ntok") >= 20)
+        graft.ops.Sampling.tokenBudgetSelect(
+          quality, "doc_id", col("__ntok"), length(col("text")),
+          budget = 5000L)
+      },
+      ceilingGB = 6.0,
+      invariant = df => {
+        val n = df.count()
+        Seq(
+          // exactly 1/copies survives url dedup — the verdict's example
+          if (webDedupCount == baseCount) None
+          else Some(s"url dedup kept $webDedupCount, expected $baseCount " +
+            s"(1/$copies of $nDocs)"),
+          if (webCapCount == 150L) None
+          else Some(s"domain cap kept $webCapCount, expected 50x3=150"),
+          if (n <= 150L) None
+          else Some(s"final rows $n exceed the 50x3 domain-cap bound")
+        ).flatten
+      }))
 
     graft.ops.Par.releaseCaches()
     spark.stop()

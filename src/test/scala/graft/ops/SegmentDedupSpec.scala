@@ -208,6 +208,42 @@ class WithinDocDedupSpec extends SparkSpec {
 class WithinDocNullSegmentSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dropFrequentSegments removes EVERY occurrence of hot segments") {
+    // "c d" appears in docs 1, 2 and 3 (df=3); "a b" in docs 1 and 3
+    // (df=2); "x y" only in doc 2 (df=1). minDocs=2 drops ALL copies of
+    // both hot segments — including the first occurrences dedupSegments
+    // would keep — while the doc-unique segment survives.
+    val docs = Seq(
+      1L -> "a b c d",
+      2L -> "c d x y",
+      3L -> "c d a b").toDF("doc_id", "text")
+    val out = Dedup
+      .dropFrequentSegments(
+        docs, "doc_id", Chunking.wordWindows(col("text"), 2), minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    out(1L) shouldBe (("", 0L, 2L))
+    out(2L) shouldBe (("x y", 1L, 1L))
+    out(3L) shouldBe (("", 0L, 2L))
+  }
+
+  test("dropFrequentSegments: within-doc repeats do not cross the threshold") {
+    // "q q" repeats 3x inside doc 1 but appears in only ONE document —
+    // document frequency is per-DISTINCT-doc, so a chorus survives intact
+    val docs = Seq(
+      1L -> "q q q q q q",
+      2L -> "z z").toDF("doc_id", "text")
+    val out = Dedup
+      .dropFrequentSegments(
+        docs, "doc_id", Chunking.wordWindows(col("text"), 2), minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    out(1L) shouldBe (("q q q q q q", 3L, 0L))
+    out(2L) shouldBe (("z z", 1L, 0L))
+  }
+
   test("dedupSegmentsWithinDoc drops null segments consistently") {
     // null elements must neither survive into clean_text nor inflate
     // n_kept (array_contains(acc, null) is SQL NULL -> would append)

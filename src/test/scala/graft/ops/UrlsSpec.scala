@@ -155,6 +155,48 @@ class UrlsSpec extends SparkSpec {
     kept shouldBe Array(1L, 5L)
   }
 
+  test("withRegisteredDomain applies a user-supplied public-suffix list") {
+    val psl = Seq("co.uk", "com.au", "github.io", "uk", "au", "io", "com")
+      .toDF("suffix")
+    val hosts = Seq(
+      (1L, "https://www.example.co.uk/a"),   // 2-label listed suffix
+      (2L, "https://shop.foo.com.au/b"),     // deeper subdomain
+      (3L, "https://pages.user.github.io/c"),// private-domain suffix
+      (4L, "https://github.io/"),            // host IS a suffix
+      (5L, "https://x.y.example.zz/d"),      // unlisted TLD -> default rule
+      (6L, "https://localhost/e"),           // single label
+      (7L, "https://deep.sub.host.com/f"))   // plain gTLD
+      .toDF("id", "url")
+    val got = Urls
+      .withRegisteredDomain(hosts, "url", psl, "suffix")
+      .select($"id", $"domain")
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    got shouldBe Map(
+      1L -> "example.co.uk",
+      2L -> "foo.com.au",
+      3L -> "user.github.io",
+      4L -> "github.io",
+      5L -> "example.zz",
+      6L -> "localhost",
+      7L -> "host.com")
+  }
+
+  test("capPerDomainPsl caps by the PSL domain, not the heuristic one") {
+    // 6 docs on one github.io "site family": under the PSL, u0/u1 are
+    // DIFFERENT registered domains (userX.github.io) so a k=2 cap keeps
+    // all; the heuristic would collapse them into one github.io domain
+    // and keep only 2.
+    val psl = Seq("github.io").toDF("suffix")
+    val docs = (0L until 6L)
+      .map(i => (i, s"https://u${i % 2}.github.io/p$i"))
+      .toDF("id", "url")
+    Urls.capPerDomainPsl(docs, "id", "url", k = 2, psl, "suffix")
+      .count() shouldBe 4L
+    Urls.capPerDomain(docs, "id", "url", k = 2).count() shouldBe 2L
+  }
+
   test("graft.syntax exposes the url curation ops") {
     import graft.syntax._
     val df = (0L until 12L)
