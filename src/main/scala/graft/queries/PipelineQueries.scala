@@ -268,6 +268,16 @@ object PipelineQueries {
         t(s, dir, "documents"), "doc_id", "text", k = 3)
     },
 
+    // ----- BM25-style keyword retrieval (rational idf, bit-exact) -----
+    "t_bm25_topk" -> { (s, dir) =>
+      graft.ops.Bm25.searchTopK(
+        t(s, dir, "documents"),
+        "doc_id",
+        "text",
+        query = Seq("spark", "join", "vector"),
+        k = 200)
+    },
+
     // ----- simhash signatures -----
     "p_simhash" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -1162,6 +1172,40 @@ object PipelineQueries {
          |          ORDER BY weight DESC, term) AS rank
          |      FROM w)
          |SELECT doc_id, term, weight, rank FROM r WHERE rank <= 3""".stripMargin
+    },
+    // BM25 with rational idf: every score is exact integers flowing through
+    // the IDENTICAL double expression tree on both engines (constants as
+    // CAST(... AS DOUBLE) — a bare 1.2 literal is DECIMAL in DuckDB);
+    // the per-doc sum folds in sorted term order on both sides
+    "t_bm25_topk" -> {
+      s"""WITH w AS (
+         |  SELECT doc_id, $WsSql AS w FROM documents),
+         |stats AS (SELECT count(*) AS d, sum(len(w)) AS t FROM w),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+         |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w)
+         |  WHERE term IN ('spark', 'join', 'vector')
+         |  GROUP BY doc_id, dl, term),
+         |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    CAST(((SELECT d FROM stats) + 1) * 1000000 // (dfr.df + 1) AS DOUBLE) *
+         |    (tf.tf * (CAST(1.2 AS DOUBLE) + 1)) /
+         |    (tf.tf + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE)) +
+         |      CAST(1.2 AS DOUBLE) * CAST(0.75 AS DOUBLE) *
+         |      (tf.dl / ((SELECT CAST(t AS DOUBLE) FROM stats) /
+         |                (SELECT CAST(d AS DOUBLE) FROM stats)))) AS s
+         |  FROM tf JOIN dfr USING (term)),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_hits,
+         |    list_reduce(list(s ORDER BY term), (a, b) -> a + b) AS score
+         |  FROM sc GROUP BY doc_id),
+         |r AS (
+         |  SELECT doc_id, n_hits, score,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+         |      AS rank
+         |  FROM agg)
+         |SELECT doc_id, n_hits, score, rank FROM r WHERE rank <= 200""".stripMargin
     },
     "p_simhash" -> {
       s"""WITH h AS (

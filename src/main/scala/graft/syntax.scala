@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.StructType
 
 import graft.http.{HttpLookup, HttpSink}
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, CountMin, Dedup, HeavyHitters, Multimodal, Packing, Pca, Quantize, Sampling, Similarity, TfIdf, Urls, ZOrder}
+import graft.ops.{AsOfJoin, BloomJoin, Bm25, Chunking, CountMin, Dedup, HeavyHitters, Multimodal, Packing, Pca, Quantize, Sampling, Similarity, TfIdf, Urls, ZOrder}
 
 /** Fluent entry points: `import graft.syntax._` and every operator hangs off
   * DataFrame — the one-line switch path for users of the reference connector
@@ -201,6 +201,13 @@ object syntax {
 
     def topKeywords(idCol: String, textCol: String, k: Int = 3): DataFrame =
       TfIdf.topKeywords(df, idCol, textCol, k)
+
+    def bm25TopK(
+        idCol: String,
+        textCol: String,
+        query: Seq[String],
+        k: Int): DataFrame =
+      Bm25.searchTopK(df, idCol, textCol, query, k)
 
     def asOfJoinLeft(
         leftTime: String,
