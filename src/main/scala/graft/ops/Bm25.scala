@@ -67,11 +67,14 @@ object Bm25 {
       count(lit(1)).as("__d"),
       sum(col("__dl")).as("__t"))
 
-    val tf = withDl
-      .select(col("__id"), col("__dl"), explode(col("__w")).as("__term"))
-      .filter(col("__term").isin(terms: _*))
-      .groupBy(col("__id"), col("__dl"), col("__term"))
-      .agg(count(lit(1)).as("__tf"))
+    // cached: read by the df pass AND as the scored stream side — without
+    // it the corpus scan + explode runs twice (observed in the plan audit)
+    val tf = Par.cached(
+      withDl
+        .select(col("__id"), col("__dl"), explode(col("__w")).as("__term"))
+        .filter(col("__term").isin(terms: _*))
+        .groupBy(col("__id"), col("__dl"), col("__term"))
+        .agg(count(lit(1)).as("__tf")))
     val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
 
     val scored = tf
