@@ -107,4 +107,58 @@ object Decontaminate {
       .select(col(idCol))
     corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
   }
+
+  /** Per-BENCHMARK-ITEM leak report — the transpose of [[ngramOverlap]]:
+    * instead of "which corpus docs to drop", answer "which EVAL ROWS are
+    * burned" (rewrite or retire them before reporting scores on the
+    * benchmark). For every benchmark document sharing at least one
+    * distinct n-gram with the corpus:
+    *
+    *   - `n_leaked_docs`    distinct corpus documents sharing ≥ 1 gram
+    *   - `n_covered_ngrams` how many of the ITEM's distinct grams appear
+    *                        anywhere in the corpus
+    *   - `n_item_ngrams`    the item's own distinct gram count
+    *   - `leaked_frac`      covered / item grams — 1.0 means the item is
+    *                        fully reconstructible from training data
+    *
+    * Scale posture: identical to [[ngramOverlap]] with the roles kept —
+    * the benchmark's (item, gram) pairs broadcast, the 100 TB corpus is
+    * map-scanned once (shingle+hash codegen, explode, broadcast-hash
+    * join); the only shuffle aggregates MATCHED (corpus doc, item, gram)
+    * triples, bounded by contamination volume, not corpus size.
+    */
+  def leakReport(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusTextCol: Column,
+      benchmark: DataFrame,
+      benchIdCol: String,
+      benchTextCol: Column,
+      n: Int = 3,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    val benchGrams = benchmark.select(
+      col(benchIdCol).as("__bid"),
+      explode(gramSet(benchTextCol, n)).as("g"))
+    val benchSizes = benchmark.select(
+      col(benchIdCol).as("__bid"),
+      size(gramSet(benchTextCol, n)).cast("long").as("n_item_ngrams"))
+    val bg = if (broadcastBenchmark) broadcast(benchGrams) else benchGrams
+    Par.fan(corpus)
+      .select(
+        col(corpusIdCol).as("__cid"),
+        explode(gramSet(corpusTextCol, n)).as("g"))
+      .join(bg, Seq("g"))
+      .groupBy(col("__bid"))
+      .agg(
+        countDistinct(col("__cid")).as("n_leaked_docs"),
+        countDistinct(col("g")).as("n_covered_ngrams"))
+      .join(broadcast(benchSizes), Seq("__bid"))
+      .select(
+        col("__bid").as(benchIdCol),
+        col("n_leaked_docs"),
+        col("n_covered_ngrams"),
+        col("n_item_ngrams"),
+        (col("n_covered_ngrams").cast("double") / col("n_item_ngrams"))
+          .as("leaked_frac"))
+  }
 }

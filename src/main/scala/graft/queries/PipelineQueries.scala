@@ -414,6 +414,19 @@ object PipelineQueries {
         n = 3)
     },
 
+    // transpose view: which BENCHMARK items are burned, and how fully
+    "t_leak_report" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.leakReport(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        "doc_id",
+        col("text"),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id",
+        col("text"),
+        n = 3)
+    },
+
     // ----- decontamination at production gram length (sparse shingles) -----
     // Real sweeps run n=8-13 (GPT-3 appendix C used 13): at long n most
     // docs share nothing and only genuine leaks surface.
@@ -1363,6 +1376,29 @@ object PipelineQueries {
     },
     "t_decontaminate" -> decontaminateSql(3),
     "t_decontaminate8" -> decontaminateSql(8),
+    // transpose of t_decontaminate: per benchmark item, distinct leaking
+    // corpus docs + distinct covered grams + coverage fraction
+    "t_leak_report" -> {
+      s"""WITH b AS (
+         |  SELECT doc_id AS bid, unnest(${hashedShinglesSql(WsSql, 3)}) AS g
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |bi AS (
+         |  SELECT doc_id AS bid, len(${hashedShinglesSql(WsSql, 3)}) AS ni
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |c AS (
+         |  SELECT doc_id AS cid, unnest(${hashedShinglesSql(WsSql, 3)}) AS g
+         |  FROM documents WHERE doc_id % 50 <> 0),
+         |m AS (SELECT b.bid, c.cid, b.g FROM b JOIN c USING (g)),
+         |a AS (
+         |  SELECT bid, count(DISTINCT cid) AS n_leaked_docs,
+         |    count(DISTINCT g) AS n_covered_ngrams
+         |  FROM m GROUP BY bid)
+         |SELECT a.bid AS doc_id, a.n_leaked_docs, a.n_covered_ngrams,
+         |  CAST(bi.ni AS BIGINT) AS n_item_ngrams,
+         |  CAST(a.n_covered_ngrams AS DOUBLE) / CAST(bi.ni AS BIGINT)
+         |    AS leaked_frac
+         |FROM a JOIN bi USING (bid)""".stripMargin
+    },
     "t_quality_score" -> {
       val sw = TextFunctions.LangProfiles.head._2
         .map(s => s"'$s'").mkString("[", ", ", "]")

@@ -92,4 +92,40 @@ class DecontaminateSpec extends SparkSpec {
       .ngramOverlap(corpus, "doc_id", col("text"), bench, col("text"), n = 3)
       .count() shouldBe 0L
   }
+
+  test("leakReport: per-item distinct doc counts and gram coverage") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),   // covers 2 grams of item 100
+      (2L, "alpha beta gamma zzz"),     // covers 1 gram of item 100
+      (3L, "nothing shared at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      // grams: "alpha beta gamma", "beta gamma delta", "gamma delta EPS"
+      (100L, "alpha beta gamma delta EPS"),
+      (200L, "never seen anywhere sorry")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate
+      .leakReport(corpus, "doc_id", col("text"), bench, "doc_id", col("text"), n = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // item 200 leaks nowhere -> absent; item 100: docs 1+2 leak, grams
+    // "alpha beta gamma" + "beta gamma delta" covered of its 3
+    out.keySet shouldBe Set(100L)
+    out(100L)._1 shouldBe 2L
+    out(100L)._2 shouldBe 2L
+    out(100L)._3 shouldBe 3L
+    out(100L)._4 shouldBe (2.0 / 3.0)
+  }
+
+  test("leakReport: fully-reconstructible item reports leaked_frac 1.0") {
+    val corpus = Seq((1L, "q w e r t")).toDF("doc_id", "text")
+    val bench = Seq((9L, "q w e r")).toDF("doc_id", "text")
+    val out = Decontaminate
+      .leakReport(corpus, "doc_id", col("text"), bench, "doc_id", col("text"), n = 3)
+      .collect()
+    out.length shouldBe 1
+    out.head.getDouble(4) shouldBe 1.0
+  }
 }
