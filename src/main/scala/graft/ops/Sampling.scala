@@ -280,6 +280,53 @@ object Sampling {
     * the monotone prefix, and SQL engines drop such rows the same way
     * (`len(NULL)` is NULL).
     */
+  /** Per-GROUP token-budget selection — the MIXTURE-building cut: each
+    * source/language gets its own token budget ("300B tokens of web, 30B
+    * of code, 10B of de/fr/zh"), where [[tokenBudgetSelect]] cuts one
+    * global budget. Keep rule per group mirrors the global operator:
+    * within its group, order by (`score` desc, `idCol` asc) and keep every
+    * row whose running token total INCLUDING itself is ≤ that group's
+    * budget; null/negative token rows are excluded the same way. Groups
+    * absent from `budgets` are dropped entirely (a budget of zero).
+    * Appends `cumCol` = the row's within-group cumulative token count.
+    *
+    * Scale posture (the P38-vs-P37 split): fully declarative with ONE
+    * shuffle on the group key — the cumsum is a group-partitioned window,
+    * and the budget map (a handful of sources/languages) joins BROADCAST
+    * before the exchange. A pathologically hot single group (one source =
+    * 90% of 100 TB) serializes that group's window onto one task chain —
+    * slice it through the global [[tokenBudgetSelect]]'s range-bucket
+    * machinery instead (scaladoc'd trade-off, same answer).
+    */
+  def groupTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      tokens: Column,
+      score: Column,
+      groupCol: String,
+      budgets: Map[String, Long],
+      cumCol: String = "cum_tokens"): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(
+      !df.columns.contains(cumCol),
+      s"input already has a column named '$cumCol'; pass a different cumCol")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgetDf =
+      budgets.toSeq.sorted.toDF("__gb_key", "__gb_budget")
+    val (tok, sc) = ("__gb_tok", "__gb_score")
+    val w = Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(sc).desc, col(idCol).asc)
+    df.withColumn(tok, tokens)
+      .withColumn(sc, score)
+      .filter(col(tok).isNotNull && col(tok) >= 0)
+      .join(broadcast(budgetDf), col(groupCol) === col("__gb_key"))
+      .withColumn(cumCol, sum(col(tok)).over(w))
+      .filter(col(cumCol) <= col("__gb_budget"))
+      .drop(tok, sc, "__gb_key", "__gb_budget")
+  }
+
   def tokenBudgetSelect(
       df: DataFrame,
       idCol: String,

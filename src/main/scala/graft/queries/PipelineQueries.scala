@@ -647,6 +647,20 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_chars"), col("cum_tokens"))
     },
 
+    // ----- per-group token budgets (the mixture cut: per-lang budgets;
+    // es/fr absent from the map -> dropped) -----
+    "t_group_budget" -> { (s, dir) =>
+      graft.ops.Sampling
+        .groupTokenBudget(
+          t(s, dir, "documents"),
+          "doc_id",
+          TextFunctions.tokenCount(col("text")),
+          col("n_chars"),
+          "lang",
+          Map("en" -> 8000L, "de" -> 4000L, "zh" -> 2000L))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("cum_tokens"))
+    },
+
     // ----- cross-corpus NEAR-dup dedup (parity split: even doc_ids are
     // the "new crawl", odd the already-ingested corpus) -----
     "p_cross_neardup" -> { (s, dir) =>
@@ -1665,6 +1679,20 @@ object PipelineQueries {
          |  FROM documents)
          |SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum_tokens
          |FROM c WHERE cum <= 15000""".stripMargin,
+    // per-group twin: window cumsum PARTITIONED by lang, CASE budget map
+    "t_group_budget" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, n_chars, len($WsSql) AS ntok,
+         |    CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 4000
+         |      WHEN 'zh' THEN 2000 END AS b
+         |  FROM documents WHERE lang IN ('en', 'de', 'zh')),
+         |c AS (
+         |  SELECT doc_id, lang, n_chars, b,
+         |    sum(ntok) OVER (PARTITION BY lang
+         |      ORDER BY n_chars DESC, doc_id) AS cum
+         |  FROM d)
+         |SELECT doc_id, lang, n_chars, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum <= b""".stripMargin,
     "p_cross_neardup" ->
       s"""WITH ${minhashCrossCtes("doc_id % 2 = 0", "doc_id % 2 = 1")}
          |SELECT d.doc_id, d.lang, d.source FROM documents d

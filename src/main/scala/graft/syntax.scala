@@ -177,6 +177,14 @@ object syntax {
         qs: Seq[Double]): DataFrame =
       Sampling.groupQuantiles(df, groupCols, idCol, value, qs)
 
+    def groupTokenBudget(
+        idCol: String,
+        tokens: Column,
+        score: Column,
+        groupCol: String,
+        budgets: Map[String, Long]): DataFrame =
+      Sampling.groupTokenBudget(df, idCol, tokens, score, groupCol, budgets)
+
     def tokenBudgetSelect(
         idCol: String,
         tokens: Column,

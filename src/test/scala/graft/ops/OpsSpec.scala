@@ -421,6 +421,48 @@ class SamplingSpec extends SparkSpec {
     Par.releaseCaches()
   }
 
+  test("groupTokenBudget applies each group's own budget independently") {
+    // en: selection order 3 (10, cum 10), 1 (20, cum 30) -> budget 30
+    // keeps both; de: 4 (25, cum 25), 2 (25, cum 50) -> budget 30 keeps
+    // only doc 4; fr absent from the budget map -> dropped entirely
+    val docs = Seq(
+      (1L, "en", 20, 90), (2L, "de", 25, 10), (3L, "en", 10, 95),
+      (4L, "de", 25, 80), (5L, "fr", 1, 99))
+      .toDF("doc_id", "lang", "tok", "score")
+    val out = Sampling
+      .groupTokenBudget(
+        docs, "doc_id", col("tok"), col("score"), "lang",
+        Map("en" -> 30L, "de" -> 30L))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tokens"))
+      .toMap
+    out shouldBe Map(1L -> 30L, 3L -> 10L, 4L -> 25L)
+  }
+
+  test("groupTokenBudget matches tokenBudgetSelect on each group slice") {
+    val docs = (1L to 300L)
+      .map(i => (i, if (i % 3 == 0) "a" else "b", (i % 5 + 1).toInt,
+        ((i * 53) % 97).toInt))
+      .toDF("doc_id", "lang", "tok", "score")
+    val grouped = Sampling
+      .groupTokenBudget(
+        docs, "doc_id", col("tok"), col("score"), "lang",
+        Map("a" -> 120L, "b" -> 80L))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tokens"))
+      .toMap
+    val expected = Seq(("a", 120L), ("b", 80L)).flatMap { case (g, budget) =>
+      Sampling
+        .tokenBudgetSelect(
+          docs.filter(col("lang") === g), "doc_id",
+          col("tok"), col("score"), budget)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tokens"))
+    }.toMap
+    grouped shouldBe expected
+    Par.releaseCaches()
+  }
+
   test("exactQuantiles matches the rank formula across range buckets") {
     // 1..1000 shuffled in by id: quantile q = value at rank ceil(q*n)
     val docs = (1L to 1000L).map(i => (i, (i * 617) % 1000 + 1))
