@@ -119,10 +119,13 @@ object Urls {
         s"__cand_$j",
         when(n >= j, concat_ws(".", slice(col("__labels"), -j, j))))
     }
+    // lower+distinct computed ONCE; each depth only re-aliases the result,
+    // so the three build sides share one aggregation subplan instead of
+    // re-deduplicating the suffix list per join
+    val sfx = suffixes.select(lower(col(suffixCol)).as("__sfx")).distinct()
     val joined = depths.foldLeft(withCands) { (acc, j) =>
       acc.join(
-        broadcast(
-          suffixes.select(lower(col(suffixCol)).as(s"__sfx_$j")).distinct()),
+        broadcast(sfx.select(col("__sfx").as(s"__sfx_$j"))),
         acc(s"__cand_$j") === col(s"__sfx_$j"),
         "left")
     }

@@ -43,8 +43,6 @@ object HttpQueries {
   // in the same JVM: any 3+ consecutive polls cover every page, and the
   // gate's final distinct() collapses whatever page the cycle started on.
   private val pollServers = new ConcurrentHashMap[String, StubServer]()
-  private val pollCounters =
-    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
 
   private[queries] val PollPages = 3
 
@@ -59,10 +57,14 @@ object HttpQueries {
             col("n_nationkey"), col("n_name"), col("n_regionkey"))))
           .collect()
           .map(_.getString(0))
+        require(
+          rows.nonEmpty,
+          s"$dir/nation.parquet decoded to zero rows — cannot build the " +
+            "polling-source feed")
         val per = math.max(1, math.ceil(rows.length.toDouble / PollPages).toInt)
         val pages = rows.grouped(per).toArray.map(_.mkString("[", ",", "]"))
-        val counter = pollCounters
-          .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicInteger())
+        // counter lives in this once-per-dir closure — per-JVM cycling state
+        val counter = new java.util.concurrent.atomic.AtomicInteger()
         StubServer
           .serveOnly()
           .route("/nation-feed") { _ =>

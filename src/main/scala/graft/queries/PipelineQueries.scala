@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import org.apache.spark.sql.Column
+
 import graft.ops.{Chunking, Dedup, Multimodal, Quantize, Sampling, Similarity, TextFunctions, Urls}
 
 /** LLM-training-data pipeline queries (dedup, text analysis, similarity,
@@ -19,6 +21,65 @@ object PipelineQueries {
   // guard is a no-op (see Par.fan scaladoc).
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.ops.Par.fan(spark.read.parquet(s"$dir/$name.parquet"))
+
+  // Shared composition chains --------------------------------------------
+  // One owner for the stage lists of the two e2e composition gates, shared
+  // VERBATIM with tools.ScaleSmoke so the 100x smoke can never drift from
+  // the driver-gated shape (the Tables.events lesson applied to pipelines).
+
+  /** The `p_curation_e2e` stage list: token-quality gate → exact dedup
+    * (keep-min) → benchmark decontamination (strict any-shared-3-gram) →
+    * token-budget cut ordered by `score`.
+    */
+  private[graft] def curationChain(
+      corpus: DataFrame,
+      bench: DataFrame,
+      budget: Long,
+      score: Column): DataFrame = {
+    val quality =
+      corpus.filter(TextFunctions.tokenCount(col("text")) >= 20)
+    val keep = Dedup.exact(quality, "doc_id", "text")
+      .select(col("doc_id_kept").as("doc_id"))
+    val deduped = quality.join(keep, Seq("doc_id"), "left_semi")
+    val clean = graft.ops.Decontaminate.dropContaminated(
+      deduped, "doc_id", col("text"), bench, col("text"), n = 3)
+    Sampling.tokenBudgetSelect(
+      clean, "doc_id",
+      TextFunctions.tokenCount(col("text")), score,
+      budget)
+  }
+
+  /** The `p_web_curation_e2e` stage list with its intermediates exposed
+    * (the smoke asserts row-count invariants on them): canonical-url dedup
+    * → per-domain cap → token-quality gate → token-budget cut.
+    * `urlDocs` carries (doc_id, url); `fullDocs` supplies text + score.
+    */
+  private[graft] final case class WebCuration(
+      deduped: DataFrame,
+      capped: DataFrame,
+      result: DataFrame)
+
+  private[graft] def webCurationChain(
+      urlDocs: DataFrame,
+      fullDocs: DataFrame,
+      k: Int,
+      budget: Long,
+      score: Column): WebCuration = {
+    val deduped = Urls.dedupByCanonicalUrl(urlDocs, "doc_id", "url")
+    val capped = Urls.capPerDomain(deduped, "doc_id", "url", k)
+    val enriched = capped.select(col("doc_id")).join(fullDocs, Seq("doc_id"))
+    // token count staged once: it feeds both the quality filter and the
+    // budget cut (a second regex split per row would double the chain's
+    // dominant per-row cost)
+    val quality = enriched
+      .withColumn("__ntok", TextFunctions.tokenCount(col("text")))
+      .filter(col("__ntok") >= 20)
+    WebCuration(
+      deduped,
+      capped,
+      Sampling.tokenBudgetSelect(
+        quality, "doc_id", col("__ntok"), score, budget))
+  }
 
   // Shared SQL fragments -------------------------------------------------
 
@@ -617,20 +678,11 @@ object PipelineQueries {
     // (the library's primary use) against one chained oracle. -----
     "p_curation_e2e" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val bench = docs.filter(col("doc_id") % 50 === 0)
-      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
-      val quality =
-        corpus.filter(TextFunctions.tokenCount(col("text")) >= 20)
-      val keep = Dedup.exact(quality, "doc_id", "text")
-        .select(col("doc_id_kept").as("doc_id"))
-      val deduped = quality.join(keep, Seq("doc_id"), "left_semi")
-      val clean = graft.ops.Decontaminate.dropContaminated(
-        deduped, "doc_id", col("text"), bench, col("text"), n = 3)
-      Sampling
-        .tokenBudgetSelect(
-          clean, "doc_id",
-          TextFunctions.tokenCount(col("text")), col("n_chars"),
-          budget = 8000L)
+      curationChain(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        budget = 8000L,
+        score = col("n_chars"))
         .select(col("doc_id"), col("n_chars"), col("cum_tokens"))
     },
 
@@ -759,23 +811,10 @@ object PipelineQueries {
     // P36 pattern for the r8 URL operators)
     "p_web_curation_e2e" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val deduped =
-        Urls.dedupByCanonicalUrl(withDupUrl(docs), "doc_id", "url")
-      val capped = Urls.capPerDomain(deduped, "doc_id", "url", k = 3)
-      val enriched = capped.select(col("doc_id")).join(docs, Seq("doc_id"))
-      // token count staged once: it feeds both the quality filter and the
-      // budget cut (a second regex split per row would double the gate's
-      // dominant per-row cost)
-      val quality = enriched
-        .withColumn("__ntok", TextFunctions.tokenCount(col("text")))
-        .filter(col("__ntok") >= 20)
-      Sampling
-        .tokenBudgetSelect(
-          quality,
-          "doc_id",
-          col("__ntok"),
-          col("n_chars"),
-          budget = 3000L)
+      webCurationChain(
+        withDupUrl(docs), docs, k = 3, budget = 3000L,
+        score = col("n_chars"))
+        .result
         .select(col("doc_id"), col("cum_tokens"))
     },
 
@@ -960,8 +999,12 @@ object PipelineQueries {
        |  SELECT 1 FROM lbl WHERE lbl.n = d.doc_id AND lbl.n <> lbl.c)"""
       .stripMargin
 
-  private lazy val segmentDedupOracle: String =
-    s"""WITH d AS (
+  /** DuckDB: the shared 10-word-window segmentation prefix (CTEs `d`, `c`,
+    * `x`, `s`) — one owner for every corpus-level segment oracle so a fix
+    * to the window construction cannot leave two oracles disagreeing.
+    */
+  private val SegmentWindowCtes: String =
+    s"""d AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
        |  FROM documents),
        |c AS (
@@ -970,7 +1013,10 @@ object PipelineQueries {
        |s AS (
        |  SELECT doc_id, CAST(i AS INT) AS pos,
        |    array_to_string(list_slice(w, i*10 + 1, i*10 + 10), ' ') AS seg
-       |  FROM x),
+       |  FROM x)""".stripMargin
+
+  private lazy val segmentDedupOracle: String =
+    s"""WITH $SegmentWindowCtes,
        |r AS (
        |  SELECT doc_id, pos, seg,
        |    row_number() OVER (
@@ -1575,16 +1621,7 @@ object PipelineQueries {
     // frequency-thresholded boilerplate: drop ALL occurrences of windows
     // appearing in >= 2 distinct docs (vs keep-first above)
     "p_segment_boilerplate" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, CAST(ceil(len(w) / 10.0) AS BIGINT) AS nc, w FROM d),
-         |x AS (SELECT doc_id, w, unnest(range(0, nc)) AS i FROM c),
-         |s AS (
-         |  SELECT doc_id, CAST(i AS INT) AS pos,
-         |    array_to_string(list_slice(w, i*10 + 1, i*10 + 10), ' ') AS seg
-         |  FROM x),
+      s"""WITH $SegmentWindowCtes,
          |hot AS (
          |  SELECT h FROM (
          |    SELECT ${hash61Sql("seg")} AS h, count(DISTINCT doc_id) AS df

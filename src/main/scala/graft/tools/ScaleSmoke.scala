@@ -97,8 +97,10 @@ object ScaleSmoke {
       // propagation) execute eagerly while the DataFrame is constructed, so
       // build + noop-write together are the pipeline's true shuffle bill.
       // The noop write fully evaluates every output column (count() would
-      // prune the string payloads off the shuffles); the trailing count
-      // rides the pipeline's caches and is untracked.
+      // prune the string payloads off the shuffles). The metric SNAPSHOT is
+      // taken immediately after the drain — the trailing row count and the
+      // invariant checks re-execute (parts of) mostly-uncached pipelines,
+      // so anything they shuffle must stay OUT of the ceiling comparison.
       try {
         graft.ops.Par.releaseCaches() // previous step's caches
         shuffleWrite.set(0); shuffleRecords.set(0); spillBytes.set(0)
@@ -107,14 +109,16 @@ object ScaleSmoke {
         df.write.format("noop").mode("overwrite").save()
         val secs = (System.nanoTime() - t0) / 1e9
         drain()
-        val rows = df.count()
         val gb = shuffleWrite.get / 1e9
+        val recs = shuffleRecords.get
+        val spillGb = spillBytes.get / 1e9
+        val rows = df.count()
         val violations = step.invariant(df)
         val ok = gb <= step.ceilingGB && violations.isEmpty
         if (!ok) failed = true
         println(f"[smoke] ${step.name}: rows=$rows wall=${secs}%.0fs " +
           f"shuffleWrite=${gb}%.2fGB (ceiling ${step.ceilingGB}%.1fGB) " +
-          f"records=${shuffleRecords.get} spill=${spillBytes.get / 1e9}%.2fGB " +
+          f"records=$recs spill=${spillGb}%.2fGB " +
           (if (ok) "OK"
            else if (violations.nonEmpty)
              "INVARIANT VIOLATED: " + violations.mkString("; ")
@@ -214,29 +218,20 @@ object ScaleSmoke {
     // run the driver-gated pipeline shapes at `copies`x duplication and
     // assert RESULT invariants, not just ceilings.
 
-    // Curation chain (p_curation_e2e shape): quality -> exact dedup ->
-    // decontaminate -> token-budget cut. Every stage commutes with
-    // id-preserving duplication (quality/decontaminate are text-pure;
-    // keep-min dedup picks base_min*copies+0; budget ordering by
-    // (score, id*copies) preserves the base (score, id) order), so the
-    // fanned survivors div copies must equal the UNFANNED run's survivors
-    // EXACTLY — duplication changes nothing but the work.
+    // Curation chain — the stage list is graft.queries.PipelineQueries
+    // .curationChain, the SAME code the p_curation_e2e gate runs (shared
+    // builder, so the smoke cannot drift from the gated shape). Every
+    // stage commutes with id-preserving duplication (quality/decontaminate
+    // are text-pure; keep-min dedup picks base_min*copies+0; budget
+    // ordering by (score, id*copies) preserves the base (score, id)
+    // order), so the fanned survivors div copies must equal the UNFANNED
+    // run's survivors EXACTLY — duplication changes nothing but the work.
     def curation(corpus: DataFrame): DataFrame = {
       val bench = spark.read.parquet(s"$sfDir/documents.parquet")
         .filter(col("doc_id") % 50 === 0)
         .select(col("doc_id"), col("text"))
-      val quality = corpus
-        .filter(graft.ops.TextFunctions.tokenCount(col("text")) >= 20)
-      val keep = graft.ops.Dedup.exact(quality, "doc_id", "text")
-        .select(col("doc_id_kept").as("doc_id"))
-      val deduped = quality.join(keep, Seq("doc_id"), "left_semi")
-      val clean = graft.ops.Decontaminate.dropContaminated(
-        deduped, "doc_id", col("text"), bench, col("text"), n = 3)
-      graft.ops.Sampling.tokenBudgetSelect(
-        clean, "doc_id",
-        graft.ops.TextFunctions.tokenCount(col("text")),
-        length(col("text")),
-        budget = 100000L)
+      graft.queries.PipelineQueries.curationChain(
+        corpus, bench, budget = 100000L, score = length(col("text")))
     }
     val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -258,42 +253,38 @@ object ScaleSmoke {
           s"(${baseKept.size}); sym-diff=${(got diff baseKept).size + (baseKept diff got).size}")
       }))
 
-    // Web chain (p_web_curation_e2e shape): canonical-url dedup ->
-    // per-domain cap -> quality -> budget. The fanned url set is built so
-    // every canonical url has exactly `copies` variants (per-copy utm_c
-    // param, canonicalized away) across 50 domains — so url dedup must
-    // keep EXACTLY 1/copies of the corpus and the k=3 domain cap EXACTLY
-    // 150 rows, independent of the duplication factor.
+    // Web chain — the stage list is graft.queries.PipelineQueries
+    // .webCurationChain, the SAME code the p_web_curation_e2e gate runs.
+    // The fanned url set is built so every canonical url has exactly
+    // `copies` variants (per-copy utm_c param, canonicalized away) across
+    // 50 domains — so url dedup must keep EXACTLY 1/copies of the corpus
+    // and the k=3 domain cap EXACTLY 150 rows, independent of the
+    // duplication factor. Intermediate counts run in the invariant phase,
+    // AFTER the metric snapshot.
     val baseCount = nDocs / copies
-    var webDedupCount = -1L
-    var webCapCount = -1L
+    var web: graft.queries.PipelineQueries.WebCuration = null
     measure(Step(
       s"p_web_curation_e2e(${copies}x: $copies copies/url, 50 domains)",
       () => {
-        val withUrl = docs.withColumn(
-          "url",
+        val urlDocs = docs.select(
+          col("doc_id"),
           concat(
             lit("https://www.d"),
             ((col("doc_id") / copies).cast("long") % 50).cast("string"),
             lit(".com/p"),
             ((col("doc_id") / copies).cast("long")).cast("string"),
             lit("?utm_c="),
-            col("doc_id").cast("string")))
-        val deduped = graft.ops.Urls
-          .dedupByCanonicalUrl(withUrl, "doc_id", "url")
-        webDedupCount = deduped.count()
-        val capped = graft.ops.Urls.capPerDomain(deduped, "doc_id", "url", k = 3)
-        webCapCount = capped.count()
-        val quality = capped
-          .withColumn("__ntok", graft.ops.TextFunctions.tokenCount(col("text")))
-          .filter(col("__ntok") >= 20)
-        graft.ops.Sampling.tokenBudgetSelect(
-          quality, "doc_id", col("__ntok"), length(col("text")),
-          budget = 5000L)
+            col("doc_id").cast("string")).as("url"))
+        web = graft.queries.PipelineQueries.webCurationChain(
+          urlDocs, docs, k = 3, budget = 5000L,
+          score = length(col("text")))
+        web.result
       },
       ceilingGB = 6.0,
       invariant = df => {
         val n = df.count()
+        val webDedupCount = web.deduped.count()
+        val webCapCount = web.capped.count()
         Seq(
           // exactly 1/copies survives url dedup — the verdict's example
           if (webDedupCount == baseCount) None

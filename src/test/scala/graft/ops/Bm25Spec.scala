@@ -5,6 +5,13 @@ import graft.SparkSpec
 class Bm25Spec extends SparkSpec {
   import spark.implicits._
 
+  // every searchTopK persists its tf relation via Par.cached — release
+  // them so the shared test session doesn't accumulate storage memory
+  override def afterAll(): Unit = {
+    Par.releaseCaches()
+    super.afterAll()
+  }
+
   private def run(
       docs: Seq[(Long, String)],
       query: Seq[String],
