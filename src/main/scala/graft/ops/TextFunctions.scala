@@ -110,6 +110,24 @@ object TextFunctions {
       "\\s{2,}",
       " "))
 
+  /** SQuAD-style answer normalization (the `normalize_answer` used by
+    * extractive-QA exact-match scoring and QA decontamination): lowercase
+    * → strip ASCII punctuation → drop English articles (a / an / the) →
+    * collapse whitespace. Exact dedup or [[graft.ops.Decontaminate]] over
+    * THIS column catches eval answers that differ only in case, "the", or
+    * punctuation. Pure codegen, shuffle-free; every regex stays inside the
+    * RE2-compatible subset ([[:punct:]] class, `\b` boundaries) so DuckDB
+    * oracles replay it byte-identically.
+    */
+  def normalizeAnswer(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), "[\\p{Punct}]", " "),
+        "\\b(a|an|the)\\b",
+        " "),
+      "\\s+",
+      " "))
+
   /** C4-style line-quality filtering: split `text` on newlines, keep only
     * lines with at least `minWords` whitespace words that end in terminal
     * punctuation (`. ! ? "` optionally followed by a closing quote), and

@@ -860,6 +860,46 @@ object PipelineQueries {
         col("doc_id"),
         TextFunctions.redactPii(pii).as("redacted"))
     },
+    // SQuAD-style answer normalization over a derived fixture (synthetic
+    // docs carry no punctuation, so the gate injects case, punctuation and
+    // articles identically on both sides)
+    "t_norm_answer" -> { (s, dir) =>
+      val d = col("doc_id")
+      val raw = concat(
+        lit("The Answer: "),
+        upper(substring(col("text"), 1, 40)),
+        lit(", an (extra) word; THE end #"),
+        (d % 10).cast(StringType),
+        lit("!"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.normalizeAnswer(raw).as("norm"))
+    },
+
+    // streaming twin of exact dedup: the same keep-min-per-content
+    // aggregation as a Structured Streaming query (file source, complete
+    // mode, AvailableNow) — the q_stream_events_hourly pattern applied to
+    // the dedup family, gated by the batch relational oracle
+    "p_stream_exact_dedup" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val agg = s.readStream
+        .schema(schema)
+        .parquet(s"$dir/documents*.parquet")
+        .groupBy(md5(col("text")).as("content_md5"))
+        .agg(
+          min(col("doc_id")).as("doc_id_kept"),
+          count(lit(1)).as("n_copies"))
+      val sinkName = "p_stream_exact_dedup_out"
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+    },
+
     "t_line_filter" -> { (s, dir) =>
       val d = col("doc_id")
       val multiline = concat(
@@ -1848,6 +1888,22 @@ object PipelineQueries {
          |    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
          |    '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g') AS redacted
          |FROM documents""".stripMargin,
+    // normalize_answer: lowercase -> strip [[:punct:]] (RE2 spelling of
+    // Java's \p{Punct} — same ASCII set) -> drop articles -> collapse ws
+    "t_norm_answer" ->
+      s"""SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(regexp_replace(
+         |    lower('The Answer: ' || upper(substr(text, 1, 40)) ||
+         |      ', an (extra) word; THE end #' ||
+         |      CAST(doc_id % 10 AS VARCHAR) || '!'),
+         |    '[[:punct:]]', ' ', 'g'),
+         |    '\\b(a|an|the)\\b', ' ', 'g'),
+         |    '\\s+', ' ', 'g')) AS norm
+         |FROM documents""".stripMargin,
+    "p_stream_exact_dedup" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS doc_id_kept,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
     "t_line_filter" ->
       s"""WITH m AS (
          |  SELECT doc_id,

@@ -28,6 +28,15 @@ class TextFunctionsSpec extends SparkSpec {
     evalOne(functions.size(TextFunctions.shingleSet(col("text"), 3)), "only two") shouldBe 0
   }
 
+  test("normalizeAnswer: case, punctuation, articles, whitespace") {
+    evalOne(TextFunctions.normalizeAnswer(col("text")),
+      "The  Quick, (Brown) Fox!") shouldBe "quick brown fox"
+    // articles removed only as whole words; 'Math' keeps its 'a'
+    evalOne(TextFunctions.normalizeAnswer(col("text")),
+      "An answer: a THE an Math") shouldBe "answer math"
+    evalOne(TextFunctions.normalizeAnswer(col("text")), "  the a an ") shouldBe ""
+  }
+
   test("bpe estimate adds pieces for long words") {
     // "internationalization" = 20 chars -> 1 + (20-4)/4 = 5 pieces
     evalOne(TextFunctions.bpeTokenEstimate(col("text")),
