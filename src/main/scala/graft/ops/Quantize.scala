@@ -49,9 +49,22 @@ object Quantize {
       x => floor(x.cast(DoubleType) / scale + lit(0.5d)).cast(IntegerType))
 
   /** Exact integer dot product of two code arrays (ordered fold, long —
-    * 127²·dim per term keeps any realistic dim far from overflow).
+    * 127²·dim per term keeps any realistic dim far from overflow). Backed
+    * by the codegen'd [[org.apache.spark.sql.graft.IntDotF]] expression:
+    * HOF folds are interpreted (CodegenFallback) and dominated the
+    * quantized brute-force scan — the 100× smoke's 20M pair dots spent
+    * ~150 s in lambda frames; the tight generated loop matches the float
+    * path. Results are identical exact integers either way (same fold
+    * order; [[intDotHof]] kept as the portable reference, spec'd equal).
     */
   def intDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.IntDotF(
+        org.apache.spark.sql.graft.ColumnShim.expression(a),
+        org.apache.spark.sql.graft.ColumnShim.expression(b)))
+
+  /** The interpreted HOF formulation of [[intDot]] (portable reference). */
+  def intDotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(LongType) * y.cast(LongType)),
       lit(0L),

@@ -125,6 +125,22 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("codegen IntDotF equals the interpreted HOF fold (incl. empty)") {
+    val df = Seq(
+      (Seq(1, -2, 3, 127), Seq(4, 5, -6, 127)),
+      (Seq.empty[Int], Seq.empty[Int]),
+      (Seq(0, 0), Seq(0, 0)))
+      .toDF("a", "b")
+    val rows = df
+      .select(
+        Quantize.intDot($"a", $"b").as("native"),
+        Quantize.intDotHof($"a", $"b").as("hof"))
+      .as[(Long, Long)]
+      .collect()
+    rows.foreach { case (n, h) => n shouldBe h }
+    rows.head._1 shouldBe (4L - 10L - 18L + 127L * 127L)
+  }
+
   test("graft.syntax exposes the quantization ops") {
     import graft.syntax._
     val df = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("id", "vec")
