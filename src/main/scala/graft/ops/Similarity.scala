@@ -101,7 +101,11 @@ object Similarity {
       lit(1.0d)).otherwise(lit(-1.0d))
 
   /** Random-hyperplane LSH bucket code (`planes` sign bits) for a vector
-    * column — sign of Σ_i s(p,i)·v_i per plane.
+    * column — sign of Σ_i s(p,i)·v_i per plane. Runtime-dimension variant:
+    * works on ragged arrays but re-derives every ±1 sign with an md5
+    * digest PER ELEMENT PER ROW inside an interpreted HOF fold — prefer
+    * [[lshBucketFixedDim]] on fixed-dimension corpora (every real
+    * embedding table), which hoists the signs out of the scan entirely.
     */
   def lshBucket(vec: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
@@ -116,6 +120,39 @@ object Similarity {
     }
     bits.reduce(_ + _)
   }
+
+  /** [[lshBucket]] for FIXED-dimension vectors: the ±1 signs depend only
+    * on (plane, position), so they are computed ONCE here — the same
+    * [[org.apache.spark.sql.graft.Hash61Util]] bit the column expression
+    * uses — instead of `planes × dim` md5 digests per row, and each
+    * projection becomes a codegen [[dot]] against a literal sign vector.
+    * Same left-to-right double accumulation and `±1.0` factors ⇒ buckets
+    * are BIT-IDENTICAL to the runtime variant (spec'd; the `s_lsh_bucket`
+    * oracle replays unchanged). Null elements: the codegen dot skips them
+    * (contributes 0) where the HOF fold poisons the row to bucket 0 —
+    * embeddings have no null elements. Rows longer than `dim` ignore the
+    * tail; measure `dim` from the data ([[vecDim]]).
+    */
+  def lshBucketFixedDim(vec: Column, planes: Int, dim: Int): Column = {
+    require(dim > 0, s"dim must be positive (got $dim)")
+    val bits = (0 until planes).map { p =>
+      val signs = Array.tabulate(dim) { j =>
+        val h = org.apache.spark.sql.graft.Hash61Util.hash(
+          s"plane$p:${j + 1}"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if ((h & 1L) == 1L) 1.0f else -1.0f
+      }
+      val proj = dot(vec, typedlit(signs.toSeq))
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Element count of the first row's vector (one tiny job) — the `dim`
+    * for [[lshBucketFixedDim]] on fixed-dimension corpora.
+    */
+  def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).first().getInt(0)
 
   /** Exact embedding-cosine near-duplicate pairs (no blocking): all
     * (id_a < id_b) pairs with cosine ≥ `threshold`. O(N²/2) dot products —
@@ -184,7 +221,8 @@ object Similarity {
       col(idCol).as("id"),
       col(vecCol).as("__v"),
       sqrt(norm2(col(vecCol))).as("__n"),
-      lshBucket(col(vecCol), p).as("__bucket")))
+      lshBucketFixedDim(col(vecCol), p, vecDim(corpus, vecCol))
+        .as("__bucket")))
     val a = side.select(
       col("__bucket"),
       col("id").as("id_a"),
@@ -469,16 +507,18 @@ object Similarity {
       queryVec: String,
       k: Int,
       planes: Int = 8): DataFrame = {
+    // one dim for both sides (cosine requires it anyway); signs hoisted
+    val dim = vecDim(corpus, corpusVec)
     val q = queries.select(
       col(queryId).as("query_id"),
       col(queryVec).as("__qv"),
       sqrt(norm2(col(queryVec))).as("__qn"),
-      lshBucket(col(queryVec), planes).as("__bucket"))
+      lshBucketFixedDim(col(queryVec), planes, dim).as("__bucket"))
     val c = Par.fan(corpus).select(
       col(corpusId).as("neighbor_id"),
       col(corpusVec).as("__cv"),
       sqrt(norm2(col(corpusVec))).as("__cn"),
-      lshBucket(col(corpusVec), planes).as("__bucket"))
+      lshBucketFixedDim(col(corpusVec), planes, dim).as("__bucket"))
     val scored = c
       .join(broadcast(q), Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -830,10 +830,16 @@ object PipelineQueries {
     },
 
     // ----- LSH bucket assignment (P6 — the blocking step of lshTopK) -----
+    // the fixed-dim (hoisted-signs) variant: the production path since r9;
+    // bit-identical to the runtime variant (spec'd), oracle unchanged
     "s_lsh_bucket" -> { (s, dir) =>
-      t(s, dir, "embeddings").select(
+      val emb = t(s, dir, "embeddings")
+      emb.select(
         col("vec_id"),
-        Similarity.lshBucket(col("embedding"), planes = 8).as("bucket"))
+        Similarity
+          .lshBucketFixedDim(
+            col("embedding"), planes = 8, Similarity.vecDim(emb, "embedding"))
+          .as("bucket"))
     },
 
     // ----- PII redaction + C4 line filter (P14) -----

@@ -846,6 +846,23 @@ class PlanesForSpec extends SparkSpec {
     Similarity.planesFor(1000000000L) should be >= Similarity.planesFor(1000000L)
   }
 
+  test("lshBucketFixedDim is bit-identical to the runtime-dim variant") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 200L)
+      .map(i => (i, Array.fill(16)(rng.nextFloat() * 2f - 1f)))
+    val df = rows.toDF("id", "vec")
+    val both = df
+      .select(
+        Similarity.lshBucket(col("vec"), 10).as("rt"),
+        Similarity.lshBucketFixedDim(col("vec"), 10, 16).as("fx"))
+      .as[(Long, Long)]
+      .collect()
+    both.foreach { case (rt, fx) => fx shouldBe rt }
+    // and buckets actually vary (the comparison isn't vacuous)
+    both.map(_._1).distinct.length should be > 1
+  }
+
   test("cosineNearDupPairs derives planes from corpus size by default") {
     import spark.implicits._
     // 3 exact-duplicate pairs among orthogonal-ish vectors: derived-planes
