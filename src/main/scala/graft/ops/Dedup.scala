@@ -492,6 +492,111 @@ object Dedup {
     jaccardVerify(verified, threshold)
   }
 
+  /** EXACT similarity join by prefix filtering (the AllPairs / PPJoin
+    * family — Bayardo et al. WWW'07, Xiao et al. WWW'08): every pair of
+    * documents with n-gram Jaccard ≥ `threshold`, with NO approximation.
+    * Unlike MinHash+LSH (recall < 1 by construction: a qualifying pair can
+    * land in no shared band) the prefix filter is a LOSSLESS candidate
+    * generator, so the output is identical to the naive all-pairs join it
+    * replaces — the right tool when a dedup pass must be auditable
+    * ("we removed exactly the ≥0.8 pairs", no sampling caveats).
+    *
+    * Why it scales: order the corpus's shingle vocabulary rarest-first
+    * (corpus document frequency asc, hash asc — a deterministic total
+    * order). Each doc keeps only its PREFIX: the first
+    * |d| − ⌈t·|d|⌉ + 1 of its |d| shingles in that order. Any qualifying
+    * pair shares ≥ ⌈t·|d|⌉ shingles, and its minimum common shingle in the
+    * global order provably sits inside BOTH prefixes (all |d|−i smaller
+    * doc-local shingles fit before it), so joining prefixes on the shingle
+    * finds every pair. The inverted index this builds is over the RAREST
+    * shingles — bucket sizes are bounded by rare-shingle document
+    * frequency, not corpus size, which is what kills the O(m²) blowup.
+    * Hot shingles ("of the and") never enter any prefix unless a doc
+    * consists almost entirely of them.
+    *
+    * Candidates are cut further map-side before the distinct:
+    *   - length filter: J ≥ t ⇒ t·max(|a|,|b|) ≤ min(|a|,|b|);
+    *   - positional filter: for the shared shingle at (1-based) sorted
+    *     positions p_a, p_b, the overlap can be at most
+    *     1 + min(|a|−p_a, |b|−p_b), which must reach the Jaccard-implied
+    *     minimum ⌈t/(1+t)·(|a|+|b|)⌉. The min-common-shingle row always
+    *     satisfies it, so no qualifying pair is lost.
+    *
+    * Shuffles: shingle-frequency histogram (partial-agg), frequency join
+    * back to the exploded stream (skew-safe hot/tail via
+    * [[SkewJoin.hotTailEquiJoin]] — the hottest shingles carry the most
+    * stream mass and would otherwise pile on one partition), one per-doc
+    * regroup, candidate distinct (bounded by index selectivity), verify
+    * join-back. All ceil()s are ε-guarded in the SAFE direction: an FP
+    * error can only lengthen a prefix or weaken a filter (extra
+    * candidates), never drop a qualifying pair.
+    */
+  def prefixJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      hotK: Int = 1024): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val sh = Par.cached(
+      Par.fan(df).select(
+        col(idCol).as("id"),
+        array_distinct(
+          transform(
+            TextFunctions.shingleSet(col(textCol), n),
+            s => TextFunctions.hash61(s))).as("sh"))
+        .filter(size(col("sh")) > 0))
+    val toks = sh.select(
+      col("id"), size(col("sh")).as("len"), explode(col("sh")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val withFreq = SkewJoin.hotTailEquiJoin(
+      toks, freq, "tok", Seq(col("df").desc, col("tok")), hotK)
+
+    // per-doc rarest-first order; struct sort = (df asc, tok asc)
+    val ordered = withFreq
+      .groupBy(col("id"), col("len"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
+    val plen = (col("len") - ceil(col("len") * threshold - lit(1e-9)) + 1)
+      .cast(IntegerType)
+    val prefix = ordered
+      .select(
+        col("id"),
+        col("len"),
+        posexplode(slice(col("ord"), lit(1), plen)).as(Seq("pos0", "st")))
+      .select(
+        col("id"),
+        col("len"),
+        (col("pos0") + 1).as("pos"), // 1-based rank in the full sorted doc
+        col("st.tok").as("tok"))
+
+    val a = prefix.select(
+      col("id").as("id_a"), col("len").as("len_a"),
+      col("pos").as("pos_a"), col("tok"))
+    val b = prefix.select(
+      col("id").as("id_b"), col("len").as("len_b"),
+      col("pos").as("pos_b"), col("tok"))
+    val minOverlap = ceil(
+      (col("len_a") + col("len_b")) * (threshold / (1.0d + threshold)) -
+        lit(1e-9))
+    val candidates = a
+      .join(b, "tok")
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("len_b") >= col("len_a") * threshold - lit(1e-9))
+      .filter(col("len_a") >= col("len_b") * threshold - lit(1e-9))
+      .filter(
+        lit(1) + least(
+          col("len_a") - col("pos_a"),
+          col("len_b") - col("pos_b")) >= minOverlap)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val verified = candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    jaccardVerify(verified, threshold)
+  }
+
   /** Connected components over a near-dup pair graph: every document in a
     * component gets the component's minimum doc id as `cluster_id` — the
     * canonical "keep one per duplicate cluster" step after pair generation.

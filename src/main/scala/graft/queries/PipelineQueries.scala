@@ -287,6 +287,17 @@ object PipelineQueries {
         threshold = 0.5)
     },
 
+    // ----- EXACT prefix-filter similarity join (lossless, no LSH recall
+    // loss) — candidates from a rarest-first prefix inverted index -----
+    "p_prefix_jaccard" -> { (s, dir) =>
+      Dedup.prefixJaccardPairs(
+        t(s, dir, "documents"),
+        "doc_id",
+        "text",
+        n = 3,
+        threshold = 0.5)
+    },
+
     // ----- near-dup clusters (connected components over the pair graph) --
     "p_dup_clusters" -> { (s, dir) =>
       Dedup.nearDupClusters(
@@ -1212,6 +1223,20 @@ object PipelineQueries {
       s"""WITH $minhashPairCtes
          |SELECT id_a, id_b, i * 1.0 / u AS jaccard
          |FROM verified WHERE i * 1.0 / u >= 0.5""".stripMargin
+    },
+    // the oracle is the NAIVE all-pairs join the prefix filter replaces —
+    // hash-matching it is the losslessness proof (no blocking, no bands)
+    "p_prefix_jaccard" -> {
+      s"""WITH d AS (
+         |  SELECT doc_id, ${hashedShinglesSql(WsSql)} AS sh
+         |  FROM documents WHERE len($WsSql) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.sh, b.sh)) AS i,
+         |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, i * 1.0 / u AS jaccard
+         |FROM pairs WHERE i * 1.0 / u >= 0.5""".stripMargin
     },
     "p_dup_clusters" -> {
       // transitive closure over the verified near-dup pair graph; cluster

@@ -146,6 +146,48 @@ class DedupSpec extends SparkSpec {
     lsh shouldBe exact
   }
 
+  test("prefix-filter jaccard join is LOSSLESS vs the naive all-pairs join") {
+    // naive truth: every unblocked pair with jaccard >= t, computed directly
+    // from the hashed shingle sets (the oracle the prefix filter must match)
+    def naive(d: org.apache.spark.sql.DataFrame, t: Double) = {
+      val sets = d
+        .select(
+          col("doc_id"),
+          array_distinct(
+            transform(
+              TextFunctions.shingleSet(col("text"), 3),
+              s => TextFunctions.hash61(s))).as("sh"))
+        .collect()
+        .map(r =>
+          r.getLong(0) -> Option(r.getSeq[Long](1)).fold(Set.empty[Long])(_.toSet))
+        .filter(_._2.nonEmpty)
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        i = (sa & sb).size; u = (sa | sb).size
+        if u > 0 && i.toDouble / u >= t
+      } yield ((a, b), i.toDouble / u)).toMap
+    }
+    // cross-block near-dup (docs 1 and 4 sit in different sources) plus
+    // short/empty docs that must not enter the index
+    val noisy = (docs ++ Seq(
+      (100L, "two words", "en", "s1"),
+      (101L, null.asInstanceOf[String], "en", "s2"))).toDF(
+      "doc_id", "text", "lang", "source")
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val got = Dedup
+        .prefixJaccardPairs(noisy, "doc_id", "text", 3, t)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard"))
+        .toMap
+      got shouldBe naive(noisy, t)
+    }
+    // threshold 1.0 keeps only the exact dup pair across blocks
+    Dedup.prefixJaccardPairs(df, "doc_id", "text", 3, 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((1L, 4L))
+    Par.releaseCaches()
+  }
+
   test("nearDupClusters: transitive closure with min-id labels") {
     // chain 1-2, 2-3 must merge into one cluster even though (1,3) is not a
     // pair; 7-8 is a separate component; 9 appears in no pair -> no row
