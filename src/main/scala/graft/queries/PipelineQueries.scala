@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import org.apache.spark.sql.Column
 
-import graft.ops.{Chunking, Dedup, Multimodal, Quantize, Sampling, Similarity, TextFunctions, Urls}
+import graft.ops.{Chunking, Dedup, Dsir, Multimodal, Quantize, Sampling, Similarity, TextFunctions, Urls}
 
 /** LLM-training-data pipeline queries (dedup, text analysis, similarity,
   * multimodal) over the `documents` / `embeddings` tables, each paired with
@@ -99,6 +99,13 @@ object PipelineQueries {
     */
   private def hashedShinglesSql(ws: String, n: Int = 3): String =
     s"list_distinct(list_transform(${shinglesSql(ws, n)}, s -> ${hash61Sql("s")}))"
+
+  /** DuckDB: NON-distinct word bigrams of `ws` — a multiset, because DSIR
+    * counts gram occurrences (unlike the distinct shingle sets above).
+    */
+  private def bigramsSql(ws: String): String =
+    s"list_transform(range(1, greatest(len($ws), 1)), " +
+      s"i -> $ws[i] || ' ' || $ws[i+1])"
 
   /** Shared decontamination oracle, parameterized on gram length; the frac
     * is an exact int→double division on both engines (bit-identical).
@@ -432,6 +439,20 @@ object PipelineQueries {
         "lang",
         MixWeights,
         MixDefault)
+    },
+
+    // ----- DSIR-style importance-weighted selection: keep the 100 raw
+    // docs whose hashed-bigram distribution most resembles the target
+    // slice (doc_id % 50 = 0, the decontamination benchmark convention) --
+    "t_dsir_select" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dsir.selectTopK(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id",
+        "text",
+        k = 100,
+        buckets = 8192)
     },
 
     // ----- corpus-level top-50 bigrams -----
@@ -1464,6 +1485,30 @@ object PipelineQueries {
          |  unnest(range(CAST((wt // 1000) +
          |    (CASE WHEN b < wt % 1000 THEN 1 ELSE 0 END) AS BIGINT))) AS copy
          |FROM w""".stripMargin
+    },
+    // replays Dsir.selectTopK: bucketed bigram histograms, integer-scaled
+    // smoothed target/raw ratio weights, per-doc sum, top-100 by
+    // (score desc, doc_id) — `//` and Spark `div` agree on positive longs
+    "t_dsir_select" -> {
+      s"""WITH rg AS (
+         |  SELECT doc_id, ${hash61Sql("g")} % 8192 AS bucket FROM (
+         |    SELECT doc_id, unnest(${bigramsSql(WsSql)}) AS g
+         |    FROM documents WHERE doc_id % 50 <> 0)),
+         |tg AS (
+         |  SELECT ${hash61Sql("g")} % 8192 AS bucket FROM (
+         |    SELECT unnest(${bigramsSql(WsSql)}) AS g
+         |    FROM documents WHERE doc_id % 50 = 0)),
+         |rh AS (SELECT bucket, count(*) AS cr FROM rg GROUP BY bucket),
+         |th AS (SELECT bucket, count(*) AS ct FROM tg GROUP BY bucket),
+         |sc AS (
+         |  SELECT rg.doc_id,
+         |    count(*) AS n_grams,
+         |    CAST(sum(((coalesce(th.ct, 0) + 1) * 1000000) // (rh.cr + 1))
+         |      AS DOUBLE) / count(*) AS dsir_score
+         |  FROM rg JOIN rh USING (bucket) LEFT JOIN th USING (bucket)
+         |  GROUP BY rg.doc_id)
+         |SELECT doc_id, n_grams, dsir_score FROM sc
+         |ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin
     },
     "t_top_bigrams" -> {
       s"""SELECT bigram, count(*) AS n FROM (
