@@ -530,6 +530,14 @@ object Dedup {
     * join-back. All ceil()s are ε-guarded in the SAFE direction: an FP
     * error can only lengthen a prefix or weaken a filter (extra
     * candidates), never drop a qualifying pair.
+    *
+    * Duplication caveat (true of ANY pair-semantics op, LSH included): m
+    * exact copies of one doc are m·(m−1)/2 genuine jaccard-1 pairs, so the
+    * OUTPUT is quadratic in the duplication factor. At scale run exact
+    * dedup (P1, linear) first and prefix-join the distinct contents — the
+    * ScaleSmoke step proves the composition reproduces the uncollapsed
+    * corpus's pairs exactly at 100× duplication within a fixed shuffle
+    * ceiling.
     */
   def prefixJaccardPairs(
       df: DataFrame,

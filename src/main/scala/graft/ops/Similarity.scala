@@ -90,6 +90,106 @@ object Similarity {
         col("cos").as("cos_sim"))
   }
 
+  /** Hard-negative mining for embedding-model training (the contrastive
+    * counterpart of [[bruteForceTopK]]): for each query, the `k` corpus
+    * vectors MOST similar by cosine whose label differs from the query's —
+    * the near-miss negatives that make contrastive losses informative
+    * (random negatives are trivially separable).
+    *
+    * Same scale contract and plan shape as [[bruteForceTopK]]: queries
+    * broadcast (|Q| ≪ corpus), norms precomputed per side before the join,
+    * label mismatch filters INSIDE the broadcast join (map-side — excluded
+    * rows never reach the window), per-query top-k via a WindowGroupLimit-
+    * prunable rank window (one exchange carrying ≤ |Q|·k·partitions rows).
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      corpusLabel: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      queryLabel: String,
+      k: Int): DataFrame = {
+    val q = queries.select(
+      col(queryId).as("query_id"),
+      col(queryLabel).as("__ql"),
+      col(queryVec).as("__qv"),
+      sqrt(norm2(col(queryVec))).as("__qn"))
+    val c = Par.fan(corpus).select(
+      col(corpusId).as("neighbor_id"),
+      col(corpusLabel).as("__cl"),
+      col(corpusVec).as("__cv"),
+      sqrt(norm2(col(corpusVec))).as("__cn"))
+    val scored = c
+      .join(
+        broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          col("__ql") =!= col("__cl"))
+      .withColumn(
+        "cos",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        col("rank"),
+        col("cos").as("cos_sim"))
+  }
+
+  /** Deterministic per-group mean pooling of embeddings — chunk embeddings
+    * → document embedding, member embeddings → class centroid: the standard
+    * "pool then index" step between chunk-level encoders and doc-level
+    * retrieval.
+    *
+    * Why not `avg()` per dimension: float addition is not associative, and
+    * a shuffle-order `sum()` over group members produces run-dependent
+    * low-bit results (the same reassociation that keeps k-means/PCA gates
+    * rows-only). Here each group's members are FOLDED IN `orderCol` ORDER
+    * inside one collected, sorted list — bit-reproducible across runs,
+    * partitionings, AND engines, which is what lets the gate hash raw
+    * doubles.
+    *
+    * Scale posture: ONE shuffle (partial-agg collect_list on the group
+    * key); per-group state is bounded by group size × dim (chunks per doc:
+    * tens — this is a per-DOC pool, not a corpus-wide agg). The fold reads
+    * each element once (n·dim work per group); dims are read from the
+    * first member at runtime, so no static dimension config.
+    *
+    * Output: (group, n_members, pooled: array<double>).
+    */
+  def meanPool(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      vecCol: String): DataFrame = {
+    val vs = array_sort(col("__vs")) // struct sort = (ord asc, vec)
+    val n = size(col("__vs"))
+    val dim = size(col("__vs")(0).getField("vec"))
+    val pooled = transform(
+      sequence(lit(1), dim),
+      d =>
+        aggregate(
+          vs,
+          lit(0.0d),
+          (acc, s) => acc + element_at(s.getField("vec"), d).cast(DoubleType))
+          / n.cast(DoubleType))
+    Par.fan(df)
+      .groupBy(col(groupCol))
+      .agg(collect_list(
+        struct(col(orderCol).as("ord"), col(vecCol).as("vec"))).as("__vs"))
+      .select(
+        col(groupCol),
+        n.as("n_members"),
+        pooled.as("pooled"))
+  }
+
   /** Seeded deterministic pseudo-random hyperplane component for plane `p`,
     * dimension `i`: ±1 from a portable md5-derived hash of "p:i".
     */

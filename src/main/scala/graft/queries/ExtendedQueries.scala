@@ -97,6 +97,25 @@ object ExtendedQueries {
           countDistinct(col("user_id")).as("n_users"))
     },
 
+    // ----- semi-structured extraction via Spark 4 VARIANT -----
+    // The modern path for schema-on-read JSON: parse once into the binary
+    // variant encoding, extract typed paths with variant_get. Here the
+    // variant is consumed BEFORE the aggregation, so only the extracted
+    // int (never the variant blob) reaches the shuffle; at scale
+    // parse_json replaces repeated string re-parsing when several paths
+    // are read (get_json_object re-scans the JSON text per path).
+    "q_events_variant" -> { (s, dir) =>
+      events(s, dir)
+        .select(
+          try_variant_get(parse_json(col("props")), "$.k", "int").as("k"),
+          col("value"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value").cast(DecimalType(18, 6))), 4)
+            .cast(DoubleType).as("sum_value"))
+    },
+
     // ----- salted skew join, gated for transparency -----
     // A deterministic power-law: 3 of every 4 events collapse onto hot key
     // 0, the worst single-task hot-spot shape for a shuffle join. The gate
@@ -159,6 +178,11 @@ object ExtendedQueries {
       // whole oracle run instead of grouping under null
       """SELECT TRY_CAST(props->>'k' AS INT) AS k, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_events_variant" ->
+      """SELECT TRY_CAST(props->>'k' AS INT) % 10 AS k_bucket,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
     "q_skew_salted_join" ->
       // the plain (unsalted) join: salting must be result-transparent

@@ -560,6 +560,33 @@ object PipelineQueries {
         k = 5)
     },
 
+    // ----- hard-negative mining: top-k nearest neighbors with a DIFFERENT
+    // label — the contrastive-training counterpart of s_cosine_topk -----
+    "s_hard_negatives" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(
+        emb,
+        "vec_id",
+        "embedding",
+        "label",
+        emb.filter(col("vec_id") < 100),
+        "vec_id",
+        "embedding",
+        "label",
+        k = 5)
+    },
+
+    // ----- deterministic ordered mean pooling: 5-chunk groups → one
+    // pooled doc embedding (bit-reproducible fold, unlike avg()) -----
+    "s_mean_pool" -> { (s, dir) =>
+      Similarity.meanPool(
+        t(s, dir, "embeddings")
+          .withColumn("g_id", col("vec_id") % 100),
+        "g_id",
+        "vec_id",
+        "embedding")
+    },
+
     // ----- IVF cell assignment (the map-side step of ivfTopK) -----
     // Fixed centroids = the four lowest-id corpus vectors: the gate tests
     // the assignment math (broadcast dot scores, argmax, first-index ties),
@@ -1677,6 +1704,44 @@ object PipelineQueries {
          |  FROM s)
          |SELECT query_id, neighbor_id, rank, cos AS cos_sim
          |FROM ranked WHERE rank <= 5""".stripMargin
+    },
+    // s_cosine_topk with the label-mismatch predicate — identical cosine
+    // arithmetic (same fold order), so raw doubles hash-match
+    "s_hard_negatives" -> {
+      def dotSql(x: String, y: String) =
+        s"list_reduce(list_transform(range(1, len($x) + 1), " +
+          s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (acc, v) -> acc + v)"
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, label AS ql, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 100),
+         |c AS (
+         |  SELECT vec_id AS neighbor_id, label AS cl, embedding AS cv
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${dotSql("qv", "cv")} /
+         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})) AS cos
+         |  FROM c, q WHERE query_id <> neighbor_id AND ql <> cl),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM s)
+         |SELECT query_id, neighbor_id, rank, cos AS cos_sim
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    },
+    // replays the ORDERED per-dimension fold: list(… ORDER BY vec_id) then
+    // left-to-right list_reduce — the same association order as the Spark
+    // sort_array + aggregate, so raw doubles hash-match
+    "s_mean_pool" -> {
+      s"""WITH g AS (
+         |  SELECT vec_id % 100 AS g_id, list(embedding ORDER BY vec_id) AS vs
+         |  FROM embeddings GROUP BY vec_id % 100)
+         |SELECT g_id, len(vs) AS n_members,
+         |  list_transform(range(1, len(vs[1]) + 1),
+         |    d -> list_reduce(list_transform(vs, v -> CAST(v[d] AS DOUBLE)),
+         |      (a, b) -> a + b) / len(vs)) AS pooled
+         |FROM g""".stripMargin
     },
     "s_embed_neardup" -> {
       s"""WITH $embedNearDupCte

@@ -253,6 +253,43 @@ object ScaleSmoke {
           s"(${baseKept.size}); sym-diff=${(got diff baseKept).size + (baseKept diff got).size}")
       }))
 
+    // Prefix-filter EXACT similarity join (r9): pair output is inherently
+    // quadratic under duplication (each base doc's `copies` exact copies
+    // are copies·(copies−1)/2 TRUE jaccard-1 pairs — any pair-semantics op
+    // owes that output), so the at-scale deployment — scaladoc'd on
+    // prefixJaccardPairs — is exact-collapse first (P1, linear), then the
+    // lossless join over distinct contents. The invariant asserts the
+    // collapsed run reproduces the UNFANNED corpus's collapsed pairs
+    // exactly (the base corpus carries its own exact dups, so it collapses
+    // too; rep id = min copy id = base-rep·copies ⇒ div maps back).
+    val baseReps = baseDocs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val basePairs = graft.ops.Dedup.prefixJaccardPairs(
+      baseReps, "doc_id", "text", n = 3, threshold = 0.8)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.Par.releaseCaches()
+    println(s"[smoke] prefix-jaccard base run: ${basePairs.size} pairs")
+    measure(Step(
+      s"p_prefix_jaccard(exact-collapse -> lossless join, ${copies}x)",
+      () => {
+        val reps = docs.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        graft.ops.Dedup.prefixJaccardPairs(
+          reps, "doc_id", "text", n = 3, threshold = 0.8)
+      },
+      ceilingGB = 4.0,
+      invariant = df => {
+        val got = df.select(
+          (col("id_a") / copies).cast("long"),
+          (col("id_b") / copies).cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        if (got == basePairs) Nil
+        else Seq(s"collapsed pairs (${got.size}) != base pairs " +
+          s"(${basePairs.size}); sym-diff=" +
+          s"${(got diff basePairs).size + (basePairs diff got).size}")
+      }))
+
     // Web chain — the stage list is graft.queries.PipelineQueries
     // .webCurationChain, the SAME code the p_web_curation_e2e gate runs.
     // The fanned url set is built so every canonical url has exactly

@@ -315,6 +315,53 @@ class SimilaritySpec extends SparkSpec {
     out.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(2L, 3L)
   }
 
+  test("hardNegatives: nearest neighbors whose label differs") {
+    // vec 2 is the closest neighbor but shares label 7 with the query —
+    // hard negatives must skip it and rank the nearest OTHER-label vectors
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 7),
+      (2L, Array(0.99f, 0.01f), 7),
+      (3L, Array(0.9f, 0.1f), 8),
+      (4L, Array(0.0f, 1.0f), 9),
+      (5L, Array(-1.0f, 0.0f), 8)).toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id") === 1L)
+    val out = Similarity
+      .hardNegatives(corpus, "vec_id", "embedding", "label",
+        queries, "vec_id", "embedding", "label", k = 2)
+      .orderBy("rank")
+      .collect()
+    out.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(3L, 4L)
+    // all-same-label corpus yields no negatives at all
+    val sameLabel = corpus.withColumn("label", lit(7))
+    Similarity.hardNegatives(sameLabel, "vec_id", "embedding", "label",
+      sameLabel.filter(col("vec_id") === 1L), "vec_id", "embedding",
+      "label", k = 2).count() shouldBe 0L
+  }
+
+  test("meanPool: ordered per-group mean, partitioning-invariant") {
+    val rows = Seq(
+      (10L, 1L, Array(1.0f, 3.0f)),
+      (10L, 2L, Array(3.0f, 5.0f)),
+      (20L, 3L, Array(2.0f, 2.0f)))
+    val out = Similarity
+      .meanPool(rows.toDF("g", "ord", "vec"), "g", "ord", "vec")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Double](2)))
+      .toMap
+    out(10L) shouldBe ((2, Seq(2.0, 4.0)))
+    out(20L) shouldBe ((1, Seq(2.0, 2.0)))
+    // same bits regardless of input partitioning (the whole point vs avg):
+    // the fold happens in ord order inside the group, not shuffle order
+    val p1 = Similarity
+      .meanPool(rows.toDF("g", "ord", "vec").repartition(1), "g", "ord", "vec")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    val p4 = Similarity
+      .meanPool(
+        rows.reverse.toDF("g", "ord", "vec").repartition(4), "g", "ord", "vec")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    p1 shouldBe p4
+  }
+
   test("lshTopK finds an identical-direction vector in the same bucket") {
     // varied directions; vec 50 is an exact scaled copy of vec 25, so it
     // shares vec 25's bucket by construction and ranks first on cosine
