@@ -831,4 +831,111 @@ object Dedup {
       array_min(wmins).as("min_fingerprint"))
       .filter(size(col("__hs")) > 0)
   }
+
+  /** Maximal duplicated-span detection — exact substring dedup at word
+    * granularity (the Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better" operation, re-expressed relationally instead
+    * of via suffix arrays): every `k`-word sliding window whose 60-bit hash
+    * occurs in at least `minDocs` DISTINCT documents is a duplicated
+    * window; overlapping duplicated windows within a document merge into
+    * MAXIMAL spans by gaps-and-islands (island id = position − rank, so
+    * consecutive positions share an island). One row per maximal span:
+    * (`idCol`, `span_start`, `span_end`, `n_windows`), word positions
+    * 1-based inclusive.
+    *
+    * This differs from [[dedupSegments]]/[[dropFrequentSegments]] (fixed
+    * disjoint segments) exactly where Lee et al. differs from segment
+    * dedup: a duplicated passage that straddles segment boundaries, or is
+    * longer than one segment, is recovered in full as one span because
+    * EVERY position is a window start.
+    *
+    * Scale posture: the occurrence stream is corpus × ~words/doc rows but
+    * only (id, pos, hash) wide; the duplicated-hash set collapses to one
+    * row per doc per hash map-side (`distinct` partial agg) before the
+    * per-hash count, so a page-internal chorus contributes one row past
+    * the map side. The back-join probes with a 61-bit key against a
+    * one-row-per-hash build side — AQE's skew-join split handles a
+    * boilerplate window shared by millions of docs (probe-side-only skew,
+    * the case AQE splits). The islands window is partitioned by document,
+    * bounded by document length.
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      text: Column,
+      k: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"window length k must be >= 2 (got $k)")
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    val occ = Par.fan(df).select(
+      col(idCol).as("__id"),
+      posexplode(TextFunctions.shingles(TextFunctions.words(text), k))
+        .as(Seq("__pos", "__win")))
+      .select(
+        col("__id"),
+        col("__pos"),
+        TextFunctions.hash61(col("__win")).as("__h"))
+    val dup = occ
+      .select(col("__h"), col("__id"))
+      .distinct()
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__h"))
+    val perDoc = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    occ.join(dup, Seq("__h"), "left_semi")
+      .withColumn("__isl", col("__pos") - row_number().over(perDoc))
+      .groupBy(col("__id"), col("__isl"))
+      .agg(
+        min(col("__pos")).as("__s"),
+        max(col("__pos")).as("__e"),
+        count(lit(1)).as("n_windows"))
+      .select(
+        col("__id").as(idCol),
+        (col("__s") + 1).cast(LongType).as("span_start"),
+        (col("__e") + lit(k)).cast(LongType).as("span_end"),
+        col("n_windows"))
+  }
+
+  /** Remove every maximal duplicated span found by [[duplicatedSpans]] from
+    * the text: rebuild each document from the words NOT covered by any
+    * span. Output shape matches the segment-dedup family: (`idCol`,
+    * `clean_text`, `n_kept`, `n_dropped`) for every input row — a document
+    * that is entirely duplicated material comes back empty, a document
+    * shorter than `k` words (no windows) comes back untouched.
+    *
+    * Scale posture: spans collapse to one small array per affected doc
+    * (`collect_list` bounded by words/doc ÷ 1), the join back to the corpus
+    * is on the doc id, and the word filter is a per-row codegen'd HOF —
+    * the reconstruction never explodes the corpus a second time.
+    */
+  def removeDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      text: Column,
+      k: Int,
+      minDocs: Int = 2,
+      sep: String = " "): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, text, k, minDocs)
+      .groupBy(col(idCol))
+      .agg(collect_list(
+        struct(col("span_start"), col("span_end"))).as("__spans"))
+    Par.fan(df)
+      .withColumn("__ws", TextFunctions.words(text))
+      .join(spans, Seq(idCol), "left")
+      .withColumn(
+        "__kept",
+        filter(col("__ws"), (_, i) =>
+          not(coalesce(
+            exists(col("__spans"), sp =>
+              (i + 1) >= sp.getField("span_start") &&
+                (i + 1) <= sp.getField("span_end")),
+            lit(false)))))
+      .select(
+        col(idCol),
+        array_join(col("__kept"), sep).as("clean_text"),
+        size(col("__kept")).cast(LongType).as("n_kept"),
+        (size(col("__ws")) - size(col("__kept")))
+          .cast(LongType).as("n_dropped"))
+  }
 }

@@ -126,6 +126,33 @@ object PipelineQueries {
        |FROM d JOIN bench USING (g)
        |GROUP BY doc_id""".stripMargin
 
+  /** DuckDB CTE chain replaying [[graft.ops.Dedup.duplicatedSpans]] —
+    * k-word sliding windows with positions → hashes duplicated across ≥
+    * `minDocs` docs → gaps-and-islands merge — ending in a
+    * `spans(doc_id, span_start, span_end, n_windows)` relation (1-based
+    * inclusive word positions) plus the word-array CTE `w(doc_id, ws)`.
+    * Shared by the span-detection and span-removal oracles.
+    */
+  private def dupSpansCtes(k: Int, minDocs: Int): String =
+    s"""w AS (SELECT doc_id, $WsSql AS ws FROM documents),
+       |occ AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    ${hash61Sql(s"array_to_string(list_slice(ws, i, i + ${k - 1}), ' ')")} AS h
+       |  FROM w, unnest(range(1, greatest(len(ws) - ${k - 2}, 1))) AS t(i)),
+       |dup AS (
+       |  SELECT h FROM (SELECT h, doc_id FROM occ GROUP BY h, doc_id)
+       |  GROUP BY h HAVING count(*) >= $minDocs),
+       |isl AS (
+       |  SELECT occ.doc_id, occ.pos,
+       |    occ.pos - row_number() OVER (
+       |      PARTITION BY occ.doc_id ORDER BY occ.pos) AS g
+       |  FROM occ JOIN dup USING (h)),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS span_start,
+       |    max(pos) + ${k - 1} AS span_end,
+       |    CAST(count(*) AS BIGINT) AS n_windows
+       |  FROM isl GROUP BY doc_id, g)""".stripMargin
+
   /** DuckDB: portable 60-bit md5 hash of a string expression. */
   private def hash61Sql(x: String): String =
     s"CAST(CAST(('0x' || substr(md5($x), 1, 15)) AS UBIGINT) AS BIGINT)"
@@ -681,6 +708,21 @@ object PipelineQueries {
         "doc_id",
         Chunking.wordWindows(col("text"), 10),
         minDocs = 2)
+    },
+
+    // Lee-et-al-style exact substring dedup: maximal cross-doc duplicated
+    // spans at 20-word window granularity (747 distinct duplicated windows
+    // in this corpus — the exact-duplicate doc clusters merge into
+    // whole-document spans)
+    "p_dup_spans" -> { (s, dir) =>
+      Dedup.duplicatedSpans(
+        t(s, dir, "documents"), "doc_id", col("text"), k = 20)
+    },
+
+    // and the removal: rebuild every doc minus its duplicated spans
+    "p_span_removed" -> { (s, dir) =>
+      Dedup.removeDuplicatedSpans(
+        t(s, dir, "documents"), "doc_id", col("text"), k = 20)
     },
 
     // intra-document variant: first occurrence per distinct segment WITHIN
@@ -1816,6 +1858,32 @@ object PipelineQueries {
          |  coalesce(k.n_kept, 0) AS n_kept,
          |  c.nc - coalesce(k.n_kept, 0) AS n_dropped
          |FROM c LEFT JOIN k ON c.doc_id = k.doc_id""".stripMargin,
+    // maximal duplicated spans (Lee et al. exact substring dedup, 20-word
+    // windows, >= 2 distinct docs)
+    "p_dup_spans" ->
+      s"""WITH ${dupSpansCtes(20, 2)}
+         |SELECT doc_id, span_start, span_end, n_windows FROM spans""".stripMargin,
+    // span removal: every doc rebuilt from words not covered by any span
+    "p_span_removed" ->
+      s"""WITH ${dupSpansCtes(20, 2)},
+         |cov AS (
+         |  SELECT DISTINCT doc_id, j
+         |  FROM spans, unnest(range(span_start, span_end + 1)) AS t(j)),
+         |tok AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS i, ws[i] AS wd
+         |  FROM w, unnest(range(1, len(ws) + 1)) AS t(i)),
+         |keep AS (
+         |  SELECT tok.doc_id, tok.i, tok.wd
+         |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.j
+         |  WHERE cov.j IS NULL),
+         |agg AS (
+         |  SELECT doc_id, string_agg(wd, ' ' ORDER BY i) AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM keep GROUP BY doc_id)
+         |SELECT w.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+         |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(w.ws) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_dropped
+         |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin,
     // intra-doc variant: first occurrence per (doc, segment) instead of
     // per segment corpus-wide
     "p_segment_dedup_doc" ->
