@@ -56,6 +56,40 @@ object Sampling {
     df.filter(bucket(col(idCol)) < rate)
   }
 
+  /** Deterministic train/validation/test split: every row is labeled from
+    * its salted per-mille hash bucket against cumulative cutoffs —
+    * `splits` is an ordered (name, per-mille) list summing to ≤ 1000 (any
+    * remainder falls into the LAST split, so the default 980/10/10 is
+    * airtight).
+    *
+    * Hash-assigned splits are the only splits that survive a growing
+    * corpus: a document's label depends only on its id, so recrawls and
+    * incremental ingests never migrate a training doc into the held-out
+    * set (the train-on-test leak a `random()` or row-number split commits
+    * on every re-run). The salt decorrelates the split from every other
+    * hash-sampling decision in the pipeline (see [[saltedBucket]]).
+    *
+    * Scale posture: a pure per-row codegen'd projection — no shuffle, no
+    * split histogram, stable under re-partitioning and task retries.
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Int)] =
+        Seq("train" -> 980, "validation" -> 10, "test" -> 10),
+      salt: String = "split:"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0), "per-mille shares must be positive")
+    require(splits.map(_._2).sum <= 1000, "per-mille shares must sum to <= 1000")
+    val cutoffs = splits.map(_._2).scanLeft(0)(_ + _).tail
+    val b = saltedBucket(salt, col(idCol))
+    val label = splits.init.zip(cutoffs.init).reverse.foldLeft(
+      lit(splits.last._1)) { case (acc, ((name, _), cut)) =>
+      when(b < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Deterministic exact-quota sampling: the `k` rows with the smallest
     * salted id hash per stratum (ties broken by id) — the "exactly 10k eval
     * docs per language" step where a rate-based sample's ±binomial noise is

@@ -458,6 +458,13 @@ object PipelineQueries {
         StratifiedDefault)
     },
 
+    // ----- deterministic train/validation/test hash split (980/10/10) -----
+    "t_hash_split" -> { (s, dir) =>
+      graft.ops.Sampling.hashSplit(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id")
+    },
+
     // ----- deterministic weighted corpus mixing (up/down-sampling) -----
     "t_corpus_mix" -> { (s, dir) =>
       graft.ops.Sampling.weightedMix(
@@ -1540,6 +1547,15 @@ object PipelineQueries {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${hash61Sql("CAST(doc_id AS VARCHAR)")} % 1000 <
          |  CASE $cases ELSE $StratifiedDefault END""".stripMargin
+    },
+    "t_hash_split" -> {
+      s"""SELECT doc_id,
+         |  CASE WHEN ${hash61Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 980
+         |    THEN 'train'
+         |  WHEN ${hash61Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 990
+         |    THEN 'validation'
+         |  ELSE 'test' END AS split
+         |FROM documents""".stripMargin
     },
     "t_corpus_mix" -> {
       val cases = MixWeights

@@ -480,6 +480,45 @@ class SamplingSpec extends SparkSpec {
         Map("en" -> 1001), 10)
   }
 
+  test("hashSplit labels every row, matches its cutoff math, and is stable") {
+    val docs = (1L to 3000L).toDF("doc_id")
+    val out = Sampling.hashSplit(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out should have size 3000
+    // label agrees with the bucket cutoffs it is defined by
+    val buckets = docs
+      .select(col("doc_id"), Sampling.saltedBucket("split:", col("doc_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, split) =>
+      val expected =
+        if (buckets(id) < 980) "train"
+        else if (buckets(id) < 990) "validation" else "test"
+      split shouldBe expected
+    }
+    // roughly proportional shares, all three populated
+    out.values.count(_ == "train").toDouble shouldBe 2940.0 +- 60.0
+    out.values.count(_ == "validation") should be > 0
+    out.values.count(_ == "test") should be > 0
+    // stable under partitioning AND under corpus growth: the 1..3000
+    // assignments are a subset of the 1..6000 run's
+    val grown = Sampling.hashSplit((1L to 6000L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, split) => grown(id) shouldBe split }
+  }
+
+  test("hashSplit remainder falls into the last split; bad shares rejected") {
+    val docs = (1L to 500L).toDF("doc_id")
+    val out = Sampling
+      .hashSplit(docs, "doc_id", Seq("a" -> 100, "b" -> 100))
+      .collect().map(_.getString(1))
+    // shares sum to 200 of 1000: buckets >= 200 all land in "b"
+    out.count(_ == "b").toDouble should be > (out.length * 0.8)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.hashSplit(docs, "doc_id", Seq("a" -> 600, "b" -> 600))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.hashSplit(docs, "doc_id", Seq.empty)
+  }
+
   test("tokenBudgetSelect keeps best-first docs up to the exact budget") {
     // (id, tokens, score): selection order by score desc then id is
     // 3 (10 tok, cum 10), 1 (20 tok, cum 30), 4 (5 tok, cum 35), 2 —
