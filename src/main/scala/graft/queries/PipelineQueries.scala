@@ -1048,6 +1048,17 @@ object PipelineQueries {
         .select(col("doc_id"), col("shard"))
     },
 
+    // ----- exact-integer centroid outlier flags (per label, cos < 1/10) -----
+    "s_centroid_outliers" -> { (s, dir) =>
+      graft.ops.Outliers.centroidOutliers(
+        t(s, dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        groupCols = Seq("label"),
+        thresholdNum = 1L,
+        thresholdDen = 10L)
+    },
+
     // ----- int8 embedding quantization (P40) -----
     "s_quantize_int8" -> { (s, dir) =>
       Quantize
@@ -2150,6 +2161,47 @@ object PipelineQueries {
         |  CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 8
         |    AS INT) AS shard
         |FROM documents""".stripMargin,
+    "s_centroid_outliers" ->
+      """WITH q8 AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)) AS q
+        |  FROM (
+        |    SELECT vec_id, label, embedding,
+        |      CASE WHEN m = 0 THEN CAST(1.0 AS DOUBLE) ELSE m / 127 END AS s
+        |    FROM (SELECT vec_id, label, embedding,
+        |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |        AS m
+        |      FROM embeddings))),
+        |dims AS (
+        |  SELECT label, i, sum(q[i]) AS s
+        |  FROM q8, unnest(range(1, len(q)+1)) AS t(i)
+        |  GROUP BY label, i),
+        |cent AS (SELECT label, list(s ORDER BY i) AS c FROM dims GROUP BY label),
+        |centq AS (
+        |  SELECT label,
+        |    list_transform(c,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) / cs + 0.5) AS BIGINT)) AS cq
+        |  FROM (
+        |    SELECT label, c,
+        |      CASE WHEN cm = 0 THEN CAST(1.0 AS DOUBLE) ELSE cm / 127 END AS cs
+        |    FROM (SELECT label, c,
+        |      list_max(list_transform(c, x -> abs(CAST(x AS DOUBLE)))) AS cm
+        |      FROM cent))),
+        |j AS (
+        |  SELECT q8.vec_id, q8.label,
+        |    CAST(list_reduce(list_transform(range(1, len(q)+1),
+        |      i -> q[i]*cq[i]), (a,v) -> a+v) AS BIGINT) AS cdot,
+        |    CAST(list_reduce(list_transform(range(1, len(q)+1),
+        |      i -> q[i]*q[i]), (a,v) -> a+v) AS BIGINT) AS nv,
+        |    CAST(list_reduce(list_transform(range(1, len(cq)+1),
+        |      i -> cq[i]*cq[i]), (a,v) -> a+v) AS BIGINT) AS nc
+        |  FROM q8 JOIN centq USING (label))
+        |SELECT vec_id, label, cdot, nv, nc,
+        |  NOT (cdot > 0 AND
+        |    CAST(cdot AS HUGEINT) * cdot * 10 * 10 >=
+        |    CAST(1 AS HUGEINT) * 1 * nv * nc) AS is_outlier
+        |FROM j""".stripMargin,
     "s_quantize_int8" ->
       s"""WITH $QuantizeCtes
          |SELECT vec_id, s AS scale,
