@@ -1048,6 +1048,25 @@ object PipelineQueries {
         .select(col("doc_id"), col("shard"))
     },
 
+    // ----- cluster-balanced subset selection: IVF cell assignment →
+    // exact per-cell quota (diversity-preserving downsampling: every
+    // region of embedding space keeps k representatives, instead of the
+    // dominant cluster swamping a uniform sample) -----
+    "s_cluster_sample" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb
+        .filter(col("vec_id") < 4)
+        .orderBy(col("vec_id"))
+        .select(col("embedding"))
+        .collect()
+        .map(_.getSeq[Float](0).toArray)
+      graft.ops.Sampling.quotaSample(
+        Similarity.ivfAssign(emb, "vec_id", "embedding", centroids),
+        "vec_id",
+        k = 40,
+        strataCols = Seq("cell"))
+    },
+
     // ----- exact-integer centroid outlier flags (per label, cos < 1/10) -----
     "s_centroid_outliers" -> { (s, dir) =>
       graft.ops.Outliers.centroidOutliers(
@@ -2161,6 +2180,28 @@ object PipelineQueries {
         |  CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 8
         |    AS INT) AS shard
         |FROM documents""".stripMargin,
+    "s_cluster_sample" -> {
+      def dotSql(x: String, y: String) =
+        s"list_reduce(list_transform(range(1, len($x) + 1), " +
+          s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (acc, v) -> acc + v)"
+      s"""WITH c AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |  WHERE vec_id < 4),
+         |s AS (
+         |  SELECT e.vec_id, c.cid, ${dotSql("e.embedding", "c.cv")} AS score
+         |  FROM embeddings e CROSS JOIN c),
+         |r AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC, cid ASC) AS rn
+         |  FROM s),
+         |a AS (SELECT vec_id, CAST(cid AS INT) AS cell FROM r WHERE rn = 1)
+         |SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+         |    ORDER BY ${hash61Sql("'quota:' || CAST(vec_id AS VARCHAR)")},
+         |      vec_id) AS qrn
+         |  FROM a) WHERE qrn <= 40""".stripMargin
+    },
     "s_centroid_outliers" ->
       """WITH q8 AS (
         |  SELECT vec_id, label,
