@@ -161,4 +161,93 @@ object Decontaminate {
         (col("n_covered_ngrams").cast("double") / col("n_item_ngrams"))
           .as("leaked_frac"))
   }
+
+  /** SEMANTIC decontamination — the embedding-space complement of
+    * [[ngramOverlap]]: flag every corpus vector whose cosine to ANY
+    * benchmark vector reaches `num/den`. Catches the leakage n-grams miss
+    * by construction: paraphrases, translations, and format-shuffled eval
+    * rows share no 13-gram but sit on top of each other in embedding
+    * space.
+    *
+    * The decision is EXACT INTEGER arithmetic over int8 codes (the
+    * [[Outliers]] machinery): `dot > 0 ∧ dot²·den² ≥ num²·|c|²·|b|²` in
+    * DECIMAL(38,0) — order-free, engine-portable, hash-gateable. Output:
+    * one row per contaminated corpus vector — (`idCol`, `n_hits`,
+    * `first_bench_id`) where `first_bench_id` = the MINIMUM hitting
+    * benchmark id (min, not argmax-similarity: min is order-free and
+    * needs no cross-pair float compare). Anti-join against the corpus to
+    * drop, exactly like the n-gram path.
+    *
+    * Scale posture: the benchmark is an eval suite — thousands of
+    * vectors — so its codes broadcast and the corpus is map-scanned once:
+    * a broadcast nested-loop over bench codes with the codegen'd integer
+    * dot, then ONE shuffle aggregating only the HITS (bounded by
+    * contamination volume, not corpus size). For benchmark sets too big
+    * to scan per row, pre-filter candidates with [[Similarity]]'s LSH
+    * buckets and feed the survivors here.
+    */
+  def semanticOverlap(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      benchmark: DataFrame,
+      benchIdCol: String,
+      benchVecCol: String,
+      thresholdNum: Long,
+      thresholdDen: Long): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen > 0,
+      s"threshold must be a positive rational (got $thresholdNum/$thresholdDen)")
+    def codes(df: DataFrame, id: Column, vec: Column, idAs: String, qAs: String) =
+      df.select(id.as(idAs), vec.as("__v"))
+        .withColumn(
+          "__maxabs",
+          array_max(transform(col("__v"), x => abs(x.cast("double")))))
+        .withColumn(
+          "__scale",
+          when(col("__maxabs") === lit(0.0d), lit(1.0d))
+            .otherwise(col("__maxabs") / lit(127.0d)))
+        .select(
+          col(idAs),
+          Quantize.int8Codes(col("__v"), col("__scale")).as(qAs))
+    val c = codes(Par.fan(corpus), col(idCol), col(vecCol), "__cid", "__cq")
+      .withColumn("__cn", Quantize.intDot(col("__cq"), col("__cq")))
+    val b = codes(benchmark, col(benchIdCol), col(benchVecCol), "__bid", "__bq")
+      .withColumn("__bn", Quantize.intDot(col("__bq"), col("__bq")))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d38(x: Column): Column = x.cast(dec)
+    val d = Quantize.intDot(col("__cq"), col("__bq"))
+    c.crossJoin(broadcast(b))
+      .withColumn("__d", d)
+      .filter(
+        col("__d") > 0 &&
+          d38(col("__d")) * d38(col("__d")) *
+            d38(lit(thresholdDen)) * d38(lit(thresholdDen)) >=
+            d38(lit(thresholdNum)) * d38(lit(thresholdNum)) *
+              d38(col("__cn")) * d38(col("__bn")))
+      .groupBy(col("__cid"))
+      .agg(
+        count(lit(1)).as("n_hits"),
+        min(col("__bid")).as("first_bench_id"))
+      .select(col("__cid").as(idCol), col("n_hits"), col("first_bench_id"))
+  }
+
+  /** One-call semantic decontamination: drop every corpus vector row
+    * flagged by [[semanticOverlap]]. The anti-join's build side is only
+    * the flagged ids (bounded by contamination volume).
+    */
+  def dropSemanticContaminated(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      benchmark: DataFrame,
+      benchIdCol: String,
+      benchVecCol: String,
+      thresholdNum: Long,
+      thresholdDen: Long): DataFrame = {
+    val flagged = semanticOverlap(
+      corpus, idCol, vecCol, benchmark, benchIdCol, benchVecCol,
+      thresholdNum, thresholdDen)
+      .select(col(idCol))
+    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
 }

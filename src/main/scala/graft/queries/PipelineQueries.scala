@@ -1067,6 +1067,21 @@ object PipelineQueries {
         strataCols = Seq("cell"))
     },
 
+    // ----- semantic decontamination: corpus vectors within cos >= 3/10 of
+    // any benchmark vector (the paraphrase leakage n-grams miss) -----
+    "s_semantic_decontaminate" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Decontaminate.semanticOverlap(
+        emb.filter(col("vec_id") % 50 =!= 0),
+        "vec_id",
+        "embedding",
+        emb.filter(col("vec_id") % 50 === 0),
+        "vec_id",
+        "embedding",
+        thresholdNum = 3L,
+        thresholdDen = 10L)
+    },
+
     // ----- exact-integer centroid outlier flags (per label, cos < 1/10) -----
     "s_centroid_outliers" -> { (s, dir) =>
       graft.ops.Outliers.centroidOutliers(
@@ -2202,6 +2217,36 @@ object PipelineQueries {
          |      vec_id) AS qrn
          |  FROM a) WHERE qrn <= 40""".stripMargin
     },
+    "s_semantic_decontaminate" ->
+      """WITH q8 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)) AS q
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      CASE WHEN m = 0 THEN CAST(1.0 AS DOUBLE) ELSE m / 127 END AS s
+        |    FROM (SELECT vec_id, embedding,
+        |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |        AS m
+        |      FROM embeddings))),
+        |n AS (
+        |  SELECT vec_id, q,
+        |    CAST(list_reduce(list_transform(range(1, len(q)+1),
+        |      i -> q[i]*q[i]), (a,v) -> a+v) AS BIGINT) AS nn
+        |  FROM q8),
+        |pr AS (
+        |  SELECT c.vec_id AS cid, b.vec_id AS bid,
+        |    CAST(list_reduce(list_transform(range(1, len(c.q)+1),
+        |      i -> c.q[i]*b.q[i]), (a,v) -> a+v) AS BIGINT) AS d,
+        |    c.nn AS nv, b.nn AS nb
+        |  FROM n c, n b WHERE c.vec_id % 50 <> 0 AND b.vec_id % 50 = 0),
+        |hits AS (
+        |  SELECT cid, bid FROM pr
+        |  WHERE d > 0 AND
+        |    CAST(d AS HUGEINT) * d * 10 * 10 >= CAST(3 AS HUGEINT) * 3 * nv * nb)
+        |SELECT cid AS vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  min(bid) AS first_bench_id
+        |FROM hits GROUP BY cid""".stripMargin,
     "s_centroid_outliers" ->
       """WITH q8 AS (
         |  SELECT vec_id, label,

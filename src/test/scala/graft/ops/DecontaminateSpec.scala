@@ -128,4 +128,48 @@ class DecontaminateSpec extends SparkSpec {
     out.length shouldBe 1
     out.head.getDouble(4) shouldBe 1.0
   }
+
+  test("semanticOverlap flags aligned vectors, counts hits, min bench id") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),   // aligned with both bench vectors
+      (2L, Array(0.0f, 1.0f)),   // orthogonal -> clean
+      (3L, Array(-1.0f, 0.0f)),  // anti-aligned -> clean (dot <= 0)
+      (4L, Array(0.0f, 0.0f)))   // zero vector -> never flagged
+      .toDF("vec_id", "embedding")
+    val bench = Seq(
+      (90L, Array(1.0f, 0.05f)),
+      (80L, Array(1.0f, -0.05f)))
+      .toDF("vec_id", "embedding")
+    val out = Decontaminate
+      .semanticOverlap(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", 1, 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    out.keySet shouldBe Set(1L)
+    out(1L) shouldBe ((2L, 80L)) // both bench vectors hit; min id reported
+  }
+
+  test("semanticOverlap threshold is inclusive (cos == num/den is a hit)") {
+    // identical vectors: cos exactly 1 -> hit at threshold 1/1
+    val corpus = Seq((1L, Array(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val bench = Seq((9L, Array(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    Decontaminate
+      .semanticOverlap(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", 1, 1)
+      .count() shouldBe 1L
+  }
+
+  test("dropSemanticContaminated removes exactly the flagged rows") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((9L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val kept = Decontaminate
+      .dropSemanticContaminated(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", 1, 2)
+      .collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(2L)
+  }
 }
