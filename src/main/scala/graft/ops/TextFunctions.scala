@@ -193,6 +193,79 @@ object TextFunctions {
         total.cast(DoubleType))
   }
 
+  /** Per-element occurrence counts within one array: `selfCounts(a)[i]` =
+    * how many times `a[i]` occurs in `a`. O(len²) comparisons per ROW (no
+    * shuffle, no explode) — fine for line/gram counts bounded by document
+    * size; pre-chunk pathological documents first. The input should be a
+    * staged attribute (not a recomputed expression) so the nested lambda
+    * reads it for free.
+    */
+  def selfCounts(arr: Column): Column =
+    transform(arr, x => size(filter(arr, y => y === x)))
+
+  /** Gopher-style duplicate line fraction: 1 − distinct/total lines (Rae
+    * et al. 2021, Table A1 repetition rules). Null for empty input arrays.
+    */
+  def dupElemFrac(arr: Column): Column =
+    when(
+      size(arr) > 0,
+      lit(1.0) - size(array_distinct(arr)).cast(DoubleType) /
+        size(arr).cast(DoubleType))
+
+  /** Gopher-style duplicate line CHARACTER fraction: characters belonging
+    * to lines that occur more than once, over all line characters. Null
+    * when the array is empty or all-empty.
+    */
+  def dupElemCharFrac(arr: Column): Column = {
+    val dupChars = aggregate(
+      zip_with(arr, selfCounts(arr), (l, c) =>
+        when(c > 1, length(l).cast(LongType)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc + x)
+    val allChars = aggregate(
+      transform(arr, l => length(l).cast(LongType)),
+      lit(0L),
+      (acc, x) => acc + x)
+    when(allChars > 0, dupChars.cast(DoubleType) / allChars.cast(DoubleType))
+  }
+
+  /** Gopher-style top n-gram character fraction: characters covered by the
+    * single most frequent n-gram (occurrences × gram length) over the
+    * document's characters. Ties resolve to the lexicographically smallest
+    * gram — deterministic and oracle-portable. Null when the doc has no
+    * n-grams.
+    */
+  def topNgramCharFrac(grams: Column, textLen: Column): Column = {
+    // struct max: highest count, ties to the lexicographically LARGEST
+    // gram (struct ordering) — no lambda-captured aggregate, so the
+    // O(len²) count pass runs once per evaluation, not once per element
+    val top = array_max(
+      zip_with(grams, selfCounts(grams), (g, c) =>
+        struct(c.as("cnt"), g.as("gram"))))
+    when(
+      size(grams) > 0 && textLen > 0,
+      (top.getField("cnt") * length(top.getField("gram"))).cast(DoubleType) /
+        textLen.cast(DoubleType))
+  }
+
+  /** Gopher-style duplicate n-gram character fraction: occurrence-weighted
+    * characters of every n-gram that occurs more than once, over the
+    * document's characters. Occurrence-weighted (overlaps counted per
+    * occurrence, not per distinct character position, so values can exceed
+    * 1 on highly repetitive docs) — the cheap published approximation;
+    * threshold accordingly. Null when the doc has no n-grams.
+    */
+  def dupNgramCharFrac(grams: Column, textLen: Column): Column = {
+    val dupChars = aggregate(
+      zip_with(grams, selfCounts(grams), (g, c) =>
+        when(c > 1, length(g).cast(LongType)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc + x)
+    when(
+      size(grams) > 0 && textLen > 0,
+      dupChars.cast(DoubleType) / textLen.cast(DoubleType))
+  }
+
   /** Punctuation character ratio over all characters. */
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))

@@ -516,6 +516,37 @@ object PipelineQueries {
         TextFunctions.dupNgramRatio(col("text"), 3).as("dup_trigram_ratio"))
     },
 
+    // ----- Gopher repetition rule bundle (Rae et al. 2021 Table A1):
+    // duplicate-line fractions over a derived multi-line fixture (the
+    // corpus text is single-line) + top/duplicated n-gram char fractions
+    // over the real text -----
+    "t_gopher_repetition" -> { (s, dir) =>
+      val d = col("doc_id")
+      val multiline = concat(
+        lit("shared boilerplate line\nunique content "),
+        d.cast(StringType),
+        lit("\n"),
+        when(d % 3 === 0, lit("shared boilerplate line"))
+          .otherwise(concat(lit("another unique "), d.cast(StringType))))
+      t(s, dir, "documents")
+        .withColumn("__lines", split(multiline, "\n"))
+        .withColumn(
+          "__bi",
+          TextFunctions.shingles(TextFunctions.words(col("text")), 2))
+        .withColumn(
+          "__tri",
+          TextFunctions.shingles(TextFunctions.words(col("text")), 3))
+        .select(
+          col("doc_id"),
+          TextFunctions.dupElemFrac(col("__lines")).as("dup_line_frac"),
+          TextFunctions.dupElemCharFrac(col("__lines"))
+            .as("dup_line_char_frac"),
+          TextFunctions.topNgramCharFrac(col("__bi"), length(col("text")))
+            .as("top_bigram_char_frac"),
+          TextFunctions.dupNgramCharFrac(col("__tri"), length(col("text")))
+            .as("dup_trigram_char_frac"))
+    },
+
     // ----- sequence packing into fixed-capacity training bins -----
     "t_seq_pack" -> { (s, dir) =>
       graft.ops.Packing.sequencePack(
@@ -1593,6 +1624,63 @@ object PipelineQueries {
          |WHERE ${hash61Sql("CAST(doc_id AS VARCHAR)")} % 1000 <
          |  CASE $cases ELSE $StratifiedDefault END""".stripMargin
     },
+    "t_gopher_repetition" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text,
+         |    'shared boilerplate line' || chr(10) || 'unique content ' ||
+         |      CAST(doc_id AS VARCHAR) || chr(10) ||
+         |    CASE WHEN doc_id % 3 = 0 THEN 'shared boilerplate line'
+         |         ELSE 'another unique ' || CAST(doc_id AS VARCHAR) END AS ml
+         |  FROM documents),
+         |a AS (
+         |  SELECT doc_id, text, string_split(ml, chr(10)) AS lines,
+         |    $WsSql AS ws
+         |  FROM m),
+         |b AS (
+         |  SELECT doc_id, text, lines,
+         |    list_transform(range(1, greatest(len(ws), 1)),
+         |      i -> ws[i] || ' ' || ws[i+1]) AS bi,
+         |    list_transform(range(1, greatest(len(ws) - 1, 1)),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tri
+         |  FROM a),
+         |lf AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(lines) > 0 THEN
+         |      1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+         |    END AS dup_line_frac,
+         |    CASE WHEN list_sum(list_transform(lines, l -> length(l))) > 0 THEN
+         |      CAST(list_sum(list_transform(range(1, len(lines) + 1),
+         |        i -> CASE WHEN len(list_filter(lines, x -> x = lines[i])) > 1
+         |          THEN length(lines[i]) ELSE 0 END)) AS DOUBLE) /
+         |      list_sum(list_transform(lines, l -> length(l)))
+         |    END AS dup_line_char_frac
+         |  FROM b),
+         |bi_cnt AS (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM b, unnest(bi) AS t(g) GROUP BY doc_id, g),
+         |bi_top AS (
+         |  SELECT doc_id, c, g FROM (
+         |    SELECT doc_id, c, g, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY c DESC, g DESC) AS rn
+         |    FROM bi_cnt) WHERE rn = 1),
+         |tri_cnt AS (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM b, unnest(tri) AS t(g) GROUP BY doc_id, g),
+         |tri_dup AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dupchars
+         |  FROM tri_cnt GROUP BY doc_id)
+         |SELECT b.doc_id, lf.dup_line_frac, lf.dup_line_char_frac,
+         |  CASE WHEN len(b.bi) > 0 AND length(b.text) > 0 THEN
+         |    CAST(bi_top.c * length(bi_top.g) AS DOUBLE) / length(b.text)
+         |  END AS top_bigram_char_frac,
+         |  CASE WHEN len(b.tri) > 0 AND length(b.text) > 0 THEN
+         |    CAST(tri_dup.dupchars AS DOUBLE) / length(b.text)
+         |  END AS dup_trigram_char_frac
+         |FROM b
+         |LEFT JOIN lf ON b.doc_id = lf.doc_id
+         |LEFT JOIN bi_top ON b.doc_id = bi_top.doc_id
+         |LEFT JOIN tri_dup ON b.doc_id = tri_dup.doc_id""".stripMargin,
     "t_hash_split" -> {
       s"""SELECT doc_id,
          |  CASE WHEN ${hash61Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 980

@@ -75,6 +75,56 @@ class TextFunctionsSpec extends SparkSpec {
   test("punctRatio counts punctuation chars") {
     evalOne(TextFunctions.punctRatio(col("text")), "ab, cd!") shouldBe (2.0 / 7.0)
   }
+
+  test("Gopher line rules: duplicate fraction and char fraction") {
+    def lines(ls: String*) = {
+      val df = Seq(ls.mkString("\n")).toDF("text")
+        .select(split(col("text"), "\n").as("ls"))
+      df.select(
+        TextFunctions.dupElemFrac(col("ls")).as("f"),
+        TextFunctions.dupElemCharFrac(col("ls")).as("cf"))
+        .collect().head
+    }
+    // "aaaa" twice (8 of 11 chars duplicated), "bbb" once
+    val r = lines("aaaa", "bbb", "aaaa")
+    r.getDouble(0) shouldBe (1.0 - 2.0 / 3.0)
+    r.getDouble(1) shouldBe (8.0 / 11.0)
+    // no duplicates -> both zero
+    val clean = lines("one", "two")
+    clean.getDouble(0) shouldBe 0.0
+    clean.getDouble(1) shouldBe 0.0
+  }
+
+  test("Gopher top-ngram char fraction finds the dominant bigram") {
+    // "x y" occurs 3 times among 6 bigrams; len("x y") = 3, text 13 chars
+    val r = Seq("x y x y x y z").toDF("text")
+      .withColumn("bi",
+        TextFunctions.shingles(TextFunctions.words(col("text")), 2))
+      .select(
+        TextFunctions.topNgramCharFrac(col("bi"), functions.length(col("text"))).as("f"))
+      .collect().head.getDouble(0)
+    r shouldBe (3.0 * 3.0 / 13.0)
+  }
+
+  test("Gopher duplicate-ngram char fraction is occurrence-weighted") {
+    // trigrams of "a b a b a b": [a b a, b a b, a b a, b a b] — all 4
+    // duplicated, each 5 chars -> 20 / 11 chars (can exceed 1 by design)
+    val r = Seq("a b a b a b").toDF("text")
+      .withColumn("tri",
+        TextFunctions.shingles(TextFunctions.words(col("text")), 3))
+      .select(
+        TextFunctions.dupNgramCharFrac(col("tri"), functions.length(col("text"))).as("f"))
+      .collect().head.getDouble(0)
+    r shouldBe (20.0 / 11.0)
+    // all-distinct trigrams -> 0
+    val z = Seq("p q r s t").toDF("text")
+      .withColumn("tri",
+        TextFunctions.shingles(TextFunctions.words(col("text")), 3))
+      .select(
+        TextFunctions.dupNgramCharFrac(col("tri"), functions.length(col("text"))).as("f"))
+      .collect().head.getDouble(0)
+    z shouldBe 0.0
+  }
 }
 
 class DedupSpec extends SparkSpec {
