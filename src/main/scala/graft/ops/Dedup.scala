@@ -897,6 +897,70 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** [[duplicatedSpans]] with an exact-collapse prefilter — the scale path
+    * for duplication-heavy corpora (same trade as `nearDupSurvivors`'s
+    * fast mode): collapse to one representative per DISTINCT TEXT first
+    * and carry the copy count, then window only the representatives.
+    * Result-identical to [[duplicatedSpans]] because spans are a pure
+    * function of text, and the distinct-document window count is exactly
+    * recovered by weighting each representative's windows with its
+    * multiplicity (a window repeated inside one doc still counts once per
+    * doc: occurrences collapse to (window, rep) before the weighted sum).
+    *
+    * At c× duplication the window stream shrinks c× — the 100× smoke
+    * measures the collapse — for one extra (pre-collapsed) shuffle on the
+    * content hash plus a narrow map-back join, which is why the plain
+    * variant remains the default for low-duplication corpora.
+    */
+  def duplicatedSpansCollapsed(
+      df: DataFrame,
+      idCol: String,
+      text: Column,
+      k: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"window length k must be >= 2 (got $k)")
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    val withT = Par.fan(df).select(col(idCol).as("__oid"), text.as("__t"))
+    val reps = withT
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__mult"))
+      .withColumn("__rid", md5(col("__t")))
+    val occ = reps
+      .select(
+        col("__rid"),
+        col("__mult"),
+        posexplode(TextFunctions.shingles(TextFunctions.words(col("__t")), k))
+          .as(Seq("__pos", "__win")))
+      .select(
+        col("__rid"),
+        col("__mult"),
+        col("__pos"),
+        TextFunctions.hash61(col("__win")).as("__h"))
+    val dup = occ
+      .select(col("__h"), col("__rid"), col("__mult"))
+      .distinct()
+      .groupBy(col("__h"))
+      .agg(sum(col("__mult")).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__h"))
+    val perRep = Window.partitionBy(col("__rid")).orderBy(col("__pos"))
+    val spans = occ.join(dup, Seq("__h"), "left_semi")
+      .withColumn("__isl", col("__pos") - row_number().over(perRep))
+      .groupBy(col("__rid"), col("__isl"))
+      .agg(
+        min(col("__pos")).as("__s"),
+        max(col("__pos")).as("__e"),
+        count(lit(1)).as("n_windows"))
+    withT
+      .select(col("__oid"), md5(col("__t")).as("__rid"))
+      .join(spans, Seq("__rid"))
+      .select(
+        col("__oid").as(idCol),
+        (col("__s") + 1).cast(LongType).as("span_start"),
+        (col("__e") + lit(k)).cast(LongType).as("span_end"),
+        col("n_windows"))
+  }
+
   /** Remove every maximal duplicated span found by [[duplicatedSpans]] from
     * the text: rebuild each document from the words NOT covered by any
     * span. Output shape matches the segment-dedup family: (`idCol`,

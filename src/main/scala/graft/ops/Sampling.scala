@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Deterministic corpus sampling.
   *
@@ -164,7 +164,38 @@ object Sampling {
     val w = weightsPerMille.foldLeft(lit(defaultPerMille)) {
       case (acc, (k, r)) => when(col(strataCol) === lit(k), lit(r)).otherwise(acc)
     }
-    val frac = pmod(w, lit(1000))
+    weightedMixCol(df, idCol, w, copyCol, nCol)
+  }
+
+  /** [[weightedMix]] with a per-ROW weight COLUMN (per-mille, any
+    * non-negative integer — over 1000 upsamples) instead of a static map:
+    * the building block for DERIVED-rate mixing where the weights come out
+    * of a computation ([[temperatureMix]]) rather than a config.
+    */
+  def weightedMixCol(
+      df: DataFrame,
+      idCol: String,
+      weightPerMille: Column,
+      copyCol: String = "copy"): DataFrame = {
+    require(
+      !df.columns.contains(copyCol),
+      s"input already has a column named '$copyCol'; pass a different copyCol")
+    val nCol = Iterator
+      .from(0)
+      .map(i => if (i == 0) "__n_copies" else s"__n_copies$i")
+      .find(!df.columns.contains(_))
+      .get
+    weightedMixCol(df, idCol, weightPerMille, copyCol, nCol)
+  }
+
+  private def weightedMixCol(
+      df: DataFrame,
+      idCol: String,
+      weightPerMille: Column,
+      copyCol: String,
+      nCol: String): DataFrame = {
+    val w = weightPerMille.cast(LongType)
+    val frac = pmod(w, lit(1000L))
     // integer arithmetic only (subtract-the-remainder division stays exact)
     val base = ((w - frac) / 1000).cast(LongType)
     val n = base +
@@ -173,6 +204,57 @@ object Sampling {
       .filter(col(nCol) > 0)
       .withColumn(copyCol, explode(sequence(lit(0L), col(nCol) - 1)))
       .drop(nCol)
+  }
+
+  /** Temperature-scaled corpus mixing at τ = 2 (square-root weighting —
+    * the classic multilingual rebalance: target share of stratum l ∝
+    * √n_l, so dominant languages shed mass to the tail without the tail
+    * swamping): per-stratum per-mille rates are DERIVED from the corpus's
+    * own counts — `rate_l = ⌊1000 · √n_l · N / (Σ√n · n_l)⌋` — and applied
+    * through [[weightedMixCol]]. Expected output size ≈ N (the floor
+    * under-counts by < 1‰ per stratum).
+    *
+    * τ is fixed at 2 BY DESIGN: √ is IEEE-exact (correctly rounded) in
+    * every engine, so the derived rates are bit-reproducible and the
+    * operator hash-gateable, while a general `pow(n, 1/τ)` is only
+    * ~1-ulp-accurate libm whose low bits vary by platform. The Σ√n fold
+    * runs over the stratum list in STRATUM ORDER (the [[graft.ops]]
+    * ordered-fold pattern) — float addition is not associative, a
+    * shuffle-order sum would be run-dependent.
+    *
+    * Scale posture: one partial-agg'd count shuffle over the corpus, a
+    * strata-sized (tiny) rate table derived on one row and broadcast
+    * back, then the map-side copy explode — no other exchanges.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      copyCol: String = "copy"): DataFrame = {
+    val counts = df
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"))
+    // totals via ONE unpartitioned window over the counts frame — counts
+    // is strata-sized (a handful of rows at any corpus scale), so the
+    // single-partition window is free and avoids a self-joining lineage
+    val w = Window.partitionBy()
+    val bigN = sum(col("__n")).over(w).cast(DoubleType)
+    val sumSqrt = aggregate(
+      array_sort(
+        collect_list(struct(col(strataCol).as("k"), col("__n").as("n")))
+          .over(w)),
+      lit(0.0d),
+      (acc, x) => acc + sqrt(x.getField("n").cast(DoubleType)))
+    val rates = counts
+      .select(
+        col(strataCol),
+        floor(
+          (lit(1000.0d) * sqrt(col("__n").cast(DoubleType)) * bigN) /
+            (sumSqrt * col("__n").cast(DoubleType)))
+          .cast(LongType).as("__permille"))
+    weightedMixCol(df.join(broadcast(rates), Seq(strataCol)), idCol,
+      col("__permille"), copyCol)
+      .drop("__permille")
   }
 
   /** Shared no-global-sort prefix machinery: range-bucket `base` by

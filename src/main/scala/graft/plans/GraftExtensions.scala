@@ -30,6 +30,26 @@ object GraftExtensions {
   private type FunctionDef =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  /** Column-composition functions registered by wrapping the same
+    * `graft.ops.TextFunctions` Column builders the DataFrame API uses —
+    * one owner, so the SQL surface cannot drift from the Scala one. The
+    * builders compose standard resolved children into standard Catalyst
+    * expressions, which the analyzer then type-checks as usual.
+    */
+  private def columnFn(
+      name: String,
+      arity: Int,
+      build: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
+      : FunctionDef =
+    (
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft.ops.TextFunctions", name),
+      (children: Seq[Expression]) => {
+        require(children.size == arity, s"$name takes exactly $arity argument(s)")
+        org.apache.spark.sql.graft.ColumnShim.catalystExpression(
+          build(children.map(org.apache.spark.sql.graft.ColumnShim.column)))
+      })
+
   private[plans] val functions: Seq[FunctionDef] = Seq(
     (
       FunctionIdentifier("graft_dot"),
@@ -44,7 +64,18 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_hash61 takes exactly 1 argument")
         Hash61F(children.head)
-      }))
+      }),
+    // text-pipeline surface: the P8/P9/P14/P50 operators for SQL users
+    columnFn("graft_lang_id", 1,
+      cs => graft.ops.TextFunctions.langId(cs.head)),
+    columnFn("graft_token_count", 1,
+      cs => graft.ops.TextFunctions.tokenCount(cs.head)),
+    columnFn("graft_quality_score", 1,
+      cs => graft.ops.TextFunctions.qualityScore(cs.head)),
+    columnFn("graft_clean_text", 1,
+      cs => graft.ops.TextFunctions.cleanText(cs.head)),
+    columnFn("graft_normalize_answer", 1,
+      cs => graft.ops.TextFunctions.normalizeAnswer(cs.head)))
 
   private type TableFunctionDef =
     (

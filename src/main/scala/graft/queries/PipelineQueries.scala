@@ -458,6 +458,30 @@ object PipelineQueries {
         StratifiedDefault)
     },
 
+    // ----- SQL function surface: the registered graft_* text functions
+    // driven through spark.sql over a temp view — proves an SQL-only user
+    // gets the same operators (and the same bits) as the DataFrame API -----
+    "t_sql_surface" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs")
+      s.sql(
+        """SELECT doc_id,
+          |  graft_lang_id(text) AS lang_pred,
+          |  graft_token_count(text) AS n_tokens,
+          |  graft_hash61(graft_normalize_answer(text)) AS norm_hash
+          |FROM graft_docs""".stripMargin)
+    },
+
+    // ----- temperature-scaled mixing (tau=2 sqrt weighting, rates derived
+    // from the corpus's own language counts) -----
+    "t_temperature_mix" -> { (s, dir) =>
+      graft.ops.Sampling.temperatureMix(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id",
+        "lang")
+        .select(col("doc_id"), col("lang"), col("copy"))
+    },
+
     // ----- deterministic train/validation/test hash split (980/10/10) -----
     "t_hash_split" -> { (s, dir) =>
       graft.ops.Sampling.hashSplit(
@@ -754,6 +778,13 @@ object PipelineQueries {
     // whole-document spans)
     "p_dup_spans" -> { (s, dir) =>
       Dedup.duplicatedSpans(
+        t(s, dir, "documents"), "doc_id", col("text"), k = 20)
+    },
+
+    // the exact-collapse scale path: identical result (same oracle), the
+    // window stream shrinks by the duplication factor
+    "p_dup_spans_fast" -> { (s, dir) =>
+      Dedup.duplicatedSpansCollapsed(
         t(s, dir, "documents"), "doc_id", col("text"), k = 20)
     },
 
@@ -1624,6 +1655,57 @@ object PipelineQueries {
          |WHERE ${hash61Sql("CAST(doc_id AS VARCHAR)")} % 1000 <
          |  CASE $cases ELSE $StratifiedDefault END""".stripMargin
     },
+    "t_sql_surface" -> {
+      val hitExprs = TextFunctions.LangProfiles.map { case (lang, sw) =>
+        val arr = sw.map(s => s"'$s'").mkString("[", ", ", "]")
+        s"len(list_filter(ws, w -> list_contains($arr, w))) AS h_$lang"
+      }
+      val langs = TextFunctions.LangProfiles.map(_._1)
+      val maxExpr = s"greatest(${langs.map("h_" + _).mkString(", ")})"
+      val chain = langs
+        .map(l => s"WHEN h_$l = mx AND mx > 0 THEN '$l'")
+        .mkString(" ")
+      val normSql =
+        """trim(regexp_replace(regexp_replace(regexp_replace(
+          |    lower(text), '[[:punct:]]', ' ', 'g'),
+          |    '\b(a|an|the)\b', ' ', 'g'),
+          |    '\s+', ' ', 'g'))""".stripMargin
+      s"""WITH b AS (
+         |  SELECT doc_id, text, $WsSql AS ws FROM documents),
+         |scored AS (
+         |  SELECT doc_id, text, ws, ${hitExprs.mkString(", ")} FROM b),
+         |mxd AS (
+         |  SELECT *, $maxExpr AS mx FROM scored)
+         |SELECT doc_id,
+         |  CASE $chain ELSE 'und' END AS lang_pred,
+         |  CAST(len(ws) AS INT) AS n_tokens,
+         |  ${hash61Sql(normSql)} AS norm_hash
+         |FROM mxd""".stripMargin
+    },
+    "t_temperature_mix" -> {
+      s"""WITH cnt AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+         |  GROUP BY lang),
+         |tot AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS total_n,
+         |    list_reduce(list_transform(list(n ORDER BY lang),
+         |      x -> sqrt(CAST(x AS DOUBLE))), (a, v) -> a + v) AS sumsqrt
+         |  FROM cnt),
+         |rates AS (
+         |  SELECT lang,
+         |    CAST(floor((1000.0 * sqrt(CAST(n AS DOUBLE)) *
+         |      CAST(total_n AS DOUBLE))
+         |      / (sumsqrt * CAST(n AS DOUBLE))) AS BIGINT) AS pm
+         |  FROM cnt, tot),
+         |w AS (
+         |  SELECT d.doc_id, d.lang, r.pm,
+         |    ${hash61Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 AS b
+         |  FROM documents d JOIN rates r USING (lang))
+         |SELECT doc_id, lang,
+         |  unnest(range((pm // 1000) +
+         |    (CASE WHEN b < pm % 1000 THEN 1 ELSE 0 END))) AS copy
+         |FROM w""".stripMargin
+    },
     "t_gopher_repetition" ->
       s"""WITH m AS (
          |  SELECT doc_id, text,
@@ -2010,6 +2092,10 @@ object PipelineQueries {
     // maximal duplicated spans (Lee et al. exact substring dedup, 20-word
     // windows, >= 2 distinct docs)
     "p_dup_spans" ->
+      s"""WITH ${dupSpansCtes(20, 2)}
+         |SELECT doc_id, span_start, span_end, n_windows FROM spans""".stripMargin,
+    // identical oracle: the exact-collapse plan is result-identical
+    "p_dup_spans_fast" ->
       s"""WITH ${dupSpansCtes(20, 2)}
          |SELECT doc_id, span_start, span_end, n_windows FROM spans""".stripMargin,
     // span removal: every doc rebuilt from words not covered by any span

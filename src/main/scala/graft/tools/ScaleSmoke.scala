@@ -213,6 +213,43 @@ object ScaleSmoke {
         k = 5),
       ceilingGB = 2.0))
 
+    // Lee-style span dedup (r9): under `copies`x duplication EVERY k-word
+    // window is cross-doc duplicated, so the whole occurrence stream
+    // survives the semi-join and every >=k-word doc collapses to one
+    // full-width span — the adversarial case. The plain variant's shuffle
+    // is linear in corpus x windows; the exact-collapse variant shrinks
+    // the window stream by the duplication factor (result-identical,
+    // same driver oracle).
+    val docs20 = docs.filter(
+      graft.ops.TextFunctions.tokenCount(col("text")) >= 20).count()
+    measure(Step(
+      s"p_span_removed(${copies}x: every window duplicated)",
+      () => graft.ops.Dedup.removeDuplicatedSpans(
+        docs, "doc_id", col("text"), k = 20),
+      ceilingGB = 8.0,
+      invariant = df => {
+        val bad = df.filter(
+          col("n_kept") + col("n_dropped") >= 20 && col("n_kept") =!= 0)
+          .count()
+        if (bad == 0) Nil
+        else Seq(s"$bad docs with >=20 words kept words despite full duplication")
+      }))
+    measure(Step(
+      s"p_dup_spans_fast(exact-collapse, ${copies}x)",
+      () => graft.ops.Dedup.duplicatedSpansCollapsed(
+        docs, "doc_id", col("text"), k = 20),
+      ceilingGB = 1.0,
+      invariant = df => {
+        val n = df.count()
+        val fullWidth = df.filter(col("span_start") === 1L).count()
+        Seq(
+          if (n == docs20) None
+          else Some(s"$n spans != $docs20 docs with >=20 words"),
+          if (fullWidth == n) None
+          else Some(s"only $fullWidth of $n spans start at word 1")
+        ).flatten
+      }))
+
     // ----- e2e COMPOSITION smokes (r9): compositions are the library's
     // primary use, and until now only their parts were smoke-tested. Both
     // run the driver-gated pipeline shapes at `copies`x duplication and

@@ -14,6 +14,15 @@ object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column's node tree to a CATALYST expression tree
+    * (unresolved functions and lambdas as plain catalyst nodes the analyzer
+    * can resolve). [[expression]] wraps the node lazily, which is right for
+    * the DataFrame path but opaque to the function registry — a registered
+    * builder must hand the analyzer a real catalyst tree.
+    */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Wrap an analyzed [[LogicalPlan]] back into the DataFrame API (the
     * `Dataset.ofRows` seam, `private[sql]` since Spark 4) — lets planner
     * rules hand a rewritten subtree to high-level operators like

@@ -30,6 +30,34 @@ class GraftExtensionsSpec extends SparkSpec {
     rows.foreach(r => r.getLong(0) shouldBe r.getLong(1))
   }
 
+  test("text functions in SQL match the DataFrame API bit-for-bit") {
+    GraftExtensions.register(spark)
+    Seq(
+      "The cat is in the house and it is fine",
+      "  a  Messy, (DOC); the end!  ",
+      "der hund ist nicht mit der katze und")
+      .toDF("text").createOrReplaceTempView("sqltext")
+    val cmp = spark.sql(
+      """SELECT graft_lang_id(text) AS l_sql,
+        |  graft_token_count(text) AS c_sql,
+        |  graft_quality_score(text) AS q_sql,
+        |  graft_clean_text(text) AS t_sql,
+        |  graft_normalize_answer(text) AS n_sql,
+        |  text FROM sqltext""".stripMargin)
+      .select(
+        col("l_sql"), col("c_sql"), col("q_sql"), col("t_sql"), col("n_sql"),
+        ops.TextFunctions.langId(col("text")).as("l_df"),
+        ops.TextFunctions.tokenCount(col("text")).as("c_df"),
+        ops.TextFunctions.qualityScore(col("text")).as("q_df"),
+        ops.TextFunctions.cleanText(col("text")).as("t_df"),
+        ops.TextFunctions.normalizeAnswer(col("text")).as("n_df"))
+      .filter(
+        col("l_sql") =!= col("l_df") || col("c_sql") =!= col("c_df") ||
+          col("q_sql") =!= col("q_df") || col("t_sql") =!= col("t_df") ||
+          col("n_sql") =!= col("n_df"))
+    cmp.count() shouldBe 0L
+  }
+
   test("graft_dot matches the HOF formulation bit-for-bit") {
     val df = spark.range(200).select(
       col("id"),
@@ -370,7 +398,7 @@ class TextCleaningSpec extends SparkSpec {
     Seq(in).toDF("text").select(c(col("text")).as("out")).collect().head.getString(0)
 
   test("cleanText strips control chars and collapses whitespace") {
-    one("  a b\tc   d \r\n e  ", TextFunctions.cleanText) shouldBe "a b c d e"
+    one("  a\u0000b\tc   d \r\n e  ", TextFunctions.cleanText) shouldBe "a b c d e"
     one("already clean", TextFunctions.cleanText) shouldBe "already clean"
   }
 

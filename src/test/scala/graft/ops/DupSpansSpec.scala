@@ -73,6 +73,36 @@ class DupSpansSpec extends SparkSpec {
     out(3L) shouldBe (("x", 1L, 0L))
   }
 
+  test("exact-collapse variant is result-identical to the plain one") {
+    // mixed corpus: exact duplicate pairs (collapse bites), a cross-doc
+    // shared passage between DISTINCT texts, within-doc-only repetition
+    // (must stay non-duplicated), and a short doc
+    val docs = Seq(
+      1L -> "a b p q r s c",
+      2L -> "p q r s z",
+      3L -> "a b p q r s c",  // exact copy of 1
+      4L -> "x y x y",        // within-doc repeat only
+      5L -> "x",              // shorter than k
+      6L -> "p q r s z")      // exact copy of 2
+    def both(k: Int, minDocs: Int) = {
+      val df = docs.toDF("doc_id", "text")
+      val plain = Dedup.duplicatedSpans(df, "doc_id", col("text"), k, minDocs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val fast = Dedup.duplicatedSpansCollapsed(df, "doc_id", col("text"), k, minDocs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      (plain, fast)
+    }
+    for (minDocs <- Seq(2, 3)) {
+      val (plain, fast) = both(2, minDocs)
+      fast shouldBe plain
+      plain should not be empty // the fixture must exercise something
+    }
+    // a single duplicated doc counts as 2 distinct docs in both variants
+    val solo = Seq(1L -> "m n o", 2L -> "m n o").toDF("doc_id", "text")
+    Dedup.duplicatedSpansCollapsed(solo, "doc_id", col("text"), 2)
+      .count() shouldBe 2L
+  }
+
   test("spans agree across input partitionings") {
     val docs = (1L to 40L).map { i =>
       i -> (if (i % 2 == 0) s"common passage here tail$i" else s"head$i common passage here")

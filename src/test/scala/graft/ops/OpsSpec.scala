@@ -556,6 +556,26 @@ class SamplingSpec extends SparkSpec {
     out.foreach { case (id, split) => grown(id) shouldBe split }
   }
 
+  test("temperatureMix: sqrt rates downsample the dominant, upsample the rare") {
+    val docs = ((1L to 900L).map(i => (i, "en")) ++
+      (901L to 1000L).map(i => (i, "de"))).toDF("doc_id", "lang")
+    def run() = Sampling.temperatureMix(docs, "doc_id", "lang")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("copy")))
+      .toSeq.sorted
+    val out = run()
+    // sqrt weights 30:10 over counts 900:100 -> rates en=833permille,
+    // de=2500permille -> ~750 en rows, exactly 2 or 3 copies per de doc
+    val en = out.count(_._2 == "en")
+    val de = out.count(_._2 == "de")
+    en.toDouble shouldBe 750.0 +- 50.0
+    de.toDouble shouldBe 250.0 +- 30.0
+    val deCopies = out.filter(_._2 == "de").groupBy(_._1).map(_._2.size).toSet
+    deCopies.subsetOf(Set(2, 3)) shouldBe true
+    out shouldBe run() // deterministic end to end
+  }
+
   test("hashSplit remainder falls into the last split; bad shares rejected") {
     val docs = (1L to 500L).toDF("doc_id")
     val out = Sampling
