@@ -921,10 +921,18 @@ object Dedup {
     require(k >= 2, s"window length k must be >= 2 (got $k)")
     require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
     val withT = Par.fan(df).select(col(idCol).as("__oid"), text.as("__t"))
+    // LONG rep ids (min original id per content) so every downstream
+    // shuffle — the (h, rep) distinct, the weighted count, the islands
+    // window, the map-back join — carries an 8-byte key instead of the
+    // md5 string (the nearDupSurvivors collapse shape)
+    val repInfo = withT
+      .groupBy(md5(col("__t")).as("__fp"))
+      .agg(min(col("__oid")).as("__rid"), count(lit(1)).as("__mult"))
     val reps = withT
-      .groupBy(col("__t"))
-      .agg(count(lit(1)).as("__mult"))
-      .withColumn("__rid", md5(col("__t")))
+      .join(
+        repInfo.select(col("__rid"), col("__mult")),
+        col("__oid") === col("__rid"),
+        "inner")
     val occ = reps
       .select(
         col("__rid"),
@@ -952,7 +960,10 @@ object Dedup {
         max(col("__pos")).as("__e"),
         count(lit(1)).as("n_windows"))
     withT
-      .select(col("__oid"), md5(col("__t")).as("__rid"))
+      .select(col("__oid"), md5(col("__t")).as("__fp2"))
+      .join(
+        repInfo.select(col("__fp").as("__fp2"), col("__rid")),
+        Seq("__fp2"))
       .join(spans, Seq("__rid"))
       .select(
         col("__oid").as(idCol),
