@@ -407,6 +407,29 @@ object PipelineQueries {
         TextFunctions.meanTokenLength(col("text")).as("mean_token_len"))
     },
 
+    // ----- per-language corpus statistics / tokenizer fertility report
+    // (subword-per-word and chars-per-token drive mixture + budget
+    // decisions; exact integer sums are order-free so the report is
+    // hash-gateable) -----
+    "t_lang_fertility" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast(LongType))
+            .as("total_words"),
+          sum(TextFunctions.bpeTokenEstimate(col("text"))).as("total_bpe_est"),
+          sum(length(col("text")).cast(LongType)).as("total_chars"))
+        .withColumn(
+          "fertility",
+          col("total_bpe_est").cast(DoubleType) /
+            col("total_words").cast(DoubleType))
+        .withColumn(
+          "chars_per_token",
+          col("total_chars").cast(DoubleType) /
+            col("total_bpe_est").cast(DoubleType))
+    },
+
     // ----- trained-BPE token counts with the FROZEN merge table (train
     // once, encode everywhere — the production shape; Bpe.Frozen provenance
     // pinned by BpeSpec). The DuckDB oracle replays the same table as a
@@ -456,6 +479,23 @@ object PipelineQueries {
         "lang",
         StratifiedRates,
         StratifiedDefault)
+    },
+
+    // ----- link-graph authority scoring (integer-exact PageRank, 5
+    // iterations) over a deterministic link graph derived from doc ids:
+    // every doc links to two pseudo-random targets, every 5th doc also
+    // links to one of 37 hub nodes (the authority set) -----
+    "u_pagerank" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e1 = docs.select(
+        col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
+      val e2 = docs.select(
+        col("doc_id").as("src"), ((col("doc_id") * 13 + 5) % n).as("dst"))
+      val e3 = docs.filter(col("doc_id") % 5 === 0).select(
+        col("doc_id").as("src"), (col("doc_id") % 37).as("dst"))
+      graft.ops.PageRank.ranks(
+        e1.union(e2).union(e3), "src", "dst", iters = 5)
     },
 
     // ----- SQL function surface: the registered graft_* text functions
@@ -1655,6 +1695,65 @@ object PipelineQueries {
          |WHERE ${hash61Sql("CAST(doc_id AS VARCHAR)")} % 1000 <
          |  CASE $cases ELSE $StratifiedDefault END""".stripMargin
     },
+    "u_pagerank" -> {
+      // generated from the SAME constants as PageRank.ranks so the two
+      // sides cannot drift; `//` = exact floor division on positive longs
+      val scale = 1000000000000L
+      val dn = 85
+      val dd = 100
+      val iters = 5
+      val iterCtes = (1 to iters).map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst AS node,
+           |    sum((r.rank * $dn) // ($dd * deg.d)) AS inr
+           |  FROM e JOIN r${i - 1} r ON e.src = r.node
+           |  JOIN deg ON e.src = deg.src
+           |  GROUP BY e.dst),
+           |r$i AS (
+           |  SELECT nodes.node,
+           |    CAST(($scale * ${dd - dn}) // ($dd * (SELECT nv FROM nn)) +
+           |      coalesce(c$i.inr, 0) AS BIGINT) AS rank
+           |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT doc_id AS src,
+         |    (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst
+         |  FROM documents
+         |  UNION ALL SELECT doc_id,
+         |    (doc_id * 13 + 5) % (SELECT count(*) FROM documents)
+         |  FROM documents
+         |  UNION ALL SELECT doc_id, doc_id % 37 FROM documents
+         |  WHERE doc_id % 5 = 0),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM nodes),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+         |r0 AS (
+         |  SELECT node, $scale // (SELECT nv FROM nn) AS rank FROM nodes),
+         |$iterCtes
+         |SELECT node, rank FROM r$iters""".stripMargin
+    },
+    "t_lang_fertility" ->
+      s"""WITH b AS (
+         |  SELECT lang, length(text) AS nchars, $WsSql AS ws FROM documents),
+         |d AS (
+         |  SELECT lang, nchars, CAST(len(ws) AS BIGINT) AS nw,
+         |    CAST(len(ws) AS BIGINT) + CAST(list_sum(list_transform(ws,
+         |      x -> CAST(floor(greatest(length(x) - 4, 0) / 4.0) AS BIGINT)))
+         |      AS BIGINT) AS nbpe
+         |  FROM b),
+         |a AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nw) AS BIGINT) AS total_words,
+         |    CAST(sum(nbpe) AS BIGINT) AS total_bpe_est,
+         |    CAST(sum(nchars) AS BIGINT) AS total_chars
+         |  FROM d GROUP BY lang)
+         |SELECT lang, n_docs, total_words, total_bpe_est, total_chars,
+         |  CAST(total_bpe_est AS DOUBLE) / CAST(total_words AS DOUBLE)
+         |    AS fertility,
+         |  CAST(total_chars AS DOUBLE) / CAST(total_bpe_est AS DOUBLE)
+         |    AS chars_per_token
+         |FROM a""".stripMargin,
     "t_sql_surface" -> {
       val hitExprs = TextFunctions.LangProfiles.map { case (lang, sw) =>
         val arr = sw.map(s => s"'$s'").mkString("[", ", ", "]")

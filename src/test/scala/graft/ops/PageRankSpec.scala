@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)], iters: Int = 5, parts: Int = 1) =
+    PageRank
+      .ranks(edges.toDF("src", "dst").repartition(parts), "src", "dst", iters)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+  test("the hub of a star graph gets the highest rank") {
+    // 1, 2, 3 all link to 0; 0 links back to 1 so it has out-degree
+    val out = run(Seq(1L -> 0L, 2L -> 0L, 3L -> 0L, 0L -> 1L))
+    out(0L) should be > out(1L)
+    out(1L) should be > out(2L) // 1 receives the hub's mass
+    out(2L) shouldBe out(3L)    // symmetric leaves
+  }
+
+  test("ranks are exact integers: identical across partitionings and runs") {
+    val edges = (0L until 200L).flatMap { i =>
+      Seq(i -> ((i * 7 + 3) % 200), i -> ((i * 13 + 5) % 200))
+    }
+    val a = run(edges, parts = 1)
+    a shouldBe run(edges, parts = 13)
+    a shouldBe run(edges, parts = 13) // and run-to-run
+  }
+
+  test("total rank mass never exceeds the scale (dangling mass only leaks)") {
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 1L) // 4 in, nothing out? no: 4->1
+    val out = run(edges)
+    out.values.sum should be <= 1000000000000L
+    out.values.foreach(_ should be > 0L)
+  }
+
+  test("bad parameters are rejected") {
+    val df = Seq((1L, 2L)).toDF("src", "dst")
+    an[IllegalArgumentException] should be thrownBy
+      PageRank.ranks(df, "src", "dst", iters = 0)
+    an[IllegalArgumentException] should be thrownBy
+      PageRank.ranks(df, "src", "dst", iters = 3, dampNum = 100, dampDen = 100)
+  }
+}
