@@ -107,4 +107,62 @@ object Packing {
         ((col("__bs_rank") - 1L) % nShards).cast("int"))
       .drop("__bs_bkt", "__bs_off", "__bs_rank", "__bs_w")
   }
+
+  /** Contiguous pretraining-window layout — the GPT-style "concatenate the
+    * whole corpus in a fixed order and slice it into exact L-token
+    * windows" data prep, computed as METADATA (each document's global
+    * token offset and the window ids it spans) without materializing a
+    * single token: downstream loaders group by window id and cut each
+    * document's contribution from `offset_in_first`. Unlike
+    * [[sequencePack]] (bin packing, no doc splitting), documents here
+    * CROSS window boundaries — every window is exactly full, the layout
+    * every causal-LM pretraining loader expects.
+    *
+    * Output: input id + `n_tokens`, `tok_start` (global exclusive prefix
+    * offset in `order`), `first_window`, `last_window`,
+    * `offset_in_first` — all exact longs, a pure function of (order,
+    * token counts): reproducible across runs, partitionings and engines.
+    *
+    * Scale posture: the global offsets ride [[Sampling.rangePrefix]] (no
+    * single-task sort — range buckets, one-row-per-partition offset
+    * collect, bucket-partitioned interior windows), then pure per-row
+    * integer arithmetic. One range exchange + one bucket regroup, the
+    * same bill as [[Sampling.tokenBudgetSelect]].
+    */
+  def contiguousWindows(
+      df: DataFrame,
+      idCol: String,
+      tokens: Column,
+      windowLen: Long): DataFrame = {
+    require(windowLen > 0, "windowLen must be positive")
+    val helpers = Seq("__cw_tok", "__cw_bkt", "__cw_off", "__cw_cum")
+    require(
+      !df.columns.exists(helpers.contains),
+      s"input must not contain ${helpers.mkString("/")}")
+    def intDiv(x: Column, y: Column): Column =
+      ((x - pmod(x, y)) / y).cast("long")
+    val base = df.withColumn("__cw_tok", tokens.cast("long"))
+    val (ranged, offsets, _) = Sampling.rangePrefix(
+      base,
+      Seq(col(idCol)),
+      col("__cw_tok"),
+      "__cw_bkt",
+      "__cw_off")
+    val w = Window.partitionBy(col("__cw_bkt")).orderBy(col(idCol))
+    val L = lit(windowLen)
+    ranged
+      .join(broadcast(offsets), Seq("__cw_bkt"))
+      .withColumn("__cw_cum", sum(col("__cw_tok")).over(w))
+      .select(
+        col(idCol),
+        col("__cw_tok").as("n_tokens"),
+        (col("__cw_off") + col("__cw_cum") - col("__cw_tok")).as("tok_start"))
+      .withColumn("first_window", intDiv(col("tok_start"), L))
+      .withColumn(
+        "last_window",
+        intDiv(col("tok_start") + col("n_tokens") - 1, L))
+      .withColumn(
+        "offset_in_first",
+        col("tok_start") - col("first_window") * L)
+  }
 }

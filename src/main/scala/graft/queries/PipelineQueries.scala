@@ -481,6 +481,20 @@ object PipelineQueries {
         StratifiedDefault)
     },
 
+    // ----- contiguous pretraining-window layout: concat-order token
+    // offsets + the exact 128-token windows each doc spans (docs cross
+    // window boundaries — the causal-LM loader layout) -----
+    "t_contig_windows" -> { (s, dir) =>
+      graft.ops.Packing.contiguousWindows(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id",
+        TextFunctions.tokenCount(col("text")),
+        windowLen = 128L)
+        .select(
+          col("doc_id"), col("n_tokens"), col("tok_start"),
+          col("first_window"), col("last_window"), col("offset_in_first"))
+    },
+
     // ----- link-graph authority scoring (integer-exact PageRank, 5
     // iterations) over a deterministic link graph derived from doc ids:
     // every doc links to two pseudo-random targets, every 5th doc also
@@ -1695,6 +1709,20 @@ object PipelineQueries {
          |WHERE ${hash61Sql("CAST(doc_id AS VARCHAR)")} % 1000 <
          |  CASE $cases ELSE $StratifiedDefault END""".stripMargin
     },
+    "t_contig_windows" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($WsSql) AS BIGINT) AS n FROM documents),
+         |o AS (
+         |  SELECT doc_id, n,
+         |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS tok_start
+         |  FROM d)
+         |SELECT doc_id, n AS n_tokens, tok_start,
+         |  tok_start // 128 AS first_window,
+         |  (tok_start + n - 1) // 128 AS last_window,
+         |  tok_start - (tok_start // 128) * 128 AS offset_in_first
+         |FROM o""".stripMargin,
     "u_pagerank" -> {
       // generated from the SAME constants as PageRank.ranks so the two
       // sides cannot drift; `//` = exact floor division on positive longs

@@ -854,6 +854,50 @@ class SamplingSpec extends SparkSpec {
 class PackingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("contiguousWindows: hand-checked offsets, window spans, invariance") {
+    // token counts by doc_id order: 5, 3, 4 ; L = 4
+    // starts: 0, 5, 8 -> windows (0,1) off 0 ; (1,1) off 1 ; (2,2) off 0
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "f g h"),
+      (3L, "i j k l"))
+    def run(parts: Int) = Packing
+      .contiguousWindows(
+        docs.toDF("doc_id", "text").repartition(parts),
+        "doc_id",
+        TextFunctions.tokenCount(col("text")),
+        windowLen = 4L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("tok_start"), r.getAs[Long]("first_window"),
+          r.getAs[Long]("last_window"), r.getAs[Long]("offset_in_first"))))
+      .toMap
+    val out = run(1)
+    out(1L) shouldBe ((0L, 0L, 1L, 0L))
+    out(2L) shouldBe ((5L, 1L, 1L, 1L))
+    out(3L) shouldBe ((8L, 2L, 2L, 0L))
+    out shouldBe run(5) // partitioning-invariant global offsets
+  }
+
+  test("contiguousWindows offsets telescope: start_i+1 = start_i + n_i") {
+    val docs = (1L to 300L).map(i => (i, ("w " * (1 + (i % 17).toInt)).trim))
+    val rows = Packing
+      .contiguousWindows(
+        docs.toDF("doc_id", "text"),
+        "doc_id",
+        TextFunctions.tokenCount(col("text")),
+        windowLen = 64L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_start"),
+        r.getAs[Long]("n_tokens")))
+      .sortBy(_._1)
+    rows.sliding(2).foreach {
+      case Array((_, s1, n1), (_, s2, _)) => s2 shouldBe (s1 + n1)
+      case _ =>
+    }
+    rows.head._2 shouldBe 0L
+  }
+
   test("sequencePack lays out contiguous bins by cumulative tokens") {
     // shards=1 -> one deterministic stream ordered by doc_id
     // tokens: 4, 5, 3, 9 ; capacity 10
