@@ -254,6 +254,39 @@ object Similarity {
   def vecDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).first().getInt(0)
 
+  /** Johnson-Lindenstrauss random-sign projection components: the `k`
+    * dot products of `vec` against deterministic ±1 sign vectors (signs
+    * from the portable hash — the [[lshBucketFixedDim]] plane machinery,
+    * emitting the projection VALUES instead of the sign bits). JL says
+    * pairwise distances survive within (1±ε) at k = O(log n / ε²); unlike
+    * [[Pca]] (whose eigenvectors compose float sums that cannot
+    * hash-match cross-engine), the sign projection is a fixed per-row
+    * fold — deterministic, engine-portable, hash-gateable. The 1/√k
+    * normalization is omitted: cosine and relative distances are
+    * scale-invariant (document if absolute distances matter).
+    *
+    * Scale posture: pure map-side codegen (`DotProductF` per component
+    * against literal sign vectors) — zero shuffles at any corpus size;
+    * the sign matrix is compiled into the plan, never stored or joined.
+    */
+  def jlComponents(vec: Column, k: Int, dim: Int): Seq[Column] = {
+    require(k > 0, s"k must be positive (got $k)")
+    require(dim > 0, s"dim must be positive (got $dim)")
+    (0 until k).map { p =>
+      val signs = Array.tabulate(dim) { j =>
+        val h = org.apache.spark.sql.graft.Hash61Util.hash(
+          s"jl$p:${j + 1}"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if ((h & 1L) == 1L) 1.0f else -1.0f
+      }
+      dot(vec, typedlit(signs.toSeq))
+    }
+  }
+
+  /** [[jlComponents]] as one `array<double>` column. */
+  def jlProject(vec: Column, k: Int, dim: Int): Column =
+    array(jlComponents(vec, k, dim): _*)
+
   /** Exact embedding-cosine near-duplicate pairs (no blocking): all
     * (id_a < id_b) pairs with cosine ≥ `threshold`. O(N²/2) dot products —
     * the exact baseline; use [[cosineNearDupPairs]] for the LSH-blocked

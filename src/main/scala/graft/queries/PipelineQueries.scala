@@ -1183,6 +1183,18 @@ object PipelineQueries {
         strataCols = Seq("cell"))
     },
 
+    // ----- Johnson-Lindenstrauss random-sign projection to 4 dims (the
+    // hash-gateable dim-reduction complement of the float-bound PCA) -----
+    "s_jl_project" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val dim = Similarity.vecDim(emb, "embedding")
+      val comps = Similarity.jlComponents(col("embedding"), 4, dim)
+      emb.select(
+        col("vec_id") +: comps.zipWithIndex.map { case (c, i) =>
+          c.as(s"y$i")
+        }: _*)
+    },
+
     // ----- semantic decontamination: corpus vectors within cos >= 3/10 of
     // any benchmark vector (the paraphrase leakage n-grams miss) -----
     "s_semantic_decontaminate" -> { (s, dir) =>
@@ -2517,6 +2529,17 @@ object PipelineQueries {
          |    ORDER BY ${hash61Sql("'quota:' || CAST(vec_id AS VARCHAR)")},
          |      vec_id) AS qrn
          |  FROM a) WHERE qrn <= 40""".stripMargin
+    },
+    "s_jl_project" -> {
+      def jlDotSql(p: Int) = {
+        val sign = s"(CASE WHEN (${hash61Sql(s"'jl$p:' || CAST(i AS VARCHAR)")} & 1) = 1 " +
+          "THEN 1.0 ELSE -1.0 END)"
+        s"list_reduce(list_transform(range(1, len(embedding) + 1), " +
+          s"i -> CAST(embedding[i] AS DOUBLE) * $sign), (acc, x) -> acc + x)"
+      }
+      s"""SELECT vec_id,
+         |  ${(0 until 4).map(p => s"${jlDotSql(p)} AS y$p").mkString(",\n  ")}
+         |FROM embeddings""".stripMargin
     },
     "s_semantic_decontaminate" ->
       """WITH q8 AS (

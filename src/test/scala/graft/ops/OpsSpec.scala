@@ -337,6 +337,40 @@ class DedupSpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("jlComponents: signed folds match a hand computation of the signs") {
+    // recompute the deterministic sign matrix the same way the op does
+    def sign(p: Int, j: Int): Double = {
+      val h = org.apache.spark.sql.graft.Hash61Util.hash(
+        s"jl$p:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((h & 1L) == 1L) 1.0 else -1.0
+    }
+    val vec = Array(1.0f, 2.0f, 4.0f)
+    val expected = (0 until 3).map { p =>
+      (1 to 3).map(j => vec(j - 1).toDouble * sign(p, j)).sum
+    }
+    val got = Seq(Tuple1(vec)).toDF("v")
+      .select(Similarity.jlComponents(col("v"), 3, 3): _*)
+      .collect().head
+    (0 until 3).foreach(i => got.getDouble(i) shouldBe expected(i))
+    // array form agrees with the component form
+    val arr = Seq(Tuple1(vec)).toDF("v")
+      .select(Similarity.jlProject(col("v"), 3, 3).as("y"))
+      .collect().head.getSeq[Double](0)
+    arr shouldBe expected
+  }
+
+  test("jl projection is linear on exactly-representable inputs") {
+    // integer-valued floats: the signed sums are exact, so
+    // y(a + b) = y(a) + y(b) holds bit-for-bit
+    val a = Array(1.0f, 3.0f, -2.0f, 5.0f)
+    val b = Array(4.0f, -1.0f, 7.0f, 2.0f)
+    val s = a.zip(b).map { case (x, y) => x + y }
+    val rows = Seq((1L, a), (2L, b), (3L, s)).toDF("id", "v")
+      .select(col("id"), Similarity.jlProject(col("v"), 4, 4).as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows(3L) shouldBe rows(1L).zip(rows(2L)).map { case (x, y) => x + y }
+  }
+
   test("cosine of identical vectors is 1; orthogonal is 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
