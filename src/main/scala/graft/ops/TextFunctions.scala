@@ -266,6 +266,23 @@ object TextFunctions {
       dupChars.cast(DoubleType) / textLen.cast(DoubleType))
   }
 
+  /** Simpson concentration index over an array's elements:
+    * `Σ_w c_w² / n²` (the probability two random draws coincide) — 1/n for
+    * an all-distinct doc, → 1 for one-token spam. The LOG-FREE diversity
+    * measure: Shannon entropy needs `log`, whose low bits are libm- and
+    * engine-dependent, while this is two exact integers and one division —
+    * bit-portable. Computed as `Σ_i c(x_i) / n²` (each occurrence
+    * contributes its own element's count, which sums the squares without a
+    * distinct pass). Input must be a staged attribute ([[selfCounts]]).
+    * Null for empty arrays.
+    */
+  def simpsonConcentration(arr: Column): Column =
+    when(
+      size(arr) > 0,
+      aggregate(selfCounts(arr), lit(0L), (a, x) => a + x.cast(LongType))
+        .cast(DoubleType) /
+        (size(arr).cast(DoubleType) * size(arr).cast(DoubleType)))
+
   /** Punctuation character ratio over all characters. */
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))

@@ -594,6 +594,18 @@ object PipelineQueries {
         TextFunctions.dupNgramRatio(col("text"), 3).as("dup_trigram_ratio"))
     },
 
+    // ----- lexical diversity (Simpson index — the log-free portable
+    // entropy surrogate; low diversity = keyword-stuffing / spam) -----
+    "t_word_diversity" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("__ws", TextFunctions.words(col("text")))
+        .select(
+          col("doc_id"),
+          TextFunctions.simpsonConcentration(col("__ws"))
+            .as("concentration"))
+        .withColumn("diversity", lit(1.0) - col("concentration"))
+    },
+
     // ----- Gopher repetition rule bundle (Rae et al. 2021 Table A1):
     // duplicate-line fractions over a derived multi-line fixture (the
     // corpus text is single-line) + top/duplicated n-gram char fractions
@@ -1845,6 +1857,20 @@ object PipelineQueries {
          |    (CASE WHEN b < pm % 1000 THEN 1 ELSE 0 END))) AS copy
          |FROM w""".stripMargin
     },
+    "t_word_diversity" ->
+      s"""WITH b AS (SELECT doc_id, $WsSql AS ws FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN len(ws) > 0 THEN
+         |    CAST(list_sum(list_transform(range(1, len(ws) + 1),
+         |      i -> len(list_filter(ws, x -> x = ws[i])))) AS DOUBLE) /
+         |    (CAST(len(ws) AS DOUBLE) * CAST(len(ws) AS DOUBLE))
+         |  END AS concentration,
+         |  1.0 - (CASE WHEN len(ws) > 0 THEN
+         |    CAST(list_sum(list_transform(range(1, len(ws) + 1),
+         |      i -> len(list_filter(ws, x -> x = ws[i])))) AS DOUBLE) /
+         |    (CAST(len(ws) AS DOUBLE) * CAST(len(ws) AS DOUBLE))
+         |  END) AS diversity
+         |FROM b""".stripMargin,
     "t_gopher_repetition" ->
       s"""WITH m AS (
          |  SELECT doc_id, text,

@@ -76,6 +76,17 @@ class TextFunctionsSpec extends SparkSpec {
     evalOne(TextFunctions.punctRatio(col("text")), "ab, cd!") shouldBe (2.0 / 7.0)
   }
 
+  test("simpsonConcentration: 1/n all-distinct, 1 for spam, exact ratios") {
+    def conc(text: String): Double =
+      Seq(text).toDF("text")
+        .withColumn("ws", TextFunctions.words(col("text")))
+        .select(TextFunctions.simpsonConcentration(col("ws")).as("c"))
+        .collect().head.getDouble(0)
+    conc("a b c d") shouldBe 0.25    // all distinct: 1/n
+    conc("x x x") shouldBe 1.0       // one-token spam
+    conc("a a b") shouldBe (5.0 / 9.0) // counts 2,2,1 -> (4+1)/9
+  }
+
   test("Gopher line rules: duplicate fraction and char fraction") {
     def lines(ls: String*) = {
       val df = Seq(ls.mkString("\n")).toDF("text")
