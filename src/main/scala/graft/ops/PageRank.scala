@@ -52,12 +52,20 @@ object PageRank {
       dampDen: Long = 100): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(dampNum > 0 && dampDen > dampNum, "damping must satisfy 0 < num < den")
-    val e = Par.fan(edges).select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst").as("node")))
-      .distinct()
+    // edges and the node set are read EVERY iteration — cache them, and
+    // localCheckpoint each iteration's ranks (the nearDupClusters
+    // iterative-state pattern: without it the lineage re-derives the whole
+    // graph per level and the plan tree grows multiplicatively; iteration
+    // state is node-sized, the canonical thing to materialize)
+    val e = Par.cached(
+      Par.fan(edges).select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
+    val nodes = Par.cached(
+      e.select(col("__src").as("node"))
+        .union(e.select(col("__dst").as("node")))
+        .distinct())
     val n = nodes.count() // the one driver-side scalar
-    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    val outdeg = Par.cached(
+      e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")))
     val base = (scale * (dampDen - dampNum)) / (dampDen * n)
     var r = nodes.select(col("node"), lit(scale / n).as("rank"))
     for (_ <- 1 to iters) {
@@ -75,6 +83,7 @@ object PageRank {
         .select(
           col("node"),
           (lit(base) + coalesce(col("__in"), lit(0L))).as("rank"))
+        .localCheckpoint()
     }
     r
   }
