@@ -88,4 +88,57 @@ object NgramLm {
         (col("sum_micro").cast(DoubleType) /
           col("n_bigrams").cast(DoubleType)).as("fluency"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): within
+    * each language, rank documents by model fluency and split the ranking
+    * into `nBuckets` equal slices — bucket 0 ("head") = the most fluent
+    * third, then "middle", then "tail". CCNet keeps head+middle for
+    * pretraining and drops (or down-weights) the tail; emitting the
+    * bucket as a column leaves that policy to the caller.
+    *
+    * The slice assignment is EXACT INTEGER math on the within-language
+    * rank: `bucket = ((rank − 1) · nBuckets) div n_lang` with rank by
+    * (fluency desc, id asc) — no float quantile cutoffs, so the
+    * assignment is deterministic, engine-portable and hash-gateable.
+    * Documents with fewer than two words carry no bigrams, hence no
+    * fluency, hence no row (the CCNet filter also drops them).
+    *
+    * Scale posture: fluency is [[bigramFluency]] (its skew story applies);
+    * the ranking is ONE shuffle on the language key with a group window —
+    * languages parallelize across tasks, and a single pathologically hot
+    * language serializes only its own window chain (the [[Sampling
+    * .groupQuantiles]] trade-off; slice a one-language corpus through a
+    * range-bucketed rank instead). Output: (`idCol`, lang, n_bigrams,
+    * fluency, bucket, bucket_name).
+    */
+  def perplexityBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      nBuckets: Int = 3,
+      scale: Long = 1000000L,
+      hotK: Int = 1024): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    val fl = bigramFluency(df, idCol, textCol, scale, hotK)
+      .withColumnRenamed("doc_id", "__pb_id")
+    val langs = df.select(col(idCol).as("__pb_id"), col(langCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+    val rankW = w.orderBy(col("fluency").desc, col("__pb_id").asc)
+    val names = Seq("head", "middle", "tail")
+    fl.join(langs, "__pb_id")
+      .withColumn("__pb_rank", row_number().over(rankW))
+      .withColumn("__pb_n", count(lit(1)).over(w))
+      .withColumn(
+        "bucket",
+        expr(s"((__pb_rank - 1) * $nBuckets) div __pb_n").cast(IntegerType))
+      .withColumn(
+        "bucket_name",
+        if (nBuckets == 3)
+          element_at(array(names.map(lit(_)): _*), col("bucket") + 1)
+        else concat(lit("b"), col("bucket")))
+      .select(col("__pb_id").as(idCol), col(langCol), col("n_bigrams"),
+        col("fluency"), col("bucket"), col("bucket_name"))
+  }
 }

@@ -606,6 +606,59 @@ object PipelineQueries {
         .withColumn("diversity", lit(1.0) - col("concentration"))
     },
 
+    // ----- hybrid retrieval: reciprocal-rank fusion of the BM25 keyword
+    // ranking (documents) with a dense cosine ranking (the row-aligned
+    // embeddings table, query vector = vec_id 0) — integer contributions,
+    // so the fused scores hash-match -----
+    "s_hybrid_rrf" -> { (s, dir) =>
+      val sparse = graft.ops.Bm25
+        .searchTopK(
+          t(s, dir, "documents"),
+          "doc_id",
+          "text",
+          query = Seq("spark", "join", "vector"),
+          k = 200)
+        .select(col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity
+        .bruteForceTopK(
+          emb,
+          "vec_id",
+          "embedding",
+          emb.filter(col("vec_id") === 0),
+          "vec_id",
+          "embedding",
+          k = 200)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.ops.RankFusion
+        .rrf(Seq(sparse, dense), "doc_id", "rank", k0 = 60, topK = 100)
+    },
+
+    // ----- fastText-style hashed linear classifier inference: broadcast
+    // frozen integer weights (deterministic pseudo-model), map-side
+    // scoring, threshold decision -----
+    "t_quality_classifier" -> { (s, dir) =>
+      graft.ops.HashedClassifier.scoreDocs(
+        t(s, dir, "documents"),
+        "doc_id",
+        "text",
+        graft.ops.HashedClassifier.pseudoWeights(s, buckets = 4096),
+        buckets = 4096,
+        biasMicro = -50000L,
+        thresholdMicro = 0L)
+    },
+
+    // ----- CCNet-style per-language perplexity buckets: head/middle/tail
+    // thirds of the within-language fluency ranking (integer slice math,
+    // no float cutoffs) -----
+    "t_ccnet_buckets" -> { (s, dir) =>
+      graft.ops.NgramLm.perplexityBuckets(
+        t(s, dir, "documents"),
+        "doc_id",
+        "text",
+        "lang")
+    },
+
     // ----- Gopher repetition rule bundle (Rae et al. 2021 Table A1):
     // duplicate-line fractions over a derived multi-line fixture (the
     // corpus text is single-line) + top/duplicated n-gram char fractions
@@ -1871,6 +1924,124 @@ object PipelineQueries {
          |    (CAST(len(ws) AS DOUBLE) * CAST(len(ws) AS DOUBLE))
          |  END) AS diversity
          |FROM b""".stripMargin,
+    // replays Bm25 (k=200) + the cosine ranking for query vector 0
+    // (k=200), then the RRF fuse: integer 1e6 // (60 + rank)
+    // contributions summed exactly, top-100 by (score desc, id)
+    "s_hybrid_rrf" -> {
+      def dotSql(x: String, y: String) =
+        s"list_reduce(list_transform(range(1, len($x) + 1), " +
+          s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (acc, v) -> acc + v)"
+      s"""WITH w AS (
+         |  SELECT doc_id, $WsSql AS w FROM documents),
+         |stats AS (SELECT count(*) AS d, sum(len(w)) AS t FROM w),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+         |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w)
+         |  WHERE term IN ('spark', 'join', 'vector')
+         |  GROUP BY doc_id, dl, term),
+         |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    CAST(((SELECT d FROM stats) + 1) * 1000000 // (dfr.df + 1) AS DOUBLE) *
+         |    (tf.tf * (CAST(1.2 AS DOUBLE) + 1)) /
+         |    (tf.tf + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE)) +
+         |      CAST(1.2 AS DOUBLE) * CAST(0.75 AS DOUBLE) *
+         |      (tf.dl / ((SELECT CAST(t AS DOUBLE) FROM stats) /
+         |                (SELECT CAST(d AS DOUBLE) FROM stats)))) AS s
+         |  FROM tf JOIN dfr USING (term)),
+         |agg AS (
+         |  SELECT doc_id, list_reduce(list(s ORDER BY term), (a, b) -> a + b)
+         |    AS score
+         |  FROM sc GROUP BY doc_id),
+         |sparse AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM agg QUALIFY rank <= 200),
+         |dq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |dc AS (SELECT vec_id, embedding AS cv FROM embeddings
+         |       WHERE vec_id <> 0),
+         |ds AS (
+         |  SELECT vec_id,
+         |    ${dotSql("qv", "cv")} /
+         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})) AS cos
+         |  FROM dc, dq),
+         |dense AS (
+         |  SELECT vec_id AS doc_id,
+         |    row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM ds QUALIFY rank <= 200),
+         |contrib AS (
+         |  SELECT doc_id, 1000000 // (60 + rank) AS c FROM sparse
+         |  UNION ALL
+         |  SELECT doc_id, 1000000 // (60 + rank) AS c FROM dense),
+         |fused AS (
+         |  SELECT doc_id, count(*) AS n_lists,
+         |    CAST(sum(c) AS BIGINT) AS rrf_micro
+         |  FROM contrib GROUP BY doc_id),
+         |fr AS (
+         |  SELECT doc_id, n_lists, rrf_micro,
+         |    CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS INT)
+         |      AS rank
+         |  FROM fused)
+         |SELECT doc_id, n_lists, rrf_micro, rank FROM fr
+         |WHERE rank <= 100""".stripMargin
+    },
+    // replays HashedClassifier over the deterministic pseudo-weight table:
+    // slot = hash61(token) % 4096, weight = (hash61('w'||slot) % 2000001)
+    // − 1e6, score = bias + exact integer sum
+    "t_quality_classifier" -> {
+      s"""WITH wt AS (
+         |  SELECT CAST(b AS BIGINT) AS bucket,
+         |    (${hash61Sql("'w' || CAST(b AS VARCHAR)")} % 2000001) - 1000000
+         |      AS wm
+         |  FROM (SELECT unnest(range(0, 4096)) AS b)),
+         |tok AS (
+         |  SELECT doc_id, unnest(list_filter($WsSql, x -> x <> '')) AS t
+         |  FROM documents),
+         |sc AS (
+         |  SELECT tok.doc_id, count(*) AS n_tokens,
+         |    CAST(sum(wt.wm) AS BIGINT) AS sm
+         |  FROM tok JOIN wt ON (${hash61Sql("t")} % 4096) = wt.bucket
+         |  GROUP BY tok.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(sc.n_tokens, 0) AS n_tokens,
+         |  CAST(coalesce(sc.sm, 0) - 50000 AS BIGINT) AS score_micro,
+         |  (coalesce(sc.sm, 0) - 50000 >= 0) AS keep
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+    },
+    // replays bigramFluency then the integer within-language third-slice:
+    // bucket = ((rank−1)·3) // n_lang over (fluency desc, id) ranks
+    "t_ccnet_buckets" ->
+      s"""WITH d AS (SELECT doc_id, $WsSql AS ws FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(ws), 1)),
+         |      i -> ws[i] || ' ' || ws[i+1])) AS bigram
+         |  FROM d),
+         |c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+         |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c1
+         |       FROM bg GROUP BY 1),
+         |p AS (SELECT c2.bigram, (c2.c2 * 1000000) // c1.c1 AS micro
+         |      FROM c2 JOIN c1 ON split_part(c2.bigram, ' ', 1) = c1.w1),
+         |s AS (SELECT b.doc_id, count(*) AS n_bigrams,
+         |        sum(p.micro) AS sum_micro
+         |      FROM bg b JOIN p ON b.bigram = p.bigram
+         |      GROUP BY b.doc_id),
+         |f AS (SELECT doc_id, n_bigrams,
+         |        CAST(sum_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         |          AS fluency
+         |      FROM s),
+         |j AS (SELECT f.doc_id, dd.lang, f.n_bigrams, f.fluency
+         |      FROM f JOIN documents dd USING (doc_id)),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY fluency DESC, doc_id ASC) AS rk,
+         |        count(*) OVER (PARTITION BY lang) AS n
+         |      FROM j)
+         |SELECT doc_id, lang, n_bigrams, fluency,
+         |  CAST(((rk - 1) * 3) // n AS INT) AS bucket,
+         |  CASE ((rk - 1) * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+         |    ELSE 'tail' END AS bucket_name
+         |FROM r""".stripMargin,
     "t_gopher_repetition" ->
       s"""WITH m AS (
          |  SELECT doc_id, text,

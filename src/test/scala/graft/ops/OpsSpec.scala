@@ -1091,6 +1091,43 @@ class NgramLmSpec extends SparkSpec {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("perplexityBuckets slices each language's fluency ranking in thirds") {
+    // lang A: d1 repeats the dominant "p q" transition (fluent); d2/d3
+    // each follow the shared "p" prefix with a one-off continuation, so
+    // they tie at the bottom and the tie breaks by id. Lang B ranks
+    // independently (one doc → bucket 0 by the slice formula).
+    val docs = Seq(
+      (1L, "p q p q p q", "A"),
+      (2L, "p r", "A"),
+      (3L, "p s", "A"),
+      (4L, "z z", "B"),
+      (5L, "solo", "B") // <2 bigrams → no row
+    ).toDF("doc_id", "text", "lang")
+    val out = NgramLm
+      .perplexityBuckets(docs, "doc_id", "text", "lang")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(4), r.getString(5))))
+      .toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    out(1L) shouldBe (("A", 0, "head"))
+    out(2L) shouldBe (("A", 1, "middle"))
+    out(3L) shouldBe (("A", 2, "tail"))
+    out(4L) shouldBe (("B", 0, "head"))
+    Par.releaseCaches()
+  }
+
+  test("perplexityBuckets: slice sizes differ by at most one per language") {
+    // 10 equal-fluency docs in one language: buckets get 4/3/3 (the
+    // ((rank−1)·3) div n formula's balanced split), assignment by id order
+    val docs = (1L to 10L).map(i => (i, "a b", "A")).toDF("doc_id", "text", "lang")
+    val sizes = NgramLm
+      .perplexityBuckets(docs, "doc_id", "text", "lang")
+      .groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    sizes shouldBe Map(0 -> 4L, 1 -> 3L, 2 -> 3L)
+    Par.releaseCaches()
+  }
 }
 
 class MinhashSigSpec extends SparkSpec {
