@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** One-pass corpus composition report (the "corpus card" / datasheet
+  * numbers every curation run ends with: how many documents and tokens per
+  * language × source, how long they run, how duplicated they are) — the
+  * summary that feeds mixture design ([[Sampling.weightedMix]] /
+  * [[Sampling.temperatureMix]] want these counts as input) and the
+  * documentation a released dataset ships with.
+  *
+  * Every statistic except the final mean is an EXACT INTEGER aggregate
+  * (counts, sums, max, and an exact distinct-content count over the
+  * portable [[TextFunctions.hash61]]), so the report is deterministic
+  * under any partitioning and hash-gateable; `mean_tokens` is one double
+  * division of two exact longs per group.
+  *
+  * Scale posture (100 TB): ONE partial-agg'd shuffle keyed by the group
+  * columns — per-doc token/char counts fold map-side, and the distinct
+  * content count partial-aggregates on (group, hash) before the group
+  * regroup (Spark's two-phase distinct agg), so the shuffle carries one
+  * row per distinct (group, content) — bounded by the deduplicated
+  * corpus, never the raw one. Output group count = |langs| × |sources|:
+  * driver-safe by construction.
+  */
+object CorpusStats {
+
+  /** Per-group report over `groupCols` (e.g. lang, source). Output:
+    * (groupCols..., `n_docs`, `n_tokens`, `n_chars`,
+    * `n_distinct_texts`, `max_tokens`, `mean_tokens`). Token counts are
+    * [[TextFunctions.tokenCount]] (whitespace tokens; null text = 0).
+    */
+  def corpusReport(
+      df: DataFrame,
+      textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "corpusReport needs at least one group col")
+    val base = Par.fan(df).select(
+      groupCols.map(col) ++ Seq(
+        coalesce(TextFunctions.tokenCount(col(textCol)), lit(0L))
+          .cast(LongType).as("__toks"),
+        coalesce(length(col(textCol)), lit(0)).cast(LongType).as("__chars"),
+        TextFunctions.hash61(coalesce(col(textCol), lit(""))).as("__h")): _*)
+    base
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("n_tokens"),
+        sum(col("__chars")).as("n_chars"),
+        countDistinct(col("__h")).as("n_distinct_texts"),
+        max(col("__toks")).as("max_tokens"),
+        (sum(col("__toks")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("mean_tokens"))
+  }
+}

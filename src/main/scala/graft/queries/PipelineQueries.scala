@@ -659,6 +659,37 @@ object PipelineQueries {
         "lang")
     },
 
+    // ----- JSONL ingest with corrupt-line quarantine: a derived jsonl
+    // fixture (to_json of selected fields; every 16th line by content
+    // hash truncated 5 chars) decoded via from_json PERMISSIVE — corrupt
+    // lines keep their raw payload, fields null -----
+    "t_jsonl_ingest" -> { (s, dir) =>
+      val line = to_json(struct(
+        col("doc_id").as("id"),
+        col("lang"),
+        col("n_chars").as("nc")))
+      val input = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(
+          pmod(TextFunctions.hash61(col("doc_id")), lit(16L)) === 0,
+          substring(line, 1, 24)) // fixture lines are ≥ 25 chars
+          .otherwise(line)
+          .as("json"))
+      graft.ops.JsonIngest.parseJsonl(
+        input,
+        "json",
+        StructType.fromDDL("id long, lang string, nc long"))
+    },
+
+    // ----- corpus composition report ("corpus card"): one-pass per
+    // (lang, source) doc/token/char/distinct-content stats -----
+    "t_corpus_report" -> { (s, dir) =>
+      graft.ops.CorpusStats.corpusReport(
+        t(s, dir, "documents"),
+        "text",
+        Seq("lang", "source"))
+    },
+
     // ----- Gopher repetition rule bundle (Rae et al. 2021 Table A1):
     // duplicate-line fractions over a derived multi-line fixture (the
     // corpus text is single-line) + top/duplicated n-gram char fractions
@@ -2042,6 +2073,44 @@ object PipelineQueries {
          |  CASE ((rk - 1) * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
          |    ELSE 'tail' END AS bucket_name
          |FROM r""".stripMargin,
+    // ground-truth replay of the jsonl ingest: the oracle does not parse
+    // JSON — it computes what a correct PERMISSIVE parser must produce
+    // from the source fields (good line → fields + null raw; truncated
+    // line → null fields + the raw 24-char prefix). The string build
+    // replicates Spark's to_json byte-for-byte (no spaces, struct field
+    // order, plain integers, unescaped short lang codes).
+    "t_jsonl_ingest" ->
+      s"""WITH j AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    '{"id":' || doc_id || ',"lang":"' || lang || '","nc":' ||
+         |      n_chars || '}' AS line,
+         |    (${hash61Sql("CAST(doc_id AS VARCHAR)")} % 16 = 0) AS bad
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN bad THEN NULL ELSE doc_id END AS id,
+         |  CASE WHEN bad THEN NULL ELSE lang END AS lang,
+         |  CASE WHEN bad THEN NULL ELSE n_chars END AS nc,
+         |  bad AS is_corrupt,
+         |  CASE WHEN bad THEN substr(line, 1, 24) END AS raw
+         |FROM j""".stripMargin,
+    // replays corpusReport: exact integer aggregates + the portable
+    // hash61 distinct-content count; mean = one double division
+    "t_corpus_report" ->
+      s"""WITH b AS (
+         |  SELECT lang, source,
+         |    coalesce(len($WsSql), 0) AS toks,
+         |    coalesce(len(text), 0) AS chars,
+         |    ${hash61Sql("coalesce(text, '')")} AS h
+         |  FROM documents)
+         |SELECT lang, source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(chars) AS BIGINT) AS n_chars,
+         |  count(DISTINCT h) AS n_distinct_texts,
+         |  CAST(max(toks) AS BIGINT) AS max_tokens,
+         |  CAST(sum(toks) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS mean_tokens
+         |FROM b GROUP BY lang, source""".stripMargin,
     "t_gopher_repetition" ->
       s"""WITH m AS (
          |  SELECT doc_id, text,

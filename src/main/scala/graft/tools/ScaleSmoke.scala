@@ -371,6 +371,66 @@ object ScaleSmoke {
         ).flatten
       }))
 
+    // Hashed classifier inference (P69): the model is a FIXED broadcast
+    // (2^18 slots here) so the scoring bill must be one doc-level
+    // partial-agg exchange — duplication multiplies the map work linearly
+    // but the shuffle carries only (id, count, sum) rows. Invariant: the
+    // `copies` copies of a base doc share its text, so every base group
+    // must land on EXACTLY one distinct integer score (float-sum scoring
+    // would not survive this check across partitionings).
+    measure(Step(
+      s"t_quality_classifier(${copies}x, 2^18-slot broadcast model)",
+      () => graft.ops.HashedClassifier.scoreDocs(
+        docs, "doc_id", "text",
+        graft.ops.HashedClassifier.pseudoWeights(spark, 1 << 18),
+        buckets = 1 << 18),
+      ceilingGB = 2.0,
+      invariant = df => {
+        val bad = df
+          .groupBy((col("doc_id") / copies).cast("long").as("base"))
+          .agg(countDistinct(col("score_micro")).as("k"))
+          .filter(col("k") =!= 1)
+          .count()
+        if (df.count() != nDocs)
+          Seq(s"rows ${df.count()} != corpus $nDocs")
+        else if (bad != 0)
+          Seq(s"$bad base groups scored non-identically across copies")
+        else Nil
+      }))
+
+    // CCNet perplexity buckets (P70): the 100x-duplicated corpus is the
+    // extreme bigram-skew regime (every bigram 100x hotter) — the
+    // hot-bigram broadcast split must keep the scoring join off the hot
+    // mass, and the lang window shuffles doc-level rows only. Invariant:
+    // per-language bucket sizes differ by at most one (the integer slice
+    // formula's balance guarantee).
+    measure(Step(
+      s"t_ccnet_buckets(${copies}x, 5 langs)",
+      () => graft.ops.NgramLm.perplexityBuckets(
+        docs.withColumn(
+          "lang",
+          concat(lit("l"),
+            ((col("doc_id") / copies).cast("long") % 5).cast("string"))),
+        "doc_id", "text", "lang"),
+      ceilingGB = 6.0,
+      invariant = df => {
+        val sizes = df.groupBy(col("lang"), col("bucket")).count()
+          .groupBy(col("lang"))
+          .agg((max(col("count")) - min(col("count"))).as("spread"),
+            count(lit(1)).as("nb"))
+          .collect()
+        sizes.flatMap { r =>
+          val (lang, spread, nb) =
+            (r.getString(0), r.getLong(1), r.getLong(2))
+          Seq(
+            if (spread > 1)
+              Some(s"$lang bucket sizes spread by $spread (> 1)")
+            else None,
+            if (nb != 3) Some(s"$lang has $nb buckets, expected 3")
+            else None).flatten
+        }.toSeq
+      }))
+
     graft.ops.Par.releaseCaches()
     spark.stop()
     sys.exit(if (failed) 1 else 0)
