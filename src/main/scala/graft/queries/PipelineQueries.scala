@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import org.apache.spark.sql.Column
 
-import graft.ops.{Chunking, Dedup, Dsir, Multimodal, Quantize, Sampling, Similarity, TextFunctions, Urls}
+import graft.ops.{Chunking, Dedup, Dsir, IvfInt, Multimodal, Quantize, Sampling, Similarity, TextFunctions, Urls}
 
 /** LLM-training-data pipeline queries (dedup, text analysis, similarity,
   * multimodal) over the `documents` / `embeddings` tables, each paired with
@@ -1125,6 +1125,34 @@ object PipelineQueries {
         trainIters = 2)
     },
 
+    // ----- integer-exact IVF (P73): the WHOLE pipeline — quantization,
+    // seeded k-means training, assignment, probe, ranking — in exact
+    // integer / correctly-rounded-double arithmetic, so unlike s_ivf_topk
+    // the training itself hash-matches a DuckDB replay of the unrolled
+    // iterations -----
+    "s_ivf_int_centroids" -> { (s, dir) =>
+      IvfInt.trainedCentroids(
+        t(s, dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        cells = IvfIntCells,
+        iters = IvfIntIters)
+    },
+    "s_ivf_int_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      IvfInt.topK(
+        emb,
+        "vec_id",
+        "embedding",
+        emb.filter(col("vec_id") < IvfIntNQueries),
+        "vec_id",
+        "embedding",
+        k = IvfIntK,
+        cells = IvfIntCells,
+        nprobe = IvfIntNprobe,
+        iters = IvfIntIters)
+    },
+
     // ----- web-curation composition gate (P45): the URL-level pipeline
     // chained end-to-end — canonical-url dedup → per-domain cap → token
     // quality gate → token-budget cut — against ONE chained oracle (the
@@ -1554,6 +1582,68 @@ object PipelineQueries {
   /** DuckDB CTE chain `q8`: per-vector int8 scale + codes (mirrors
     * [[graft.ops.Quantize]]: round-half-up `floor(x/s + 0.5)`).
     */
+  // Shared P73 gate parameters (Spark query and generated oracle read the
+  // same constants so they cannot drift).
+  private val IvfIntCells = 8
+  private val IvfIntIters = 2
+  private val IvfIntNprobe = 2
+  private val IvfIntK = 5
+  private val IvfIntNQueries = 50
+
+  /** DuckDB: exact integer dot of two BIGINT-list columns, as DOUBLE (the
+    * Spark side computes the long [[graft.ops.Quantize.intDot]] and casts —
+    * integer products are exact in both, the cast is one rounding).
+    */
+  private def intDotSql(x: String, y: String): String =
+    s"CAST(list_reduce(list_transform(range(1, len($x) + 1), " +
+      s"i -> $x[i] * $y[i]), (acc, v) -> acc + v) AS DOUBLE)"
+
+  /** DuckDB replay of [[graft.ops.IvfInt]] training: codes + norms (`n`),
+    * exploded codes (`x`), dimension index (`idx`), hash-seeded centroids
+    * (`c0`), then `iters` UNROLLED k-means rounds (assignment = cosine
+    * argmax with lowest-cell ties; update = floor(Σq/n) per dim with
+    * empty-cell carry) ending at the trained long table `c$iters`.
+    * Expects the `q8` quantization CTE in scope.
+    */
+  private def ivfIntTrainCtes(cells: Int, iters: Int): String = {
+    val seed =
+      s"""n AS (
+         |  SELECT vec_id, q,
+         |    CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS n2
+         |  FROM q8),
+         |idx AS (
+         |  SELECT unnest(range(1, (SELECT max(len(q)) FROM n) + 1)) AS i),
+         |x AS (SELECT vec_id, i, q[i] AS v FROM n CROSS JOIN idx),
+         |sd AS (
+         |  SELECT q, row_number() OVER (ORDER BY h, id) - 1 AS cid FROM (
+         |    SELECT q, CAST(vec_id AS VARCHAR) AS id,
+         |      ${hash61Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |    FROM n ORDER BY h, id LIMIT $cells)),
+         |c0 AS (SELECT cid, i, q[i] AS val FROM sd CROSS JOIN idx)""".stripMargin
+    val rounds = (0 until iters).map { t =>
+      s"""m$t AS (
+         |  SELECT cid, cv,
+         |    CAST(list_sum(list_transform(cv, v -> v * v)) AS BIGINT) AS n2c
+         |  FROM (SELECT cid, list(val ORDER BY i) AS cv FROM c$t GROUP BY cid)),
+         |a$t AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT n.vec_id, m.cid, row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY CASE WHEN m.n2c = 0 THEN 0.0
+         |        ELSE ${intDotSql("n.q", "m.cv")} / sqrt(CAST(m.n2c AS DOUBLE))
+         |        END DESC, m.cid ASC) AS rn
+         |    FROM n CROSS JOIN m$t m) WHERE rn = 1),
+         |s$t AS (
+         |  SELECT a.cid, x.i,
+         |    CAST(FLOOR(CAST(sum(x.v) AS DOUBLE) / count(*)) AS BIGINT) AS val
+         |  FROM a$t a JOIN x ON x.vec_id = a.vec_id GROUP BY a.cid, x.i),
+         |c${t + 1} AS (
+         |  SELECT * FROM s$t UNION ALL
+         |  SELECT c.cid, c.i, c.val FROM c$t c
+         |  WHERE c.cid NOT IN (SELECT cid FROM s$t))""".stripMargin
+    }
+    (seed +: rounds).mkString(",\n")
+  }
+
   private val QuantizeCtes =
     """q8 AS (
       |  SELECT vec_id, s,
@@ -2911,6 +3001,60 @@ object PipelineQueries {
          |SELECT query_id, neighbor_id, rank, qdot, qcos FROM (
          |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
          |    ORDER BY qcos DESC, neighbor_id) AS rank
-         |  FROM sc) WHERE rank <= 5""".stripMargin
+         |  FROM sc) WHERE rank <= 5""".stripMargin,
+
+    // P73: the trained integer k-means centroids themselves — every value
+    // an exact integer from the unrolled-iteration replay
+    "s_ivf_int_centroids" ->
+      s"""WITH $QuantizeCtes,
+         |${ivfIntTrainCtes(IvfIntCells, IvfIntIters)}
+         |SELECT CAST(cid AS INT) AS cell, CAST(i - 1 AS INT) AS dim,
+         |  CAST(val AS INT) AS value
+         |FROM c$IvfIntIters""".stripMargin,
+
+    // P73: integer-exact IVF search end-to-end — train (unrolled rounds),
+    // assign the corpus with the final centroids, probe each query's
+    // nprobe best cells, rank exact quantized cosine
+    "s_ivf_int_topk" ->
+      s"""WITH $QuantizeCtes,
+         |${ivfIntTrainCtes(IvfIntCells, IvfIntIters)},
+         |mf AS (
+         |  SELECT cid, cv,
+         |    CAST(list_sum(list_transform(cv, v -> v * v)) AS BIGINT) AS n2c
+         |  FROM (SELECT cid, list(val ORDER BY i) AS cv
+         |        FROM c$IvfIntIters GROUP BY cid)),
+         |af AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT n.vec_id, m.cid, row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY CASE WHEN m.n2c = 0 THEN 0.0
+         |        ELSE ${intDotSql("n.q", "m.cv")} / sqrt(CAST(m.n2c AS DOUBLE))
+         |        END DESC, m.cid ASC) AS rn
+         |    FROM n CROSS JOIN mf m) WHERE rn = 1),
+         |qp AS (
+         |  SELECT query_id, qq, qn2, cid FROM (
+         |    SELECT n.vec_id AS query_id, n.q AS qq, n.n2 AS qn2, m.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY CASE WHEN m.n2c = 0 THEN 0.0
+         |          ELSE ${intDotSql("n.q", "m.cv")} / sqrt(CAST(m.n2c AS DOUBLE))
+         |          END DESC, m.cid ASC) AS rn
+         |    FROM n CROSS JOIN mf m WHERE n.vec_id < $IvfIntNQueries)
+         |  WHERE rn <= $IvfIntNprobe),
+         |cand AS (
+         |  SELECT query_id, neighbor_id,
+         |    CASE WHEN qn2 = 0 OR cn2 = 0 THEN CAST(0.0 AS DOUBLE)
+         |      ELSE ${intDotSql("qq", "cq")} /
+         |        (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) END
+         |      AS qcos
+         |  FROM (
+         |    SELECT p.query_id, cn.vec_id AS neighbor_id, p.qq, p.qn2,
+         |      cn.q AS cq, cn.n2 AS cn2
+         |    FROM qp p JOIN af a ON a.cid = p.cid
+         |    JOIN n cn ON cn.vec_id = a.vec_id
+         |    WHERE cn.vec_id <> p.query_id))
+         |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, qcos
+         |FROM (
+         |  SELECT cand.*, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY qcos DESC, neighbor_id ASC) AS rnk
+         |  FROM cand) WHERE rnk <= $IvfIntK""".stripMargin
   )
 }
