@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import org.apache.spark.sql.Column
 
-import graft.ops.{Chunking, Dedup, Dsir, IvfInt, Multimodal, Quantize, Sampling, Similarity, TextFunctions, Urls}
+import graft.ops.{Chunking, Dedup, Dsir, IvfInt, Multimodal, Pq, Quantize, Sampling, Similarity, TextFunctions, Urls}
 
 /** LLM-training-data pipeline queries (dedup, text analysis, similarity,
   * multimodal) over the `documents` / `embeddings` tables, each paired with
@@ -1153,6 +1153,34 @@ object PipelineQueries {
         iters = IvfIntIters)
     },
 
+    // ----- product quantization (P74): per-subspace integer k-means
+    // codebooks + ADC search — NO floating point anywhere (assignment is
+    // exact-long `2·dot − ‖c‖²`), so training AND search hash-match the
+    // unrolled DuckDB replay -----
+    "s_pq_codebooks" -> { (s, dir) =>
+      Pq.trainedCodebooks(
+        t(s, dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        m = PqM,
+        cells = PqCells,
+        iters = PqIters)
+    },
+    "s_pq_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Pq.adcTopK(
+        emb,
+        "vec_id",
+        "embedding",
+        emb.filter(col("vec_id") < PqNQueries),
+        "vec_id",
+        "embedding",
+        k = PqK,
+        m = PqM,
+        cells = PqCells,
+        iters = PqIters)
+    },
+
     // ----- web-curation composition gate (P45): the URL-level pipeline
     // chained end-to-end — canonical-url dedup → per-domain cap → token
     // quality gate → token-budget cut — against ONE chained oracle (the
@@ -1642,6 +1670,82 @@ object PipelineQueries {
          |  WHERE c.cid NOT IN (SELECT cid FROM s$t))""".stripMargin
     }
     (seed +: rounds).mkString(",\n")
+  }
+
+  // Shared P74 gate parameters.
+  private val PqM = 2
+  private val PqCells = 4
+  private val PqIters = 1
+  private val PqK = 5
+  private val PqNQueries = 25
+
+  /** DuckDB: exact integer dot of two BIGINT-list columns (stays BIGINT —
+    * the PQ replay never touches floating point).
+    */
+  private def intDotLongSql(x: String, y: String): String =
+    s"CAST(list_reduce(list_transform(range(1, len($x) + 1), " +
+      s"i -> $x[i] * $y[i]), (acc, v) -> acc + v) AS BIGINT)"
+
+  /** DuckDB replay of [[graft.ops.Pq]] training: per-subspace slices
+    * (`ns$s`/`x$s`), shared hash-seeded rows (`psd`), and `iters`
+    * UNROLLED integer k-means rounds per subspace (assignment = exact-long
+    * `2·dot − ‖c‖²` argmax with lowest-cell ties; update = floor(Σq/n);
+    * empty-cell carry) ending at `b${s}_$iters` long tables plus their
+    * list forms `pm${s}_$iters`. Expects `q8` in scope.
+    */
+  private def pqTrainCtes(m: Int, cells: Int, iters: Int): String = {
+    val base =
+      s"""pn AS (SELECT vec_id, q FROM q8),
+         |psub AS (SELECT CAST(max(len(q)) // $m AS BIGINT) AS sb FROM pn),
+         |pidx AS (
+         |  SELECT unnest(range(1, (SELECT sb FROM psub) + 1)) AS i),
+         |psd AS (
+         |  SELECT q, row_number() OVER (ORDER BY h, id) - 1 AS cid FROM (
+         |    SELECT q, CAST(vec_id AS VARCHAR) AS id,
+         |      ${hash61Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |    FROM pn ORDER BY h, id LIMIT $cells))""".stripMargin
+    val perSub = (0 until m).map { s =>
+      val lo = s"$s * (SELECT sb FROM psub) + 1"
+      val hi = s"(${s + 1}) * (SELECT sb FROM psub)"
+      s"""ns$s AS (
+         |  SELECT vec_id, list_slice(q, $lo, $hi) AS qs FROM pn),
+         |x$s AS (SELECT vec_id, i, qs[i] AS v FROM ns$s CROSS JOIN pidx),
+         |b${s}_0 AS (
+         |  SELECT cid, i, qs[i] AS val FROM
+         |    (SELECT cid, list_slice(q, $lo, $hi) AS qs FROM psd)
+         |    CROSS JOIN pidx)""".stripMargin
+    }
+    val rounds = for (t <- 0 until iters; s <- 0 until m) yield {
+      s"""pm${s}_$t AS (
+         |  SELECT cid, cv,
+         |    CAST(list_sum(list_transform(cv, v -> v * v)) AS BIGINT) AS n2c
+         |  FROM (SELECT cid, list(val ORDER BY i) AS cv FROM b${s}_$t
+         |        GROUP BY cid)),
+         |pa${s}_$t AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT ns.vec_id, m.cid,
+         |      row_number() OVER (PARTITION BY ns.vec_id
+         |        ORDER BY 2 * ${intDotLongSql("ns.qs", "m.cv")} - m.n2c DESC,
+         |          m.cid ASC) AS rn
+         |    FROM ns$s ns CROSS JOIN pm${s}_$t m) WHERE rn = 1),
+         |ps${s}_$t AS (
+         |  SELECT a.cid, x.i,
+         |    CAST(FLOOR(CAST(sum(x.v) AS DOUBLE) / count(*)) AS BIGINT) AS val
+         |  FROM pa${s}_$t a JOIN x$s x ON x.vec_id = a.vec_id
+         |  GROUP BY a.cid, x.i),
+         |b${s}_${t + 1} AS (
+         |  SELECT * FROM ps${s}_$t UNION ALL
+         |  SELECT b.cid, b.i, b.val FROM b${s}_$t b
+         |  WHERE b.cid NOT IN (SELECT cid FROM ps${s}_$t))""".stripMargin
+    }
+    val finalBooks = (0 until m).map { s =>
+      s"""pm${s}_$iters AS (
+         |  SELECT cid, cv,
+         |    CAST(list_sum(list_transform(cv, v -> v * v)) AS BIGINT) AS n2c
+         |  FROM (SELECT cid, list(val ORDER BY i) AS cv FROM b${s}_$iters
+         |        GROUP BY cid))""".stripMargin
+    }
+    ((base +: perSub) ++ rounds ++ finalBooks).mkString(",\n")
   }
 
   private val QuantizeCtes =
@@ -3055,6 +3159,55 @@ object PipelineQueries {
          |FROM (
          |  SELECT cand.*, row_number() OVER (PARTITION BY query_id
          |    ORDER BY qcos DESC, neighbor_id ASC) AS rnk
-         |  FROM cand) WHERE rnk <= $IvfIntK""".stripMargin
+         |  FROM cand) WHERE rnk <= $IvfIntK""".stripMargin,
+
+    // P74: the trained PQ codebooks — exact integers from the unrolled
+    // per-subspace replay
+    "s_pq_codebooks" ->
+      s"""WITH $QuantizeCtes,
+         |${pqTrainCtes(PqM, PqCells, PqIters)}
+         |${(0 until PqM)
+          .map(s =>
+            s"SELECT CAST($s AS INT) AS subspace, CAST(cid AS INT) AS cell, " +
+              s"CAST(i - 1 AS INT) AS dim, CAST(val AS INT) AS value " +
+              s"FROM b${s}_$PqIters")
+          .mkString("\n UNION ALL\n ")}""".stripMargin,
+
+    // P74: ADC search — per-subspace codes under the final books, query
+    // LUT rows, exact-long score sums
+    "s_pq_topk" -> {
+      val codeCtes = (0 until PqM).map { s =>
+        s"""pc$s AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT ns.vec_id, m.cid,
+           |      row_number() OVER (PARTITION BY ns.vec_id
+           |        ORDER BY 2 * ${intDotLongSql("ns.qs", "m.cv")} - m.n2c
+           |          DESC, m.cid ASC) AS rn
+           |    FROM ns$s ns CROSS JOIN pm${s}_$PqIters m) WHERE rn = 1),
+           |pq$s AS (
+           |  SELECT ns.vec_id AS query_id, m.cid,
+           |    ${intDotLongSql("ns.qs", "m.cv")} AS w
+           |  FROM ns$s ns CROSS JOIN pm${s}_$PqIters m
+           |  WHERE ns.vec_id < $PqNQueries),
+           |pp$s AS (
+           |  SELECT l.query_id, c.vec_id AS neighbor_id, l.w
+           |  FROM pc$s c JOIN pq$s l ON l.cid = c.cid)""".stripMargin
+      }
+      s"""WITH $QuantizeCtes,
+         |${pqTrainCtes(PqM, PqCells, PqIters)},
+         |${codeCtes.mkString(",\n")},
+         |pcand AS (
+         |  SELECT query_id, neighbor_id, CAST(sum(w) AS BIGINT) AS adc
+         |  FROM (${(0 until PqM)
+          .map(s => s"SELECT * FROM pp$s")
+          .mkString(" UNION ALL ")})
+         |  WHERE query_id <> neighbor_id
+         |  GROUP BY query_id, neighbor_id)
+         |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, adc
+         |FROM (
+         |  SELECT pcand.*, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc DESC, neighbor_id ASC) AS rnk
+         |  FROM pcand) WHERE rnk <= $PqK""".stripMargin
+    }
   )
 }
