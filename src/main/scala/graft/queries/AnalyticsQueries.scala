@@ -176,6 +176,25 @@ object AnalyticsQueries {
         .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
     },
 
+    // ----- window: RANGE frame — 30-day trailing spend per customer
+    // (value-based frame over epoch seconds: peers with equal order
+    // instants aggregate together in both engines, so the result is
+    // tie-order independent — unlike a ROWS frame) -----
+    "q_window_trailing" -> { (s, dir) =>
+      // o_orderdate decodes as TIMESTAMP_NTZ on this runtime; the cast to
+      // session-zone TIMESTAMP is value-preserving (sessions run UTC) and
+      // a no-op on runtimes that already decode TIMESTAMP
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(unix_micros(col("o_orderdate").cast(TimestampType)))
+        .rangeBetween(-30L * 86400L * 1000000L, 0L)
+      t(s, dir, "orders")
+        .withColumn(
+          "trailing_30d",
+          round(sum(dec2(col("o_totalprice"))).over(w), 2).cast(DoubleType))
+        .select(col("o_custkey"), col("o_orderkey"), col("trailing_30d"))
+    },
+
     // ----- rollup over nation -> region -----
     "q_rollup_nation" -> { (s, dir) =>
       val cust = t(s, dir, "customer")
@@ -353,6 +372,13 @@ object AnalyticsQueries {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend
+        |FROM orders""".stripMargin,
+    "q_window_trailing" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+        |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+        |    AS trailing_30d
         |FROM orders""".stripMargin,
     "q_rollup_nation" ->
       """SELECT r_name, n_name, count(*) AS n_customers,

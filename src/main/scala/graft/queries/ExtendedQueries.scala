@@ -40,6 +40,58 @@ object ExtendedQueries {
           col("o_orderdate").as("last_order_date"))
     },
 
+    // ----- bucketized range join (point-in-interval): events inside the
+    // week following each same-customer order — the RangeJoin equi-join
+    // rewrite (bucket = 4 days) vs DuckDB's native BETWEEN join -----
+    "q_range_join" -> { (s, dir) =>
+      val hour2 = 2L * 3600L * 1000000L
+      val ev = events(s, dir).select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("pt"))
+      val iv = events(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(
+          col("event_id").as("signup_id"),
+          col("user_id").as("iv_user"),
+          unix_micros(col("ts")).as("lo"),
+          (unix_micros(col("ts")) + lit(hour2)).as("hi"))
+      graft.ops.RangeJoin
+        .pointInInterval(
+          ev, "pt", iv, "lo", "hi",
+          bucket = 3600L * 1000000L, // 1h buckets for 2h spans
+          keys = Seq(("user_id", "iv_user")))
+        .filter(col("event_id") =!= col("signup_id"))
+        .select(col("event_id"), col("signup_id"))
+    },
+
+    // ----- ordered funnel (signup → view → purchase): per-user earliest
+    // qualifying timestamp per stage, each stage strictly after the
+    // previous — three per-user aggregations, one summary row -----
+    "q_funnel" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev
+        .filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t1"))
+      val s2 = ev
+        .filter(col("event_type") === "view")
+        .join(s1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t2"))
+      val s3 = ev
+        .filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_view_after")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+    },
+
     // ----- sliding windows (1h window, 30m slide) -----
     "q_sliding_windows" -> { (s, dir) =>
       events(s, dir)
@@ -141,10 +193,37 @@ object ExtendedQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    // the ground truth is the naive BETWEEN join — DuckDB plans it
+    // natively (IEJoin); the Spark side must reproduce it exactly through
+    // the bucketized equi-join rewrite
+    "q_range_join" ->
+      """SELECT e.event_id, i.signup_id
+        |FROM events e JOIN (
+        |  SELECT event_id AS signup_id, user_id,
+        |    epoch_us(ts) AS lo, epoch_us(ts) + 7200000000 AS hi
+        |  FROM events WHERE event_type = 'signup') i
+        |ON e.user_id = i.user_id
+        |  AND epoch_us(e.ts) >= i.lo AND epoch_us(e.ts) <= i.hi
+        |  AND e.event_id <> i.signup_id""".stripMargin,
     "q_asof_last_order" ->
       """SELECT event_id, user_id, o_orderdate AS last_order_date
         |FROM events ASOF LEFT JOIN orders
         |  ON user_id = o_custkey AND ts >= o_orderdate""".stripMargin,
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |  (SELECT count(*) FROM s2) AS n_view_after,
+        |  (SELECT count(*) FROM s3) AS n_purchase_after""".stripMargin,
     "q_sliding_windows" ->
       """SELECT ws, event_type, count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value

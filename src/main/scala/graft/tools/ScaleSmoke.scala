@@ -431,6 +431,47 @@ object ScaleSmoke {
         }.toSeq
       }))
 
+    // Integer-exact PQ (P74) at 100x duplication: train 2x8-cell books on
+    // the 200k-code corpus and rank 100 queries by ADC. Training shuffles
+    // only (subspace, cell, dim) partial sums; the ADC scan never shuffles
+    // corpus vectors — the per-query exchange carries top-k survivors.
+    // Invariants: exactly queries x k result rows, and the 100 identical
+    // copies of each base vector must receive IDENTICAL codes (integer
+    // training cannot split a tie across partitionings).
+    measure(Step(
+      s"s_pq_adc(${copies}x, m=2 cells=8 iters=2, 100 queries)",
+      () => {
+        val queries = embs.filter(col("vec_id") % copies === 0).limit(100)
+        graft.ops.Pq.adcTopK(
+          embs, "vec_id", "embedding", queries, "vec_id", "embedding",
+          k = 10, m = 2, cells = 8, iters = 2)
+      },
+      ceilingGB = 2.0,
+      invariant = df => {
+        val n = df.count()
+        if (n != 100L * 10L) Seq(s"rows $n != 1000") else Nil
+      }))
+
+    measure(Step(
+      s"s_pq_codes(${copies}x: copies code identically)",
+      () => {
+        val quant = graft.ops.IvfInt.quantizedWithNorm(
+          embs, "vec_id", "embedding")
+        val books = graft.ops.Pq.trainCodebooks(
+          quant, "vec_id", m = 2, cells = 8, iters = 2)
+        graft.ops.Pq.encode(quant, "vec_id", books)
+      },
+      ceilingGB = 2.0,
+      invariant = df => {
+        val split = df
+          .groupBy((col("vec_id") / copies).cast("long").as("base"))
+          .agg(countDistinct(col("codes").cast("string")).as("kc"))
+          .filter(col("kc") =!= 1)
+          .count()
+        if (split != 0) Seq(s"$split base groups coded non-identically")
+        else Nil
+      }))
+
     graft.ops.Par.releaseCaches()
     spark.stop()
     sys.exit(if (failed) 1 else 0)
