@@ -472,4 +472,67 @@ object Sampling {
       .filter(col(cumCol) <= budget)
       .drop(tok, sc, bkt, "__tb_local", "__tb_offset")
   }
+
+  /** Exact integer division `⌊a / b⌋` for non-negative longs — true
+    * integer division ([[RangeJoin.floorDiv]]'s `IntegralDivide`), exact
+    * past 2^53 where a double round-trip is not: `budget · share` at a
+    * 10-trillion-token budget already overflows double exactness.
+    */
+  private def divFloor(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.ColumnShim.expression(a.cast(LongType)),
+        org.apache.spark.sql.graft.ColumnShim.expression(b.cast(LongType))))
+
+  /** Mixture plan: turn measured per-group token counts (the
+    * [[CorpusStats.corpusReport]] output, or any (group, tokens) frame)
+    * plus TARGET mixture shares and a total token budget into the
+    * per-group sampling rates [[weightedMixCol]] consumes — the "design
+    * the mixture" step between corpus accounting and corpus sampling.
+    *
+    * For each group: `desired = ⌊budget · share‰ / 1000⌋` tokens, rate =
+    * `⌊desired · 1000 / tokens⌋` per-mille capped at `maxPerMille`
+    * (1000 = downsample-only; higher permits upsampling — duplication —
+    * for under-represented groups), and `planned = ⌊tokens · rate / 1000⌋`
+    * actually-sampled tokens. All integer arithmetic: the plan is
+    * deterministic, engine-replayable, and auditable (planned ≤ desired,
+    * with equality gaps only from per-mille granularity). Zero-token
+    * groups get rate 0.
+    *
+    * Output: (groupCol, tokens, target_per_mille, rate_per_mille,
+    * planned_tokens). Pure projection over the (small) stats frame — no
+    * shuffle; at 100 TB the stats frame is |groups| rows, the plan is the
+    * same |groups| rows broadcast into the sampling pass.
+    */
+  def mixturePlan(
+      stats: DataFrame,
+      groupCol: String,
+      tokenCol: String,
+      targetsPerMille: Map[String, Int],
+      defaultPerMille: Int,
+      budget: Long,
+      maxPerMille: Int = 1000): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(maxPerMille >= 0, "maxPerMille must be non-negative")
+    require(
+      (targetsPerMille.values ++ Seq(defaultPerMille)).forall(_ >= 0),
+      "target shares must be non-negative")
+    val share = targetsPerMille.foldLeft(lit(defaultPerMille.toLong)) {
+      case (acc, (k, s)) =>
+        when(col(groupCol) === lit(k), lit(s.toLong)).otherwise(acc)
+    }
+    val tokens = coalesce(col(tokenCol).cast(LongType), lit(0L))
+    val desired = divFloor(lit(budget) * share, lit(1000L))
+    val rawRate =
+      when(tokens === 0L, lit(0L))
+        .otherwise(divFloor(desired * 1000L, tokens))
+    val rate = least(rawRate, lit(maxPerMille.toLong))
+    stats
+      .select(
+        col(groupCol),
+        tokens.as("tokens"),
+        share.as("target_per_mille"),
+        rate.as("rate_per_mille"),
+        divFloor(tokens * rate, lit(1000L)).as("planned_tokens"))
+  }
 }

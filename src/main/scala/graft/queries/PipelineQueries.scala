@@ -690,6 +690,20 @@ object PipelineQueries {
         Seq("lang", "source"))
     },
 
+    // ----- mixture plan: measured per-lang token counts + target shares
+    // + a budget -> per-lang sampling rates (integer rational math; the
+    // corpusReport -> weightedMix bridge) -----
+    "t_mixture_plan" -> { (s, dir) =>
+      val stats = graft.ops.CorpusStats.corpusReport(
+        t(s, dir, "documents"), "text", Seq("lang"))
+      Sampling.mixturePlan(
+        stats, "lang", "n_tokens",
+        targetsPerMille = MixPlanTargets,
+        defaultPerMille = MixPlanDefault,
+        budget = MixPlanBudget,
+        maxPerMille = MixPlanMax)
+    },
+
     // ----- Gopher repetition rule bundle (Rae et al. 2021 Table A1):
     // duplicate-line fractions over a derived multi-line fixture (the
     // corpus text is single-line) + top/duplicated n-gram char fractions
@@ -1672,6 +1686,14 @@ object PipelineQueries {
     (seed +: rounds).mkString(",\n")
   }
 
+  // Shared P75 mixture-plan gate parameters (upsampling permitted: zh is
+  // under-represented against its 300‰ target at this budget).
+  private val MixPlanTargets: scala.collection.immutable.ListMap[String, Int] =
+    scala.collection.immutable.ListMap("en" -> 400, "zh" -> 300)
+  private val MixPlanDefault = 100
+  private val MixPlanBudget = 500000L
+  private val MixPlanMax = 2000
+
   // Shared P74 gate parameters.
   private val PqM = 2
   private val PqCells = 4
@@ -2305,6 +2327,33 @@ object PipelineQueries {
          |  CAST(sum(toks) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          |    AS mean_tokens
          |FROM b GROUP BY lang, source""".stripMargin,
+    // replays mixturePlan: per-lang token sums + the shared target CASE,
+    // all-integer rational rate math (// is integer division; operands
+    // non-negative so truncation = floor in both engines)
+    "t_mixture_plan" -> {
+      val shareCase = "CASE lang " + MixPlanTargets
+        .map { case (k, v) => s"WHEN '$k' THEN $v" }
+        .mkString(" ") + s" ELSE $MixPlanDefault END"
+      s"""WITH b AS (
+         |  SELECT lang, coalesce(len($WsSql), 0) AS toks FROM documents),
+         |g AS (
+         |  SELECT lang, CAST(sum(toks) AS BIGINT) AS tokens
+         |  FROM b GROUP BY lang),
+         |p AS (
+         |  SELECT lang, tokens, CAST($shareCase AS BIGINT) AS share FROM g),
+         |r AS (
+         |  SELECT lang, tokens, share,
+         |    least(
+         |      CASE WHEN tokens = 0 THEN 0
+         |        ELSE ((($MixPlanBudget * share) // 1000) * 1000) // tokens
+         |        END,
+         |      $MixPlanMax) AS rate
+         |  FROM p)
+         |SELECT lang, tokens, share AS target_per_mille,
+         |  CAST(rate AS BIGINT) AS rate_per_mille,
+         |  CAST((tokens * rate) // 1000 AS BIGINT) AS planned_tokens
+         |FROM r""".stripMargin
+    },
     "t_gopher_repetition" ->
       s"""WITH m AS (
          |  SELECT doc_id, text,
