@@ -65,6 +65,44 @@ object ExtendedQueries {
         .select(col("event_id"), col("signup_id"))
     },
 
+    // ----- STREAM-STREAM interval join twin of q_range_join: both sides
+    // are streams (all events ⋈ signup windows) joined on user + an
+    // event-time range — the Structured Streaming join surface, gated by
+    // the SAME relational oracle (the q_stream_events_hourly pattern).
+    // Inner stream-stream joins are legal without watermarks (unbounded
+    // state); the bounded AvailableNow run emits the complete result.
+    "q_stream_range_join" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def stream = s.readStream
+        .schema(schema)
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("ts", Tables.normalizeEventTs(schema("ts").dataType))
+      val pts = stream.select(col("event_id"), col("user_id"), col("ts"))
+      val ivs = stream
+        .filter(col("event_type") === "signup")
+        .select(
+          col("event_id").as("signup_id"),
+          col("user_id").as("iv_user"),
+          col("ts").as("iv_ts"))
+      val joined = pts
+        .join(
+          ivs,
+          col("user_id") === col("iv_user") &&
+            col("ts") >= col("iv_ts") &&
+            col("ts") <= col("iv_ts") + expr("INTERVAL 2 HOURS") &&
+            col("event_id") =!= col("signup_id"))
+        .select(col("event_id"), col("signup_id"))
+      val sinkName = "q_stream_range_join_out"
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+    },
+
     // ----- ordered funnel (signup → view → purchase): per-user earliest
     // qualifying timestamp per stage, each stage strictly after the
     // previous — three per-user aggregations, one summary row -----
@@ -197,6 +235,16 @@ object ExtendedQueries {
     // natively (IEJoin); the Spark side must reproduce it exactly through
     // the bucketized equi-join rewrite
     "q_range_join" ->
+      """SELECT e.event_id, i.signup_id
+        |FROM events e JOIN (
+        |  SELECT event_id AS signup_id, user_id,
+        |    epoch_us(ts) AS lo, epoch_us(ts) + 7200000000 AS hi
+        |  FROM events WHERE event_type = 'signup') i
+        |ON e.user_id = i.user_id
+        |  AND epoch_us(e.ts) >= i.lo AND epoch_us(e.ts) <= i.hi
+        |  AND e.event_id <> i.signup_id""".stripMargin,
+    // the streaming twin must reproduce the SAME relation
+    "q_stream_range_join" ->
       """SELECT e.event_id, i.signup_id
         |FROM events e JOIN (
         |  SELECT event_id AS signup_id, user_id,

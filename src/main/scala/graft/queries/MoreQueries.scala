@@ -77,6 +77,50 @@ object MoreQueries {
           size(array_distinct(
             regexp_extract_all(col("text"), lit(TokenRe), lit(0))))
             .as("n_uniq_regex_tokens"))
+    },
+
+    // ----- pivot: spend per priority x status as columns (explicit value
+    // list = deterministic schema; SUM not COUNT so an empty cell is NULL
+    // in both engines) -----
+    "q_pivot_status" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(round(sum(dec2(col("o_totalprice"))), 2).cast(DoubleType))
+    },
+
+    // ----- unpivot/melt: lineitem rate columns to long format -----
+    "q_unpivot_rates" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(
+            dec2(col("l_quantity")).cast(DoubleType).as("l_quantity"),
+            dec2(col("l_discount")).cast(DoubleType).as("l_discount"),
+            dec2(col("l_tax")).cast(DoubleType).as("l_tax")),
+          "measure",
+          "value")
+    },
+
+    // ----- GROUPING SETS (beyond rollup/cube: an explicit set list with
+    // the region-only and segment-only marginals plus the grand total) --
+    "q_grouping_sets" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(
+          broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(
+          broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupingSets(
+          Seq(Seq(col("r_name")), Seq(col("c_mktsegment")), Seq()),
+          col("r_name"),
+          col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(sum(dec2(col("c_acctbal"))), 2).cast(DoubleType)
+            .as("sum_acctbal"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -107,6 +151,35 @@ object MoreQueries {
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_regex_tokens,
         |  len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS n_uniq_regex_tokens
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'O'), 2) AS DOUBLE) AS O,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'F'), 2) AS DOUBLE) AS F,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'P'), 2) AS DOUBLE) AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_unpivot_rates" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS value
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount',
+        |  CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE)
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax',
+        |  CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE)
+        |FROM lineitem WHERE l_orderkey % 50 = 0""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT r_name, c_mktsegment, count(*) AS n_customers,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())""".stripMargin
   )
 }
