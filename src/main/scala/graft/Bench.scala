@@ -56,7 +56,16 @@ object Bench {
     // the two queries running in that window (q04 22.9s, q06 9.8s median vs
     // ~1s steady-state) while every neighbor stayed fast.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val qseq = SparkEntry.queries.toSeq
+    // Optional subset filter (local probes only — the driver runs the full
+    // set): comma-separated exact names, or `prefix*` globs. Used for the
+    // r10 quiet-window HTTP medians (10×-interleaved `h_*`) recorded in
+    // SURVEY §5.
+    val only: Option[Array[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(','))
+    val qseq = SparkEntry.queries.toSeq.filter { case (n, _) =>
+      only.forall(_.exists(p =>
+        if (p.endsWith("*")) n.startsWith(p.dropRight(1)) else n == p))
+    }
     // Warm the HTTP query FIXTURES untimed (same rationale as the generic
     // warmup above): the first lookup-table query otherwise pays one-time
     // costs — the stub server's driver-side parquet collect and the

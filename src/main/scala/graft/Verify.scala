@@ -23,7 +23,12 @@ object Verify {
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val df = fn(spark, sfDir)
+        // fail LOUDLY (a visible [verify] FAILED line) rather than letting
+        // the driver's pandas harness crash on a nested column (the r9
+        // s_mean_pool failure shape)
+        GateContract.assertGateable(name, df.schema)
+        df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         println(f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
       } catch { case e: Throwable =>

@@ -50,11 +50,21 @@ object JsonIngest {
         "mode" -> "PERMISSIVE",
         "columnNameOfCorruptRecord" -> "_corrupt_record"))
     val rest = df.columns.filterNot(_ == jsonCol).map(col).toSeq
+    // Pin the "malformed ⇒ ALL data fields null" contract in the plan, not
+    // the runtime: with spark.sql.json.enablePartialResults=true (the
+    // default on newer Sparks) a truncated line can decode its leading
+    // fields AND set _corrupt_record, which would silently change the
+    // quarantine semantics (and the t_jsonl_ingest oracle) across
+    // versions. Masking every field on corrupt rows makes the dichotomy
+    // conf- and version-independent, still codegen'd and map-side.
+    val corrupt = col("__p._corrupt_record").isNotNull
     df.withColumn("__p", parsed)
       .select(
         rest ++
-          schema.fieldNames.toSeq.map(f => col(s"__p.$f").as(f)) ++ Seq(
-          col("__p._corrupt_record").isNotNull.as("is_corrupt"),
+          schema.fields.toSeq.map(f =>
+            when(corrupt, lit(null).cast(f.dataType))
+              .otherwise(col(s"__p.${f.name}")).as(f.name)) ++ Seq(
+          corrupt.as("is_corrupt"),
           col("__p._corrupt_record").as("raw")): _*)
   }
 

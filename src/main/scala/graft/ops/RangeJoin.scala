@@ -19,7 +19,9 @@ import org.apache.spark.sql.types._
   * Scale posture (100 TB): shuffle = |P| + |I|·(mean span / B + 1) rows,
   * hashed on (keys…, bucket) — pick `B` near the median interval width so
   * the replication factor stays O(1); a single giant interval replicates
-  * to span/B buckets (map-side Generate, no driver involvement), and a
+  * to span/B buckets (map-side Generate, no driver involvement) up to a
+  * loud `maxReplication` guard (default 1e6 — a sentinel hi=Long.MaxValue
+  * interval raises instead of OOMing a task), and a
   * hot bucket is ordinary equi-join skew — AQE's skew split applies, or
   * feed a larger `B`. Floor-division is exact integer arithmetic
   * (`(x − pmod(x, B)) div B`, correct for negative values too — no
@@ -54,17 +56,31 @@ object RangeJoin {
       loCol: String,
       hiCol: String,
       bucket: Long,
-      keys: Seq[(String, String)] = Nil): DataFrame = {
+      keys: Seq[(String, String)] = Nil,
+      maxReplication: Long = 1000000L): DataFrame = {
     require(bucket > 0, "bucket width must be positive")
+    require(maxReplication > 0, "maxReplication must be positive")
     val p = Par.fan(points).withColumn("__b", floorDiv(col(pointCol), bucket))
+    // Guard against pathological spans: an open-ended sentinel interval
+    // (hi = Long.MaxValue) would ask `sequence` for quintillions of bucket
+    // ids — Spark's sequence-length error at best, a task OOM at worst.
+    // Fail loudly with the offending span instead; callers with genuine
+    // open-ended intervals must clamp hi to the data's max point (or
+    // raise `bucket`) before the join.
+    val span = floorDiv(col(hiCol), bucket) - floorDiv(col(loCol), bucket)
+    val checkedHi = when(
+      span >= maxReplication,
+      raise_error(concat(
+        lit(s"RangeJoin: interval [${loCol}, ${hiCol}] spans "),
+        (span + 1).cast(StringType),
+        lit(s" buckets of width $bucket (max $maxReplication) — clamp " +
+          "open-ended intervals or raise the bucket width")))
+        .cast(LongType)).otherwise(floorDiv(col(hiCol), bucket))
     val i = Par.fan(intervals)
       .filter(col(loCol) <= col(hiCol))
       .withColumn(
         "__b",
-        explode(
-          sequence(
-            floorDiv(col(loCol), bucket),
-            floorDiv(col(hiCol), bucket))))
+        explode(sequence(floorDiv(col(loCol), bucket), checkedHi)))
     val cond = keys
       .map { case (pk, ik) => p(pk) === i(ik) }
       .foldLeft(

@@ -517,6 +517,17 @@ object Sampling {
     require(
       (targetsPerMille.values ++ Seq(defaultPerMille)).forall(_ >= 0),
       "target shares must be non-negative")
+    // overflow guard — the scaladoc promises EXACT integer arithmetic, so
+    // a silent 64-bit wrap must be a loud driver-side error, not a wrong
+    // plan. budget·maxShare ≤ Long.Max suffices for BOTH products:
+    // desired·1000 = ⌊budget·share/1000⌋·1000 ≤ budget·share. (A
+    // 9.2-quadrillion-token budget at share 1000‰ stays legal.)
+    val maxShare =
+      math.max(1L, (targetsPerMille.values ++ Seq(defaultPerMille)).max.toLong)
+    require(
+      budget <= Long.MaxValue / maxShare,
+      s"budget $budget with max share $maxShare‰ would overflow 64-bit " +
+        s"budget·share (cap ${Long.MaxValue / maxShare})")
     val share = targetsPerMille.foldLeft(lit(defaultPerMille.toLong)) {
       case (acc, (k, s)) =>
         when(col(groupCol) === lit(k), lit(s.toLong)).otherwise(acc)
@@ -527,12 +538,21 @@ object Sampling {
       when(tokens === 0L, lit(0L))
         .otherwise(divFloor(desired * 1000L, tokens))
     val rate = least(rawRate, lit(maxPerMille.toLong))
+    // tokens is data-dependent, so its overflow guard must be in-plan:
+    // raise_error (not a wrapped product) if tokens·rate would exceed a
+    // long. The stats frame is |groups| rows, so the per-row CASE is free.
+    val tokenCap = Long.MaxValue / math.max(1L, maxPerMille.toLong)
+    val checkedTokens = when(
+      tokens > tokenCap,
+      raise_error(concat(
+        lit(s"mixturePlan: token count exceeds overflow-safe cap $tokenCap: "),
+        tokens.cast(StringType))).cast(LongType)).otherwise(tokens)
     stats
       .select(
         col(groupCol),
         tokens.as("tokens"),
         share.as("target_per_mille"),
         rate.as("rate_per_mille"),
-        divFloor(tokens * rate, lit(1000L)).as("planned_tokens"))
+        divFloor(checkedTokens * rate, lit(1000L)).as("planned_tokens"))
   }
 }

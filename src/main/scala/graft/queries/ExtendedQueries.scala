@@ -41,8 +41,8 @@ object ExtendedQueries {
     },
 
     // ----- bucketized range join (point-in-interval): events inside the
-    // week following each same-customer order — the RangeJoin equi-join
-    // rewrite (bucket = 4 days) vs DuckDB's native BETWEEN join -----
+    // 2h window following each same-user signup — the RangeJoin equi-join
+    // rewrite (1h buckets for 2h spans) vs DuckDB's native BETWEEN join -----
     "q_range_join" -> { (s, dir) =>
       val hour2 = 2L * 3600L * 1000000L
       val ev = events(s, dir).select(

@@ -831,13 +831,23 @@ object PipelineQueries {
 
     // ----- deterministic ordered mean pooling: 5-chunk groups → one
     // pooled doc embedding (bit-reproducible fold, unlike avg()) -----
+    // GATE SHAPE: the op returns `pooled array<double>`, but the driver's
+    // oracle harness can only sort/hash scalar columns (r9: pandas
+    // `unhashable type: numpy.ndarray`), so the gate posexplodes the
+    // vector to one (g_id, n_members, dim, value) row per dimension — the
+    // s_pq_codebooks precedent. The public API is unchanged.
     "s_mean_pool" -> { (s, dir) =>
-      Similarity.meanPool(
-        t(s, dir, "embeddings")
-          .withColumn("g_id", col("vec_id") % 100),
-        "g_id",
-        "vec_id",
-        "embedding")
+      Similarity
+        .meanPool(
+          t(s, dir, "embeddings")
+            .withColumn("g_id", col("vec_id") % 100),
+          "g_id",
+          "vec_id",
+          "embedding")
+        .select(
+          col("g_id"),
+          col("n_members"),
+          posexplode(col("pooled")).as(Seq("dim", "value")))
     },
 
     // ----- IVF cell assignment (the map-side step of ivfTopK) -----
@@ -2653,16 +2663,23 @@ object PipelineQueries {
     },
     // replays the ORDERED per-dimension fold: list(… ORDER BY vec_id) then
     // left-to-right list_reduce — the same association order as the Spark
-    // sort_array + aggregate, so raw doubles hash-match
+    // sort_array + aggregate, so raw doubles hash-match. Unnested to one
+    // scalar row per dimension (zipped unnests) to mirror the gate's
+    // posexplode — the harness cannot sort array-typed columns.
     "s_mean_pool" -> {
       s"""WITH g AS (
          |  SELECT vec_id % 100 AS g_id, list(embedding ORDER BY vec_id) AS vs
-         |  FROM embeddings GROUP BY vec_id % 100)
-         |SELECT g_id, len(vs) AS n_members,
-         |  list_transform(range(1, len(vs[1]) + 1),
-         |    d -> list_reduce(list_transform(vs, v -> CAST(v[d] AS DOUBLE)),
-         |      (a, b) -> a + b) / len(vs)) AS pooled
-         |FROM g""".stripMargin
+         |  FROM embeddings GROUP BY vec_id % 100),
+         |m AS (
+         |  SELECT g_id, len(vs) AS n_members,
+         |    list_transform(range(1, len(vs[1]) + 1),
+         |      d -> list_reduce(list_transform(vs, v -> CAST(v[d] AS DOUBLE)),
+         |        (a, b) -> a + b) / len(vs)) AS pooled
+         |  FROM g)
+         |SELECT g_id, n_members,
+         |  CAST(unnest(range(0, len(pooled))) AS INT) AS dim,
+         |  unnest(pooled) AS value
+         |FROM m""".stripMargin
     },
     "s_embed_neardup" -> {
       s"""WITH $embedNearDupCte

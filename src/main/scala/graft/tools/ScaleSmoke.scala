@@ -472,6 +472,53 @@ object ScaleSmoke {
         else Nil
       }))
 
+    // PageRank (P64) at 100x: the one op class (iterative joins) with no
+    // prior scale evidence. Graph = the driver gate's edge generator over
+    // the fanned corpus (nDocs nodes, ~2.2 nDocs edges, 5 power
+    // iterations). Ceiling covers the WHOLE run (5x (ranks-join-edges +
+    // dest partial-agg) on integer rows). Invariants, checked after the
+    // metric snapshot: (a) one rank row per node; (b) the final plan is
+    // FLAT — localCheckpoint per iteration truncates lineage, so the tree
+    // must not grow with iteration count; (c) exact-integer determinism:
+    // re-running on an adversarially repartitioned edge list reproduces
+    // every (node, rank) bit-identically (float-mass PageRank fails this).
+    locally {
+      val n = nDocs
+      def edgesOf(d: DataFrame): DataFrame = {
+        val e1 = d.select(
+          col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
+        val e2 = d.select(
+          col("doc_id").as("src"), ((col("doc_id") * 13 + 5) % n).as("dst"))
+        val e3 = d.filter(col("doc_id") % 5 === 0).select(
+          col("doc_id").as("src"), (col("doc_id") % 37).as("dst"))
+        e1.union(e2).union(e3)
+      }
+      val ids = docs.select(col("doc_id"))
+      measure(Step(
+        s"u_pagerank(${copies}x graph, 5 iters)",
+        () => graft.ops.PageRank.ranks(edgesOf(ids), "src", "dst", iters = 5),
+        ceilingGB = 2.0,
+        invariant = df => {
+          val rows = df.count()
+          val planLines =
+            df.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+          val a = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          graft.ops.Par.releaseCaches()
+          val b = graft.ops.PageRank
+            .ranks(edgesOf(ids).repartition(7), "src", "dst", iters = 5)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          Seq(
+            if (rows == n) None
+            else Some(s"$rows rank rows != $n nodes"),
+            if (planLines <= 20) None
+            else Some(s"final plan has $planLines lines — lineage not truncated"),
+            if (a == b) None
+            else Some(s"ranks differ across partitionings: sym-diff=" +
+              s"${(a diff b).size + (b diff a).size}")
+          ).flatten
+        }))
+    }
+
     graft.ops.Par.releaseCaches()
     spark.stop()
     sys.exit(if (failed) 1 else 0)

@@ -1,0 +1,67 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.types._
+
+/** Full-gate-set contract canary — the r9 "what's wrong #2", closed.
+  *
+  * TestdataCanarySpec (r8) pinned table READS; this spec pins the whole
+  * query set one level up: every `SparkEntry.queries` entry must (a)
+  * analyze against the driver's sf0.001 fixtures — a Spark upgrade or
+  * schema drift that breaks analysis fails `sbt test` before the driver
+  * run — and (b) emit only top-level atomic columns, because the driver's
+  * pandas harness crashes sorting nested types (r9: `s_mean_pool` returned
+  * a raw `array<double>` and its gate recorded `err` instead of pass/fail).
+  *
+  * Only `.schema` is forced, not execution — construction-time eager work
+  * (stub-server startup, centroid collects at sf0.001) is cheap; the
+  * driver's Verify run remains the execution gate.
+  */
+class GateContractSpec extends SparkSpec {
+
+  private val dir =
+    sys.env.getOrElse("SPARK_GRAFT_CANARY_DIR", "/root/testdata/sf0.001")
+
+  test("every gated query analyzes at sf0.001 with a harness-sortable schema") {
+    assume(new File(dir).isDirectory, s"driver testdata not present at $dir")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val schema = fn(spark, dir).schema // forces analysis only
+          val bad = GateContract.nonAtomicColumns(schema)
+          if (bad.nonEmpty) Some(s"$name: non-atomic [${bad.mkString(", ")}]")
+          else None
+        } catch {
+          case e: Throwable =>
+            Some(s"$name: analysis failed — ${e.getMessage}")
+        } finally graft.ops.Par.releaseCaches()
+    }
+    withClue(failures.mkString("\n")) { failures shouldBe empty }
+  }
+
+  test("the guard itself rejects nested output columns") {
+    val nested = StructType(Seq(
+      StructField("id", LongType),
+      StructField("vec", ArrayType(DoubleType)),
+      StructField("kv", MapType(StringType, LongType)),
+      StructField("s", StructType(Seq(StructField("x", IntegerType))))))
+    val bad = GateContract.nonAtomicColumns(nested)
+    bad.map(_.takeWhile(_ != ':')) shouldBe Seq("vec", "kv", "s")
+    an[IllegalArgumentException] should be thrownBy
+      GateContract.assertGateable("synthetic", nested)
+    noException should be thrownBy GateContract.assertGateable(
+      "ok",
+      StructType(Seq(StructField("id", LongType), StructField("v", DoubleType))))
+  }
+
+  test("every gated query has an oracle entry (or is a documented omission)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // no silent rows-only fallbacks: any gate without SQL must be added to
+    // this explicit allowlist with a rationale in SURVEY §4
+    val documentedRowsOnly = Set.empty[String]
+    withClue(s"gates without oracle SQL: ${missing.mkString(", ")}") {
+      (missing -- documentedRowsOnly) shouldBe empty
+    }
+  }
+}

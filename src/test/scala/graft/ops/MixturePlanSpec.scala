@@ -73,6 +73,19 @@ class MixturePlanSpec extends SparkSpec {
     got("en") shouldBe ((1000L, 1000L, big))
   }
 
+  test("64-bit overflow is a loud error, not a wrapped plan") {
+    // budget·maxShare past Long.Max → driver-side require fires
+    an[IllegalArgumentException] should be thrownBy
+      plan(Seq(("en", 1L)), Map("en" -> 1000), 100, Long.MaxValue / 999)
+    // the cap itself is legal: the scaladoc's 9.2-quadrillion-token case
+    noException should be thrownBy
+      plan(Seq(("en", 1L)), Map("en" -> 1000), 100, Long.MaxValue / 1000)
+    // data-dependent: a token count whose tokens·rate would wrap raises
+    // in-plan instead of producing a wrong planned_tokens
+    a[Throwable] should be thrownBy
+      plan(Seq(("en", Long.MaxValue / 10)), Map("en" -> 1000), 100, 1000L)
+  }
+
   test("negative inputs are rejected") {
     an[IllegalArgumentException] should be thrownBy
       Sampling.mixturePlan(
