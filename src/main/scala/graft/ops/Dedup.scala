@@ -605,6 +605,118 @@ object Dedup {
     jaccardVerify(verified, threshold)
   }
 
+  /** Exact n-gram CONTAINMENT similarity join — the directional companion
+    * of [[prefixJaccardPairs]]: emit (id_a → id_b) when
+    * `|S(A) ∩ S(B)| / |S(A)| ≥ t`, i.e. most of A's shingles appear in B.
+    * Jaccard misses doc-in-doc duplication by construction (a page quoted
+    * inside a 100× larger page has jaccard ≈ |A|/|B| ≈ 0.01 at containment
+    * 1.0); this is the operator that catches excerpts, quotations, and
+    * wrapped boilerplate around stolen bodies. Directional: an exact-dup
+    * pair appears in both directions.
+    *
+    * Same lossless candidate machinery, adapted to the asymmetric bound:
+    * overlap must reach `α(A) = ⌈t·|A|⌉` (exact integers:
+    * `⌈x·t_ppm/10⁶⌉`), so A needs only its `|A| − α + 1` globally RAREST
+    * shingles indexed (prefix filter for overlap joins), while B must be
+    * indexed in FULL — containment admits no length-ratio pruning on B
+    * beyond `|B| ≥ α`. Both sides keep the canonical (df asc, tok asc)
+    * rank so the positional upper bound
+    * `1 + min(|A|−pos_a, |B|−pos_b) ≥ α` is valid. The verify-back
+    * recomputes the exact intersection. The B-side index is linear in
+    * corpus shingles, and a candidate's cost is bounded by the df of A's
+    * rare prefix shingles — with the standard exact-collapse prefilter
+    * (P1) in front, duplicated content indexes once.
+    *
+    * Output: (id_a, id_b, inter, len_a, containment_ppm) — all exact
+    * integers, `containment_ppm = ⌊inter·10⁶/len_a⌋`.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      thresholdPpm: Long = 800000L,
+      hotK: Int = 1024): DataFrame = {
+    require(
+      thresholdPpm > 0 && thresholdPpm <= 1000000L,
+      "thresholdPpm must be in (0, 1e6]")
+    val sh = Par.cached(
+      Par.fan(df).select(
+        col(idCol).as("id"),
+        array_distinct(
+          transform(
+            TextFunctions.shingleSet(col(textCol), n),
+            s => TextFunctions.hash61(s))).as("sh"))
+        .filter(size(col("sh")) > 0))
+    val toks = sh.select(
+      col("id"), size(col("sh")).as("len"), explode(col("sh")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val withFreq = SkewJoin.hotTailEquiJoin(
+      toks, freq, "tok", Seq(col("df").desc, col("tok")), hotK)
+    val ordered = Par.cached(withFreq
+      .groupBy(col("id"), col("len"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord")))
+
+    // α = ⌈len · t_ppm / 10⁶⌉ as exact integers
+    def alpha(len: Column): Column =
+      RangeJoin.floorDiv(len.cast(LongType) * thresholdPpm + 999999L, 1000000L)
+
+    // A side: the len − α + 1 rarest shingles; B side: all, with rank
+    val aPrefix = ordered
+      .select(
+        col("id"),
+        col("len"),
+        posexplode(slice(
+          col("ord"),
+          lit(1),
+          (col("len") - alpha(col("len")) + 1).cast(IntegerType)))
+          .as(Seq("pos0", "st")))
+      .select(
+        col("id").as("id_a"),
+        col("len").as("len_a"),
+        (col("pos0") + 1).as("pos_a"),
+        col("st.tok").as("tok"))
+    val bAll = ordered
+      .select(
+        col("id").as("id_b"),
+        col("len").as("len_b"),
+        posexplode(col("ord")).as(Seq("pos0", "st")))
+      .select(
+        col("id_b"),
+        col("len_b"),
+        (col("pos0") + 1).as("pos_b"),
+        col("st.tok").as("tok"))
+
+    val candidates = aPrefix
+      .join(bAll, "tok")
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("len_b") >= alpha(col("len_a")))
+      .filter(
+        lit(1) + least(
+          col("len_a") - col("pos_a"),
+          col("len_b") - col("pos_b")) >= alpha(col("len_a")))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType)
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        inter.as("inter"),
+        size(col("sh_a")).cast(LongType).as("len_a"))
+      .filter(col("inter") >= alpha(col("len_a")))
+      .withColumn(
+        "containment_ppm",
+        org.apache.spark.sql.graft.ColumnShim.column(
+          org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            org.apache.spark.sql.graft.ColumnShim.expression(
+              col("inter") * 1000000L),
+            org.apache.spark.sql.graft.ColumnShim.expression(col("len_a")))))
+  }
+
   /** Connected components over a near-dup pair graph: every document in a
     * component gets the component's minimum doc id as `cluster_id` — the
     * canonical "keep one per duplicate cluster" step after pair generation.

@@ -110,6 +110,28 @@ object TextFunctions {
       "\\s{2,}",
       " "))
 
+  /** Unicode NFC normalization (canonical composition): the first step of
+    * any multilingual pretraining cleanup — crawls mix composed (`é`) and
+    * decomposed (`e`+U+0301) forms of the same text, which defeats exact
+    * dedup, hashing, and tokenizer vocab lookups unless canonicalized.
+    * Native codegen expression ([[org.apache.spark.sql.graft.NfcNormalizeF]]
+    * — Spark has no built-in; a UDF would break whole-stage codegen) with a
+    * zero-allocation fast path for already-NFC text. DuckDB oracle:
+    * `nfc_normalize(x)` — both sides implement Unicode canonical
+    * composition, byte-identical on well-formed text.
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.NfcNormalizeF(
+        org.apache.spark.sql.graft.ColumnShim.expression(
+          text.cast(StringType))))
+
+  /** Full pretraining text canonicalization: NFC, then control-char strip +
+    * whitespace collapse ([[cleanText]]). Map-side, fully codegen.
+    */
+  def canonicalizeText(text: Column): Column =
+    cleanText(nfcNormalize(text))
+
   /** SQuAD-style answer normalization (the `normalize_answer` used by
     * extractive-QA exact-match scoring and QA decontamination): lowercase
     * → strip ASCII punctuation → drop English articles (a / an / the) →

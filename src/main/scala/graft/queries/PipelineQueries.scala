@@ -332,6 +332,20 @@ object PipelineQueries {
         threshold = 0.5)
     },
 
+    // ----- exact n-gram CONTAINMENT join (NEW r10): directional
+    // doc-in-doc detection — |S(A)∩S(B)|/|S(A)| ≥ 0.5; catches excerpts
+    // and quoted bodies that jaccard misses by construction. Gated against
+    // the NAIVE all-pairs oracle = losslessness proof, like
+    // p_prefix_jaccard -----
+    "p_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(
+        t(s, dir, "documents"),
+        "doc_id",
+        "text",
+        n = 3,
+        thresholdPpm = 500000L)
+    },
+
     // ----- near-dup clusters (connected components over the pair graph) --
     "p_dup_clusters" -> { (s, dir) =>
       Dedup.nearDupClusters(
@@ -510,6 +524,54 @@ object PipelineQueries {
         col("doc_id").as("src"), (col("doc_id") % 37).as("dst"))
       graft.ops.PageRank.ranks(
         e1.union(e2).union(e3), "src", "dst", iters = 5)
+    },
+
+    // ----- host-level authority (NEW r10): the COMPOSITION a web-curation
+    // pipeline actually runs — per-doc link pairs → registered-domain
+    // extraction (Urls) → integer-exact PageRank over the domain
+    // multigraph (parallel edges keep their multiplicity: a domain linking
+    // another 1000× contributes 1000 edge shares) -----
+    "u_host_rank" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      // src domains over mod 50, dst over mod 37/41: coprime moduli break
+      // the regularity a single shared modulus would create (a perfectly
+      // regular multigraph pageranks to the uniform vector — a trivial
+      // gate); this fixture yields 42 distinct rank values over 50 domains
+      def urlOf(c: Column, m: Int): Column = concat(
+        lit("https://www.d"), (c % m).cast(StringType),
+        lit(".com/p"), c.cast(StringType))
+      val links = docs
+        .select(
+          urlOf(col("doc_id"), 50).as("src_url"),
+          urlOf((col("doc_id") * 7 + 3) % n, 37).as("dst_url"))
+        .union(docs.select(
+          urlOf(col("doc_id"), 50).as("src_url"),
+          urlOf((col("doc_id") * 13 + 5) % n, 41).as("dst_url")))
+      graft.ops.PageRank.ranks(
+        links.select(
+          graft.ops.Urls.urlDomain(col("src_url")).as("src"),
+          graft.ops.Urls.urlDomain(col("dst_url")).as("dst")),
+        "src", "dst", iters = 3)
+    },
+
+    // ----- ANN recall evaluation (NEW r10): recall@k of the integer-exact
+    // IVF (nprobe < cells — genuinely approximate) against the quantized
+    // brute-force ground truth over the same codes. Both pipelines are
+    // engine-deterministic, so the recall NUMBERS are hash-gated — the
+    // measurement itself is verified, not just the measured systems -----
+    "s_ann_recall" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val ann = IvfInt.topK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < IvfIntNQueries), "vec_id", "embedding",
+        k = IvfIntK, cells = IvfIntCells, nprobe = IvfIntNprobe,
+        iters = IvfIntIters)
+      val truth = graft.ops.Quantize.quantizedTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < IvfIntNQueries), "vec_id", "embedding",
+        k = IvfIntK)
+      graft.ops.AnnEval.recallAtK(ann, truth, "query_id", "neighbor_id")
     },
 
     // ----- SQL function surface: the registered graft_* text functions
@@ -1282,6 +1344,39 @@ object PipelineQueries {
         TextFunctions.normalizeAnswer(raw).as("norm"))
     },
 
+    // ----- Unicode NFC canonicalization (NEW r10): synthetic docs are
+    // ASCII, so the gate DECOMPOSES them first (each 'e' → 'e'+U+0301, a
+    // combining acute) and normalization must recompose to the single
+    // code point 'é' — length shrinks by exactly the injection count.
+    // Both sides inject identically; DuckDB's nfc_normalize is the oracle
+    // for the native codegen NfcNormalizeF -----
+    "t_nfc_norm" -> { (s, dir) =>
+      val decomposed = regexp_replace(col("text"), "e", "e\u0301")
+      val norm = TextFunctions.nfcNormalize(decomposed)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(decomposed).as("n_decomposed"),
+        length(norm).as("n_composed"),
+        TextFunctions.hash61(norm).as("norm_hash"))
+    },
+
+    // ----- frequency-ranked vocabulary with coverage accounting (NEW
+    // r10): the tokenizer-design precursor — what OOV rate does a V-word
+    // vocab buy on this corpus? -----
+    "t_vocab_topk" -> { (s, dir) =>
+      graft.ops.Vocab.vocabulary(
+        t(s, dir, "documents"), "text", minCount = 2L, topV = 200)
+    },
+
+    // ----- PMI collocations, exact-integer ranked (NEW r10): bigram
+    // phrase mining for tokenizer merges / boilerplate spotting; the PMI
+    // ordering is replayed as the exact rational c_xy·N·10⁶/(c_x·c_y) in
+    // DECIMAL(38,0) — no float log anywhere -----
+    "t_pmi_bigrams" -> { (s, dir) =>
+      graft.ops.Vocab.pmiBigrams(
+        t(s, dir, "documents"), "text", minCount = 5L, topP = 100)
+    },
+
     // streaming twin of exact dedup: the same keep-min-per-content
     // aggregation as a Structured Streaming query (file source, complete
     // mode, AvailableNow) — the q_stream_events_hourly pattern applied to
@@ -1636,6 +1731,43 @@ object PipelineQueries {
     */
   // Shared P73 gate parameters (Spark query and generated oracle read the
   // same constants so they cannot drift).
+  /** DuckDB replay of [[graft.ops.PageRank.ranks]] over an arbitrary edge
+    * CTE body (`SELECT … src, … dst`) — generated from the SAME constants
+    * as the Scala side so the two cannot drift; `//` = exact floor
+    * division on positive longs. Shared by `u_pagerank` (doc graph) and
+    * `u_host_rank` (registered-domain multigraph).
+    */
+  private def pagerankSql(
+      edgesSelect: String,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      dn: Int = 85,
+      dd: Int = 100): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |    sum((r.rank * $dn) // ($dd * deg.d)) AS inr
+         |  FROM e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg ON e.src = deg.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT nodes.node,
+         |    CAST(($scale * ${dd - dn}) // ($dd * (SELECT nv FROM nn)) +
+         |      coalesce(c$i.inr, 0) AS BIGINT) AS rank
+         |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  $edgesSelect),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM nodes),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+       |r0 AS (
+       |  SELECT node, $scale // (SELECT nv FROM nn) AS rank FROM nodes),
+       |$iterCtes
+       |SELECT node, rank FROM r$iters""".stripMargin
+  }
+
   private val IvfIntCells = 8
   private val IvfIntIters = 2
   private val IvfIntNprobe = 2
@@ -1794,6 +1926,83 @@ object PipelineQueries {
       |          AS m
       |      FROM embeddings)))""".stripMargin
 
+  /** Quantized brute-force top-k replay (the s_quant_topk oracle),
+    * parameterized so the s_ann_recall composition can reuse it as its
+    * ground-truth CTE with the IVF gate's query set.
+    */
+  private def quantTopkSql(nQueries: Int, k: Int): String =
+    s"""WITH $QuantizeCtes,
+       |n AS (
+       |  SELECT vec_id, q,
+       |    CAST(list_reduce(
+       |      list_transform(range(1, len(q)+1), i -> q[i]*q[i]),
+       |      (acc, v) -> acc + v) AS BIGINT) AS nrm
+       |  FROM q8),
+       |pr AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_reduce(
+       |      list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]),
+       |      (acc, v) -> acc + v) AS BIGINT) AS qdot,
+       |    a.nrm AS na, b.nrm AS nb
+       |  FROM n a, n b WHERE a.vec_id < $nQueries AND a.vec_id <> b.vec_id),
+       |sc AS (
+       |  SELECT query_id, neighbor_id, qdot,
+       |    CASE WHEN na = 0 OR nb = 0 THEN CAST(0.0 AS DOUBLE)
+       |      ELSE CAST(qdot AS DOUBLE) /
+       |        (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END
+       |      AS qcos
+       |  FROM pr)
+       |SELECT query_id, neighbor_id, rank, qdot, qcos FROM (
+       |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY qcos DESC, neighbor_id) AS rank
+       |  FROM sc) WHERE rank <= $k""".stripMargin
+
+  /** Integer-exact IVF search replay (the s_ivf_int_topk oracle): train
+    * (unrolled rounds), assign with the final centroids, probe, rank.
+    * Shared by the s_ivf_int_topk gate and the s_ann_recall composition.
+    */
+  private def ivfIntTopkSql: String =
+    s"""WITH $QuantizeCtes,
+       |${ivfIntTrainCtes(IvfIntCells, IvfIntIters)},
+       |mf AS (
+       |  SELECT cid, cv,
+       |    CAST(list_sum(list_transform(cv, v -> v * v)) AS BIGINT) AS n2c
+       |  FROM (SELECT cid, list(val ORDER BY i) AS cv
+       |        FROM c$IvfIntIters GROUP BY cid)),
+       |af AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT n.vec_id, m.cid, row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY CASE WHEN m.n2c = 0 THEN 0.0
+       |        ELSE ${intDotSql("n.q", "m.cv")} / sqrt(CAST(m.n2c AS DOUBLE))
+       |        END DESC, m.cid ASC) AS rn
+       |    FROM n CROSS JOIN mf m) WHERE rn = 1),
+       |qp AS (
+       |  SELECT query_id, qq, qn2, cid FROM (
+       |    SELECT n.vec_id AS query_id, n.q AS qq, n.n2 AS qn2, m.cid,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY CASE WHEN m.n2c = 0 THEN 0.0
+       |          ELSE ${intDotSql("n.q", "m.cv")} / sqrt(CAST(m.n2c AS DOUBLE))
+       |          END DESC, m.cid ASC) AS rn
+       |    FROM n CROSS JOIN mf m WHERE n.vec_id < $IvfIntNQueries)
+       |  WHERE rn <= $IvfIntNprobe),
+       |cand AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN qn2 = 0 OR cn2 = 0 THEN CAST(0.0 AS DOUBLE)
+       |      ELSE ${intDotSql("qq", "cq")} /
+       |        (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) END
+       |      AS qcos
+       |  FROM (
+       |    SELECT p.query_id, cn.vec_id AS neighbor_id, p.qq, p.qn2,
+       |      cn.q AS cq, cn.n2 AS cn2
+       |    FROM qp p JOIN af a ON a.cid = p.cid
+       |    JOIN n cn ON cn.vec_id = a.vec_id
+       |    WHERE cn.vec_id <> p.query_id))
+       |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, qcos
+       |FROM (
+       |  SELECT cand.*, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY qcos DESC, neighbor_id ASC) AS rnk
+       |  FROM cand) WHERE rnk <= $IvfIntK""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p_exact_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS doc_id_kept, count(*) AS n_copies
@@ -1829,6 +2038,23 @@ object PipelineQueries {
          |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, i * 1.0 / u AS jaccard
          |FROM pairs WHERE i * 1.0 / u >= 0.5""".stripMargin
+    },
+    // NAIVE all-pairs directional containment — the lossless-candidate
+    // proof for Dedup.containmentPairs (same role the all-pairs jaccard
+    // oracle plays for p_prefix_jaccard). inter >= ceil(len_a * t) is
+    // compared cross-multiplied so no float division enters the predicate.
+    "p_containment" -> {
+      s"""WITH d AS (
+         |  SELECT doc_id, ${hashedShinglesSql(WsSql)} AS sh
+         |  FROM documents WHERE len($WsSql) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+         |    CAST(len(a.sh) AS BIGINT) AS len_a
+         |  FROM d a JOIN d b ON a.doc_id <> b.doc_id)
+         |SELECT id_a, id_b, inter, len_a,
+         |  CAST((inter * 1000000) // len_a AS BIGINT) AS containment_ppm
+         |FROM pairs WHERE inter * 1000000 >= 500000 * len_a""".stripMargin
     },
     "p_dup_clusters" -> {
       // transitive closure over the verified near-dup pair graph; cluster
@@ -2057,44 +2283,33 @@ object PipelineQueries {
          |  (tok_start + n - 1) // 128 AS last_window,
          |  tok_start - (tok_start // 128) * 128 AS offset_in_first
          |FROM o""".stripMargin,
-    "u_pagerank" -> {
-      // generated from the SAME constants as PageRank.ranks so the two
-      // sides cannot drift; `//` = exact floor division on positive longs
-      val scale = 1000000000000L
-      val dn = 85
-      val dd = 100
-      val iters = 5
-      val iterCtes = (1 to iters).map { i =>
-        s"""c$i AS (
-           |  SELECT e.dst AS node,
-           |    sum((r.rank * $dn) // ($dd * deg.d)) AS inr
-           |  FROM e JOIN r${i - 1} r ON e.src = r.node
-           |  JOIN deg ON e.src = deg.src
-           |  GROUP BY e.dst),
-           |r$i AS (
-           |  SELECT nodes.node,
-           |    CAST(($scale * ${dd - dn}) // ($dd * (SELECT nv FROM nn)) +
-           |      coalesce(c$i.inr, 0) AS BIGINT) AS rank
-           |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (
-         |  SELECT doc_id AS src,
-         |    (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst
-         |  FROM documents
-         |  UNION ALL SELECT doc_id,
-         |    (doc_id * 13 + 5) % (SELECT count(*) FROM documents)
-         |  FROM documents
-         |  UNION ALL SELECT doc_id, doc_id % 37 FROM documents
-         |  WHERE doc_id % 5 = 0),
-         |nodes AS (SELECT DISTINCT node FROM (
-         |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM nodes),
-         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
-         |r0 AS (
-         |  SELECT node, $scale // (SELECT nv FROM nn) AS rank FROM nodes),
-         |$iterCtes
-         |SELECT node, rank FROM r$iters""".stripMargin
-    },
+    "u_pagerank" -> pagerankSql(
+      """SELECT doc_id AS src,
+        |    (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    (doc_id * 13 + 5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, doc_id % 37 FROM documents
+        |  WHERE doc_id % 5 = 0""".stripMargin,
+      iters = 5),
+
+    // host-level authority: same pagerank replay over the registered-
+    // domain multigraph of the synthetic link frame (urlDomain of
+    // www.dK.com = dK.com; K = doc_id % 50 / target formulas as in the
+    // Spark gate)
+    "u_host_rank" -> pagerankSql(
+      """SELECT 'd' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS src,
+        |    'd' || CAST(((doc_id * 7 + 3) %
+        |      (SELECT count(*) FROM documents)) % 37 AS VARCHAR) || '.com'
+        |      AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'd' || CAST(doc_id % 50 AS VARCHAR) || '.com',
+        |    'd' || CAST(((doc_id * 13 + 5) %
+        |      (SELECT count(*) FROM documents)) % 41 AS VARCHAR) || '.com'
+        |  FROM documents""".stripMargin,
+      iters = 3),
     "t_lang_fertility" ->
       s"""WITH b AS (
          |  SELECT lang, length(text) AS nchars, $WsSql AS ws FROM documents),
@@ -3009,6 +3224,60 @@ object PipelineQueries {
          |    '\\b(a|an|the)\\b', ' ', 'g'),
          |    '\\s+', ' ', 'g')) AS norm
          |FROM documents""".stripMargin,
+    // NFC canonicalization: decompose each 'e' to e+U+0301 (chr(769)),
+    // then DuckDB's nfc_normalize must agree byte-for-byte with the
+    // native NfcNormalizeF — lengths count code points on both engines
+    "t_nfc_norm" -> {
+      val dec = "replace(text, 'e', 'e' || chr(769))"
+      s"""SELECT doc_id,
+         |  CAST(length($dec) AS INT) AS n_decomposed,
+         |  CAST(length(nfc_normalize($dec)) AS INT) AS n_composed,
+         |  ${hash61Sql(s"nfc_normalize($dec)")} AS norm_hash
+         |FROM documents""".stripMargin
+    },
+    "t_vocab_topk" ->
+      s"""WITH t AS (
+         |  SELECT unnest($WsSql) AS token FROM documents),
+         |c AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS count
+         |  FROM t GROUP BY token HAVING count(*) >= 2),
+         |r AS (
+         |  SELECT token, count,
+         |    row_number() OVER (ORDER BY count DESC, token ASC) AS rank,
+         |    sum(count) OVER (ORDER BY count DESC, token ASC
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM c)
+         |SELECT token, count, CAST(rank AS INT) AS rank,
+         |  CAST(cum AS BIGINT) AS cum_count
+         |FROM r WHERE rank <= 200""".stripMargin,
+    // PMI ratio in 128-bit HUGEINT (exact, like Spark's DECIMAL(38,0));
+    // bigrams rebuilt positionally so w1/w2 match the shingle split
+    "t_pmi_bigrams" ->
+      s"""WITH d AS (SELECT $WsSql AS ws FROM documents),
+         |tot AS (SELECT CAST(sum(len(ws)) AS HUGEINT) AS n FROM d),
+         |uc AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest(ws) AS token FROM d) GROUP BY token),
+         |bc AS (
+         |  SELECT bg, CAST(count(*) AS BIGINT) AS c_xy FROM (
+         |    SELECT unnest(list_transform(range(1, len(ws)),
+         |      i -> ws[i] || ' ' || ws[i+1])) AS bg FROM d)
+         |  GROUP BY bg HAVING count(*) >= 5),
+         |sp AS (
+         |  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         |    c_xy FROM bc),
+         |sc AS (
+         |  SELECT w1, w2, c_xy, a.c AS c_x, b.c AS c_y,
+         |    CAST((CAST(c_xy AS HUGEINT) * (SELECT n FROM tot) * 1000000) //
+         |      (CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)) AS BIGINT)
+         |      AS ratio_ppm
+         |  FROM sp JOIN uc a ON sp.w1 = a.token JOIN uc b ON sp.w2 = b.token),
+         |r AS (
+         |  SELECT sc.*, row_number() OVER (
+         |    ORDER BY ratio_ppm DESC, w1 ASC, w2 ASC) AS rank
+         |  FROM sc)
+         |SELECT w1, w2, c_xy, c_x, c_y, ratio_ppm, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 100""".stripMargin,
     "p_stream_exact_dedup" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS doc_id_kept,
         |  count(*) AS n_copies
@@ -3146,32 +3415,28 @@ object PipelineQueries {
          |  CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT)
          |    AS sum_abs_q
          |FROM q8""".stripMargin,
-    "s_quant_topk" ->
-      s"""WITH $QuantizeCtes,
-         |n AS (
-         |  SELECT vec_id, q,
-         |    CAST(list_reduce(
-         |      list_transform(range(1, len(q)+1), i -> q[i]*q[i]),
-         |      (acc, v) -> acc + v) AS BIGINT) AS nrm
-         |  FROM q8),
-         |pr AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |    CAST(list_reduce(
-         |      list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]),
-         |      (acc, v) -> acc + v) AS BIGINT) AS qdot,
-         |    a.nrm AS na, b.nrm AS nb
-         |  FROM n a, n b WHERE a.vec_id < 100 AND a.vec_id <> b.vec_id),
-         |sc AS (
-         |  SELECT query_id, neighbor_id, qdot,
-         |    CASE WHEN na = 0 OR nb = 0 THEN CAST(0.0 AS DOUBLE)
-         |      ELSE CAST(qdot AS DOUBLE) /
-         |        (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END
-         |      AS qcos
-         |  FROM pr)
-         |SELECT query_id, neighbor_id, rank, qdot, qcos FROM (
-         |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY qcos DESC, neighbor_id) AS rank
-         |  FROM sc) WHERE rank <= 5""".stripMargin,
+    "s_quant_topk" -> quantTopkSql(nQueries = 100, k = 5),
+
+    // s_ann_recall (NEW r10): recall@k of the integer-exact IVF search
+    // (nprobe < cells) against the quantized brute-force truth over the
+    // same codes — BOTH sides are the full deterministic replays already
+    // gated individually, composed here into verified recall numbers
+    "s_ann_recall" ->
+      s"""WITH ann AS ($ivfIntTopkSql),
+         |tr AS (${quantTopkSql(nQueries = IvfIntNQueries, k = IvfIntK)}),
+         |h AS (
+         |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM ann a JOIN tr t
+         |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |  GROUP BY a.query_id),
+         |s AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+         |  FROM tr GROUP BY query_id)
+         |SELECT s.query_id, s.n_truth,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST((coalesce(h.n_hits, 0) * 1000000) // s.n_truth AS BIGINT)
+         |    AS recall_ppm
+         |FROM s LEFT JOIN h ON s.query_id = h.query_id""".stripMargin,
 
     // P73: the trained integer k-means centroids themselves — every value
     // an exact integer from the unrolled-iteration replay
@@ -3184,48 +3449,9 @@ object PipelineQueries {
 
     // P73: integer-exact IVF search end-to-end — train (unrolled rounds),
     // assign the corpus with the final centroids, probe each query's
-    // nprobe best cells, rank exact quantized cosine
-    "s_ivf_int_topk" ->
-      s"""WITH $QuantizeCtes,
-         |${ivfIntTrainCtes(IvfIntCells, IvfIntIters)},
-         |mf AS (
-         |  SELECT cid, cv,
-         |    CAST(list_sum(list_transform(cv, v -> v * v)) AS BIGINT) AS n2c
-         |  FROM (SELECT cid, list(val ORDER BY i) AS cv
-         |        FROM c$IvfIntIters GROUP BY cid)),
-         |af AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT n.vec_id, m.cid, row_number() OVER (PARTITION BY n.vec_id
-         |      ORDER BY CASE WHEN m.n2c = 0 THEN 0.0
-         |        ELSE ${intDotSql("n.q", "m.cv")} / sqrt(CAST(m.n2c AS DOUBLE))
-         |        END DESC, m.cid ASC) AS rn
-         |    FROM n CROSS JOIN mf m) WHERE rn = 1),
-         |qp AS (
-         |  SELECT query_id, qq, qn2, cid FROM (
-         |    SELECT n.vec_id AS query_id, n.q AS qq, n.n2 AS qn2, m.cid,
-         |      row_number() OVER (PARTITION BY n.vec_id
-         |        ORDER BY CASE WHEN m.n2c = 0 THEN 0.0
-         |          ELSE ${intDotSql("n.q", "m.cv")} / sqrt(CAST(m.n2c AS DOUBLE))
-         |          END DESC, m.cid ASC) AS rn
-         |    FROM n CROSS JOIN mf m WHERE n.vec_id < $IvfIntNQueries)
-         |  WHERE rn <= $IvfIntNprobe),
-         |cand AS (
-         |  SELECT query_id, neighbor_id,
-         |    CASE WHEN qn2 = 0 OR cn2 = 0 THEN CAST(0.0 AS DOUBLE)
-         |      ELSE ${intDotSql("qq", "cq")} /
-         |        (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) END
-         |      AS qcos
-         |  FROM (
-         |    SELECT p.query_id, cn.vec_id AS neighbor_id, p.qq, p.qn2,
-         |      cn.q AS cq, cn.n2 AS cn2
-         |    FROM qp p JOIN af a ON a.cid = p.cid
-         |    JOIN n cn ON cn.vec_id = a.vec_id
-         |    WHERE cn.vec_id <> p.query_id))
-         |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, qcos
-         |FROM (
-         |  SELECT cand.*, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY qcos DESC, neighbor_id ASC) AS rnk
-         |  FROM cand) WHERE rnk <= $IvfIntK""".stripMargin,
+    // nprobe best cells, rank exact quantized cosine (def shared with the
+    // s_ann_recall composition)
+    "s_ivf_int_topk" -> ivfIntTopkSql,
 
     // P74: the trained PQ codebooks — exact integers from the unrolled
     // per-subspace replay
