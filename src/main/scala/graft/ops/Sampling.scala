@@ -377,6 +377,41 @@ object Sampling {
       .select(groupCols.map(col) ++ Seq(col("q"), col(v).as("value")): _*)
   }
 
+  /** Per-group winsorization: clamp `value` into its group's exact
+    * [`pLo`, `pHi`] quantile interval ([[groupQuantiles]] semantics —
+    * rank `max(1, ⌈q·n_g⌉)`). The standard robustification of a quality
+    * score before mixture weighting: a handful of pathological outliers
+    * (a 10 MB doc, a score overflow) otherwise drags any mean-normalized
+    * downstream weighting. Clipping — not dropping — preserves row count:
+    * every input row survives with `clippedCol` appended.
+    *
+    * Scale posture: the bounds frame is one row per group — broadcast
+    * back into a map-side clamp; the quantile pass itself is
+    * [[groupQuantiles]]' one group-keyed shuffle. Exact: with integer
+    * scores everything stays integer (clamp = least/greatest, no
+    * arithmetic), so results are partitioning- and engine-deterministic.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      value: Column,
+      pLo: Double,
+      pHi: Double,
+      clippedCol: String = "clipped"): DataFrame = {
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val bounds = groupQuantiles(df, groupCols, idCol, value, Seq(pLo, pHi))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        min(when(col("q") === pLo, col("value"))).as("__w_lo"),
+        min(when(col("q") === pHi, col("value"))).as("__w_hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(
+        clippedCol,
+        least(greatest(value, col("__w_lo")), col("__w_hi")))
+      .drop("__w_lo", "__w_hi")
+  }
+
   /** Token-budget corpus selection: keep the best documents — by `score`
     * descending, ties broken on `idCol` — until their cumulative token
     * count fills `budget`; the first document that would overflow the

@@ -1078,6 +1078,22 @@ object PipelineQueries {
         Seq(0.25, 0.5, 0.875))
     },
 
+    // ----- per-group winsorization (NEW r10): clamp the score into its
+    // group's exact [12.5%, 87.5%] quantile band (binary-exact fractions:
+    // 0.1·n is not exactly representable and ceil() could cross an
+    // integer differently per engine) — outlier robustification before
+    // mixture weighting -----
+    "t_winsorize" -> { (s, dir) =>
+      Sampling.winsorize(
+        t(s, dir, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars")),
+        Seq("lang"),
+        "doc_id",
+        col("n_chars"),
+        pLo = 0.125,
+        pHi = 0.875)
+    },
+
     // ----- END-TO-END curation pipeline: quality gate -> exact dedup ->
     // decontaminate vs held-out benchmark -> token-budget cut. Every stage
     // is an individually-gated operator; this gate pins their COMPOSITION
@@ -3045,6 +3061,14 @@ object PipelineQueries {
         |  CAST(unnest([0.25, 0.5, 0.875]) AS DOUBLE) AS q,
         |  unnest(vs) AS value
         |FROM a""".stripMargin,
+    "t_winsorize" ->
+      """WITH b AS (
+        |  SELECT lang, quantile_disc(n_chars, 0.125) AS lo,
+        |    quantile_disc(n_chars, 0.875) AS hi
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  least(greatest(d.n_chars, b.lo), b.hi) AS clipped
+        |FROM documents d JOIN b ON d.lang = b.lang""".stripMargin,
     "p_curation_e2e" ->
       s"""WITH corpus AS (
          |  SELECT * FROM documents WHERE doc_id % 50 <> 0),
