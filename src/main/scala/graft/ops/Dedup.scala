@@ -26,6 +26,39 @@ object Dedup {
         min(col(idCol)).as("doc_id_kept"),
         count(lit(1)).as("n_copies"))
 
+  /** Corpus snapshot diff — the incremental-crawl accounting step: a
+    * recurring pipeline re-crawls monthly and must know what changed
+    * before spending compute (re-embed only `changed`+`added`, retire
+    * `removed` from the index, skip `unchanged` entirely).
+    *
+    * Output: one row per id appearing in either snapshot —
+    * (idCol, status ∈ added|removed|changed|unchanged, old_md5, new_md5);
+    * content compared by md5, so the diff never carries payload bytes.
+    *
+    * Scale posture: both sides project to (id, md5) BEFORE the single
+    * full-outer SortMergeJoin on the id — the 100 TB text never shuffles,
+    * only 2×(id + 32-char hash) rows do.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val o = Par.fan(oldDf)
+      .select(col(idCol).as("__id"), md5(col(textCol)).as("old_md5"))
+    val n = Par.fan(newDf)
+      .select(col(idCol).as("__id"), md5(col(textCol)).as("new_md5"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(
+        col("__id").as(idCol),
+        when(col("old_md5").isNull, lit("added"))
+          .when(col("new_md5").isNull, lit("removed"))
+          .when(col("old_md5") === col("new_md5"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_md5"),
+        col("new_md5"))
+  }
+
   /** Cross-corpus exact dedup: drop every row of `df` whose content hash
     * appears in `seen` — dedupe a new crawl against already-ingested dumps,
     * or a training corpus against a held-out set. Exact result (the Bloom

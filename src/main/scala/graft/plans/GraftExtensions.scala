@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graft.{DotProductF, Hash61F}
+import org.apache.spark.sql.graft.{DotProductF, Hash61F, NfcNormalizeF}
 
 /** Session extensions: register graft's native expressions with the SQL
   * function registry so `spark.sql("SELECT graft_dot(a, b) ...")` and
@@ -75,7 +75,14 @@ object GraftExtensions {
     columnFn("graft_clean_text", 1,
       cs => graft.ops.TextFunctions.cleanText(cs.head)),
     columnFn("graft_normalize_answer", 1,
-      cs => graft.ops.TextFunctions.normalizeAnswer(cs.head)))
+      cs => graft.ops.TextFunctions.normalizeAnswer(cs.head)),
+    (
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalizeF].getCanonicalName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_nfc takes exactly 1 argument")
+        NfcNormalizeF(children.head)
+      }))
 
   private type TableFunctionDef =
     (

@@ -278,6 +278,38 @@ object AnalyticsQueries {
       s.table(sinkName)
     },
 
+    // ----- watermarked streaming dedup (NEW r10): the exactly-once event
+    // dedup every ingest pipeline runs — at-least-once delivery simulated
+    // by unioning the stream with itself (every event exactly twice), then
+    // `dropDuplicatesWithinWatermark` on the event id with a 1h watermark
+    // (bounded state: ids older than the watermark are evicted, which the
+    // unbounded `dropDuplicates` cannot do on an infinite stream). Append
+    // mode; oracle = the distinct events -----
+    "q_stream_dedup_watermark" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def leg = s.readStream
+        .schema(schema)
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("ts", Tables.normalizeEventTs(schema("ts").dataType))
+        .select(
+          col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("ts"))
+      val deduped = leg.union(leg)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .drop("ts")
+      val sinkName = "q_stream_dedup_watermark_out"
+      val q = deduped.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+    },
+
     // ----- sessionization (gaps-and-islands, 30 min inactivity gap) -----
     "q_sessionize" -> { (s, dir) =>
       val byUser = Window
@@ -415,6 +447,12 @@ object AnalyticsQueries {
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    // each event appears exactly twice in the doubled stream; the
+    // watermarked dedup must emit it exactly once
+    "q_stream_dedup_watermark" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |FROM events""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts,

@@ -346,6 +346,23 @@ object PipelineQueries {
         thresholdPpm = 500000L)
     },
 
+    // ----- corpus snapshot diff (NEW r10): incremental-crawl accounting —
+    // which ids were added/removed/changed/unchanged between two dumps
+    // (re-embed only changed+added, retire removed). Fixture: drop every
+    // 7th, bump every 5th's content, add a shifted copy of every 13th -----
+    "p_snapshot_diff" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newDf = docs
+        .filter(col("doc_id") % 7 =!= 0)
+        .withColumn(
+          "text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .union(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.snapshotDiff(docs, newDf, "doc_id", "text")
+    },
+
     // ----- near-dup clusters (connected components over the pair graph) --
     "p_dup_clusters" -> { (s, dir) =>
       Dedup.nearDupClusters(
@@ -2072,6 +2089,23 @@ object PipelineQueries {
          |  CAST((inter * 1000000) // len_a AS BIGINT) AS containment_ppm
          |FROM pairs WHERE inter * 1000000 >= 500000 * len_a""".stripMargin
     },
+    "p_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)
+        |      AS new_md5
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(text)
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.old_md5 = n.new_md5 THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  o.old_md5, n.new_md5
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     "p_dup_clusters" -> {
       // transitive closure over the verified near-dup pair graph; cluster
       // id = min doc id reachable. UNION (not ALL) bounds the recursion.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.StructType
 
 import graft.http.{HttpLookup, HttpSink}
-import graft.ops.{AsOfJoin, BloomJoin, Bm25, Chunking, CountMin, Dedup, HeavyHitters, Multimodal, Packing, Pca, Quantize, Sampling, Similarity, TfIdf, Urls, ZOrder}
+import graft.ops.{AsOfJoin, BloomJoin, Bm25, Chunking, CountMin, Dedup, HeavyHitters, Multimodal, Packing, Pca, Quantize, Sampling, Similarity, TfIdf, Urls, Vocab, ZOrder}
 
 /** Fluent entry points: `import graft.syntax._` and every operator hangs off
   * DataFrame — the one-line switch path for users of the reference connector
@@ -264,5 +264,32 @@ object syntax {
         blocked: DataFrame,
         blockedDomainCol: String): DataFrame =
       Urls.dropBlockedDomains(df, urlCol, blocked, blockedDomainCol)
+
+    def containmentPairs(
+        idCol: String,
+        textCol: String,
+        n: Int = 3,
+        thresholdPpm: Long = 800000L): DataFrame =
+      Dedup.containmentPairs(df, idCol, textCol, n, thresholdPpm)
+
+    def vocabulary(
+        textCol: String,
+        minCount: Long = 1L,
+        topV: Int = 1000): DataFrame =
+      Vocab.vocabulary(df, textCol, minCount, topV)
+
+    def pmiBigrams(
+        textCol: String,
+        minCount: Long = 5L,
+        topP: Int = 100): DataFrame =
+      Vocab.pmiBigrams(df, textCol, minCount, topP)
+
+    def winsorize(
+        groupCols: Seq[String],
+        idCol: String,
+        value: Column,
+        pLo: Double,
+        pHi: Double): DataFrame =
+      Sampling.winsorize(df, groupCols, idCol, value, pLo, pHi)
   }
 }

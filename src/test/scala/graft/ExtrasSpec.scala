@@ -58,6 +58,22 @@ class GraftExtensionsSpec extends SparkSpec {
     cmp.count() shouldBe 0L
   }
 
+  test("graft_nfc registers and matches the DataFrame API bit-for-bit") {
+    GraftExtensions.register(spark)
+    Seq("e\u0301cole", "plain", "A\u030a e\u0301")
+      .toDF("s").createOrReplaceTempView("nfc")
+    val cmp = spark.sql("SELECT graft_nfc(s) AS n_sql, s FROM nfc")
+      .select(
+        col("n_sql"),
+        ops.TextFunctions.nfcNormalize(col("s")).as("n_df"))
+      .filter(col("n_sql") =!= col("n_df"))
+    cmp.count() shouldBe 0L
+    // and the SQL path actually COMPOSES (not just agrees with the API):
+    // the decomposed view row comes back as the single composed code point
+    spark.sql("SELECT graft_nfc(s) AS n FROM nfc WHERE s LIKE '%cole'")
+      .collect().head.getString(0) shouldBe "\u00e9cole"
+  }
+
   test("graft_dot matches the HOF formulation bit-for-bit") {
     val df = spark.range(200).select(
       col("id"),
