@@ -26,6 +26,36 @@ object Dedup {
         min(col(idCol)).as("doc_id_kept"),
         count(lit(1)).as("n_copies"))
 
+  /** Exact dedup keeping the BEST copy per content (not the minimum id):
+    * real pipelines keep the copy with the best provenance — highest
+    * fetch-quality score, freshest crawl, canonical URL — and `exact`'s
+    * keep-min rule throws that signal away. `score` must be an integer
+    * column (exactness + map-side combine); the kept row maximizes
+    * (score, then LOWEST id as the tie-break).
+    *
+    * Same scale shape as [[exact]]: ONE shuffle carrying one
+    * (hash, best-struct, count) row per distinct content per map partition
+    * — the argmax is `min(struct(-score, id))`, which partial-aggregates,
+    * unlike a per-hash window (which would shuffle every copy).
+    * Output: (fp, doc_id_kept, score_kept, n_copies).
+    */
+  def exactKeepBest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      score: Column): DataFrame =
+    Par.fan(df)
+      .select(
+        md5(col(textCol)).as("fp"),
+        struct((-score.cast(LongType)).as("ns"), col(idCol).as("id")).as("__b"))
+      .groupBy(col("fp"))
+      .agg(min(col("__b")).as("__best"), count(lit(1)).as("n_copies"))
+      .select(
+        col("fp"),
+        col("__best.id").as("doc_id_kept"),
+        (-col("__best.ns")).as("score_kept"),
+        col("n_copies"))
+
   /** Corpus snapshot diff — the incremental-crawl accounting step: a
     * recurring pipeline re-crawls monthly and must know what changed
     * before spending compute (re-embed only `changed`+`added`, retire

@@ -267,4 +267,36 @@ object Urls {
       .antiJoin(withDomain, "__domain", blocked, blockedDomainCol)
       .drop("__domain")
   }
+
+  /** Politeness-aware fetch partitioning: spread each registered domain's
+    * URLs round-robin across `slots` fetch workers so no worker hammers
+    * one host — with `n_d` urls on a domain, every slot gets
+    * `⌊n_d/slots⌋` or `⌈n_d/slots⌉` of them (asserted in the spec). The
+    * within-domain order is a deterministic hash scatter (hash61 of the
+    * id, ties on id), so a re-run assigns identical slots — resumable
+    * crawl frontiers depend on that.
+    *
+    * Scale posture: ONE shuffle on the domain key + a per-domain window
+    * (the capPerDomain shape); a pathologically hot domain serializes its
+    * own window task but every other domain proceeds in parallel — and a
+    * hot domain is rate-limited by politeness anyway, the slot assignment
+    * is not the bottleneck. Output: input columns + `domain` + `slot`.
+    */
+  def fetchSlots(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      slots: Int): DataFrame = {
+    require(slots >= 1, "slots must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(
+        TextFunctions.hash61(concat(lit("slot:"), col(idCol).cast(StringType))),
+        col(idCol))
+    Par.fan(df)
+      .withColumn("domain", urlDomain(col(urlCol)))
+      .withColumn(
+        "slot",
+        ((row_number().over(w) - 1) % slots).cast(IntegerType))
+  }
 }

@@ -123,4 +123,46 @@ object Vocab {
       .orderBy(col("ratio_ppm").desc, col("w1").asc, col("w2").asc)
     top.withColumn("rank", row_number().over(w))
   }
+
+  /** Per-group out-of-vocabulary report: what fraction of each group's
+    * tokens falls outside the corpus's top-`topV` vocabulary — the
+    * accounting that decides a tokenizer's vocab size and flags languages
+    * a shared vocab underserves (high OOV ⇒ byte-fallback blowup, worse
+    * fertility).
+    *
+    * Two corpus scans by design (the vocab must exist before scoring);
+    * the vocab itself is `topV` rows — BROADCAST into a map-side
+    * membership join, so the scoring pass shuffles only the per-group
+    * count rows. Exact integers: (groupCol, total_tokens, in_vocab,
+    * oov_tokens, oov_ppm = ⌊oov·10⁶/total⌋).
+    */
+  def oovReport(
+      docs: DataFrame,
+      textCol: String,
+      groupCol: String,
+      minCount: Long = 1L,
+      topV: Int = 1000): DataFrame = {
+    val vocab = vocabulary(docs, textCol, minCount, topV)
+      .select(col("token"), lit(1L).as("__in"))
+    val toks = Par.fan(docs)
+      .select(col(groupCol), explode(TextFunctions.words(col(textCol))).as("token"))
+    toks
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("total_tokens"),
+        sum(coalesce(col("__in"), lit(0L))).as("in_vocab"))
+      .select(
+        col(groupCol),
+        col("total_tokens"),
+        col("in_vocab"),
+        (col("total_tokens") - col("in_vocab")).as("oov_tokens"),
+        org.apache.spark.sql.graft.ColumnShim.column(
+          org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            org.apache.spark.sql.graft.ColumnShim.expression(
+              (col("total_tokens") - col("in_vocab")) * lit(1000000L)),
+            org.apache.spark.sql.graft.ColumnShim.expression(
+              col("total_tokens"))))
+          .as("oov_ppm"))
+  }
 }

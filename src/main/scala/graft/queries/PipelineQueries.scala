@@ -299,6 +299,19 @@ object PipelineQueries {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    // ----- priority exact dedup (NEW r10): keep the copy with the BEST
+    // provenance score (crawl quality, freshness), not the minimum id —
+    // deterministic per-id hash scores so the duplicate copies genuinely
+    // compete; argmax = partial-agg'd min(struct(-score, id)) -----
+    "p_dedup_keep_best" -> { (s, dir) =>
+      Dedup.exactKeepBest(
+        t(s, dir, "documents"),
+        "doc_id",
+        "text",
+        TextFunctions.hash61(
+          concat(lit("prio:"), col("doc_id").cast(StringType))) % 1000)
+    },
+
     // ----- exact n-gram jaccard near-dup pairs within (lang, source) -----
     "p_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(
@@ -1209,6 +1222,20 @@ object PipelineQueries {
         .capPerDomain(withUrl(t(s, dir, "documents")), "doc_id", "url", k = 3)
         .select(col("doc_id"), col("domain"))
     },
+    // ----- politeness fetch partitioning (NEW r10): each domain's urls
+    // spread round-robin over 4 fetch slots in a deterministic hash
+    // order — balance per (domain, slot) is asserted in the spec -----
+    "u_fetch_slots" -> { (s, dir) =>
+      Urls.fetchSlots(
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          concat(
+            lit("https://www.d"), (col("doc_id") % 25).cast(StringType),
+            lit(".com/p"), col("doc_id").cast(StringType)).as("url")),
+        "doc_id",
+        "url",
+        slots = 4)
+    },
     "u_domain_block" -> { (s, dir) =>
       val u = withUrl(t(s, dir, "documents"))
       val blocked = u
@@ -1399,6 +1426,14 @@ object PipelineQueries {
     "t_vocab_topk" -> { (s, dir) =>
       graft.ops.Vocab.vocabulary(
         t(s, dir, "documents"), "text", minCount = 2L, topV = 200)
+    },
+
+    // ----- per-language OOV accounting against the top-100 corpus vocab
+    // (NEW r10): the report that sizes a tokenizer vocab and flags
+    // underserved languages -----
+    "t_oov_report" -> { (s, dir) =>
+      graft.ops.Vocab.oovReport(
+        t(s, dir, "documents"), "text", "lang", minCount = 2L, topV = 100)
     },
 
     // ----- PMI collocations, exact-integer ranked (NEW r10): bigram
@@ -2089,6 +2124,56 @@ object PipelineQueries {
          |  CAST((inter * 1000000) // len_a AS BIGINT) AS containment_ppm
          |FROM pairs WHERE inter * 1000000 >= 500000 * len_a""".stripMargin
     },
+    // priority dedup: replayed as a per-fp window (the oracle need not be
+    // partial-agg'able — only the Spark side carries the scale constraint)
+    "p_dedup_keep_best" -> {
+      s"""WITH p AS (
+         |  SELECT doc_id, md5(text) AS fp,
+         |    ${hash61Sql("'prio:' || CAST(doc_id AS VARCHAR)")} % 1000 AS sc
+         |  FROM documents),
+         |r AS (
+         |  SELECT fp, doc_id, sc,
+         |    row_number() OVER (PARTITION BY fp ORDER BY sc DESC, doc_id ASC)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY fp) AS n
+         |  FROM p)
+         |SELECT fp, doc_id AS doc_id_kept, CAST(sc AS BIGINT) AS score_kept,
+         |  CAST(n AS BIGINT) AS n_copies
+         |FROM r WHERE rn = 1""".stripMargin
+    },
+    "u_fetch_slots" -> {
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'https://www.d' || CAST(doc_id % 25 AS VARCHAR) || '.com/p' ||
+         |      CAST(doc_id AS VARCHAR) AS url,
+         |    'd' || CAST(doc_id % 25 AS VARCHAR) || '.com' AS domain
+         |  FROM documents)
+         |SELECT doc_id, url, domain,
+         |  CAST((row_number() OVER (PARTITION BY domain
+         |    ORDER BY ${hash61Sql("'slot:' || CAST(doc_id AS VARCHAR)")},
+         |      doc_id) - 1) % 4 AS INT) AS slot
+         |FROM u""".stripMargin
+    },
+    "t_oov_report" ->
+      s"""WITH t AS (
+         |  SELECT lang, unnest($WsSql) AS token FROM documents),
+         |c AS (
+         |  SELECT token, count(*) AS cnt FROM (
+         |    SELECT unnest($WsSql) AS token FROM documents)
+         |  GROUP BY token HAVING count(*) >= 2),
+         |v AS (
+         |  SELECT token FROM (
+         |    SELECT token,
+         |      row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+         |    FROM c) WHERE rank <= 100)
+         |SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS total_tokens,
+         |  CAST(count(v.token) AS BIGINT) AS in_vocab,
+         |  CAST(count(*) - count(v.token) AS BIGINT) AS oov_tokens,
+         |  CAST(((count(*) - count(v.token)) * 1000000) // count(*) AS BIGINT)
+         |    AS oov_ppm
+         |FROM t LEFT JOIN v ON t.token = v.token
+         |GROUP BY lang""".stripMargin,
     "p_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
         |n AS (
