@@ -165,4 +165,57 @@ object Quantize {
         col("qdot"),
         col("qcos"))
   }
+
+  /** Maximum-inner-product search (MIPS) over int8 codes — the
+    * recommender/retrieval ranking where MAGNITUDE matters (user·item
+    * scores, unnormalized relevance): cosine's length normalization is
+    * exactly what MIPS must NOT do, so this is a distinct semantics, not
+    * a flag on [[quantizedTopK]].
+    *
+    * The quantized inner product de-quantizes as `qdot · s_q · s_c` (the
+    * per-vector max-abs/127 scales) — exact integer dot times two
+    * correctly-rounded doubles in a FIXED association order
+    * `(qdot·s_q)·s_c`, so scores are bit-reproducible cross-engine.
+    * Same plan shape as [[quantizedTopK]]: broadcast queries, map-side
+    * scoring, one per-query top-k exchange.
+    *
+    * Output: (query_id, neighbor_id, rank, qdot, mips_score).
+    */
+  def mipsTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    def side(df: DataFrame, id: String, vec: String, prefix: String) =
+      quantize(df.select(col(id).as(s"${prefix}_id"), col(vec)),
+          s"${prefix}_id", vec)
+        .select(
+          col(s"${prefix}_id"),
+          col("q").as(s"__${prefix}q"),
+          col("scale").as(s"__${prefix}s"))
+    val q = side(queries, queryId, queryVec, "query")
+    val c = side(Par.fan(corpus), corpusId, corpusVec, "neighbor")
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", intDot(col("__queryq"), col("__neighborq")))
+      .withColumn(
+        "mips_score",
+        col("qdot").cast(DoubleType) * col("__querys") * col("__neighbors"))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("mips_score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        col("rank"),
+        col("qdot"),
+        col("mips_score"))
+  }
 }

@@ -1583,6 +1583,22 @@ object PipelineQueries {
         "vec_id",
         "embedding",
         k = 5)
+    },
+
+    // ----- MIPS top-k (NEW r10): maximum-inner-product ranking — the
+    // recommender semantics where magnitude matters and cosine's length
+    // normalization is exactly wrong; de-quantized score = qdot·s_q·s_c
+    // in a fixed association order, bit-reproducible -----
+    "s_mips_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Quantize.mipsTopK(
+        emb,
+        "vec_id",
+        "embedding",
+        emb.filter(col("vec_id") < 100),
+        "vec_id",
+        "embedding",
+        k = 5)
     })
 
   /** The derived url column for the P39 gates: scheme/host-case/port/
@@ -3559,6 +3575,26 @@ object PipelineQueries {
          |    AS sum_abs_q
          |FROM q8""".stripMargin,
     "s_quant_topk" -> quantTopkSql(nQueries = 100, k = 5),
+
+    // MIPS: same quantized pair dots, ranked by the de-quantized inner
+    // product (qdot·s_q)·s_c — association order mirrors the Spark gate
+    "s_mips_topk" ->
+      s"""WITH $QuantizeCtes,
+         |pr AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(list_reduce(
+         |      list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]),
+         |      (acc, v) -> acc + v) AS BIGINT) AS qdot,
+         |    a.s AS qs, b.s AS cs
+         |  FROM q8 a, q8 b WHERE a.vec_id < 100 AND a.vec_id <> b.vec_id),
+         |sc AS (
+         |  SELECT query_id, neighbor_id, qdot,
+         |    (CAST(qdot AS DOUBLE) * qs) * cs AS mips_score
+         |  FROM pr)
+         |SELECT query_id, neighbor_id, rank, qdot, mips_score FROM (
+         |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY mips_score DESC, neighbor_id) AS rank
+         |  FROM sc) WHERE rank <= 5""".stripMargin,
 
     // s_ann_recall (NEW r10): recall@k of the integer-exact IVF search
     // (nprobe < cells) against the quantized brute-force truth over the
