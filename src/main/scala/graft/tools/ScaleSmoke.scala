@@ -472,6 +472,72 @@ object ScaleSmoke {
         else Nil
       }))
 
+    // Containment join (P76, r10) at 100x: like prefix-jaccard, pair
+    // output is inherently quadratic under duplication, so the at-scale
+    // deployment is exact-collapse first, then the lossless join over
+    // distinct contents. Invariant: collapsed pairs reproduce the
+    // UNFANNED corpus's collapsed pairs exactly (rep id = min copy id =
+    // base-rep*copies => div maps back).
+    val baseCReps = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val baseCPairs = graft.ops.Dedup.containmentPairs(
+      baseCReps, "doc_id", "text", n = 3, thresholdPpm = 800000L)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.Par.releaseCaches()
+    println(s"[smoke] containment base run: ${baseCPairs.size} pairs")
+    measure(Step(
+      s"p_containment(exact-collapse -> lossless join, ${copies}x)",
+      () => {
+        val reps = docs.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        graft.ops.Dedup.containmentPairs(
+          reps, "doc_id", "text", n = 3, thresholdPpm = 800000L)
+      },
+      ceilingGB = 4.0,
+      invariant = df => {
+        val got = df.select(
+          (col("id_a") / copies).cast("long"),
+          (col("id_b") / copies).cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        if (got == baseCPairs) Nil
+        else Seq(s"collapsed pairs (${got.size}) != base pairs " +
+          s"(${baseCPairs.size})")
+      }))
+
+    // Priority dedup (P84, r10) at 100x: every base doc has `copies`
+    // identical-content copies with DISTINCT hash scores competing — the
+    // partial-agg argmax must pick the same winner under any
+    // partitioning, and the shuffle carries one row per distinct content
+    // per map partition (ceiling far below corpus bytes).
+    measure(Step(
+      s"p_dedup_keep_best(${copies}x copies compete)",
+      () => graft.ops.Dedup.exactKeepBest(
+        docs, "doc_id", "text",
+        graft.ops.TextFunctions.hash61(
+          concat(lit("prio:"), col("doc_id").cast("string"))) % 1000),
+      ceilingGB = 1.0,
+      invariant = df => {
+        val n = df.count()
+        val distinctContents = docs.select(col("text")).distinct().count()
+        val a = df.select(col("fp"), col("doc_id_kept"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        graft.ops.Par.releaseCaches()
+        val b = graft.ops.Dedup.exactKeepBest(
+          docs.repartition(17), "doc_id", "text",
+          graft.ops.TextFunctions.hash61(
+            concat(lit("prio:"), col("doc_id").cast("string"))) % 1000)
+          .select(col("fp"), col("doc_id_kept"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        Seq(
+          if (n == distinctContents) None
+          else Some(s"$n kept rows != $distinctContents distinct contents"),
+          if (a == b) None
+          else Some("winners differ across partitionings")
+        ).flatten
+      }))
+
     // PageRank (P64) at 100x: the one op class (iterative joins) with no
     // prior scale evidence. Graph = the driver gate's edge generator over
     // the fanned corpus (nDocs nodes, ~2.2 nDocs edges, 5 power
