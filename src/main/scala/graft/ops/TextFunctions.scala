@@ -170,6 +170,52 @@ object TextFunctions {
     array_join(kept, "\n")
   }
 
+  /** HTML boilerplate stripping — the first text-level step on raw crawl
+    * payloads: drop `<script>`/`<style>` blocks WITH their content (code
+    * and CSS are not prose), strip every remaining tag, then decode the
+    * common entities (`&lt; &gt; &quot; &#39; &nbsp;`, with `&amp;`
+    * last — the double-escape rule), and collapse whitespace.
+    * Deliberately regex-simple and deterministic (a corpus
+    * pipeline wants throughput + reproducibility, not a DOM): pure
+    * codegen `regexp_replace` chain inside the RE2-compatible subset, so
+    * DuckDB oracles replay it byte-identically. `&amp;` decodes LAST so
+    * `&amp;lt;` becomes the literal `&lt;` (not `<`) — the standard
+    * double-escape rule.
+    */
+  def stripHtml(text: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>",
+      " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val entities = Seq(
+      "&lt;" -> "<",
+      "&gt;" -> ">",
+      "&quot;" -> "\"",
+      "&#39;" -> "'",
+      "&nbsp;" -> " ")
+    val decoded = entities.foldLeft(noTags) { case (acc, (e, v)) =>
+      regexp_replace(acc, e, java.util.regex.Matcher.quoteReplacement(v))
+    }
+    val amp = regexp_replace(decoded, "&amp;", "&")
+    trim(regexp_replace(amp, "\\s+", " "))
+  }
+
+  /** Sentence segmentation: split on whitespace FOLLOWING terminal
+    * punctuation (`.`, `!`, `?`, optionally a closing quote/bracket).
+    * RE2-compatible (no lookbehind): a marker (U+001F) is inserted after
+    * each boundary and split on — DuckDB replays the same two steps
+    * byte-identically. Trailing text without terminal punctuation is its
+    * own final sentence; empty input yields no sentences.
+    */
+  def sentences(text: Column): Column = {
+    val marked = regexp_replace(
+      trim(text),
+      "([.!?][\"')\\]]?)\\s+",
+      "$1\u001f")
+    array_remove(transform(split(marked, "\u001f"), s => trim(s)), "")
+  }
+
   /** PII redaction: emails, IPv4 addresses and phone-shaped digit runs
     * replaced by typed placeholders. Patterns are deliberately simple and
     * deterministic (a corpus pipeline wants recall + reproducibility, not a

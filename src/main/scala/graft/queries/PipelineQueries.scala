@@ -1428,6 +1428,41 @@ object PipelineQueries {
         t(s, dir, "documents"), "text", minCount = 2L, topV = 200)
     },
 
+    // ----- HTML boilerplate stripping (NEW r10): script/style blocks
+    // dropped with content, tags stripped, entities decoded (&amp; last —
+    // double-escape rule), whitespace collapsed; fixture wraps each doc
+    // in a synthetic page with entity traps -----
+    "t_strip_html" -> { (s, dir) =>
+      val d = col("doc_id")
+      val html = concat(
+        lit("<html><head><style>body { color: red; }</style>" +
+          "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "</head><body><h1 class=\"t\">Title "),
+        (d % 7).cast(StringType),
+        lit("</h1><p>"),
+        substring(col("text"), 1, 60),
+        lit(" &amp; more &lt;tags&gt; &quot;q&quot; " +
+          "&#39;s&#39;&nbsp;end&amp;lt;</p><br/></body></html>"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.stripHtml(html).as("stripped"))
+    },
+
+    // ----- sentence segmentation (NEW r10): split AFTER terminal punct
+    // (+ optional closing quote/bracket); trailing unpunctuated text is
+    // its own sentence; marker-based (RE2 has no lookbehind) -----
+    "t_sentences" -> { (s, dir) =>
+      val stext = concat(
+        lit("First bit "),
+        substring(col("text"), 1, 30),
+        lit(". Second part! Is this three? \"Quoted one.\" tail no punct"))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          posexplode(TextFunctions.sentences(stext))
+            .as(Seq("sentence_idx", "sentence")))
+    },
+
     // ----- per-language OOV accounting against the top-100 corpus vocab
     // (NEW r10): the report that sizes a tokenizer vocab and flags
     // underserved languages -----
@@ -2169,6 +2204,52 @@ object PipelineQueries {
          |    ORDER BY ${hash61Sql("'slot:' || CAST(doc_id AS VARCHAR)")},
          |      doc_id) - 1) % 4 AS INT) AS slot
          |FROM u""".stripMargin
+    },
+    // same regexp chain, same order (amp last), 'g' flag on every step
+    "t_strip_html" -> {
+      val html =
+        "'<html><head><style>body { color: red; }</style>" +
+          "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "</head><body><h1 class=\"t\">Title ' || " +
+          "CAST(doc_id % 7 AS VARCHAR) || '</h1><p>' || " +
+          "substr(text, 1, 60) || ' &amp; more &lt;tags&gt; " +
+          "&quot;q&quot; &#39;s&#39;&nbsp;end&amp;lt;</p><br/>" +
+          "</body></html>'"
+      s"""WITH h AS (SELECT doc_id, $html AS html FROM documents),
+         |x AS (
+         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+         |    html,
+         |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |    '(?s)<[^>]*>', ' ', 'g') AS t
+         |  FROM h),
+         |e AS (
+         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(regexp_replace(regexp_replace(
+         |    t,
+         |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+         |    '&#39;', CHR(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
+         |    AS t
+         |  FROM x)
+         |SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g'))
+         |  AS stripped
+         |FROM e""".stripMargin
+    },
+    "t_sentences" -> {
+      val stext =
+        "'First bit ' || substr(text, 1, 30) || " +
+          "'. Second part! Is this three? \"Quoted one.\" tail no punct'"
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    list_filter(list_transform(
+         |      string_split(regexp_replace(trim($stext),
+         |        '([.!?]["'')\\]]?)\\s+', '\\1' || chr(31), 'g'), chr(31)),
+         |      x -> trim(x)), x -> x <> '') AS ss
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(unnest(range(0, len(ss))) AS INT) AS sentence_idx,
+         |  unnest(ss) AS sentence
+         |FROM m""".stripMargin
     },
     "t_oov_report" ->
       s"""WITH t AS (
