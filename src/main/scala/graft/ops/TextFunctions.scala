@@ -398,6 +398,58 @@ object TextFunctions {
     lenScore * 0.4d + swScore * 0.3d + mwlScore * 0.3d
   }
 
+  /** Code-vs-prose detection signals — mixture accounting and routing
+    * (code gets different dedup granularity, quality rules, and mixture
+    * weight than prose, so the split must happen early). Exact integer
+    * ppm signals, engine-replayable:
+    *
+    *   - `symbol_ppm`: fraction of non-whitespace characters in the
+    *     code-symbol class `{}()[];=<>`,
+    *   - `indent_ppm`: fraction of lines starting with whitespace
+    *     (indentation is prose-rare, code-universal),
+    *   - `kw_hits`: count of language-keyword tokens
+    *     (def/class/return/import/…) — token-exact, not substring.
+    *
+    * `isCode` combines them with fixed integer thresholds. Shuffle-free
+    * per-row expressions; thresholds deliberately simple and documented
+    * (a router wants reproducibility and explainability, not a model —
+    * P69's hashed classifier is the learned alternative).
+    */
+  private val CodeKeywords = Seq(
+    "def", "class", "return", "import", "function", "var", "let", "const",
+    "public", "void", "int", "if", "else", "for", "while", "struct", "fn")
+
+  private def intDivCol(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.ColumnShim.expression(a),
+        org.apache.spark.sql.graft.ColumnShim.expression(b)))
+
+  def codeSymbolPpm(text: Column): Column = {
+    val nonWs = length(regexp_replace(text, "\\s", ""))
+    val symbols = length(regexp_replace(text, "[^{}()\\[\\];=<>]", ""))
+    when(nonWs === 0, lit(0L)).otherwise(
+      intDivCol(symbols.cast(LongType) * 1000000L, nonWs.cast(LongType)))
+  }
+
+  def codeIndentPpm(text: Column): Column = {
+    val lines = split(text, "\n")
+    val n = size(lines)
+    val indented = size(filter(lines, l => l.rlike("^[ \\t]")))
+    when(n === 0, lit(0L)).otherwise(
+      intDivCol(indented.cast(LongType) * 1000000L, n.cast(LongType)))
+  }
+
+  def codeKeywordHits(text: Column): Column = {
+    val kws = array(CodeKeywords.map(lit): _*)
+    size(filter(words(text), w => array_contains(kws, w))).cast(LongType)
+  }
+
+  /** Heuristic router decision: symbol-heavy OR (indented AND keyworded). */
+  def isCode(text: Column): Column =
+    codeSymbolPpm(text) >= 60000L ||
+      (codeIndentPpm(text) >= 300000L && codeKeywordHits(text) >= 3L)
+
   /** Winnowing fingerprints: k-gram shingle hashes, minimum per sliding
     * window of `w` consecutive hashes (Schleimer et al., SIGMOD'03 winnowing
     * scheme) — used through [[graft.ops.Dedup.winnowingFingerprints]].

@@ -310,6 +310,34 @@ object AnalyticsQueries {
       s.table(sinkName)
     },
 
+    // ----- stream-static enrichment join (NEW r10): the remaining core
+    // Structured Streaming join surface — an event stream joined to a
+    // broadcast dimension table (stateless, append mode; the streaming
+    // counterpart of every lookup-enrichment batch join) -----
+    "q_stream_static_join" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val cust = s.read
+        .parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val joined = s.readStream
+        .schema(schema)
+        .parquet(s"$dir/events*.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(
+          col("event_id"), col("user_id"), col("event_type"),
+          col("c_name"), col("c_mktsegment"))
+      val sinkName = "q_stream_static_join_out"
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+    },
+
     // ----- sessionization (gaps-and-islands, 30 min inactivity gap) -----
     "q_sessionize" -> { (s, dir) =>
       val byUser = Window
@@ -453,6 +481,9 @@ object AnalyticsQueries {
       """SELECT event_id, user_id, event_type,
         |  CAST(epoch_us(ts) AS BIGINT) AS ts_us
         |FROM events""".stripMargin,
+    "q_stream_static_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts,

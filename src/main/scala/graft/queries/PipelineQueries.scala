@@ -1428,6 +1428,26 @@ object PipelineQueries {
         t(s, dir, "documents"), "text", minCount = 2L, topV = 200)
     },
 
+    // ----- code-vs-prose routing signals (NEW r10): every third doc gets
+    // a synthetic code prelude; the integer ppm signals + the fixed
+    // threshold decision must route it to the code side -----
+    "t_code_detect" -> { (s, dir) =>
+      val d = col("doc_id")
+      val body = when(
+        d % 3 === 0,
+        concat(
+          lit("def f(x):\n  return (x + 1);\n  if x { y = z[0]; }\n" +
+            "  import os\n"),
+          substring(col("text"), 1, 40)))
+        .otherwise(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.codeSymbolPpm(body).as("symbol_ppm"),
+        TextFunctions.codeIndentPpm(body).as("indent_ppm"),
+        TextFunctions.codeKeywordHits(body).as("kw_hits"),
+        TextFunctions.isCode(body).as("is_code"))
+    },
+
     // ----- HTML boilerplate stripping (NEW r10): script/style blocks
     // dropped with content, tags stripped, entities decoded (&amp; last —
     // double-escape rule), whitespace collapsed; fixture wraps each doc
@@ -2204,6 +2224,45 @@ object PipelineQueries {
          |    ORDER BY ${hash61Sql("'slot:' || CAST(doc_id AS VARCHAR)")},
          |      doc_id) - 1) % 4 AS INT) AS slot
          |FROM u""".stripMargin
+    },
+    "t_code_detect" -> {
+      val kwList = Seq(
+        "def", "class", "return", "import", "function", "var", "let",
+        "const", "public", "void", "int", "if", "else", "for", "while",
+        "struct", "fn").map(k => s"'$k'").mkString("[", ", ", "]")
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN
+         |      'def f(x):' || chr(10) || '  return (x + 1);' || chr(10) ||
+         |      '  if x { y = z[0]; }' || chr(10) || '  import os' ||
+         |      chr(10) || substr(text, 1, 40)
+         |    ELSE text END AS body
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, body,
+         |    CAST(length(regexp_replace(body, '\\s', '', 'g')) AS BIGINT)
+         |      AS nonws,
+         |    CAST(length(regexp_replace(body, '[^{}()\\[\\];=<>]', '', 'g'))
+         |      AS BIGINT) AS syms,
+         |    string_split(body, chr(10)) AS lines,
+         |    regexp_split_to_array(trim(body), '\\s+') AS ws
+         |  FROM b),
+         |sg AS (
+         |  SELECT doc_id,
+         |    CASE WHEN nonws = 0 THEN 0
+         |      ELSE (syms * 1000000) // nonws END AS symbol_ppm,
+         |    CASE WHEN len(lines) = 0 THEN 0
+         |      ELSE (CAST(len(list_filter(lines,
+         |        l -> regexp_matches(l, '^[ \\t]'))) AS BIGINT) * 1000000)
+         |        // CAST(len(lines) AS BIGINT) END AS indent_ppm,
+         |    CAST(len(list_filter(ws, w -> list_contains($kwList, w)))
+         |      AS BIGINT) AS kw_hits
+         |  FROM m)
+         |SELECT doc_id, CAST(symbol_ppm AS BIGINT) AS symbol_ppm,
+         |  CAST(indent_ppm AS BIGINT) AS indent_ppm, kw_hits,
+         |  (symbol_ppm >= 60000 OR
+         |    (indent_ppm >= 300000 AND kw_hits >= 3)) AS is_code
+         |FROM sg""".stripMargin
     },
     // same regexp chain, same order (amp last), 'g' flag on every step
     "t_strip_html" -> {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.StructType
 
 import graft.http.{HttpLookup, HttpSink}
-import graft.ops.{AsOfJoin, BloomJoin, Bm25, Chunking, CountMin, Dedup, HeavyHitters, Multimodal, Packing, Pca, Quantize, Sampling, Similarity, TfIdf, Urls, Vocab, ZOrder}
+import graft.ops.{AnnEval, AsOfJoin, BloomJoin, Bm25, Chunking, CountMin, Dedup, HeavyHitters, Multimodal, Packing, Pca, Quantize, Sampling, Similarity, TfIdf, Urls, Vocab, ZOrder}
 
 /** Fluent entry points: `import graft.syntax._` and every operator hangs off
   * DataFrame — the one-line switch path for users of the reference connector
@@ -291,5 +291,42 @@ object syntax {
         pLo: Double,
         pHi: Double): DataFrame =
       Sampling.winsorize(df, groupCols, idCol, value, pLo, pHi)
+
+    def snapshotDiffTo(
+        newSnapshot: DataFrame,
+        idCol: String,
+        textCol: String): DataFrame =
+      Dedup.snapshotDiff(df, newSnapshot, idCol, textCol)
+
+    def dedupExactKeepBest(
+        idCol: String,
+        textCol: String,
+        score: Column): DataFrame =
+      Dedup.exactKeepBest(df, idCol, textCol, score)
+
+    def fetchSlots(idCol: String, urlCol: String, slots: Int): DataFrame =
+      Urls.fetchSlots(df, idCol, urlCol, slots)
+
+    def mipsTopK(
+        corpusId: String,
+        corpusVec: String,
+        queries: DataFrame,
+        queryId: String,
+        queryVec: String,
+        k: Int): DataFrame =
+      Quantize.mipsTopK(df, corpusId, corpusVec, queries, queryId, queryVec, k)
+
+    def oovReport(
+        textCol: String,
+        groupCol: String,
+        minCount: Long = 1L,
+        topV: Int = 1000): DataFrame =
+      Vocab.oovReport(df, textCol, groupCol, minCount, topV)
+
+    def recallAgainst(
+        truth: DataFrame,
+        queryCol: String,
+        neighborCol: String): DataFrame =
+      AnnEval.recallAtK(df, truth, queryCol, neighborCol)
   }
 }
