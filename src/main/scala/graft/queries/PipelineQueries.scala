@@ -365,15 +365,35 @@ object PipelineQueries {
     // 7th, bump every 5th's content, add a shifted copy of every 13th -----
     "p_snapshot_diff" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val newDf = docs
-        .filter(col("doc_id") % 7 =!= 0)
-        .withColumn(
-          "text",
-          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")))
-        .union(docs.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      Dedup.snapshotDiff(docs, newDf, "doc_id", "text")
+      Dedup.snapshotDiff(docs, refreshedSnapshot(docs), "doc_id", "text")
+    },
+
+    // ----- incremental-refresh COMPOSITION (NEW r10): the chain a
+    // recurring crawl actually runs over a new dump — snapshot diff →
+    // process ONLY added+changed → HTML strip → NFC canonicalize →
+    // code-routing filter → priority keep-best dedup. Six r10 operators
+    // composed end-to-end against one chained oracle -----
+    "p_refresh_e2e" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newDf = refreshedSnapshot(docs)
+      val todo = Dedup.snapshotDiff(docs, newDf, "doc_id", "text")
+        .filter(col("status").isin("added", "changed"))
+        .select(col("doc_id"))
+      val fresh = newDf.join(todo, "doc_id")
+      val html = concat(
+        lit("<html><body><p>"),
+        col("text"),
+        lit(" &amp; tail</p><script>var x = 1;</script></body></html>"))
+      val cleaned = fresh.select(
+        col("doc_id"),
+        TextFunctions.nfcNormalize(TextFunctions.stripHtml(html)).as("clean"))
+      val prose = cleaned.filter(!TextFunctions.isCode(col("clean")))
+      Dedup.exactKeepBest(
+        prose,
+        "doc_id",
+        "clean",
+        TextFunctions.hash61(
+          concat(lit("prio:"), col("doc_id").cast(StringType))) % 1000)
     },
 
     // ----- near-dup clusters (connected components over the pair graph) --
@@ -1660,6 +1680,20 @@ object PipelineQueries {
     * tracking-param/fragment diversity keyed on doc_id so every
     * canonicalization rule fires on some slice of the corpus.
     */
+  /** The refreshed-snapshot fixture shared by `p_snapshot_diff` and
+    * `p_refresh_e2e`: every 7th doc dropped, every 5th's content bumped,
+    * a shifted copy of every 13th added.
+    */
+  private def refreshedSnapshot(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("doc_id") % 7 =!= 0)
+      .withColumn(
+        "text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .union(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+
   private def withUrl(docs: DataFrame): DataFrame = {
     val d = col("doc_id")
     docs.select(
@@ -2330,6 +2364,78 @@ object PipelineQueries {
          |    AS oov_ppm
          |FROM t LEFT JOIN v ON t.token = v.token
          |GROUP BY lang""".stripMargin,
+    // the six-op refresh composition, replayed as one CTE chain
+    "p_refresh_e2e" ->
+      s"""WITH o AS (SELECT doc_id, text FROM documents),
+         |nn AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0),
+         |todo AS (
+         |  SELECT nn.doc_id, nn.text
+         |  FROM nn LEFT JOIN o ON nn.doc_id = o.doc_id
+         |  WHERE o.doc_id IS NULL OR md5(o.text) <> md5(nn.text)),
+         |h AS (
+         |  SELECT doc_id, '<html><body><p>' || text ||
+         |    ' &amp; tail</p><script>var x = 1;</script></body></html>'
+         |    AS html
+         |  FROM todo),
+         |x AS (
+         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+         |    html,
+         |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |    '(?s)<[^>]*>', ' ', 'g') AS t
+         |  FROM h),
+         |e AS (
+         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(regexp_replace(regexp_replace(
+         |    t,
+         |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+         |    '&#39;', CHR(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
+         |    AS t
+         |  FROM x),
+         |c AS (
+         |  SELECT doc_id,
+         |    nfc_normalize(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS clean
+         |  FROM e),
+         |m AS (
+         |  SELECT doc_id, clean,
+         |    CAST(length(regexp_replace(clean, '\\s', '', 'g')) AS BIGINT)
+         |      AS nonws,
+         |    CAST(length(regexp_replace(clean, '[^{}()\\[\\];=<>]', '', 'g'))
+         |      AS BIGINT) AS syms,
+         |    string_split(clean, chr(10)) AS lines,
+         |    regexp_split_to_array(trim(clean), '\\s+') AS ws
+         |  FROM c),
+         |p AS (
+         |  SELECT doc_id, clean FROM m
+         |  WHERE NOT (
+         |    (CASE WHEN nonws = 0 THEN 0
+         |       ELSE (syms * 1000000) // nonws END) >= 60000
+         |    OR ((CASE WHEN len(lines) = 0 THEN 0
+         |          ELSE (CAST(len(list_filter(lines,
+         |            l -> regexp_matches(l, '^[ \\t]'))) AS BIGINT) * 1000000)
+         |            // CAST(len(lines) AS BIGINT) END) >= 300000
+         |        AND CAST(len(list_filter(ws, w -> list_contains(
+         |          ['def', 'class', 'return', 'import', 'function', 'var',
+         |           'let', 'const', 'public', 'void', 'int', 'if', 'else',
+         |           'for', 'while', 'struct', 'fn'], w))) AS BIGINT) >= 3))),
+         |r AS (
+         |  SELECT md5(clean) AS fp, doc_id,
+         |    ${hash61Sql("'prio:' || CAST(doc_id AS VARCHAR)")} % 1000 AS sc
+         |  FROM p),
+         |w AS (
+         |  SELECT fp, doc_id, sc,
+         |    row_number() OVER (PARTITION BY fp ORDER BY sc DESC, doc_id ASC)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY fp) AS n
+         |  FROM r)
+         |SELECT fp, doc_id AS doc_id_kept, CAST(sc AS BIGINT) AS score_kept,
+         |  CAST(n AS BIGINT) AS n_copies
+         |FROM w WHERE rn = 1""".stripMargin,
     "p_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
         |n AS (
