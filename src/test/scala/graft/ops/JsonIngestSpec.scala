@@ -28,6 +28,31 @@ class JsonIngestSpec extends SparkSpec {
     out(3L) shouldBe ((None, None, None, true, Some("not json at all")))
   }
 
+  test("malformed => ALL-null fields regardless of enablePartialResults") {
+    // a truncated line whose LEADING fields are parseable: with
+    // spark.sql.json.enablePartialResults=true (the default on newer
+    // Sparks) a raw from_json would keep id/lang AND set _corrupt_record —
+    // parseJsonl pins the all-null contract IN THE PLAN, so the
+    // quarantine semantics (and the t_jsonl_ingest oracle) cannot drift
+    // with runtime version or conf
+    val conf = "spark.sql.json.enablePartialResults"
+    val old = spark.conf.getOption(conf)
+    try {
+      for (v <- Seq("true", "false")) {
+        spark.conf.set(conf, v)
+        val out = parse(Seq(
+          1L -> """{"id": 7, "lang": "en", "nc": """)) // cut mid-value
+        withClue(s"$conf=$v: ") {
+          out(1L) shouldBe ((None, None, None, true,
+            Some("""{"id": 7, "lang": "en", "nc": """)))
+        }
+      }
+    } finally old match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
+
   test("schema drift is NOT corruption: valid JSON with missing fields") {
     val out = parse(Seq(
       1L -> """{}""",

@@ -109,6 +109,26 @@ class RangeJoinSpec extends SparkSpec {
     got shouldBe Set((1L, 7L))
   }
 
+  test("open-ended sentinel intervals raise loudly instead of exploding") {
+    import spark.implicits._
+    val pts = Seq((1L, 100L)).toDF("pid", "p")
+    val openEnded = Seq((7L, 0L, Long.MaxValue)).toDF("iid", "lo", "hi")
+    val ex = intercept[Throwable] {
+      RangeJoin
+        .pointInInterval(pts, "p", openEnded, "lo", "hi", bucket = 16L)
+        .collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    chain(ex) should include("buckets of width")
+    // a wide-but-legal interval under a raised cap still works
+    val wide = Seq((8L, 0L, 1000L)).toDF("iid", "lo", "hi")
+    RangeJoin
+      .pointInInterval(pts, "p", wide, "lo", "hi", bucket = 16L,
+        maxReplication = 1000L)
+      .count() shouldBe 1L
+  }
+
   test("result is invariant to input partitioning") {
     val expected = bucketed(16L)
     val got = RangeJoin
