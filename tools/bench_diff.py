@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Compare two Bench JSON lines and flag real regressions.
+
+Usage: python3 tools/bench_diff.py OLD.json NEW.json [ratio]
+
+A query is flagged when new/old exceeds `ratio` (default 2.0) AND the
+absolute delta exceeds 1 s (sub-second queries swing 2-3x on JIT/scheduling noise alone). HTTP gates (`h_*`) get a wider band: their
+quiet-window medians (SURVEY §5) show ±0.8 s of stub/scheduling jitter,
+so they flag only past old+0.8 s AND the ratio. Queries present on one
+side only are listed separately (new/removed, not regressions).
+"""
+import json
+import sys
+
+
+def load(path):
+    return json.loads(open(path).read())
+
+
+def main():
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    oq, nq = old["queries"], new["queries"]
+    flags, improved = [], []
+    for name in sorted(set(oq) & set(nq)):
+        a, b = oq[name], nq[name]
+        if name.startswith("h_"):
+            bad = b > a + 0.8 and b > a * ratio
+        else:
+            bad = b > a * ratio and b - a > 1.0
+        if bad:
+            flags.append((name, a, b))
+        elif a > b * ratio and a - b > 1.0:
+            improved.append((name, a, b))
+    print(f"old total {old['value']:.1f}s ({len(oq)} queries) -> "
+          f"new total {new['value']:.1f}s ({len(nq)} queries)")
+    for name, a, b in flags:
+        print(f"REGRESSED {name}: {a:.2f}s -> {b:.2f}s ({b / a:.1f}x)")
+    for name, a, b in improved:
+        print(f"improved  {name}: {a:.2f}s -> {b:.2f}s")
+    only_new = sorted(set(nq) - set(oq))
+    only_old = sorted(set(oq) - set(nq))
+    if only_new:
+        print(f"new queries: {', '.join(only_new)}")
+    if only_old:
+        print(f"removed queries: {', '.join(only_old)}")
+    failed = new.get("failed")
+    if failed:
+        print(f"FAILED in new run: {', '.join(failed)}")
+    sys.exit(1 if flags or failed else 0)
+
+
+if __name__ == "__main__":
+    main()
