@@ -268,6 +268,35 @@ object Urls {
       .drop("__domain")
   }
 
+  /** Robots-style disallow filtering: drop every row whose URL matches a
+    * (registered domain, path prefix) rule — the crawl-compliance pass
+    * (and the ops knob for cutting known-bad sections: /search, /tag,
+    * calendar traps) that runs before any fetch or text work.
+    *
+    * Rules are a DataFrame (one (domain, prefix) per row) so they come
+    * from wherever compliance data lives; matching is registered-domain
+    * exact + path `startsWith`. Scale posture: the rule table is small by
+    * nature → BROADCAST left_anti with the prefix predicate in the join
+    * condition — corpus rows never shuffle.
+    */
+  def dropDisallowed(
+      df: DataFrame,
+      urlCol: String,
+      rules: DataFrame,
+      ruleDomainCol: String,
+      rulePrefixCol: String): DataFrame = {
+    val withParts = df
+      .withColumn("__rb_domain", urlDomain(col(urlCol)))
+      .withColumn("__rb_path", urlPath(col(urlCol)))
+    withParts
+      .join(
+        broadcast(rules),
+        withParts("__rb_domain") === rules(ruleDomainCol) &&
+          withParts("__rb_path").startsWith(rules(rulePrefixCol)),
+        "left_anti")
+      .drop("__rb_domain", "__rb_path")
+  }
+
   /** Politeness-aware fetch partitioning: spread each registered domain's
     * URLs round-robin across `slots` fetch workers so no worker hammers
     * one host — with `n_d` urls on a domain, every slot gets

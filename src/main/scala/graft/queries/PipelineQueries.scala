@@ -1058,6 +1058,23 @@ object PipelineQueries {
         minDocs = 2)
     },
 
+    // ----- SENTENCE-level boilerplate removal (NEW r10): P89 sentences +
+    // P46 dropFrequentSegments composed — the RefinedWeb line-level rule
+    // at sentence granularity. Fixture: every doc wrapped in newsletter/
+    // rights/cookie boilerplate sentences that must all vanish while the
+    // doc's own sentence survives -----
+    "p_sentence_boilerplate" -> { (s, dir) =>
+      val fixture = concat(
+        lit("Subscribe to our newsletter. "),
+        col("text"),
+        lit(". All rights reserved. Cookie policy applies."))
+      Dedup.dropFrequentSegments(
+        t(s, dir, "documents").withColumn("text", fixture),
+        "doc_id",
+        TextFunctions.sentences(col("text")),
+        minDocs = 2)
+    },
+
     // Lee-et-al-style exact substring dedup: maximal cross-doc duplicated
     // spans at 20-word window granularity (747 distinct duplicated windows
     // in this corpus — the exact-duplicate doc clusters merge into
@@ -1242,6 +1259,25 @@ object PipelineQueries {
         .capPerDomain(withUrl(t(s, dir, "documents")), "doc_id", "url", k = 3)
         .select(col("doc_id"), col("domain"))
     },
+    // ----- robots-style disallow filter (NEW r10): (domain, path-prefix)
+    // rules drop matching urls via a broadcast anti-join; fixture: /admin
+    // paths on every 4th doc, rules disallow /admin on domains d0..d9 -----
+    "u_robots_filter" -> { (s, dir) =>
+      import s.implicits._
+      val urls = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          lit("https://www.d"), (col("doc_id") % 25).cast(StringType),
+          lit(".com"),
+          when(col("doc_id") % 4 === 0, lit("/admin/p"))
+            .otherwise(lit("/p")),
+          col("doc_id").cast(StringType)).as("url"))
+      val rules = (0 until 10)
+        .map(k => (s"d$k.com", "/admin"))
+        .toDF("rule_domain", "rule_prefix")
+      Urls.dropDisallowed(urls, "url", rules, "rule_domain", "rule_prefix")
+    },
+
     // ----- politeness fetch partitioning (NEW r10): each domain's urls
     // spread round-robin over 4 fetch slots in a deterministic hash
     // order — balance per (domain, slot) is asserted in the spec -----
@@ -2245,6 +2281,25 @@ object PipelineQueries {
          |SELECT fp, doc_id AS doc_id_kept, CAST(sc AS BIGINT) AS score_kept,
          |  CAST(n AS BIGINT) AS n_copies
          |FROM r WHERE rn = 1""".stripMargin
+    },
+    "u_robots_filter" -> {
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'https://www.d' || CAST(doc_id % 25 AS VARCHAR) || '.com' ||
+         |      CASE WHEN doc_id % 4 = 0 THEN '/admin/p' ELSE '/p' END ||
+         |      CAST(doc_id AS VARCHAR) AS url,
+         |    'd' || CAST(doc_id % 25 AS VARCHAR) || '.com' AS dom,
+         |    CASE WHEN doc_id % 4 = 0 THEN '/admin/p' ELSE '/p' END ||
+         |      CAST(doc_id AS VARCHAR) AS path
+         |  FROM documents),
+         |r AS (
+         |  SELECT 'd' || CAST(unnest(range(0, 10)) AS VARCHAR) || '.com'
+         |    AS rule_domain, '/admin' AS rule_prefix)
+         |SELECT doc_id, url FROM u
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM r
+         |  WHERE u.dom = r.rule_domain
+         |    AND starts_with(u.path, r.rule_prefix))""".stripMargin
     },
     "u_fetch_slots" -> {
       s"""WITH u AS (
@@ -3366,6 +3421,39 @@ object PipelineQueries {
          |  coalesce(k.n_kept, 0) AS n_kept,
          |  c.nc - coalesce(k.n_kept, 0) AS n_dropped
          |FROM c LEFT JOIN k ON c.doc_id = k.doc_id""".stripMargin,
+    // sentence-granularity boilerplate: the P89 splitter feeding the P46
+    // df-histogram + NOT IN + in-order rejoin chain
+    "p_sentence_boilerplate" -> {
+      val fixture =
+        "'Subscribe to our newsletter. ' || text || " +
+          "'. All rights reserved. Cookie policy applies.'"
+      s"""WITH f AS (SELECT doc_id, $fixture AS t FROM documents),
+         |sl AS (
+         |  SELECT doc_id,
+         |    list_filter(list_transform(
+         |      string_split(regexp_replace(trim(t),
+         |        '([.!?]["'')\\]]?)\\s+', '\\1' || chr(31), 'g'), chr(31)),
+         |      x -> trim(x)), x -> x <> '') AS ss
+         |  FROM f),
+         |s AS (
+         |  SELECT doc_id, unnest(ss) AS seg,
+         |    CAST(unnest(range(1, len(ss) + 1)) AS INT) AS pos
+         |  FROM sl),
+         |c AS (SELECT doc_id, len(ss) AS nc FROM sl),
+         |hot AS (
+         |  SELECT h FROM (
+         |    SELECT ${hash61Sql("seg")} AS h, count(DISTINCT doc_id) AS df
+         |    FROM s GROUP BY 1) WHERE df >= 2),
+         |k AS (
+         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM s WHERE ${hash61Sql("seg")} NOT IN (SELECT h FROM hot)
+         |  GROUP BY doc_id)
+         |SELECT c.doc_id, coalesce(k.clean_text, '') AS clean_text,
+         |  coalesce(k.n_kept, 0) AS n_kept,
+         |  c.nc - coalesce(k.n_kept, 0) AS n_dropped
+         |FROM c LEFT JOIN k ON c.doc_id = k.doc_id""".stripMargin
+    },
     // maximal duplicated spans (Lee et al. exact substring dedup, 20-word
     // windows, >= 2 distinct docs)
     "p_dup_spans" ->
