@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** One-pass corpus composition report (the "corpus card" / datasheet
   * numbers every curation run ends with: how many documents and tokens per
@@ -54,4 +54,27 @@ object CorpusStats {
         (sum(col("__toks")).cast(DoubleType) /
           count(lit(1)).cast(DoubleType)).as("mean_tokens"))
   }
+
+  /** Power-of-two sequence-length histogram — the input to packing/window
+    * design (P21/P65: which capacity wastes the least padding?) and the
+    * long-tail diagnostic (how much mass sits beyond the context length?).
+    *
+    * Bucket = number of binary digits of the token count (`length(bin(n))`
+    * — EXACT integer log2+1, no float log anywhere; DuckDB's `bin` agrees
+    * with `Long.toBinaryString` digit-for-digit), i.e. bucket k holds
+    * docs with 2^(k−1) ≤ tokens < 2^k (bucket 1 additionally holds the
+    * zero-token docs). One partial-agg shuffle of ≤64 bucket rows.
+    */
+  def lengthHistogram(docs: DataFrame, textCol: String): DataFrame =
+    Par.fan(docs)
+      .select(TextFunctions.tokenCount(col(textCol))
+        .cast(LongType).as("__toks"))
+      .select(length(bin(col("__toks"))).cast(IntegerType).as("bucket"),
+        col("__toks"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("total_tokens"),
+        min(col("__toks")).as("min_tokens"),
+        max(col("__toks")).as("max_tokens"))
 }

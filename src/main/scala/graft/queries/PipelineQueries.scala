@@ -795,6 +795,12 @@ object PipelineQueries {
 
     // ----- corpus composition report ("corpus card"): one-pass per
     // (lang, source) doc/token/char/distinct-content stats -----
+    // ----- power-of-two length histogram (NEW r10): packing/window design
+    // input; bucket = exact integer log2+1 via length(bin(n)) -----
+    "t_length_histogram" -> { (s, dir) =>
+      graft.ops.CorpusStats.lengthHistogram(t(s, dir, "documents"), "text")
+    },
+
     "t_corpus_report" -> { (s, dir) =>
       graft.ops.CorpusStats.corpusReport(
         t(s, dir, "documents"),
@@ -2988,6 +2994,15 @@ object PipelineQueries {
          |FROM j""".stripMargin,
     // replays corpusReport: exact integer aggregates + the portable
     // hash61 distinct-content count; mean = one double division
+    "t_length_histogram" ->
+      s"""WITH b AS (
+         |  SELECT CAST(coalesce(len($WsSql), 0) AS BIGINT) AS toks
+         |  FROM documents)
+         |SELECT CAST(length(bin(toks)) AS INT) AS bucket,
+         |  count(*) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+         |  min(toks) AS min_tokens, max(toks) AS max_tokens
+         |FROM b GROUP BY 1""".stripMargin,
     "t_corpus_report" ->
       s"""WITH b AS (
          |  SELECT lang, source,
