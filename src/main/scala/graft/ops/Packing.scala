@@ -73,6 +73,31 @@ object Packing {
     *
     * Output = input columns + `shard` (0-based INT).
     */
+  /** Shard manifest — the write-audit record a sharded training export
+    * needs: per shard, the doc count, total weight, and a CONTENT
+    * fingerprint (md5 over the lexicographically-sorted id list) that
+    * changes iff the shard's membership changes. Diff two manifests to
+    * know which shards to re-upload/re-shuffle after a corpus refresh —
+    * the shard-level analog of [[graft.ops.Dedup.snapshotDiff]].
+    *
+    * One partial-agg'd shuffle on the shard key; all values exact
+    * (integers + md5), engine-replayable.
+    */
+  def shardManifest(
+      df: DataFrame,
+      shardCol: String,
+      idCol: String,
+      weight: Column): DataFrame =
+    Par.fan(df)
+      .select(col(shardCol), col(idCol).cast("string").as("__sm_id"),
+        weight.cast("long").as("__sm_w"))
+      .groupBy(col(shardCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__sm_w")).as("total_weight"),
+        md5(array_join(array_sort(collect_list(col("__sm_id"))), ","))
+          .as("content_md5"))
+
   def balancedShards(
       df: DataFrame,
       idCol: String,

@@ -450,6 +450,26 @@ object TextFunctions {
     codeSymbolPpm(text) >= 60000L ||
       (codeIndentPpm(text) >= 300000L && codeKeywordHits(text) >= 3L)
 
+  /** gzip-compressibility quality signal: `⌊compressed·10⁶/raw⌋` over the
+    * UTF-8 bytes (DEFLATE level 6, raw stream). Highly compressible text
+    * (low ppm) = repetitive boilerplate; incompressible (ppm near or
+    * above 10⁶) = noise/binary — Gopher-style suites filter both tails.
+    * Deterministic on a fixed JVM (the JDK bundles its own zlib) but NOT
+    * engine-portable, so the op is [T] spec-verified, not DuckDB-gated —
+    * the same class as the HLL/Misra-Gries sketches. Empty text maps to
+    * 10⁶ (neutral).
+    */
+  def compressionRatioPpm(text: Column, level: Int = 6): Column = {
+    val raw = octet_length(text).cast(LongType)
+    val compressed = org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.DeflateSizeF(
+        org.apache.spark.sql.graft.ColumnShim.expression(
+          text.cast(StringType)),
+        level))
+    when(raw === 0L, lit(1000000L))
+      .otherwise(intDivCol(compressed * 1000000L, raw))
+  }
+
   /** Winnowing fingerprints: k-gram shingle hashes, minimum per sliding
     * window of `w` consecutive hashes (Schleimer et al., SIGMOD'03 winnowing
     * scheme) — used through [[graft.ops.Dedup.winnowingFingerprints]].

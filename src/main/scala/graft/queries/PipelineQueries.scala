@@ -1610,6 +1610,16 @@ object PipelineQueries {
     },
 
     // ----- balanced output sharding (P42) -----
+    // ----- shard manifest (NEW r10): per-shard write-audit — count, total
+    // weight, and a membership fingerprint that changes iff the shard's
+    // id set changes (diff two manifests after a corpus refresh) -----
+    "t_shard_manifest" -> { (s, dir) =>
+      val sharded = graft.ops.Packing.balancedShards(
+        t(s, dir, "documents"), "doc_id", col("n_chars"), nShards = 8)
+      graft.ops.Packing.shardManifest(
+        sharded, "shard", "doc_id", col("n_chars"))
+    },
+
     "t_balanced_shards" -> { (s, dir) =>
       graft.ops.Packing
         .balancedShards(
@@ -3811,6 +3821,17 @@ object PipelineQueries {
         |  CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 8
         |    AS INT) AS shard
         |FROM documents""".stripMargin,
+    "t_shard_manifest" ->
+      """WITH a AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 8
+        |      AS INT) AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_weight,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
+        |    ORDER BY CAST(doc_id AS VARCHAR))) AS content_md5
+        |FROM a GROUP BY shard""".stripMargin,
     "s_cluster_sample" -> {
       def dotSql(x: String, y: String) =
         s"list_reduce(list_transform(range(1, len($x) + 1), " +
