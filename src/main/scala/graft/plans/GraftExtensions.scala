@@ -94,7 +94,11 @@ object GraftExtensions {
     (
       FunctionIdentifier(HttpLookupTvf.Name),
       new ExpressionInfo(HttpLookupTvf.getClass.getCanonicalName, HttpLookupTvf.Name),
-      (args: Seq[Expression]) => HttpLookupTvf.build(args)))
+      (args: Seq[Expression]) => HttpLookupTvf.build(args)),
+    (
+      FunctionIdentifier(RangeJoinTvf.Name),
+      new ExpressionInfo(RangeJoinTvf.getClass.getCanonicalName, RangeJoinTvf.Name),
+      (args: Seq[Expression]) => RangeJoinTvf.build(args)))
 
   /** Imperative registration for sessions created without the extensions
     * config. Covers functions and the TVF only — analyzer rules (the

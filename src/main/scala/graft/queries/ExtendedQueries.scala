@@ -65,6 +65,33 @@ object ExtendedQueries {
         .select(col("event_id"), col("signup_id"))
     },
 
+    // ----- the SAME range join through the SQL TVF surface (NEW r10):
+    // `range_join(...)` splices the bucketized equi-join plan into SQL,
+    // where a raw BETWEEN join would plan the cartesian scale killer.
+    // No key-pair args on the TVF, so the user predicate rides WHERE -----
+    "q_range_join_sql" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val hour2 = 2L * 3600L * 1000000L
+      events(s, dir).select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("pt"))
+        .createOrReplaceTempView("rj_points")
+      events(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(
+          col("event_id").as("signup_id"),
+          col("user_id").as("iv_user"),
+          unix_micros(col("ts")).as("lo"),
+          (unix_micros(col("ts")) + lit(hour2)).as("hi"))
+        .createOrReplaceTempView("rj_intervals")
+      s.sql(
+        s"""SELECT event_id, signup_id
+           |FROM range_join('rj_points', 'pt', 'rj_intervals',
+           |  'lo', 'hi', ${3600L * 1000000L})
+           |WHERE user_id = iv_user AND event_id <> signup_id""".stripMargin)
+    },
+
     // ----- STREAM-STREAM interval join twin of q_range_join: both sides
     // are streams (all events ⋈ signup windows) joined on user + an
     // event-time range — the Structured Streaming join surface, gated by
@@ -235,6 +262,16 @@ object ExtendedQueries {
     // natively (IEJoin); the Spark side must reproduce it exactly through
     // the bucketized equi-join rewrite
     "q_range_join" ->
+      """SELECT e.event_id, i.signup_id
+        |FROM events e JOIN (
+        |  SELECT event_id AS signup_id, user_id,
+        |    epoch_us(ts) AS lo, epoch_us(ts) + 7200000000 AS hi
+        |  FROM events WHERE event_type = 'signup') i
+        |ON e.user_id = i.user_id
+        |  AND epoch_us(e.ts) >= i.lo AND epoch_us(e.ts) <= i.hi
+        |  AND e.event_id <> i.signup_id""".stripMargin,
+    // the SQL-TVF surface must reproduce the SAME relation
+    "q_range_join_sql" ->
       """SELECT e.event_id, i.signup_id
         |FROM events e JOIN (
         |  SELECT event_id AS signup_id, user_id,
