@@ -17,9 +17,15 @@ import org.apache.spark.sql.types.LongType
   *     division (the weightedMix subtract-the-remainder pattern keeps the
   *     double division exact); new rank = base + Σ contributions with
   *     `base = (scale · (dampDen − dampNum)) intdiv (dampDen · N)`;
-  *   - dangling mass (nodes without out-edges) is DROPPED, the standard
-  *     simplified variant — ranks are a quality ORDERING signal, not a
-  *     probability distribution, and the leak is uniform per iteration.
+  *   - dangling mass (nodes without out-edges) is DROPPED by default, the
+  *     standard simplified variant — ranks are a quality ORDERING signal,
+  *     not a probability distribution, and the leak is uniform per
+  *     iteration. Opt-in `redistributeDangling = true` folds the dangling
+  *     mass back uniformly (the textbook definition): each iteration
+  *     computes the total rank of out-degree-0 nodes as ONE scalar
+  *     aggregate (a 1-row relation, broadcast — never a driver collect)
+  *     and adds `(danglingMass · dampNum) intdiv (dampDen · N)` to every
+  *     node, keeping the integer-exact, hash-gateable contract.
   *
   * Scale posture: the classic edge-partitioned shape — per iteration one
   * shuffle joining ranks to edges on the source and one partial-agg'd
@@ -49,7 +55,8 @@ object PageRank {
       iters: Int = 5,
       scale: Long = 1000000000000L,
       dampNum: Long = 85,
-      dampDen: Long = 100): DataFrame = {
+      dampDen: Long = 100,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(dampNum > 0 && dampDen > dampNum, "damping must satisfy 0 < num < den")
     // edges and the node set are read EVERY iteration — cache them, and
@@ -78,12 +85,30 @@ object PageRank {
             .as("__c"))
         .groupBy(col("node"))
         .agg(sum(col("__c")).as("__in"))
-      r = nodes
+      val withBase = nodes
         .join(contrib, Seq("node"), "left")
         .select(
           col("node"),
           (lit(base) + coalesce(col("__in"), lit(0L))).as("rank"))
-        .localCheckpoint()
+      r =
+        if (!redistributeDangling) withBase.localCheckpoint()
+        else {
+          // dangling mass this iteration = Σ rank over out-degree-0 nodes,
+          // ONE 1-row aggregate broadcast into the plan (no driver action);
+          // per-node share = (mass · dampNum) intdiv (dampDen · N) — longs
+          // stay ≤ scale·dampNum ≪ 2⁵³, so intDiv remains exact
+          val dangling = r
+            .join(outdeg, r("node") === outdeg("__src"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("__dmass"))
+          withBase
+            .crossJoin(broadcast(dangling))
+            .select(
+              col("node"),
+              (col("rank") +
+                intDiv(col("__dmass") * lit(dampNum), lit(dampDen * n)))
+                .as("rank"))
+            .localCheckpoint()
+        }
     }
     r
   }

@@ -576,6 +576,25 @@ object PipelineQueries {
         e1.union(e2).union(e3), "src", "dst", iters = 5)
     },
 
+    // ----- textbook PageRank with dangling-mass redistribution (NEW r10,
+    // the r9 verdict's optional item 7): docs divisible by 3 emit NO
+    // out-links but are linked to, so a third of the graph is dangling —
+    // the fixture where the simplified variant visibly leaks mass and the
+    // redistributing variant conserves it (up to floor rounding). Exact
+    // integer arithmetic throughout; the dangling sum is a 1-row broadcast
+    // per iteration, never a driver collect -----
+    "u_pagerank_dangling" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val linkers = docs.filter(col("doc_id") % 3 =!= 0)
+      val e1 = linkers.select(
+        col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
+      val e2 = linkers.select(
+        col("doc_id").as("src"), ((col("doc_id") * 13 + 5) % n).as("dst"))
+      graft.ops.PageRank.ranks(
+        e1.union(e2), "src", "dst", iters = 4, redistributeDangling = true)
+    },
+
     // ----- host-level authority (NEW r10): the COMPOSITION a web-curation
     // pipeline actually runs — per-doc link pairs → registered-domain
     // extraction (Urls) → integer-exact PageRank over the domain
@@ -1967,9 +1986,24 @@ object PipelineQueries {
       iters: Int,
       scale: Long = 1000000000000L,
       dn: Int = 85,
-      dd: Int = 100): String = {
+      dd: Int = 100,
+      redistributeDangling: Boolean = false): String = {
     val iterCtes = (1 to iters).map { i =>
-      s"""c$i AS (
+      // with redistribution, each iteration folds the PREVIOUS ranks'
+      // dangling mass (out-degree-0 nodes) back uniformly — same exact
+      // floor-division share as PageRank.ranks
+      val dangCte =
+        if (!redistributeDangling) ""
+        else
+          s"""d$i AS (
+             |  SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dm
+             |  FROM r${i - 1}
+             |  WHERE node NOT IN (SELECT src FROM deg)),
+             |""".stripMargin
+      val dangAdd =
+        if (!redistributeDangling) ""
+        else s" +\n      (SELECT (dm * $dn) // ($dd * nv) FROM d$i, nn)"
+      s"""${dangCte}c$i AS (
          |  SELECT e.dst AS node,
          |    sum((r.rank * $dn) // ($dd * deg.d)) AS inr
          |  FROM e JOIN r${i - 1} r ON e.src = r.node
@@ -1978,7 +2012,7 @@ object PipelineQueries {
          |r$i AS (
          |  SELECT nodes.node,
          |    CAST(($scale * ${dd - dn}) // ($dd * (SELECT nv FROM nn)) +
-         |      coalesce(c$i.inr, 0) AS BIGINT) AS rank
+         |      coalesce(c$i.inr, 0)$dangAdd AS BIGINT) AS rank
          |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (
@@ -2761,6 +2795,15 @@ object PipelineQueries {
         |  UNION ALL SELECT doc_id, doc_id % 37 FROM documents
         |  WHERE doc_id % 5 = 0""".stripMargin,
       iters = 5),
+    "u_pagerank_dangling" -> pagerankSql(
+      """SELECT doc_id AS src,
+        |    (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL SELECT doc_id,
+        |    (doc_id * 13 + 5) % (SELECT count(*) FROM documents)
+        |  FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
+      iters = 4,
+      redistributeDangling = true),
 
     // host-level authority: same pagerank replay over the registered-
     // domain multigraph of the synthetic link frame (urlDomain of

@@ -36,6 +36,41 @@ class PageRankSpec extends SparkSpec {
     out.values.foreach(_ should be > 0L)
   }
 
+  private def runD(edges: Seq[(Long, Long)], iters: Int = 5, parts: Int = 1) =
+    PageRank
+      .ranks(
+        edges.toDF("src", "dst").repartition(parts), "src", "dst", iters,
+        redistributeDangling = true)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+  test("redistributeDangling conserves total mass up to floor rounding") {
+    // node 3 is dangling (linked to, never links out) — the simplified
+    // variant leaks its whole rank every iteration; redistribution keeps
+    // the total within N·iters floor-roundings of the scale
+    val edges = Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 0L -> 3L)
+    val scale = 1000000000000L
+    val drop = run(edges).values.sum
+    val keep = runD(edges).values.sum
+    keep should be > drop
+    keep should be <= scale
+    keep should be >= scale - 4L * 5L * 2L // n·iters roundings, generous
+  }
+
+  test("redistributeDangling stays exact across partitionings") {
+    val edges = (0L until 150L).filter(_ % 3 != 0).flatMap { i =>
+      Seq(i -> ((i * 7 + 3) % 150), i -> ((i * 13 + 5) % 150))
+    }
+    val a = runD(edges, parts = 1)
+    a shouldBe runD(edges, parts = 11)
+  }
+
+  test("no dangling nodes => redistribution is a no-op") {
+    val edges = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L)
+    run(edges) shouldBe runD(edges)
+  }
+
   test("bad parameters are rejected") {
     val df = Seq((1L, 2L)).toDF("src", "dst")
     an[IllegalArgumentException] should be thrownBy
