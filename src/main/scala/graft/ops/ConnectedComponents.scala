@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Connected components by alternating large-star / small-star contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+  * 2014) — the scale path for ARBITRARY-diameter pair graphs.
+  *
+  * [[Dedup.nearDupClusters]]'s min-label propagation is the right tool for
+  * LSH duplicate clusters (near-cliques, diameter 2-3: it converges in 2-3
+  * edge-sized shuffles). But pair graphs a curation pipeline meets are not
+  * always cliques — overlapping-span chains, URL redirect chains, citation
+  * paths — and label propagation needs O(diameter) rounds: a 10⁶-long chain
+  * means 10⁶ shuffles. Star contraction converges in O(log n) alternating
+  * rounds on any graph (O(log² n) proven worst case), each round two
+  * edge-sized shuffles, so the same 10⁶-chain takes ~20 rounds.
+  *
+  *   - large-star: every node connects its STRICTLY LARGER neighbors to
+  *     the minimum of its closed neighborhood — m = min(N(u) ∪ {u});
+  *   - small-star: edges point high→low; every node connects its
+  *     smaller-or-equal neighbors (and itself) to their minimum.
+  *
+  * Both steps preserve connectivity and strictly shrink star height; the
+  * fixpoint is a star forest whose centers are the component minima —
+  * exactly [[Dedup.nearDupClusters]]'s output contract, so the two are
+  * interchangeable (and gated against the same recursive-closure oracle
+  * shape). Deterministic: min over longs, no floats anywhere.
+  *
+  * Scale posture: each step is one partial-agg'd groupBy + one join ON THE
+  * SAME KEY (co-partitioned after the agg; AQE broadcasts the min table
+  * when small) + a distinct that keeps the edge multiset bounded by the
+  * input edge count. State is the edge list itself — never the corpus —
+  * and each round `localCheckpoint`s to keep the iterative plan flat
+  * (the [[PageRank]] / [[Dedup.nearDupClusters]] pattern). Convergence is
+  * checked with one count+hash-sum aggregate per round instead of a full
+  * `except` anti-shuffle (a 64-bit multiset-hash collision is the
+  * astronomically-unlikely false positive; results stay oracle-verified).
+  */
+object ConnectedComponents {
+
+  /** (count, xxhash64 multiset sum) signature of a canonical edge set —
+    * two edge sets with equal signatures are equal for convergence
+    * purposes (sum is order- and partitioning-independent).
+    */
+  private def signature(e: DataFrame): (Long, BigDecimal) = {
+    // DECIMAL(38,0) sum: exact and overflow-free under ANSI mode for any
+    // realistic edge count (2⁶³ hashes × 10¹⁸ edges still fits 38 digits)
+    val r = e
+      .agg(
+        count(lit(1)).as("c"),
+        coalesce(
+          sum(xxhash64(col("hi"), col("lo"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO)).as("h"))
+      .head()
+    (r.getLong(0), BigDecimal(r.getDecimal(1)))
+  }
+
+  /** large-star: connect strictly-larger neighbors to the closed-
+    * neighborhood minimum. Input/output canonical (hi > lo) edges.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e
+      .select(col("hi").as("a"), col("lo").as("b"))
+      .union(e.select(col("lo").as("a"), col("hi").as("b")))
+    val mins = nbrs.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
+    nbrs
+      .join(mins, "a")
+      .filter(col("b") > col("a"))
+      .select(col("b").as("hi"), col("m").as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+  }
+
+  /** small-star: connect smaller neighbors (and self) to their minimum.
+    * Input/output canonical (hi > lo) edges.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+    e.join(mins, "hi")
+      .select(col("lo").as("n"), col("m"))
+      .union(mins.select(col("hi").as("n"), col("m")))
+      .filter(col("n") =!= col("m"))
+      .select(col("n").as("hi"), col("m").as("lo"))
+      .distinct()
+  }
+
+  /** Component labels over an undirected pair graph: one row per node that
+    * appears in at least one pair, `cluster_id` = the component's minimum
+    * node id — interchangeable with [[Dedup.nearDupClusters]].
+    *
+    * Fails loudly (require) if `maxRounds` alternating rounds don't reach
+    * the fixpoint — at the default 30 that needs a graph beyond ~2³⁰
+    * nodes' worth of contraction, i.e. never in practice.
+    */
+  def components(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxRounds: Int = 30): DataFrame = {
+    val raw = Par.cached(
+      Par.fan(pairs)
+        .select(col(idA).cast(LongType).as("u"), col(idB).cast(LongType).as("v"))
+        .filter(col("u") =!= col("v")))
+    val nodes = raw
+      .select(col("u").as("node"))
+      .union(raw.select(col("v").as("node")))
+      .distinct()
+    var e = raw
+      .select(greatest(col("u"), col("v")).as("hi"), least(col("u"), col("v")).as("lo"))
+      .distinct()
+      .localCheckpoint()
+    var sig = signature(e)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val next = signature(e)
+      converged = next == sig
+      sig = next
+    }
+    require(converged, s"star contraction did not converge in $maxRounds rounds")
+    nodes
+      .join(e.select(col("hi").as("node"), col("lo").as("parent")), Seq("node"), "left")
+      .select(
+        col("node").as("doc_id"),
+        coalesce(col("parent"), col("node")).as("cluster_id"))
+  }
+}

@@ -404,6 +404,24 @@ object PipelineQueries {
           n = 3, bands = 4, threshold = 0.5))
     },
 
+    // ----- star-contraction connected components (NEW r10): the
+    // O(log n)-round CC for ARBITRARY-diameter pair graphs. The fixture is
+    // the case min-label propagation cannot handle in bounded rounds:
+    // 100-long doc-id chains (diameter 99 — propagation's default 20
+    // rounds would NOT converge) plus hub edges merging every 10th block,
+    // so components mix long paths and stars. cluster_id = component min,
+    // gated hash-exact against the recursive-closure oracle -----
+    "p_cc_star" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val chain = docs
+        .filter(col("doc_id") % 100 =!= 99)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      val hubs = docs
+        .filter(col("doc_id") % 1000 === 0 && col("doc_id") =!= 0)
+        .select(col("doc_id").as("id_a"), lit(0L).as("id_b"))
+      graft.ops.ConnectedComponents.components(chain.union(hubs))
+    },
+
     // ----- end-to-end near-dup removal: pairs → clusters → keep-one -----
     "p_dedup_survivors" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
@@ -2574,6 +2592,25 @@ object PipelineQueries {
          |  SELECT e.n, r.m FROM edges e JOIN reach r ON e.m = r.n)
          |SELECT n AS doc_id, least(n, min(m)) AS cluster_id
          |FROM reach GROUP BY n""".stripMargin
+    },
+    "p_cc_star" -> {
+      // same recursive-closure shape over the chain+hub fixture graph
+      """WITH RECURSIVE pairs AS (
+        |  SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+        |  WHERE doc_id % 100 <> 99
+        |  UNION ALL
+        |  SELECT doc_id, 0 FROM documents
+        |  WHERE doc_id % 1000 = 0 AND doc_id <> 0),
+        |edges AS (
+        |  SELECT id_a AS n, id_b AS m FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS n, id_a AS m FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT n, m FROM edges
+        |  UNION
+        |  SELECT e.n, r.m FROM edges e JOIN reach r ON e.m = r.n)
+        |SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+        |FROM reach GROUP BY n""".stripMargin
     },
     "p_dedup_survivors" -> dedupSurvivorsOracle,
     // the exact-collapse-prefiltered variant is result-IDENTICAL by
