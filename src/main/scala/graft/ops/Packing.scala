@@ -190,4 +190,53 @@ object Packing {
         "offset_in_first",
         col("tok_start") - col("first_window") * L)
   }
+
+  /** Deterministic global shuffle — the "randomize example order before
+    * training" step, as a reproducible permutation instead of an
+    * unseedable cluster-order accident. Every row gets a global position
+    * `pos` ∈ [0, n) ordered by (hash61(seed:id), id) — a keyed hash, so
+    * the permutation is (a) pseudorandom, (b) identical run-to-run and
+    * engine-to-engine, (c) re-derivable for any single id without touching
+    * the corpus — plus its output shard `pos ⌊/⌋ shardSize` (contiguous
+    * equal-size shards in permuted order, what a dataloader actually
+    * reads).
+    *
+    * Scale posture: no global sort materializes a total order on one
+    * node — [[Sampling.rangePrefix]] range-partitions by the hash key,
+    * turns per-bucket COUNTS (one row per partition) into broadcast prefix
+    * offsets, and positions are offset + bucket-local row_number. Same
+    * machinery as [[Sampling.exactQuantiles]]/[[contiguousWindows]]; the
+    * per-bucket window is bounded by partition size, never corpus size.
+    */
+  def globalShuffle(
+      df: DataFrame,
+      idCol: String,
+      seed: String = "shuffle",
+      shardSize: Long = 64L): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    val helpers = Seq("__gs_h", "__gs_bkt", "__gs_off")
+    require(
+      !df.columns.exists(helpers.contains),
+      s"input must not contain ${helpers.mkString("/")}")
+    def intDiv(x: Column, y: Column): Column =
+      ((x - pmod(x, y)) / y).cast("long")
+    val base = df.withColumn(
+      "__gs_h",
+      TextFunctions.hash61(
+        concat(lit(seed + ":"), col(idCol).cast("string"))))
+    val (ranged, offsets, _) = Sampling.rangePrefix(
+      base,
+      Seq(col("__gs_h").asc, col(idCol).asc),
+      lit(1L),
+      "__gs_bkt",
+      "__gs_off")
+    val w = Window
+      .partitionBy(col("__gs_bkt"))
+      .orderBy(col("__gs_h").asc, col(idCol).asc)
+    ranged
+      .join(broadcast(offsets), Seq("__gs_bkt"))
+      .withColumn("pos", col("__gs_off") + row_number().over(w) - 1)
+      .withColumn("shard", intDiv(col("pos"), lit(shardSize)))
+      .drop("__gs_h", "__gs_bkt", "__gs_off")
+  }
 }

@@ -577,6 +577,15 @@ object PipelineQueries {
           col("first_window"), col("last_window"), col("offset_in_first"))
     },
 
+    // ----- deterministic global shuffle (NEW r10): reproducible training-
+    // order permutation — pos = rank by (hash61(seed:doc_id), doc_id),
+    // shard = pos ⌊/⌋ 64 — via the no-global-sort rangePrefix machinery --
+    "t_global_shuffle" -> { (s, dir) =>
+      graft.ops.Packing.globalShuffle(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", seed = "shuffle", shardSize = 64L)
+    },
+
     // ----- link-graph authority scoring (integer-exact PageRank, 5
     // iterations) over a deterministic link graph derived from doc ids:
     // every doc links to two pseudo-random targets, every 5th doc also
@@ -2822,6 +2831,17 @@ object PipelineQueries {
          |  (tok_start + n - 1) // 128 AS last_window,
          |  tok_start - (tok_start // 128) * 128 AS offset_in_first
          |FROM o""".stripMargin,
+    "t_global_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${hash61Sql("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS hk
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY hk, doc_id) - 1 AS BIGINT)
+         |      AS pos
+         |  FROM h)
+         |SELECT doc_id, pos, pos // 64 AS shard FROM p""".stripMargin,
     "u_pagerank" -> pagerankSql(
       """SELECT doc_id AS src,
         |    (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst

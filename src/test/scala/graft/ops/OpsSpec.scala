@@ -977,6 +977,32 @@ class PackingSpec extends SparkSpec {
     all(perShard) should be < 60L // ~25 expected per shard, bounded
   }
 
+  test("globalShuffle is a deterministic permutation with contiguous shards") {
+    val docs = (0L until 300L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = Packing.globalShuffle(docs, "doc_id", shardSize = 32L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("shard")))
+    // pos is a bijection 0..n-1; shard = pos / 32
+    out.map(_._2).sorted.toSeq shouldBe (0L until 300L)
+    out.foreach { case (_, p, s) => s shouldBe p / 32 }
+    // not the identity order (it actually shuffles)
+    out.sortBy(_._2).map(_._1).toSeq should not be (0L until 300L)
+    // partition-count independent
+    val again = Packing.globalShuffle(docs.repartition(17), "doc_id",
+        shardSize = 32L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("shard")))
+    again.sortBy(_._1).toSeq shouldBe out.sortBy(_._1).toSeq
+    // a different seed is a different permutation
+    val reseeded = Packing.globalShuffle(docs, "doc_id", seed = "epoch2",
+        shardSize = 32L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")))
+    reseeded.sortBy(_._1).map(_._2).toSeq should not be
+      out.sortBy(_._1).map(_._2).toSeq
+  }
+
   test("balancedShards: shard sums within one max item, deterministic") {
     import org.apache.spark.sql.functions.col
     // skewed weights: a few giants + a long tail
