@@ -519,6 +519,72 @@ object Sampling {
         org.apache.spark.sql.graft.ColumnShim.expression(a.cast(LongType)),
         org.apache.spark.sql.graft.ColumnShim.expression(b.cast(LongType))))
 
+  /** Systematic probability-proportional-to-size sampling — the classic
+    * survey-sampling design (fixed stride over a cumulative-weight axis in
+    * a pseudorandom order): EXACTLY `k` selection points, every row's
+    * selection probability proportional to its weight, zero variance in
+    * the sample size. The "pick 10M documents, long ones
+    * proportionally more often" step where a Bernoulli/hash sample's
+    * binomial size jitter is unacceptable.
+    *
+    * Deterministic and engine-exact: rows are ordered by
+    * (hash61(seed:id), id); with exclusive prefix weight `W_i` and total
+    * `T`, row i is hit by selection points `⌊(W_i+w_i)·k/T⌋ − ⌊W_i·k/T⌋`
+    * (crossings of the T/k grid — pure integer arithmetic, no floats), so
+    * `Σ hits = k` exactly and a row with weight > T/k is hit multiple
+    * times (`n_hits` is its replication count in the sample, the standard
+    * PPS-with-certainty outcome). Output: selected rows with `n_hits`.
+    *
+    * Scale posture: same no-global-sort [[rangePrefix]] machinery as
+    * [[exactQuantiles]] — range partition by the hash key, broadcast
+    * per-bucket prefix offsets, bucket-local windows; one driver scalar
+    * (the total). Overflow-guarded loudly: requires `T·k` to fit a long
+    * (ANSI would throw anyway; the require names the fix).
+    */
+  def systematicSample(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      k: Long,
+      seed: String = "pps"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val helpers = Seq("__ss_w", "__ss_h", "__ss_bkt", "__ss_off", "__ss_cum")
+    require(
+      !df.columns.exists(helpers.contains),
+      s"input must not contain ${helpers.mkString("/")}")
+    val base = df
+      .withColumn("__ss_w", weight.cast(LongType))
+      .filter(col("__ss_w").isNotNull && col("__ss_w") > 0)
+      .withColumn(
+        "__ss_h",
+        TextFunctions.hash61(
+          concat(lit(seed + ":"), col(idCol).cast(StringType))))
+    val (ranged, offsetsDf, total) = rangePrefix(
+      base,
+      Seq(col("__ss_h").asc, col(idCol).asc),
+      col("__ss_w"),
+      "__ss_bkt",
+      "__ss_off")
+    require(total > 0, "total weight must be positive")
+    require(
+      total <= Long.MaxValue / k,
+      s"T*k overflows a long (T=$total, k=$k): scale weights down")
+    val w = Window
+      .partitionBy(col("__ss_bkt"))
+      .orderBy(col("__ss_h").asc, col(idCol).asc)
+    ranged
+      .withColumn("__ss_cum", sum(col("__ss_w")).over(w))
+      .join(broadcast(offsetsDf), Seq("__ss_bkt"))
+      .withColumn(
+        "n_hits",
+        divFloor((col("__ss_off") + col("__ss_cum")) * k, lit(total)) -
+          divFloor(
+            (col("__ss_off") + col("__ss_cum") - col("__ss_w")) * k,
+            lit(total)))
+      .filter(col("n_hits") > 0)
+      .drop("__ss_w", "__ss_h", "__ss_bkt", "__ss_off", "__ss_cum")
+  }
+
   /** Mixture plan: turn measured per-group token counts (the
     * [[CorpusStats.corpusReport]] output, or any (group, tokens) frame)
     * plus TARGET mixture shares and a total token budget into the

@@ -1069,6 +1069,20 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // ----- systematic PPS sampling (NEW r10): EXACTLY k = 100 selection
+    // points over the cumulative token axis in keyed-hash order — fixed
+    // sample size (no binomial jitter), weight-proportional inclusion,
+    // pure integer grid-crossing arithmetic -----
+    "t_systematic_sample" -> { (s, dir) =>
+      graft.ops.Sampling
+        .systematicSample(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id",
+          TextFunctions.tokenCount(col("text")),
+          k = 100L)
+        .select(col("doc_id"), col("n_hits"))
+    },
+
     // ----- SemDeDup-style semantic dedup (bucketed pairs → clusters →
     // keep-one) — survivors of the embedding corpus -----
     "s_semantic_dedup" -> { (s, dir) =>
@@ -3511,6 +3525,21 @@ object PipelineQueries {
          |        doc_id) AS rn
          |  FROM documents) WHERE rn <= 20""".stripMargin
     },
+    "t_systematic_sample" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, CAST(len($WsSql) AS BIGINT) AS w,
+         |    ${hash61Sql("'pps:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents
+         |  WHERE len($WsSql) > 0),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM b),
+         |c AS (
+         |  SELECT doc_id, w,
+         |    CAST(sum(w) OVER (ORDER BY h, doc_id) AS BIGINT) AS cum
+         |  FROM b)
+         |SELECT doc_id,
+         |  (cum * 100) // tot - ((cum - w) * 100) // tot AS n_hits
+         |FROM c, t
+         |WHERE (cum * 100) // tot - ((cum - w) * 100) // tot > 0""".stripMargin,
     "t_chunk_docs" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

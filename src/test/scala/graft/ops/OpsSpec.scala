@@ -549,6 +549,42 @@ class ParSpec extends SparkSpec {
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("systematicSample hits exactly k grid points, weight-proportional") {
+    val docs = (1L to 500L).map(i => (i, (i % 37) + 1)).toDF("doc_id", "w")
+    val out = Sampling
+      .systematicSample(docs, "doc_id", col("w"), k = 40L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits")))
+    out.map(_._2).sum shouldBe 40L           // exact sample size, always
+    all(out.map(_._2)) should be >= 1L
+    // partition-count independent
+    val again = Sampling
+      .systematicSample(docs.repartition(13), "doc_id", col("w"), k = 40L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits")))
+    again.sortBy(_._1).toSeq shouldBe out.sortBy(_._1).toSeq
+  }
+
+  test("systematicSample: a heavy row is a certainty with multiplicity") {
+    // one row holds >half the mass: with k=10 it must take >=5 hits
+    val docs = ((1L to 20L).map(i => (i, 1L)) :+ (99L, 30L)).toDF("doc_id", "w")
+    val out = Sampling
+      .systematicSample(docs, "doc_id", col("w"), k = 10L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits")))
+      .toMap
+    out.values.sum shouldBe 10L
+    out(99L) should be >= 5L
+    // zero/negative/null weights are excluded, loud guard on T*k overflow
+    val bad = Seq((1L, 0L), (2L, -3L), (3L, 5L)).toDF("doc_id", "w")
+    Sampling.systematicSample(bad, "doc_id", col("w"), k = 2L)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq shouldBe Seq(3L)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.systematicSample(
+        Seq((1L, Long.MaxValue / 2)).toDF("doc_id", "w"),
+        "doc_id", col("w"), k = 1000L)
+  }
+
   test("stratified hash sampling is reproducible and rate-respecting") {
     val docs = (1L to 2000L)
       .map(i => (i, if (i % 2 == 0) "en" else "de"))
