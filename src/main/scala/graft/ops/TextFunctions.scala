@@ -470,6 +470,52 @@ object TextFunctions {
       .otherwise(intDivCol(compressed * 1000000L, raw))
   }
 
+  /** The classic UTF-8-bytes-decoded-as-cp1252 artifact sequences
+    * ("é" → "Ã©", "'" → "â€™", …) — each is a
+    * near-impossible character run in clean text, so their presence is a
+    * high-precision mojibake signal (the Unicode-fixing literature's
+    * standard marker set).
+    */
+  private[graft] val MojibakeSeqs: Seq[String] = Seq(
+    "\u00C3\u00A9", "\u00C3\u00A8", "\u00C3\u00BC", "\u00C3\u00A4",
+    "\u00C3\u00B6", "\u00E2\u20AC\u2122", "\u00E2\u20AC\u0153")
+
+  /** U+FFFD replacement characters — what a decoder already gave up on. */
+  def replacementCharCount(text: Column): Column =
+    (length(text) - length(translate(text, "\uFFFD", ""))).cast(LongType)
+
+  /** C1 control characters (U+0080–U+009F): valid cp1252 punctuation
+    * bytes decoded as latin-1 land here — clean text never contains them.
+    */
+  def c1ControlCount(text: Column): Column =
+    (length(text) -
+      length(regexp_replace(text, "[\u0080-\u009F]", ""))).cast(LongType)
+
+  /** Occurrences of the [[MojibakeSeqs]] marker sequences (each counted by
+    * length delta over its removal, exact integer division by the
+    * sequence length).
+    */
+  def mojibakeSeqCount(text: Column): Column =
+    MojibakeSeqs
+      .map(s =>
+        intDivCol(
+          (length(text) - length(regexp_replace(text, s, "")))
+            .cast(LongType),
+          lit(s.length.toLong)))
+      .reduce(_ + _)
+
+  /** Encoding-quality filter signal: artifact characters (replacement +
+    * C1 + mojibake-marker hits) per million characters — exact integer
+    * arithmetic, engine-portable. A corpus ingest drops or re-decodes
+    * documents above a small threshold; `0` = clean.
+    */
+  def encodingArtifactPpm(text: Column): Column = {
+    val n = replacementCharCount(text) + c1ControlCount(text) +
+      mojibakeSeqCount(text)
+    when(length(text) === 0, lit(0L))
+      .otherwise(intDivCol(n * 1000000L, length(text).cast(LongType)))
+  }
+
   /** Winnowing fingerprints: k-gram shingle hashes, minimum per sliding
     * window of `w` consecutive hashes (Schleimer et al., SIGMOD'03 winnowing
     * scheme) — used through [[graft.ops.Dedup.winnowingFingerprints]].

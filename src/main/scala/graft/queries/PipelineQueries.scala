@@ -1069,6 +1069,34 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // ----- encoding-artifact (mojibake) detection (NEW r10): replacement
+    // chars + C1 controls + UTF-8-as-cp1252 marker sequences, per million
+    // chars. The fixture injects artifacts deterministically by doc_id
+    // residue (the raw testdata is clean — an all-zero gate would prove
+    // nothing); the oracle replays the same injection with chr() codes --
+    "t_mojibake" -> { (s, dir) =>
+      val injected = concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0, lit("\u00C3\u00A9\u00C3\u00A8"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\uFFFD")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\u0085\u0092"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit("\u00E2\u20AC\u2122"))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), injected.as("txt"))
+        .select(
+          col("doc_id"),
+          TextFunctions.replacementCharCount(col("txt")).as("n_replacement"),
+          TextFunctions.c1ControlCount(col("txt")).as("n_c1"),
+          TextFunctions.mojibakeSeqCount(col("txt")).as("n_moji"),
+          TextFunctions.encodingArtifactPpm(col("txt")).as("artifact_ppm"))
+        .withColumn(
+          "clean",
+          col("n_replacement") + col("n_c1") + col("n_moji") === 0L)
+    },
+
     // ----- systematic PPS sampling (NEW r10): EXACTLY k = 100 selection
     // points over the cumulative token axis in keyed-hash order — fixed
     // sample size (no binomial jitter), weight-proportional inclusion,
@@ -3524,6 +3552,39 @@ object PipelineQueries {
          |      ORDER BY ${hash61Sql("'quota:' || CAST(doc_id AS VARCHAR)")},
          |        doc_id) AS rn
          |  FROM documents) WHERE rn <= 20""".stripMargin
+    },
+    "t_mojibake" -> {
+      // chr()-code injection + counts GENERATED from the same
+      // TextFunctions.MojibakeSeqs constants as the Spark side
+      def chrs(s: String) = s.map(c => s"chr(${c.toInt})").mkString(" || ")
+      val mojiSum = TextFunctions.MojibakeSeqs
+        .map(s =>
+          s"(length(txt) - length(replace(txt, ${chrs(s)}, ''))) // ${s.length}")
+        .mkString("\n      + ")
+      s"""WITH j AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 5 = 0
+         |         THEN chr(195)||chr(169)||chr(195)||chr(168) ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN chr(65533) ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0
+         |         THEN chr(133)||chr(146) ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 0
+         |         THEN chr(226)||chr(8364)||chr(8482) ELSE '' END AS txt
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, CAST(length(txt) AS BIGINT) AS L,
+         |    CAST(length(txt) - length(replace(txt, chr(65533), ''))
+         |      AS BIGINT) AS n_replacement,
+         |    CAST(length(txt) - length(regexp_replace(txt,
+         |      '[\\x{0080}-\\x{009F}]', '', 'g')) AS BIGINT) AS n_c1,
+         |    CAST($mojiSum AS BIGINT) AS n_moji
+         |  FROM j)
+         |SELECT doc_id, n_replacement, n_c1, n_moji,
+         |  CASE WHEN L = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE ((n_replacement + n_c1 + n_moji) * 1000000) // L END
+         |    AS artifact_ppm,
+         |  (n_replacement + n_c1 + n_moji) = 0 AS clean
+         |FROM c""".stripMargin
     },
     "t_systematic_sample" ->
       s"""WITH b AS (

@@ -17,6 +17,26 @@ class TextFunctionsSpec extends SparkSpec {
     evalOne(TextFunctions.meanTokenLength(col("text")), "a bb ccc a") shouldBe 1.75
   }
 
+  test("encoding-artifact signals count mojibake, C1, replacement chars") {
+    // "caf" + U+FFFD + mojibake e-acute marker + a C1 control (U+0085)
+    val dirty = "caf\uFFFD et \u00C3\u00A9t\u00C3\u00A9 l\u0085"
+    evalOne(TextFunctions.replacementCharCount(col("text")), dirty) shouldBe 1L
+    evalOne(TextFunctions.c1ControlCount(col("text")), dirty) shouldBe 1L
+    evalOne(TextFunctions.mojibakeSeqCount(col("text")), dirty) shouldBe 2L
+    // 4 artifacts over 16 chars = 250000 ppm
+    dirty.length shouldBe 16
+    evalOne(TextFunctions.encodingArtifactPpm(col("text")), dirty) shouldBe
+      250000L
+    // clean text scores zero everywhere, empty text is 0 ppm (not a crash)
+    val clean = "a perfectly ordinary sentence."
+    evalOne(TextFunctions.encodingArtifactPpm(col("text")), clean) shouldBe 0L
+    evalOne(TextFunctions.encodingArtifactPpm(col("text")), "") shouldBe 0L
+    // smart-quote mojibake triple counts once, not once per subsequence
+    evalOne(
+      TextFunctions.mojibakeSeqCount(col("text")),
+      "it\u00E2\u20AC\u2122s") shouldBe 1L
+  }
+
   test("shingles windows of 3 words; short docs empty") {
     val sh = Seq("w1 w2 w3 w4")
       .toDF("text")
