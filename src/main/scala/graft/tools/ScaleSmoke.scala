@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
+    // optional second arg (local dev): only run steps whose name contains it
+    val onlySub = args.drop(1).headOption
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -93,6 +95,7 @@ object ScaleSmoke {
     }
 
     def measure(step: Step): Unit = {
+      if (onlySub.exists(f => !step.name.contains(f))) return
       // counters reset BEFORE the build: iterative pipelines (cluster label
       // propagation) execute eagerly while the DataFrame is constructed, so
       // build + noop-write together are the pipeline's true shuffle bill.
@@ -581,6 +584,47 @@ object ScaleSmoke {
             if (a == b) None
             else Some(s"ranks differ across partitionings: sym-diff=" +
               s"${(a diff b).size + (b diff a).size}")
+          ).flatten
+        }))
+    }
+
+    // Star-contraction connected components (NEW r10) at the smoke corpus
+    // scale: nDocs nodes in chains of 1000 — the HIGH-DIAMETER case where
+    // min-label propagation would need 1000 edge-shuffles and the
+    // contraction needs ~log rounds. Ceiling covers all rounds (each is
+    // two groupBy+join shuffles on the edge list). Invariants: (a) one
+    // label row per node; (b) ground-truth labels — every node's
+    // cluster_id must equal its chain head (node - node % 1000), a full
+    // result check, not a sample; (c) determinism across an adversarial
+    // repartitioning.
+    locally {
+      val ids = docs.select(col("doc_id"))
+      def chainOf(d: DataFrame): DataFrame = d
+        .filter(pmod(col("doc_id"), lit(1000L)) =!= 999L)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
+      measure(Step(
+        s"p_cc_star(${copies}x, chains of 1000)",
+        () => graft.ops.ConnectedComponents.components(chainOf(ids)),
+        ceilingGB = 2.0,
+        invariant = df => {
+          val rows = df.count()
+          val wrong = df
+            .filter(col("cluster_id") =!=
+              (col("doc_id") - pmod(col("doc_id"), lit(1000L))))
+            .count()
+          val a = df.collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          graft.ops.Par.releaseCaches()
+          val b = graft.ops.ConnectedComponents
+            .components(chainOf(ids).repartition(7))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          Seq(
+            if (rows == nDocs) None
+            else Some(s"$rows label rows != $nDocs nodes"),
+            if (wrong == 0L) None
+            else Some(s"$wrong nodes labeled off their chain head"),
+            if (a == b) None
+            else Some("labels differ across partitionings")
           ).flatten
         }))
     }
