@@ -339,20 +339,26 @@ object Dedup {
       idCol: String,
       segments: Column,
       minDocs: Long,
-      sep: String = " "): DataFrame = {
+      sep: String = " ",
+      groupCols: Seq[String] = Nil): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    // groupCols scope the document-frequency rule: with Seq("source") a
+    // segment is boilerplate only when >= minDocs docs OF THE SAME SOURCE
+    // share it — site-template removal that can't nuke phrases merely
+    // common across the whole web (the RefinedWeb per-site variant).
+    val keys = groupCols :+ "__h"
     val occ = Par.fan(df).select(
-      col(idCol).as("__id"),
-      posexplode(segments).as(Seq("__pos", "__seg")))
+      col(idCol).as("__id") +: groupCols.map(col) :+
+        posexplode(segments).as(Seq("__pos", "__seg")): _*)
       .withColumn("__h", TextFunctions.hash61(col("__seg")))
     val hot = occ
-      .select(col("__h"), col("__id"))
+      .select((keys.map(col) :+ col("__id")): _*)
       .distinct()
-      .groupBy(col("__h"))
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
-      .select(col("__h"))
-    val keptOcc = occ.join(broadcast(hot), Seq("__h"), "left_anti")
+      .select(keys.map(col): _*)
+    val keptOcc = occ.join(broadcast(hot), keys, "left_anti")
     val kept = keptOcc
       .groupBy(col("__id"))
       .agg(

@@ -1152,6 +1152,19 @@ object PipelineQueries {
         minDocs = 2)
     },
 
+    // ----- per-SOURCE boilerplate removal (NEW r10): the document-
+    // frequency rule scoped by `source` — a window is dropped only when
+    // >= 2 docs of the SAME source share it, so site templates vanish but
+    // cross-site common phrases survive (the RefinedWeb per-site variant)
+    "p_source_boilerplate" -> { (s, dir) =>
+      Dedup.dropFrequentSegments(
+        t(s, dir, "documents"),
+        "doc_id",
+        Chunking.wordWindows(col("text"), 10),
+        minDocs = 2,
+        groupCols = Seq("source"))
+    },
+
     // ----- SENTENCE-level boilerplate removal (NEW r10): P89 sentences +
     // P46 dropFrequentSegments composed — the RefinedWeb line-level rule
     // at sentence granularity. Fixture: every doc wrapped in newsletter/
@@ -3631,6 +3644,29 @@ object PipelineQueries {
          |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
          |    count(*) AS n_kept
          |  FROM s WHERE ${hash61Sql("seg")} NOT IN (SELECT h FROM hot)
+         |  GROUP BY doc_id)
+         |SELECT c.doc_id, coalesce(k.clean_text, '') AS clean_text,
+         |  coalesce(k.n_kept, 0) AS n_kept,
+         |  c.nc - coalesce(k.n_kept, 0) AS n_dropped
+         |FROM c LEFT JOIN k ON c.doc_id = k.doc_id""".stripMargin,
+    // per-source boilerplate: the same chain with the df histogram keyed
+    // by (source, segment hash) and a NOT EXISTS anti-join
+    "p_source_boilerplate" ->
+      s"""WITH $SegmentWindowCtes,
+         |sg AS (
+         |  SELECT s.doc_id, s.pos, s.seg, d2.source,
+         |    ${hash61Sql("s.seg")} AS h
+         |  FROM s JOIN documents d2 ON s.doc_id = d2.doc_id),
+         |hot AS (
+         |  SELECT source, h FROM (
+         |    SELECT source, h, count(DISTINCT doc_id) AS df
+         |    FROM sg GROUP BY 1, 2) WHERE df >= 2),
+         |k AS (
+         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM sg WHERE NOT EXISTS (
+         |    SELECT 1 FROM hot
+         |    WHERE hot.source = sg.source AND hot.h = sg.h)
          |  GROUP BY doc_id)
          |SELECT c.doc_id, coalesce(k.clean_text, '') AS clean_text,
          |  coalesce(k.n_kept, 0) AS n_kept,

@@ -228,6 +228,34 @@ class WithinDocNullSegmentSpec extends SparkSpec {
     out(3L) shouldBe (("", 0L, 2L))
   }
 
+  test("groupCols scope the df rule: same-source templates drop, cross-source phrases survive") {
+    // "c d" is shared by two docs of site A (template -> dropped there)
+    // and by one doc of site B (df=1 within B -> SURVIVES there); the
+    // global variant would have nuked it everywhere
+    val docs = Seq(
+      (1L, "A", "a b c d"),
+      (2L, "A", "c d x y"),
+      (3L, "B", "c d e f")).toDF("doc_id", "source", "text")
+    val out = Dedup
+      .dropFrequentSegments(
+        docs, "doc_id", Chunking.wordWindows(col("text"), 2), minDocs = 2,
+        groupCols = Seq("source"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    out(1L) shouldBe (("a b", 1L, 1L))
+    out(2L) shouldBe (("x y", 1L, 1L))
+    out(3L) shouldBe (("c d e f", 2L, 0L))
+    // empty groupCols = the original global rule
+    val global = Dedup
+      .dropFrequentSegments(
+        docs, "doc_id", Chunking.wordWindows(col("text"), 2), minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    global(3L) shouldBe "e f"
+  }
+
   test("dropFrequentSegments: within-doc repeats do not cross the threshold") {
     // "q q" repeats 3x inside doc 1 but appears in only ONE document —
     // document frequency is per-DISTINCT-doc, so a chorus survives intact
