@@ -69,6 +69,19 @@ object Urls {
   def urlQuery(url: Column): Column =
     regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
 
+  /** Outbound links of an HTML payload: every `href="…"` attribute value,
+    * in document order — the crawl-frontier / link-graph extraction step
+    * (compose with [[urlDomain]] + [[graft.ops.PageRank]] for host
+    * authority over REAL anchors instead of synthetic edges). Pure
+    * `regexp_extract_all` (codegen; the pattern is in the shared
+    * Java-regex/RE2 subset so oracles replay it verbatim). Deliberately
+    * attribute-level, like every production link extractor that predates
+    * a full HTML5 parser: href inside commented-out markup still counts,
+    * unquoted hrefs don't.
+    */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("href=\"([^\"]+)\""), lit(1))
+
   /** Registered domain of a (lowercase) host column — see object scaladoc
     * for the suffix heuristic. Single- and two-label hosts pass through.
     */

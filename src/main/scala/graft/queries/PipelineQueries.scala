@@ -1366,6 +1366,32 @@ object PipelineQueries {
         .capPerDomain(withUrl(t(s, dir, "documents")), "doc_id", "url", k = 3)
         .select(col("doc_id"), col("domain"))
     },
+
+    // ----- outlink extraction (NEW r10): href harvesting from HTML
+    // payloads → registered-domain link report. Fixture wraps each doc's
+    // text in markup with two deterministic anchors (a co.uk PSL case and
+    // a subdomained .com); the report is the inlink-count table a crawl
+    // scheduler / host-authority pipeline starts from -----
+    "u_outlinks" -> { (s, dir) =>
+      val url1 = concat(
+        lit("https://www.d"), (col("doc_id") % 37).cast(StringType),
+        lit(".co.uk/p"), col("doc_id").cast(StringType))
+      val url2 = concat(
+        lit("http://blog.d"), (col("doc_id") % 41).cast(StringType),
+        lit(".com/q?id="), col("doc_id").cast(StringType))
+      val html = concat(
+        lit("<p>"), col("text"), lit("</p><a href=\""), url1,
+        lit("\">x</a> <nav><a href=\""), url2, lit("\">y</a></nav>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), html.as("html"))
+        .select(
+          col("doc_id"),
+          explode(Urls.extractLinks(col("html"))).as("url"))
+        .groupBy(Urls.urlDomain(col("url")).as("domain"))
+        .agg(
+          count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    },
     // ----- robots-style disallow filter (NEW r10): (domain, path-prefix)
     // rules drop matching urls via a broadcast anti-join; fixture: /admin
     // paths on every 4th doc, rules disallow /admin on domains d0..d9 -----
@@ -1986,9 +2012,15 @@ object PipelineQueries {
     * url, parsed fields, registered domain (same regexes and suffix
     * heuristic as [[graft.ops.Urls]]).
     */
+  // URL parse + PSL-lite registered-domain CTEs over an existing CTE
+  // `u(doc_id, url)` — factored out so multi-url-per-doc relations
+  // (outlink extraction) replay the exact same domain logic
   private def urlDomainCtes(urlSql: String): String =
     s"""u AS (SELECT doc_id, $urlSql AS url FROM documents),
-       |p AS (
+       |$UrlParseCtes""".stripMargin
+
+  private val UrlParseCtes: String =
+    s"""p AS (
        |  SELECT doc_id, url,
        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
        |      AS scheme,
@@ -3877,6 +3909,25 @@ object PipelineQueries {
          |      ORDER BY ${hash61Sql("'quota:' || CAST(doc_id AS VARCHAR)")},
          |        doc_id) AS rn
          |  FROM dm) WHERE rn <= 3""".stripMargin,
+    "u_outlinks" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<p>' || text || '</p><a href="' ||
+         |      'https://www.d' || CAST(doc_id % 37 AS VARCHAR) ||
+         |      '.co.uk/p' || CAST(doc_id AS VARCHAR) ||
+         |    '">x</a> <nav><a href="' ||
+         |      'http://blog.d' || CAST(doc_id % 41 AS VARCHAR) ||
+         |      '.com/q?id=' || CAST(doc_id AS VARCHAR) ||
+         |    '">y</a></nav>' AS html
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS url
+         |  FROM h),
+         |$UrlParseCtes
+         |SELECT domain, count(*) AS n_links,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM dm GROUP BY domain""".stripMargin,
     "u_domain_block" ->
       s"""WITH ${urlDomainCtes(UrlSql)}
          |SELECT doc_id, url FROM dm

@@ -85,6 +85,28 @@ class UrlsSpec extends SparkSpec {
     domain("localhost") shouldBe "localhost"
   }
 
+  test("extractLinks harvests href values in document order") {
+    val html = """<p>hi</p><a href="https://a.com/1">x</a>""" +
+      """<img src="https://skip.me/i.png"/>""" +
+      """<A href="http://b.co.uk/2?q=1#f">y</A>""" +
+      """<a href='https://unquoted-style.com/3'>z</a>"""
+    val out = Seq(html)
+      .toDF("h")
+      .select(Urls.extractLinks($"h").as("l"))
+      .as[Seq[String]]
+      .head()
+    // double-quoted hrefs only (attribute-level contract); src= ignored
+    out shouldBe Seq("https://a.com/1", "http://b.co.uk/2?q=1#f")
+    // composes with urlDomain for the link graph
+    Seq(html)
+      .toDF("h")
+      .select(explode(Urls.extractLinks($"h")).as("u"))
+      .select(Urls.urlDomain($"u"))
+      .as[String]
+      .collect()
+      .toSeq shouldBe Seq("a.com", "b.co.uk")
+  }
+
   test("capPerDomain keeps at most k per registered domain") {
     val df = (0L until 300L)
       .map(i => (i, s"https://www.d${i % 3}.com/p/$i"))
