@@ -586,6 +586,30 @@ object PipelineQueries {
         "doc_id", seed = "shuffle", shardSize = 64L)
     },
 
+    // ----- link authority over REAL extracted anchors (NEW r10): the
+    // full crawl-authority composition — href extraction (u_outlinks
+    // fixture) → PSL-lite registered domains → integer-exact PageRank
+    // over the (source domain, linked domain) multigraph -----
+    "u_link_authority" -> { (s, dir) =>
+      val url1 = concat(
+        lit("https://www.d"), (col("doc_id") % 37).cast(StringType),
+        lit(".co.uk/p"), col("doc_id").cast(StringType))
+      val url2 = concat(
+        lit("http://blog.d"), (col("doc_id") % 41).cast(StringType),
+        lit(".com/q?id="), col("doc_id").cast(StringType))
+      val html = concat(
+        lit("<p>"), col("text"), lit("</p><a href=\""), url1,
+        lit("\">x</a> <nav><a href=\""), url2, lit("\">y</a></nav>"))
+      val srcDom = concat(
+        lit("d"), (col("doc_id") % 50).cast(StringType), lit(".com"))
+      val edges = t(s, dir, "documents")
+        .select(
+          srcDom.as("src"),
+          explode(Urls.extractLinks(html)).as("url"))
+        .select(col("src"), Urls.urlDomain(col("url")).as("dst"))
+      graft.ops.PageRank.ranks(edges, "src", "dst", iters = 3)
+    },
+
     // ----- link-graph authority scoring (integer-exact PageRank, 5
     // iterations) over a deterministic link graph derived from doc ids:
     // every doc links to two pseudo-random targets, every 5th doc also
@@ -2101,7 +2125,8 @@ object PipelineQueries {
       scale: Long = 1000000000000L,
       dn: Int = 85,
       dd: Int = 100,
-      redistributeDangling: Boolean = false): String = {
+      redistributeDangling: Boolean = false,
+      preCtes: String = ""): String = {
     val iterCtes = (1 to iters).map { i =>
       // with redistribution, each iteration folds the PREVIOUS ranks'
       // dangling mass (out-degree-0 nodes) back uniformly — same exact
@@ -2129,7 +2154,7 @@ object PipelineQueries {
          |      coalesce(c$i.inr, 0)$dangAdd AS BIGINT) AS rank
          |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""WITH ${preCtes}e AS (
        |  $edgesSelect),
        |nodes AS (SELECT DISTINCT node FROM (
        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
@@ -2939,6 +2964,30 @@ object PipelineQueries {
         |  UNION ALL SELECT doc_id, doc_id % 37 FROM documents
         |  WHERE doc_id % 5 = 0""".stripMargin,
       iters = 5),
+    // real-anchor authority: html fixture → href unnest → UrlParseCtes
+    // registered domains → the same generated pagerank replay
+    "u_link_authority" -> pagerankSql(
+      """SELECT 'd' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS src,
+        |    domain AS dst
+        |  FROM dm""".stripMargin,
+      iters = 3,
+      preCtes =
+        s"""h AS (
+           |  SELECT doc_id,
+           |    '<p>' || text || '</p><a href="' ||
+           |      'https://www.d' || CAST(doc_id % 37 AS VARCHAR) ||
+           |      '.co.uk/p' || CAST(doc_id AS VARCHAR) ||
+           |    '">x</a> <nav><a href="' ||
+           |      'http://blog.d' || CAST(doc_id % 41 AS VARCHAR) ||
+           |      '.com/q?id=' || CAST(doc_id AS VARCHAR) ||
+           |    '">y</a></nav>' AS html
+           |  FROM documents),
+           |u AS (
+           |  SELECT doc_id,
+           |    unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS url
+           |  FROM h),
+           |$UrlParseCtes,
+           |""".stripMargin),
     "u_pagerank_dangling" -> pagerankSql(
       """SELECT doc_id AS src,
         |    (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst
