@@ -534,18 +534,23 @@ class ParSpec extends SparkSpec {
   }
 
   test("releaseCaches leaves no persisted RDDs after an op's terminal action") {
+    // delta-based: other suites sharing this session may leave
+    // localCheckpoint RDDs (lineage-truncation state Par never tracked);
+    // the contract under test is about THIS pipeline's caches
+    val pre = sc.getPersistentRDDs.keySet
     val docs = Seq(
       (1L, "a b c d e f g h"),
       (2L, "a b c d e f g h"),
       (3L, "completely different words here entirely")).toDF("doc_id", "text")
     Dedup.minhashLshPairs(docs, "doc_id", "text").collect()
-    sc.getPersistentRDDs.isEmpty shouldBe false
+    (sc.getPersistentRDDs.keySet -- pre).isEmpty shouldBe false
     Par.releaseCaches()
-    sc.getPersistentRDDs.isEmpty shouldBe true
+    (sc.getPersistentRDDs.keySet -- pre).isEmpty shouldBe true
   }
 
   test("scoped handles release only their own pipeline's caches") {
     import org.apache.spark.storage.StorageLevel
+    val pre = sc.getPersistentRDDs.keySet
     val docsA = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
     val docsB = Seq((3L, "x y z w v"), (4L, "x y z w v")).toDF("doc_id", "text")
     val (dfA, handleA) =
@@ -553,14 +558,15 @@ class ParSpec extends SparkSpec {
     val (dfB, handleB) =
       Par.scoped(Dedup.minhashLshPairs(docsB, "doc_id", "text"))
     dfA.collect(); dfB.collect()
-    val before = sc.getPersistentRDDs.size
+    def mine = sc.getPersistentRDDs.keySet -- pre
+    val before = mine.size
     before should be >= 2
     handleA.release()
     // B's intermediates must survive A's release
-    sc.getPersistentRDDs.size should be < before
-    sc.getPersistentRDDs.isEmpty shouldBe false
+    mine.size should be < before
+    mine.isEmpty shouldBe false
     handleB.release()
-    sc.getPersistentRDDs.isEmpty shouldBe true
+    mine.isEmpty shouldBe true
     // and the global registry no longer holds released entries
     Par.releaseCaches()
   }
