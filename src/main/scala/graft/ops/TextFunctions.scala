@@ -385,6 +385,39 @@ object TextFunctions {
     chain
   }
 
+  /** Unicode script ranges for [[scriptPpm]] — codepoint classes shared
+    * verbatim with the DuckDB oracle (both regex engines accept the
+    * `\x{hhhh}` class syntax), so the counts are engine-exact. Name →
+    * character-class body (without the brackets).
+    */
+  private[graft] val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z",
+    "cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "arabic" -> "\\x{0600}-\\x{06FF}",
+    "cjk" -> "\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}",
+    "digit" -> "0-9")
+
+  /** Per-script character count: length delta over removing the class. */
+  def scriptCount(text: Column, classBody: String): Column =
+    (length(text) -
+      length(regexp_replace(text, s"[$classBody]", ""))).cast(LongType)
+
+  /** Script-mix profile: characters of `script` per million characters —
+    * the ROUTING signal complementary to the stopword [[langId]]: langId
+    * needs whitespace-tokenized stopwords (useless on CJK), script ratios
+    * work on any text and catch mixed-script spam (Latin text stuffed
+    * with CJK SEO tokens, Cyrillic homoglyph attacks) that per-language
+    * models never see. Exact integer ppm; 0 for empty text.
+    */
+  def scriptPpm(text: Column, script: String): Column = {
+    val body = ScriptClasses.toMap.apply(script)
+    when(length(text) === 0, lit(0L))
+      .otherwise(
+        intDivCol(
+          scriptCount(text, body) * 1000000L,
+          length(text).cast(LongType)))
+  }
+
   /** Composite quality score in [0,1]: weighted mix of length saturation,
     * stopword ratio and mean-word-length band — the standard cheap quality
     * gate shape for pretraining corpora. Deterministic arithmetic only.

@@ -1093,6 +1093,37 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // ----- script-mix profile (NEW r10): per-script char ppm + dominant
+    // script — the routing signal stopword langId can't give on CJK or
+    // mixed-script spam. Fixture injects CJK / Cyrillic / Arabic runs by
+    // doc_id residue (raw testdata is Latin-only); oracle replays the
+    // same injection via chr() codes generated from these constants -----
+    "t_scripts" -> { (s, dir) =>
+      val injected = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit(ScriptFixtureCjk))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(ScriptFixtureCyr))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(ScriptFixtureArab))
+          .otherwise(lit("")))
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), injected.as("txt"))
+        .select(
+          col("doc_id") +:
+            TextFunctions.ScriptClasses.map { case (name, _) =>
+              TextFunctions.scriptPpm(col("txt"), name).as(s"${name}_ppm")
+            }: _*)
+      val maxPpm = greatest(
+        TextFunctions.ScriptClasses.map(c => col(s"${c._1}_ppm")): _*)
+      val dominant = TextFunctions.ScriptClasses
+        .foldRight(lit("none")) { case ((name, _), elseCol) =>
+          when(col(s"${name}_ppm") === maxPpm && maxPpm > 0, lit(name))
+            .otherwise(elseCol)
+        }
+      base.withColumn("dominant", dominant)
+    },
+
     // ----- encoding-artifact (mojibake) detection (NEW r10): replacement
     // chars + C1 controls + UTF-8-as-cp1252 marker sequences, per million
     // chars. The fixture injects artifacts deterministically by doc_id
@@ -2225,6 +2256,14 @@ object PipelineQueries {
     }
     (seed +: rounds).mkString(",\n")
   }
+
+  // Shared t_scripts fixture runs (\uXXXX escapes only; the oracle derives
+  // its chr() codes from these same constants so they cannot drift)
+  private val ScriptFixtureCjk = "\u4F60\u597D\u4E16\u754C"
+  private val ScriptFixtureCyr = "\u043F\u0440\u0438\u0432\u0435\u0442"
+  private val ScriptFixtureArab = "\u0645\u0631\u062D\u0628\u0627"
+  private def chrsOf(s: String): String =
+    s.map(c => s"chr(${c.toInt})").mkString(" || ")
 
   // Shared P75 mixture-plan gate parameters (upsampling permitted: zh is
   // under-represented against its 300‰ target at this budget).
@@ -3646,6 +3685,40 @@ object PipelineQueries {
          |      ORDER BY ${hash61Sql("'quota:' || CAST(doc_id AS VARCHAR)")},
          |        doc_id) AS rn
          |  FROM documents) WHERE rn <= 20""".stripMargin
+    },
+    "t_scripts" -> {
+      // ppm columns + dominant CASE generated from the SAME ScriptClasses
+      // constants as the Spark side
+      val ppmCols = TextFunctions.ScriptClasses
+        .map { case (n, body) =>
+          s"""CASE WHEN length(txt) = 0 THEN CAST(0 AS BIGINT)
+             |      ELSE ((length(txt) - length(regexp_replace(txt,
+             |        '[$body]', '', 'g'))) * 1000000) // length(txt)
+             |      END AS ${n}_ppm""".stripMargin
+        }
+        .mkString(",\n    ")
+      val names = TextFunctions.ScriptClasses.map(_._1)
+      val maxExpr = s"greatest(${names.map(n => s"${n}_ppm").mkString(", ")})"
+      val domCase = names
+        .map(n => s"WHEN ${n}_ppm = $maxExpr AND $maxExpr > 0 THEN '$n'")
+        .mkString("\n    ")
+      s"""WITH j AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0
+         |         THEN ${chrsOf(ScriptFixtureCjk)} ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 0
+         |         THEN ${chrsOf(ScriptFixtureCyr)} ELSE '' END
+         |    || CASE WHEN doc_id % 6 = 0
+         |         THEN ${chrsOf(ScriptFixtureArab)} ELSE '' END AS txt
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    $ppmCols
+         |  FROM j)
+         |SELECT doc_id, ${names.map(n => s"${n}_ppm").mkString(", ")},
+         |  CASE $domCase
+         |    ELSE 'none' END AS dominant
+         |FROM c""".stripMargin
     },
     "t_mojibake" -> {
       // chr()-code injection + counts GENERATED from the same

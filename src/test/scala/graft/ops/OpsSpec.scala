@@ -17,6 +17,24 @@ class TextFunctionsSpec extends SparkSpec {
     evalOne(TextFunctions.meanTokenLength(col("text")), "a bb ccc a") shouldBe 1.75
   }
 
+  test("script-mix ppm counts each Unicode script class exactly") {
+    // 4 CJK + 6 Cyrillic + "ab12" latin/digits + 2 spaces = 16 chars
+    val mixed = "\u4F60\u597D\u4E16\u754C \u043F\u0440\u0438\u0432\u0435\u0442 ab12"
+    mixed.length shouldBe 16
+    def ppm(script: String) =
+      evalOne(TextFunctions.scriptPpm(col("text"), script), mixed)
+    ppm("cjk") shouldBe 250000L      // 4/16
+    ppm("cyrillic") shouldBe 375000L // 6/16
+    ppm("latin") shouldBe 125000L    // 2/16
+    ppm("digit") shouldBe 125000L    // 2/16
+    ppm("arabic") shouldBe 0L
+    // hiragana/katakana/hangul count as cjk; empty text is 0 everywhere
+    evalOne(
+      TextFunctions.scriptPpm(col("text"), "cjk"),
+      "\u3042\u30AB\uAC00") shouldBe 1000000L
+    evalOne(TextFunctions.scriptPpm(col("text"), "latin"), "") shouldBe 0L
+  }
+
   test("encoding-artifact signals count mojibake, C1, replacement chars") {
     // "caf" + U+FFFD + mojibake e-acute marker + a C1 control (U+0085)
     val dirty = "caf\uFFFD et \u00C3\u00A9t\u00C3\u00A9 l\u0085"
