@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.StructType
 
 import graft.http.{HttpLookup, HttpSink}
-import graft.ops.{AnnEval, AsOfJoin, BloomJoin, Bm25, Chunking, CountMin, Dedup, HeavyHitters, Multimodal, Packing, Pca, Quantize, Sampling, Similarity, TfIdf, Urls, Vocab, ZOrder}
+import graft.ops.{AnnEval, AsOfJoin, BloomJoin, Bm25, Chunking, ConnectedComponents, CountMin, Dedup, HeavyHitters, Multimodal, Packing, Pca, Quantize, Sampling, Similarity, TfIdf, Urls, Vocab, ZOrder}
 
 /** Fluent entry points: `import graft.syntax._` and every operator hangs off
   * DataFrame — the one-line switch path for users of the reference connector
@@ -124,8 +124,9 @@ object syntax {
         idCol: String,
         segments: Column,
         minDocs: Long,
-        sep: String = " "): DataFrame =
-      Dedup.dropFrequentSegments(df, idCol, segments, minDocs, sep)
+        sep: String = " ",
+        groupCols: Seq[String] = Nil): DataFrame =
+      Dedup.dropFrequentSegments(df, idCol, segments, minDocs, sep, groupCols)
 
     def semanticDedup(
         idCol: String,
@@ -328,5 +329,27 @@ object syntax {
         queryCol: String,
         neighborCol: String): DataFrame =
       AnnEval.recallAtK(df, truth, queryCol, neighborCol)
+
+    /** Star-contraction CC over this pair frame — the arbitrary-diameter
+      * alternative to [[keepOnePerCluster]]'s label propagation.
+      */
+    def connectedComponents(
+        idA: String = "id_a",
+        idB: String = "id_b"): DataFrame =
+      ConnectedComponents.components(df, idA, idB)
+
+    /** Systematic PPS sample: exactly `k` weight-proportional picks. */
+    def systematicSample(
+        idCol: String,
+        weight: Column,
+        k: Long): DataFrame =
+      Sampling.systematicSample(df, idCol, weight, k)
+
+    /** Deterministic global shuffle + contiguous shards. */
+    def globalShuffle(
+        idCol: String,
+        seed: String = "shuffle",
+        shardSize: Long = 64L): DataFrame =
+      Packing.globalShuffle(df, idCol, seed, shardSize)
   }
 }
