@@ -77,4 +77,52 @@ object CorpusStats {
         sum(col("__toks")).as("total_tokens"),
         min(col("__toks")).as("min_tokens"),
         max(col("__toks")).as("max_tokens"))
+
+  /** Corpus drift report — the top-`k` tokens whose RELATIVE frequency
+    * diverges most between two corpora (old vs refreshed crawl, planned
+    * mixture vs materialized sample, train vs eval): the distribution
+    * check a mixture/refresh pipeline runs before shipping. Per token:
+    * raw counts, per-million rates in each corpus (exact
+    * `⌊c·10⁶/T⌋`), and `delta_ppm = |rate_a − rate_b|`; ranked
+    * (delta desc, token asc) — fully integer-exact and deterministic.
+    *
+    * Scale posture: one partial-agg'd token histogram per corpus (shuffle
+    * carries one row per distinct token), a full-outer SortMergeJoin of
+    * the two histograms on the token key, 1-row total relations broadcast
+    * in, and the top-k a TakeOrderedAndProject — no global sort, nothing
+    * corpus-sized past the histograms.
+    */
+  def corpusDrift(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      k: Int = 100): DataFrame = {
+    require(k > 0, "k must be positive")
+    def hist(df: DataFrame) = Par.fan(df)
+      .select(explode(TextFunctions.words(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("c"))
+    val ha = Par.cached(hist(a))
+    val hb = Par.cached(hist(b))
+    def intDiv(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      ((x - pmod(x, y)) / y).cast(LongType)
+    val ta = ha.agg(coalesce(sum(col("c")), lit(0L)).as("__ta"))
+    val tb = hb.agg(coalesce(sum(col("c")), lit(0L)).as("__tb"))
+    ha.withColumnRenamed("c", "count_a")
+      .join(hb.withColumnRenamed("c", "count_b"), Seq("token"), "full_outer")
+      .crossJoin(broadcast(ta))
+      .crossJoin(broadcast(tb))
+      .select(
+        col("token"),
+        coalesce(col("count_a"), lit(0L)).as("count_a"),
+        coalesce(col("count_b"), lit(0L)).as("count_b"),
+        intDiv(coalesce(col("count_a"), lit(0L)) * 1000000L, col("__ta"))
+          .as("ppm_a"),
+        intDiv(coalesce(col("count_b"), lit(0L)) * 1000000L, col("__tb"))
+          .as("ppm_b"))
+      .withColumn("delta_ppm", abs(col("ppm_a") - col("ppm_b")))
+      .orderBy(col("delta_ppm").desc, col("token").asc)
+      .limit(k)
+  }
 }

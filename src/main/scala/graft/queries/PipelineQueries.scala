@@ -1093,6 +1093,18 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // ----- corpus drift report (NEW r10): top-100 tokens whose relative
+    // frequency diverges most between the even- and odd-doc_id halves —
+    // the distribution check a mixture/refresh pipeline ships with -----
+    "t_corpus_drift" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.CorpusStats.corpusDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text",
+        k = 100)
+    },
+
     // ----- script-mix profile (NEW r10): per-script char ppm + dominant
     // script — the routing signal stopword langId can't give on CJK or
     // mixed-script spam. Fixture injects CJK / Cyrillic / Arabic runs by
@@ -3686,6 +3698,32 @@ object PipelineQueries {
          |        doc_id) AS rn
          |  FROM documents) WHERE rn <= 20""".stripMargin
     },
+    "t_corpus_drift" ->
+      s"""WITH ea AS (
+         |  SELECT unnest($WsSql) AS token FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |eb AS (
+         |  SELECT unnest($WsSql) AS token FROM documents
+         |  WHERE doc_id % 2 = 1),
+         |ha AS (SELECT token, CAST(count(*) AS BIGINT) AS count_a
+         |       FROM ea WHERE token <> '' GROUP BY 1),
+         |hb AS (SELECT token, CAST(count(*) AS BIGINT) AS count_b
+         |       FROM eb WHERE token <> '' GROUP BY 1),
+         |ta AS (SELECT CAST(sum(count_a) AS BIGINT) AS t FROM ha),
+         |tb AS (SELECT CAST(sum(count_b) AS BIGINT) AS t FROM hb),
+         |j AS (
+         |  SELECT coalesce(ha.token, hb.token) AS token,
+         |    coalesce(count_a, 0) AS count_a,
+         |    coalesce(count_b, 0) AS count_b,
+         |    (coalesce(count_a, 0) * 1000000) // (SELECT t FROM ta)
+         |      AS ppm_a,
+         |    (coalesce(count_b, 0) * 1000000) // (SELECT t FROM tb)
+         |      AS ppm_b
+         |  FROM ha FULL OUTER JOIN hb ON ha.token = hb.token)
+         |SELECT token, count_a, count_b, ppm_a, ppm_b,
+         |  abs(ppm_a - ppm_b) AS delta_ppm
+         |FROM j
+         |ORDER BY delta_ppm DESC, token ASC LIMIT 100""".stripMargin,
     "t_scripts" -> {
       // ppm columns + dominant CASE generated from the SAME ScriptClasses
       // constants as the Spark side

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class CorpusStatsSpec extends SparkSpec {
   import spark.implicits._
@@ -44,5 +45,24 @@ class CorpusStatsSpec extends SparkSpec {
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
         .toMap
     run(1) shouldBe run(16)
+  }
+
+  test("corpusDrift ranks tokens by exact relative-rate divergence") {
+    // A: 4 tokens total — x x x y ; B: 4 tokens total — x y y z
+    // rates ppm: x 750000/250000 (Δ500000), y 250000/500000 (Δ250000),
+    // z 0/250000 (Δ250000) — y before z on the token tie-break
+    val a = Seq((1L, "x x x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "x y y z")).toDF("doc_id", "text")
+    val out = CorpusStats.corpusDrift(a, b, "text", k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    out.toSeq shouldBe Seq(
+      ("x", 3L, 1L, 750000L, 250000L, 500000L),
+      ("y", 1L, 2L, 250000L, 500000L, 250000L),
+      ("z", 0L, 1L, 0L, 250000L, 250000L))
+    // k caps the report; ordering is deterministic across partitionings
+    CorpusStats.corpusDrift(a.repartition(7), b.repartition(3), "text", 2)
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("x", "y")
   }
 }
