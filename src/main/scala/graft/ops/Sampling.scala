@@ -519,6 +519,49 @@ object Sampling {
         org.apache.spark.sql.graft.ColumnShim.expression(a.cast(LongType)),
         org.apache.spark.sql.graft.ColumnShim.expression(b.cast(LongType))))
 
+  /** Per-group rank normalization — map a raw score onto [0, 10⁶] by its
+    * rank WITHIN the group (`rank_ppm = ⌊r·10⁶ / max(n−1, 1)⌋`, r the
+    * 0-based (score, id) rank): the calibration step that makes a quality
+    * score comparable ACROSS languages/sources whose raw score
+    * distributions differ (CCNet's per-language percentile bucketing is
+    * this op + a CASE). Deterministic and engine-exact when `score` is an
+    * integer column (ties broken by id); single-member groups map to 0.
+    *
+    * Scale posture: one exchange on the group key + a per-group
+    * sort/window and a broadcast of the |groups|-row count table — the
+    * [[groupQuantiles]] shape. Groups are assumed corpus-fraction-sized
+    * (languages, sources); for a single giant group use the global
+    * [[rangePrefix]] machinery instead.
+    */
+  def rankNormalize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      score: Column,
+      outCol: String = "rank_ppm"): DataFrame = {
+    require(groupCols.nonEmpty, "rankNormalize needs at least one group col")
+    val helpers = Seq("__rn_s", "__rn_n", "__rn_r")
+    require(
+      !df.columns.exists(helpers.contains) && !df.columns.contains(outCol),
+      s"input must not contain ${(helpers :+ outCol).mkString("/")}")
+    val base = df.withColumn("__rn_s", score)
+    val counts = base
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__rn_n"))
+    val w = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__rn_s").asc, col(idCol).asc)
+    base
+      .join(broadcast(counts), groupCols)
+      .withColumn("__rn_r", row_number().over(w).cast(LongType) - 1L)
+      .withColumn(
+        outCol,
+        divFloor(
+          col("__rn_r") * 1000000L,
+          greatest(col("__rn_n") - 1L, lit(1L))))
+      .drop("__rn_s", "__rn_n", "__rn_r")
+  }
+
   /** Systematic probability-proportional-to-size sampling — the classic
     * survey-sampling design (fixed stride over a cumulative-weight axis in
     * a pseudorandom order): EXACTLY `k` selection points, every row's

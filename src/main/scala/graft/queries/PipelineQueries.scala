@@ -1093,6 +1093,23 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // ----- per-group rank normalization (NEW r10): token-count score
+    // mapped to [0, 1e6] by within-language rank — the cross-language
+    // score-calibration step (CCNet's percentile bucketing is this + a
+    // CASE). Integer score + id tie-break = engine-exact ranks -----
+    "t_rank_normalize" -> { (s, dir) =>
+      graft.ops.Sampling
+        .rankNormalize(
+          t(s, dir, "documents")
+            .select(
+              col("doc_id"), col("lang"),
+              TextFunctions.tokenCount(col("text")).cast(LongType)
+                .as("n_tokens")),
+          Seq("lang"),
+          "doc_id",
+          col("n_tokens"))
+    },
+
     // ----- corpus drift report (NEW r10): top-100 tokens whose relative
     // frequency diverges most between the even- and odd-doc_id halves —
     // the distribution check a mixture/refresh pipeline ships with -----
@@ -3698,6 +3715,21 @@ object PipelineQueries {
          |        doc_id) AS rn
          |  FROM documents) WHERE rn <= 20""".stripMargin
     },
+    "t_rank_normalize" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, CAST(len($WsSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY lang),
+         |r AS (
+         |  SELECT b.doc_id, b.lang, b.n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY b.lang
+         |      ORDER BY b.n_tokens, b.doc_id) - 1 AS BIGINT) AS rk,
+         |    c.n
+         |  FROM b JOIN c ON b.lang = c.lang)
+         |SELECT doc_id, lang, n_tokens,
+         |  (rk * 1000000) // greatest(n - 1, 1) AS rank_ppm
+         |FROM r""".stripMargin,
     "t_corpus_drift" ->
       s"""WITH ea AS (
          |  SELECT unnest($WsSql) AS token FROM documents

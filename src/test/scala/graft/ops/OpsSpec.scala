@@ -593,6 +593,33 @@ class ParSpec extends SparkSpec {
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("rankNormalize maps scores to [0,1e6] by within-group rank") {
+    val docs = Seq(
+      (1L, "en", 10L), (2L, "en", 30L), (3L, "en", 20L),
+      (4L, "de", 5L), (5L, "de", 7L),
+      (6L, "fr", 9L)).toDF("doc_id", "lang", "s")
+    val out = Sampling
+      .rankNormalize(docs, Seq("lang"), "doc_id", col("s"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_ppm"))
+      .toMap
+    out(1L) shouldBe 0L       // en rank 0 of 3
+    out(3L) shouldBe 500000L  // en rank 1 of 3
+    out(2L) shouldBe 1000000L // en rank 2 of 3
+    out(4L) shouldBe 0L; out(5L) shouldBe 1000000L
+    out(6L) shouldBe 0L       // single-member group maps to 0
+    // ties break by id, and the result is partitioning-invariant
+    val tied = Seq((1L, "en", 5L), (2L, "en", 5L), (3L, "en", 5L))
+      .toDF("doc_id", "lang", "s")
+    def run(d: org.apache.spark.sql.DataFrame) = Sampling
+      .rankNormalize(d, Seq("lang"), "doc_id", col("s"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_ppm"))
+      .toMap
+    run(tied) shouldBe Map(1L -> 0L, 2L -> 500000L, 3L -> 1000000L)
+    run(tied.repartition(5)) shouldBe run(tied)
+  }
+
   test("systematicSample hits exactly k grid points, weight-proportional") {
     val docs = (1L to 500L).map(i => (i, (i % 37) + 1)).toDF("doc_id", "w")
     val out = Sampling
