@@ -404,6 +404,25 @@ object PipelineQueries {
           n = 3, bands = 4, threshold = 0.5))
     },
 
+    // ----- duplication-structure audit (NEW r10): near-dup cluster-size
+    // histogram — how many clusters of 2, 3, … docs the corpus carries
+    // (the "how duplicated are we" number a dedup run reports before
+    // deciding keep-one vs keep-best). Composition: LSH pairs → CC →
+    // per-cluster size → per-size count; singletons (docs in no pair)
+    // are by definition absent -----
+    "p_cluster_sizes" -> { (s, dir) =>
+      Dedup.nearDupClusters(
+        Dedup.minhashLshPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          n = 3, bands = 4, threshold = 0.5))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(
+          count(lit(1)).as("n_clusters"),
+          sum(col("__sz")).as("n_docs"))
+    },
+
     // ----- star-contraction connected components (NEW r10): the
     // O(log n)-round CC for ARBITRARY-diameter pair graphs. The fixture is
     // the case min-label propagation cannot handle in bounded rounds:
@@ -2781,6 +2800,30 @@ object PipelineQueries {
          |  SELECT e.n, r.m FROM edges e JOIN reach r ON e.m = r.n)
          |SELECT n AS doc_id, least(n, min(m)) AS cluster_id
          |FROM reach GROUP BY n""".stripMargin
+    },
+    "p_cluster_sizes" -> {
+      // the p_dup_clusters closure + two group-bys
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pairs AS (
+         |  SELECT id_a, id_b FROM verified WHERE i * 1.0 / u >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS n, id_b AS m FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS n, id_a AS m FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT n, m FROM edges
+         |  UNION
+         |  SELECT e.n, r.m FROM edges e JOIN reach r ON e.m = r.n),
+         |lbl AS (
+         |  SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+         |  FROM reach GROUP BY n),
+         |sz AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM lbl GROUP BY cluster_id)
+         |SELECT sz AS cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY sz""".stripMargin
     },
     "p_cc_star" -> {
       // same recursive-closure shape over the chain+hub fixture graph
