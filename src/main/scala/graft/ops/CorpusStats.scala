@@ -105,8 +105,16 @@ object CorpusStats {
       .agg(count(lit(1)).as("c"))
     val ha = Par.cached(hist(a))
     val hb = Par.cached(hist(b))
+    // DECIMAL(38,0) numerator: c·10⁶ overflows the exact-double window
+    // (2⁵³) once a token tops ~9·10⁹ occurrences — real at 100 TB.
+    // IntegralDivide on decimals keeps the floor exact at any corpus size.
     def intDiv(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      ((x - pmod(x, y)) / y).cast(LongType)
+      org.apache.spark.sql.graft.ColumnShim.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graft.ColumnShim.expression(
+            x.cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          org.apache.spark.sql.graft.ColumnShim.expression(
+            y.cast(org.apache.spark.sql.types.DecimalType(38, 0)))))
     val ta = ha.agg(coalesce(sum(col("c")), lit(0L)).as("__ta"))
     val tb = hb.agg(coalesce(sum(col("c")), lit(0L)).as("__tb"))
     ha.withColumnRenamed("c", "count_a")
