@@ -629,6 +629,26 @@ object ScaleSmoke {
         }))
     }
 
+    // Corpus drift (NEW r10) at 100×: the token-histogram full-outer join
+    // over the fanned corpus. Shuffle is bounded by the VOCABULARY (one
+    // row per distinct token per side), not the corpus — the ceiling
+    // asserts that. Sharp result invariant: fanning duplicates every doc
+    // into 50 even- and 50 odd-id copies, so the two halves are the SAME
+    // distribution and every reported delta_ppm must be exactly zero.
+    measure(Step(
+      s"t_corpus_drift(${copies}x, even vs odd halves identical)",
+      () => graft.ops.CorpusStats.corpusDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text",
+        k = 100),
+      ceilingGB = 2.0,
+      invariant = df => {
+        val bad = df.filter(col("delta_ppm") =!= 0L).count()
+        if (bad == 0L) Nil
+        else Seq(s"$bad tokens drifted between identical halves")
+      }))
+
     graft.ops.Par.releaseCaches()
     spark.stop()
     sys.exit(if (failed) 1 else 0)
