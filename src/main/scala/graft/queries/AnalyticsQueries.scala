@@ -246,6 +246,36 @@ object AnalyticsQueries {
           countDistinct(col("user_id")).as("n_users"))
     },
 
+    // ----- cohort retention (NEW r10): the classic product-analytics
+    // matrix — users grouped by first-seen day, retention = distinct
+    // users active `day_offset` days later over the cohort size. Pure
+    // integer day buckets (epoch-seconds floor-div 86400 — no calendar
+    // functions, so both engines agree byte-for-byte), exact ppm -----
+    "q_retention" -> { (s, dir) =>
+      def intDiv(x: Column, y: Column): Column =
+        ((x - pmod(x, y)) / y).cast(LongType)
+      val ev = events(s, dir)
+        .select(
+          col("user_id"),
+          intDiv(unix_timestamp(col("ts")), lit(86400L)).as("day"))
+      val cohort = ev
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      val sizes = cohort
+        .groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("cohort_size"))
+      ev.distinct()
+        .join(cohort, "user_id")
+        .groupBy(
+          col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .join(sizes, "cohort_day")
+        .withColumn(
+          "retention_ppm",
+          intDiv(col("n_users") * 1000000L, col("cohort_size")))
+    },
+
     // ----- STREAMING/batch parity through the batch oracle: the same
     // hourly aggregation as a Structured Streaming query (file source,
     // Trigger.AvailableNow, complete mode into a memory sink) — the
@@ -469,6 +499,22 @@ object AnalyticsQueries {
         |  count(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+        |s AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+        |      FROM c GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, day FROM e),
+        |r AS (
+        |  SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+        |    CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |  FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2)
+        |SELECT r.cohort_day, r.day_offset, r.n_users, s.cohort_size,
+        |  (r.n_users * 1000000) // s.cohort_size AS retention_ppm
+        |FROM r JOIN s ON r.cohort_day = s.cohort_day""".stripMargin,
     "q_stream_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n_events,
