@@ -1443,6 +1443,23 @@ object PipelineQueries {
       Multimodal.extractMeta(staged, "doc_id", "blob")
     },
 
+    // ----- multimodal corpus report (NEW r10): the per-format "media
+    // card" — counts, byte volume, dimension extremes, frame totals —
+    // i.e. the datasheet a multimodal shard ships with. One partial-agg'd
+    // shuffle over the extractMeta projection; |formats| output rows -----
+    "m_media_report" -> { (s, dir) =>
+      val staged = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
+      Multimodal.extractMeta(staged, "doc_id", "blob")
+        .groupBy(col("format"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("n_bytes")).as("total_bytes"),
+          max(col("width")).as("max_width"),
+          max(col("height")).as("max_height"),
+          sum(col("n_frames").cast(LongType)).as("total_frames"))
+    },
+
     // ----- multimodal frame sampling (explode-by-frame plumbing) -----
     // gates the partition-wise explode shape (every-4th frame of the stub
     // decode); the wraparound frame fingerprint is spec-covered — 64-bit
@@ -4130,6 +4147,22 @@ object PipelineQueries {
         |  CASE WHEN octet_length(encode(text)) % 2 = 0
         |       THEN 'even' ELSE 'odd' END AS format
         |FROM documents""".stripMargin,
+    "m_media_report" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+        |    CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INT)
+        |      AS height,
+        |    CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames,
+        |    CASE WHEN octet_length(encode(text)) % 2 = 0
+        |         THEN 'even' ELSE 'odd' END AS format
+        |  FROM documents)
+        |SELECT format, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  max(width) AS max_width, max(height) AS max_height,
+        |  CAST(sum(n_frames) AS BIGINT) AS total_frames
+        |FROM m GROUP BY format""".stripMargin,
     "u_canonical" ->
       s"""WITH ${urlDomainCtes(UrlSql)},
          |$CanonQueryCte
