@@ -23,6 +23,9 @@ object AnnEval {
   /** Per-query recall of `ann` against `truth` (both (queryCol,
     * neighborCol) frames, typically k rows per query).
     *
+    * Both inputs are de-duplicated on (query, neighbor) before counting,
+    * so repeated pair rows cannot inflate hits past 100%.
+    *
     * Output: (queryCol, n_truth, n_hits, recall_ppm) — one row per query
     * appearing in `truth`; `recall_ppm = ⌊n_hits · 10⁶ / n_truth⌋` exact.
     * Queries the ANN missed entirely score 0 (they appear via the left
@@ -33,10 +36,16 @@ object AnnEval {
       truth: DataFrame,
       queryCol: String,
       neighborCol: String): DataFrame = {
+    // Pair-distinct both sides: a duplicated (query, neighbor) row in
+    // either input would inflate n_hits through the equi-join and could
+    // report recall_ppm above 10^6 - malformed inputs must not look
+    // better than perfect.
     val t = Par.fan(truth)
       .select(col(queryCol).as("__q"), col(neighborCol).as("__n"))
+      .distinct()
     val a = Par.fan(ann)
       .select(col(queryCol).as("__q"), col(neighborCol).as("__n"))
+      .distinct()
     val hits = a.join(t, Seq("__q", "__n"))
       .groupBy(col("__q"))
       .agg(count(lit(1)).as("n_hits"))

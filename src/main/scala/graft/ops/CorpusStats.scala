@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
@@ -117,6 +117,15 @@ object CorpusStats {
             y.cast(org.apache.spark.sql.types.DecimalType(38, 0)))))
     val ta = ha.agg(coalesce(sum(col("c")), lit(0L)).as("__ta"))
     val tb = hb.agg(coalesce(sum(col("c")), lit(0L)).as("__tb"))
+    // Loud in-plan emptiness guard: an empty side would make the ANSI
+    // IntegralDivide throw an opaque divide-by-zero mid-job; name the
+    // empty corpus instead (the mixturePlan/systematicSample guard style).
+    def nonEmpty(t: Column, name: String): Column =
+      when(
+        t === 0L,
+        raise_error(lit(
+          s"corpusDrift: corpus $name has zero tokens - ppm rates undefined")))
+        .otherwise(t)
     ha.withColumnRenamed("c", "count_a")
       .join(hb.withColumnRenamed("c", "count_b"), Seq("token"), "full_outer")
       .crossJoin(broadcast(ta))
@@ -125,10 +134,12 @@ object CorpusStats {
         col("token"),
         coalesce(col("count_a"), lit(0L)).as("count_a"),
         coalesce(col("count_b"), lit(0L)).as("count_b"),
-        intDiv(coalesce(col("count_a"), lit(0L)) * 1000000L, col("__ta"))
-          .as("ppm_a"),
-        intDiv(coalesce(col("count_b"), lit(0L)) * 1000000L, col("__tb"))
-          .as("ppm_b"))
+        intDiv(
+          coalesce(col("count_a"), lit(0L)) * 1000000L,
+          nonEmpty(col("__ta"), "a")).as("ppm_a"),
+        intDiv(
+          coalesce(col("count_b"), lit(0L)) * 1000000L,
+          nonEmpty(col("__tb"), "b")).as("ppm_b"))
       .withColumn("delta_ppm", abs(col("ppm_a") - col("ppm_b")))
       .orderBy(col("delta_ppm").desc, col("token").asc)
       .limit(k)

@@ -36,18 +36,30 @@ object Dedup {
     * Same scale shape as [[exact]]: ONE shuffle carrying one
     * (hash, best-struct, count) row per distinct content per map partition
     * — the argmax is `min(struct(-score, id))`, which partial-aggregates,
-    * unlike a per-hash window (which would shuffle every copy).
+    * unlike a per-hash window (which would shuffle every copy). `score`
+    * must exceed Long.MinValue (no long negation exists for it); the plan
+    * raises a pointed error on such a row rather than an opaque ANSI
+    * overflow.
     * Output: (fp, doc_id_kept, score_kept, n_copies).
     */
   def exactKeepBest(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      score: Column): DataFrame =
+      score: Column): DataFrame = {
+    // Overflow guard: score = Long.MinValue has no long negation (ANSI
+    // runtime error deep in the agg) - fail loudly at the row instead,
+    // matching the mixturePlan/systematicSample guard style.
+    val s = score.cast(LongType)
+    val ns = when(
+      s === Long.MinValue,
+      raise_error(lit(
+        "exactKeepBest: score = Long.MinValue overflows the argmax negation")))
+      .otherwise(-s)
     Par.fan(df)
       .select(
         md5(col(textCol)).as("fp"),
-        struct((-score.cast(LongType)).as("ns"), col(idCol).as("id")).as("__b"))
+        struct(ns.as("ns"), col(idCol).as("id")).as("__b"))
       .groupBy(col("fp"))
       .agg(min(col("__b")).as("__best"), count(lit(1)).as("n_copies"))
       .select(
@@ -55,6 +67,7 @@ object Dedup {
         col("__best.id").as("doc_id_kept"),
         (-col("__best.ns")).as("score_kept"),
         col("n_copies"))
+  }
 
   /** Corpus snapshot diff — the incremental-crawl accounting step: a
     * recurring pipeline re-crawls monthly and must know what changed

@@ -164,8 +164,11 @@ object Packing {
     require(
       !df.columns.exists(helpers.contains),
       s"input must not contain ${helpers.mkString("/")}")
-    def intDiv(x: Column, y: Column): Column =
-      ((x - pmod(x, y)) / y).cast("long")
+    // Exact integer floor division (IntegralDivide) — the double
+    // round-trip is only exact below 2^53, a real ceiling for global
+    // token positions at 100 TB (Sampling.divFloor is the repo-wide
+    // convention).
+    def intDiv(x: Column, y: Column): Column = Sampling.divFloor(x, y)
     val base = df.withColumn("__cw_tok", tokens.cast("long"))
     val (ranged, offsets, _) = Sampling.rangePrefix(
       base,
@@ -218,8 +221,11 @@ object Packing {
     require(
       !df.columns.exists(helpers.contains),
       s"input must not contain ${helpers.mkString("/")}")
-    def intDiv(x: Column, y: Column): Column =
-      ((x - pmod(x, y)) / y).cast("long")
+    // Exact integer floor division (IntegralDivide) — the double
+    // round-trip is only exact below 2^53, a real ceiling for global
+    // token positions at 100 TB (Sampling.divFloor is the repo-wide
+    // convention).
+    def intDiv(x: Column, y: Column): Column = Sampling.divFloor(x, y)
     val base = df.withColumn(
       "__gs_h",
       TextFunctions.hash61(

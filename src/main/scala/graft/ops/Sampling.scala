@@ -513,7 +513,7 @@ object Sampling {
     * past 2^53 where a double round-trip is not: `budget · share` at a
     * 10-trillion-token budget already overflows double exactness.
     */
-  private def divFloor(a: Column, b: Column): Column =
+  def divFloor(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.ColumnShim.column(
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         org.apache.spark.sql.graft.ColumnShim.expression(a.cast(LongType)),

@@ -252,8 +252,10 @@ object AnalyticsQueries {
     // integer day buckets (epoch-seconds floor-div 86400 — no calendar
     // functions, so both engines agree byte-for-byte), exact ppm -----
     "q_retention" -> { (s, dir) =>
+      // exact IntegralDivide floor (repo convention — double division
+      // is only exact below 2^53)
       def intDiv(x: Column, y: Column): Column =
-        ((x - pmod(x, y)) / y).cast(LongType)
+        graft.ops.Sampling.divFloor(x, y)
       val ev = events(s, dir)
         .select(
           col("user_id"),

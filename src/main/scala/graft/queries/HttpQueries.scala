@@ -73,6 +73,26 @@ object HttpQueries {
           .start()
       })
 
+  /** The customer fixture as key → JSON payload — shared by the plain and
+    * TLS lookup stubs so both serve byte-identical responses.
+    */
+  private def customerRowsMap(
+      spark: SparkSession,
+      dir: String): Map[String, String] =
+    spark.read
+      .parquet(s"$dir/customer.parquet")
+      .select(
+        col("c_custkey").cast(StringType).as("key"),
+        to_json(
+          struct(
+            col("c_name"),
+            col("c_nationkey"),
+            col("c_acctbal"),
+            col("c_mktsegment"))).as("payload"))
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+
   /** Customer-lookup stub: GET /customer?c_custkey=N → the customer row as
     * a JSON object (404 for unknown keys).
     */
@@ -80,19 +100,7 @@ object HttpQueries {
     lookupServers.computeIfAbsent(
       dir,
       _ => {
-        val rows = spark.read
-          .parquet(s"$dir/customer.parquet")
-          .select(
-            col("c_custkey").cast(StringType).as("key"),
-            to_json(
-              struct(
-                col("c_name"),
-                col("c_nationkey"),
-                col("c_acctbal"),
-                col("c_mktsegment"))).as("payload"))
-          .collect()
-          .map(r => r.getString(0) -> r.getString(1))
-          .toMap
+        val rows = customerRowsMap(spark, dir)
         val keyInBody = "\"c_custkey\"\\s*:\\s*\"?(-?\\d+)\"?".r
         val server = StubServer
           .serveOnly()
@@ -187,6 +195,87 @@ object HttpQueries {
 
   private def customerServiceUrl(spark: SparkSession, dir: String): String =
     lookupStub(spark, dir).url("/customer")
+
+  // ----- HTTPS customer stub (L17): the same fixture served over TLS with
+  // a keytool-generated self-signed certificate. The gate trusts it via the
+  // EXPLICIT `http.security.cert.server` trust-store path (not
+  // allowSelfSigned), so a green result proves the PEM loader, the custom
+  // trust store, the handshake, and the lookup decode compose end-to-end —
+  // the reference's security/SecurityContext.java surface, driver-gated.
+  // Returns (base https URL, PEM path the connector must trust).
+  private val tlsServers =
+    new ConcurrentHashMap[String, (String, String)]()
+
+  private def tlsStub(spark: SparkSession, dir: String): (String, String) =
+    tlsServers.computeIfAbsent(
+      dir,
+      _ => {
+        val rows = customerRowsMap(spark, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-tls-gate")
+        val ksPath = tmp.resolve("server.p12")
+        val certPem = tmp.resolve("server.pem")
+        def run(cmd: String*): Unit = {
+          val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+          val log = new String(p.getInputStream.readAllBytes, "UTF-8")
+          require(p.waitFor() == 0, s"keytool failed: ${cmd.mkString(" ")}\n$log")
+        }
+        run(
+          "keytool", "-genkeypair", "-alias", "server", "-keyalg", "RSA",
+          "-keysize", "2048", "-validity", "30",
+          "-dname", "CN=127.0.0.1", "-ext", "SAN=IP:127.0.0.1",
+          "-keystore", ksPath.toString, "-storetype", "PKCS12",
+          "-storepass", "changeit", "-keypass", "changeit")
+        run(
+          "keytool", "-exportcert", "-alias", "server", "-rfc",
+          "-keystore", ksPath.toString, "-storepass", "changeit",
+          "-file", certPem.toString)
+
+        val ks = java.security.KeyStore.getInstance("PKCS12")
+        val in = java.nio.file.Files.newInputStream(ksPath)
+        try ks.load(in, "changeit".toCharArray)
+        finally in.close()
+        val kmf = javax.net.ssl.KeyManagerFactory
+          .getInstance(javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+        kmf.init(ks, "changeit".toCharArray)
+        val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+        ctx.init(kmf.getKeyManagers, null, null)
+
+        val server = com.sun.net.httpserver.HttpsServer
+          .create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        server.setHttpsConfigurator(
+          new com.sun.net.httpserver.HttpsConfigurator(ctx))
+        // dedicated pool: the default (dispatcher-thread) executor
+        // serializes handler latency into accept latency
+        server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+          8,
+          (r: Runnable) => {
+            val t = new Thread(r, "graft-tls-stub")
+            t.setDaemon(true)
+            t
+          }))
+        server.createContext(
+          "/customer",
+          (ex: com.sun.net.httpserver.HttpExchange) => {
+            val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+            val payload = StubServer
+              .queryMap(q)
+              .get("c_custkey")
+              .flatMap(rows.get)
+            val (status, body) = payload match {
+              case Some(json) => (200, json)
+              case None => (404, """{"error":"not found"}""")
+            }
+            val bytes = body.getBytes("UTF-8")
+            ex.getResponseHeaders.set("Content-Type", "application/json")
+            ex.sendResponseHeaders(status, bytes.length)
+            ex.getResponseBody.write(bytes)
+            ex.close()
+          })
+        server.start()
+        (
+          s"https://127.0.0.1:${server.getAddress.getPort}",
+          certPem.toString)
+      })
 
   private def sinkServer(dir: String): StubServer =
     sinkServers.computeIfAbsent(
@@ -480,6 +569,37 @@ object HttpQueries {
       out
     },
 
+    // ----- TLS lookup (L17): HTTPS + explicit server-cert trust store -----
+    "h_tls_lookup" -> { (s, dir) =>
+      val (base, certPem) = tlsStub(s, dir)
+      val probe = s.read
+        .parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 29 === 0)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      HttpLookup
+        .join(
+          probe,
+          keyCols = Seq("c_custkey"),
+          responseSchema = customerResponseSchema,
+          options = Map(
+            "url" -> s"$base/customer",
+            "lookup-method" -> "GET",
+            // trust ONLY the stub's self-signed cert — not allowSelfSigned;
+            // the handshake fails unless the PEM trust store is honored
+            "http.security.cert.server" -> certPem,
+            "http.source.lookup.request.thread-pool.size" -> "2",
+            "http.source.lookup.dedup-keys" -> "true",
+            "lookup.cache" -> "PARTIAL",
+            "lookup.partial-cache.max-rows" -> "200000",
+            "http.source.lookup.success-codes" -> "2XX",
+            "http.source.lookup.ignored-response-codes" -> "404"))
+        .select(
+          col("o_orderkey"),
+          col("c_custkey"),
+          col("c_name"),
+          col("c_acctbal"))
+    },
+
     // ----- DSv2 lookup TABLE: pure-SQL DDL + JOIN via HttpLookupJoinRule ---
     "h_table_lookup_join" -> { (s, dir) =>
       val url = customerServiceUrl(s, dir)
@@ -717,6 +837,10 @@ object HttpQueries {
       """SELECT o_orderkey, o_custkey AS c_custkey, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey % 23 = 0""".stripMargin,
+    "h_tls_lookup" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 29 = 0""".stripMargin,
     "h_table_lookup_join" ->
       """SELECT o_orderkey, c_name, c_nationkey, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
