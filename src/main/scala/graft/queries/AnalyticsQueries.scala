@@ -342,6 +342,64 @@ object AnalyticsQueries {
       s.table(sinkName)
     },
 
+    // ----- checkpoint RESTART (NEW r11): exactly-once ACROSS a stop — the
+    // property Flink's checkpointed operators actually guarantee, and the
+    // one thing a single AvailableNow pass cannot witness. Run #1 streams
+    // HALF the event fixture through dropDuplicates into a parquet file
+    // sink and terminates (provably mid-stream: the sink then holds
+    // exactly the half-count). The full fixture is then appended to the
+    // input dir — so every run-1 event id is REDELIVERED, simulating
+    // at-least-once delivery across an outage. Run #2 restarts from the
+    // SAME checkpoint: the recovered file-source log must skip processed
+    // files, and the recovered dedup STATE STORE must drop every
+    // redelivered id. Output = each event exactly once, gated hash-exact
+    // against the plain batch table; a lost state store, a replayed file,
+    // or a broken sink commit log all duplicate rows and fail the hash. --
+    "q_stream_restart" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-restart").toString
+      val (inDir, outDir, ckptDir) =
+        (s"$root/in", s"$root/out", s"$root/ckpt")
+      val half = ev.filter(col("event_id") % 2 === 0)
+      half.repartition(2).write.parquet(inDir)
+      val stagedSchema = s.read.parquet(inDir).schema
+
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .schema(stagedSchema)
+          .parquet(inDir)
+          .dropDuplicates("event_id")
+          .writeStream
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckptDir)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+
+      runOnce() // run #1: sees only the half fixture, then terminates
+      val nHalf = half.count()
+      val nTotal = ev.count()
+      val afterRun1 = s.read.parquet(outDir).count()
+      require(
+        afterRun1 == nHalf && nHalf < nTotal,
+        s"q_stream_restart: run 1 must stop mid-stream with exactly the " +
+          s"half fixture written (got $afterRun1, half=$nHalf, total=$nTotal)")
+
+      // redeliver EVERYTHING (run-1 ids included) as new input files
+      ev.repartition(2).write.mode("append").parquet(inDir)
+      runOnce() // run #2: restart from the same checkpoint
+
+      s.read.parquet(outDir)
+        .select(
+          col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+    },
+
     // ----- stream-static enrichment join (NEW r10): the remaining core
     // Structured Streaming join surface — an event stream joined to a
     // broadcast dimension table (stateless, append mode; the streaming
@@ -532,6 +590,10 @@ object AnalyticsQueries {
     "q_stream_static_join" ->
       """SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+    "q_stream_restart" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |FROM events""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts,

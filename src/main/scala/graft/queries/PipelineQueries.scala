@@ -159,6 +159,129 @@ object PipelineQueries {
 
   private def listLit(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
 
+  // ----- adversarial fuzz corpora (NEW r11) -------------------------------
+  // The Java-regex vs RE2 shared-subset discipline (stripHtml, sentences)
+  // is a structural correctness bet: both engines run the SAME pattern
+  // strings, and the bet is that they agree on any input the ops accept.
+  // These gates stress it with a generated 1000-doc adversarial corpus --
+  // nested/unterminated tags, &amp;amp; chains, attribute '>' traps,
+  // comments, CDATA, case-mixed script blocks, non-ASCII text, \t \n \f
+  // whitespace, decimal-period / abbreviation / quote-bracket sentence
+  // traps -- authored ONCE as Scala constants and rendered into the DuckDB
+  // oracle via [[duckLit]] (printable-ASCII literal runs + chr(n) for
+  // everything else), so the two engines see byte-identical fixtures.
+  // Inputs deliberately stay inside the documented subset: U+000B is the
+  // one \s divergence between Java and RE2 and is excluded by contract
+  // (verified: injecting U+000B into a fragment fails the gate with a
+  // one-space-vs-two diff, exactly the divergence class this hunts).
+
+  private[graft] val HtmlFuzzFrags: Seq[String] = Seq(
+    "<div class=\"x\">alpha beta</div> ",
+    "<SCRIPT>var a=\"</div>\"; if (1<2 && x>3) go();</SCRIPT>gamma ",
+    "<script type=\"t j\">maybe unterminated block ",
+    "</p><p >delta epsilon ",
+    "&amp;amp;zeta&amp;lt;x&amp;gt; ",
+    "&lt;notatag&gt; &quot;qq&quot; &#39;aa&#39; ",
+    "<style>.c{color:#f00} </style>eta ",
+    "<br/><hr />theta ",
+    "<a href=\"u?a=1&amp;b=2\">link iota</a> ",
+    "plain kappa lambda ",
+    "<![CDATA[ raw <x> ]]>mu ",
+    "<!-- comment <b>bold</b> -->nu ",
+    "&nbsp;&nbsp;xi&#39;s ",
+    "<p style=\"a>b\">tricky omicron</p> ",
+    "pi\n\trho  sigma ",
+    "<td><tr>nested tau<td></tr> ",
+    "&gt;&gt;&amp;&amp;&lt; upsilon ",
+    "<script src=\"x.js\"></script>phi ",
+    "<style >s{}</style ><b>chi</b> ",
+    "psi<>omega ",
+    "<img alt=\"a<b\">one two ",
+    "&#39;&quot;&amp;#39; three ",
+    "caf\u00e9 \u6c49\u5b57 four<wbr>five ",
+    "<div\nclass=\"m\">six seven</div>")
+
+  private[graft] val SentenceFuzzFrags: Seq[String] = Seq(
+    "Dr. Smith went home. ",
+    "Pi is 3.14159 exactly. ",
+    "What?! Really now? ",
+    "He said \"Stop.\" Then left. ",
+    "(See fig. 2.) Next one! ",
+    "End with dots... and go on. ",
+    "no terminal tail fragment ",
+    "Multi  spaces.  Double gap. ",
+    "A.B.C. initials here. ",
+    "Newline\nbreak. After newline. ",
+    "Question? \"Quoted start.\" ",
+    "Bracket close.] Outside now. ",
+    "Paren close.) Right here. ",
+    "Single quote end.' Next bit. ",
+    "Tab\tafter. Tab sentence. ",
+    "Trailing spaces.   ",
+    "!Leading bang here. ",
+    "Mixed?! ?Odd start. ",
+    "x.y.z url-like.com here. ",
+    "Short. S. ")
+
+  private val FuzzDocs = 1000L
+
+  /** Five fragment selectors (multiplier, offset) -- coprime multipliers so
+    * the 1000 docs cover the fragment cross-product densely.
+    */
+  private val FuzzSelectors: Seq[(Int, Int)] =
+    Seq((1, 0), (3, 1), (7, 2), (11, 3), (13, 5))
+
+  /** Render a Scala string as a DuckDB expression producing the identical
+    * byte sequence: printable-ASCII runs as quoted literals ('' escapes the
+    * quote), everything else -- tabs, newlines, form feeds, non-ASCII -- as
+    * chr(n). Neither engine gets a chance to re-interpret escapes.
+    */
+  private def duckLit(str: String): String = {
+    if (str.isEmpty) return "''"
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val run = new java.lang.StringBuilder
+    def flush(): Unit =
+      if (run.length > 0) { parts += "'" + run.toString + "'"; run.setLength(0) }
+    str.foreach { c =>
+      if (c >= 0x20 && c <= 0x7e)
+        run.append(if (c == '\'') "''" else c.toString)
+      else { flush(); parts += s"chr(${c.toInt})" }
+    }
+    flush()
+    parts.mkString(" || ")
+  }
+
+  /** The generated fuzz corpus, Spark side: doc i = concat of the five
+    * selected fragments. Pure per-row expressions over a range -- no reads,
+    * no shuffle.
+    */
+  private def fuzzDocsDf(s: SparkSession, frags: Seq[String]): DataFrame = {
+    val n = frags.length
+    val arr = array(frags.map(lit): _*)
+    def pick(m: Int, a: Int) =
+      element_at(
+        arr,
+        (((col("doc_id") * m + a) % n) + 1).cast(IntegerType))
+    graft.ops.Par.fan(s.range(0, FuzzDocs).select(col("id").as("doc_id")))
+      .withColumn(
+        "txt",
+        concat(FuzzSelectors.map { case (m, a) => pick(m, a) }: _*))
+  }
+
+  /** The same corpus as DuckDB CTEs (`docs(doc_id, txt)`), generated from
+    * the same constants.
+    */
+  private def fuzzDocsSql(frags: Seq[String]): String = {
+    val n = frags.length
+    val lits = frags.map(duckLit).mkString("[", ", ", "]")
+    val picks = FuzzSelectors
+      .map { case (m, a) => s"fr[((i*$m+$a) % $n)+1]" }
+      .mkString(" || ")
+    s"""f(fr) AS (SELECT $lits),
+       |ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, $FuzzDocs)),
+       |docs AS (SELECT i AS doc_id, $picks AS txt FROM ids, f)""".stripMargin
+  }
+
   /** Stratified-sampling gate rates (per-mille by lang), shared between the
     * Spark query and the generated oracle CASE so they cannot drift.
     * ListMap: deterministic iteration for stable SQL generation.
@@ -1792,6 +1915,23 @@ object PipelineQueries {
             .as(Seq("sentence_idx", "sentence")))
     },
 
+    // ----- adversarial regex-subset fuzz (NEW r11): the same two ops over
+    // the generated 1000-doc adversarial corpus (see HtmlFuzzFrags /
+    // SentenceFuzzFrags) — Java regex and RE2 must agree byte-for-byte on
+    // nested/unterminated/attribute-trap markup and on decimal-period /
+    // quote-bracket sentence traps, or the hash fails -----
+    "t_strip_html_fuzz" -> { (s, dir) =>
+      fuzzDocsDf(s, HtmlFuzzFrags).select(
+        col("doc_id"),
+        TextFunctions.stripHtml(col("txt")).as("stripped"))
+    },
+    "t_sentences_fuzz" -> { (s, dir) =>
+      fuzzDocsDf(s, SentenceFuzzFrags).select(
+        col("doc_id"),
+        posexplode(TextFunctions.sentences(col("txt")))
+          .as(Seq("sentence_idx", "sentence")))
+    },
+
     // ----- per-language OOV accounting against the top-100 corpus vocab
     // (NEW r10): the report that sizes a tokenizer vocab and flags
     // underserved languages -----
@@ -2692,6 +2832,39 @@ object PipelineQueries {
          |  unnest(ss) AS sentence
          |FROM m""".stripMargin
     },
+    "t_strip_html_fuzz" ->
+      s"""WITH ${fuzzDocsSql(HtmlFuzzFrags)},
+         |x AS (
+         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+         |    txt,
+         |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |    '(?s)<[^>]*>', ' ', 'g') AS t
+         |  FROM docs),
+         |e AS (
+         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(regexp_replace(regexp_replace(
+         |    t,
+         |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+         |    '&#39;', CHR(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
+         |    AS t
+         |  FROM x)
+         |SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g'))
+         |  AS stripped
+         |FROM e""".stripMargin,
+    "t_sentences_fuzz" ->
+      s"""WITH ${fuzzDocsSql(SentenceFuzzFrags)},
+         |m AS (
+         |  SELECT doc_id,
+         |    list_filter(list_transform(
+         |      string_split(regexp_replace(trim(txt),
+         |        '([.!?]["'')\\]]?)\\s+', '\\1' || chr(31), 'g'), chr(31)),
+         |      x -> trim(x)), x -> x <> '') AS ss
+         |  FROM docs)
+         |SELECT doc_id,
+         |  CAST(unnest(range(0, len(ss))) AS INT) AS sentence_idx,
+         |  unnest(ss) AS sentence
+         |FROM m""".stripMargin,
     "t_oov_report" ->
       s"""WITH t AS (
          |  SELECT lang, unnest($WsSql) AS token FROM documents),
