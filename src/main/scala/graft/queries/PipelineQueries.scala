@@ -159,6 +159,100 @@ object PipelineQueries {
 
   private def listLit(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
 
+  // ----- unigram-LM tokenizer oracle machinery (NEW r11) ------------------
+
+  /** Word-position cap shared by the unigram gates and the unrolled DP
+    * replay (the oracle generates one CTE stage per position). Words longer
+    * than this are excluded IDENTICALLY on both sides; the sf0.01 corpus
+    * maxes out at 8 characters, so the cap is slack, not lossy.
+    */
+  private val UnigramMaxWordLen = 16
+
+  /** The frozen-vocab Viterbi segmentation as unrolled DuckDB CTEs (the
+    * P73 integer-exact-replay pattern): expects a `words(doc_id, word_idx,
+    * w)` CTE upstream, emits `useg(w, ntok, path)` — per distinct word,
+    * the arg-min (cost, ntok, path) segmentation, path chr(31)-delimited.
+    * One stage per position p: candidates = vocab pieces of length l
+    * ending at p (join on substr) plus the unconditional single-char UNK
+    * transition, arg-min by ROW_NUMBER over the same (cost, ntok, path)
+    * total order the Scala DP uses. Generated from [[graft.ops.Unigram]]'s
+    * frozen constants so SQL and Scala cannot drift.
+    */
+  private def unigramViterbiCtes: String = {
+    val vocab = graft.ops.Unigram.Frozen
+    val unk = graft.ops.Unigram.UnkCost
+    val maxPiece = graft.ops.Unigram.MaxPieceLen
+    def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+    val vocabRows = vocab
+      .map { case (p, c) => s"(${sqlLit(p)}, $c)" }
+      .mkString(", ")
+    val sb = new StringBuilder
+    sb.append(s"uvocab(piece, vcost) AS MATERIALIZED (VALUES $vocabRows),\n")
+    sb.append("dw AS MATERIALIZED (SELECT DISTINCT w FROM words),\n")
+    sb.append(
+      "s0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS cost, 0 AS ntok, '' AS path " +
+        "FROM dw),\n")
+    for (p <- 1 to UnigramMaxWordLen) {
+      val branches = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (l <- 1 to math.min(maxPiece, p)) {
+        branches +=
+          s"""SELECT s.w, s.cost + v.vcost AS cost, s.ntok + 1 AS ntok,
+             |    s.path || chr(31) || v.piece AS path
+             |  FROM s${p - l} s JOIN uvocab v
+             |    ON length(v.piece) = $l AND v.piece = substr(s.w, ${p - l + 1}, $l)
+             |  WHERE length(s.w) >= $p""".stripMargin
+      }
+      branches +=
+        s"""SELECT s.w, s.cost + $unk AS cost, s.ntok + 1 AS ntok,
+           |    s.path || chr(31) || substr(s.w, $p, 1) AS path
+           |  FROM s${p - 1} s WHERE length(s.w) >= $p""".stripMargin
+      sb.append(s"c$p AS (${branches.mkString("\n  UNION ALL\n  ")}),\n")
+      sb.append(
+        s"s$p AS MATERIALIZED (SELECT w, cost, ntok, path FROM (SELECT *, " +
+          "row_number() OVER (PARTITION BY w ORDER BY cost, ntok, path) " +
+          s"AS rn FROM c$p) WHERE rn = 1),\n")
+    }
+    sb.append(
+      "useg AS (" + (1 to UnigramMaxWordLen)
+        .map(p => s"SELECT w, ntok, path FROM s$p WHERE length(w) = $p")
+        .mkString(" UNION ALL ") + ")")
+    sb.toString
+  }
+
+  /** The shared `words(doc_id, lang, word_idx, w)` CTEs: bpeWords-split
+    * (whitespace + chr(30)), empties dropped BEFORE indexing, capped at
+    * [[UnigramMaxWordLen]] AFTER indexing — the exact index semantics of
+    * the Spark gates.
+    */
+  private def unigramWordsCtes: String =
+    s"""wraw AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(trim(lower(text)),
+       |      '[\\s\\x1e]+'), x -> x <> '') AS ws
+       |  FROM documents),
+       |words AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT doc_id, lang,
+       |      CAST(unnest(range(0, len(ws))) AS INT) AS word_idx,
+       |      unnest(ws) AS w
+       |    FROM wraw)
+       |  WHERE length(w) <= $UnigramMaxWordLen)""".stripMargin
+
+  /** Spark twin of [[unigramWordsCtes]]: (doc_id, lang, word_idx, w) —
+    * bpeWords-split, empties dropped before posexplode indexes, length cap
+    * applied after.
+    */
+  private def unigramWordsDf(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        posexplode(
+          filter(
+            split(trim(lower(col("text"))), "[\\s\\x1e]+"),
+            w => w =!= "")).as(Seq("word_idx", "w")))
+      .filter(length(col("w")) <= UnigramMaxWordLen)
+
   // ----- adversarial fuzz corpora (NEW r11) -------------------------------
   // The Java-regex vs RE2 shared-subset discipline (stripHtml, sentences)
   // is a structural correctness bet: both engines run the SAME pattern
@@ -1915,6 +2009,54 @@ object PipelineQueries {
             .as(Seq("sentence_idx", "sentence")))
     },
 
+    // ----- unigram-LM tokenizer (NEW r11): SentencePiece-style trainer +
+    // Viterbi encoder with integer-scaled costs. Three gates:
+    //   t_unigram_vocab   — LIVE distributed training must reproduce the
+    //                       frozen constant (end-to-end training
+    //                       determinism, driver-gated);
+    //   t_unigram_encode  — frozen-vocab Viterbi segmentation vs the
+    //                       unrolled DuckDB DP replay (the P73 pattern);
+    //   t_unigram_fertility — tokens-per-word vs the frozen BPE on the
+    //                       same words, per language (the comparison that
+    //                       picks a tokenizer family for a corpus). -----
+    "t_unigram_vocab" -> { (s, dir) =>
+      val vocab = graft.ops.Unigram.train(
+        t(s, dir, "documents"),
+        "text",
+        graft.ops.Unigram.FrozenVocabSize)
+      import s.implicits._
+      vocab.toDF("piece", "cost")
+    },
+    "t_unigram_encode" -> { (s, dir) =>
+      unigramWordsDf(s, dir)
+        .select(
+          col("doc_id"),
+          col("word_idx"),
+          posexplode(
+            graft.ops.Unigram.wordPieces(col("w"), graft.ops.Unigram.Frozen))
+            .as(Seq("piece_idx", "piece")))
+    },
+    "t_unigram_fertility" -> { (s, dir) =>
+      val bpeLen = udf { (w: String) =>
+        if (w == null) 0
+        else graft.ops.Bpe.encodeWordOrdered(w, graft.ops.Bpe.Frozen).length
+      }
+      unigramWordsDf(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("total_words"),
+          sum(size(graft.ops.Unigram
+            .wordPieces(col("w"), graft.ops.Unigram.Frozen)).cast(LongType))
+            .as("total_unigram"),
+          sum(bpeLen(col("w")).cast(LongType)).as("total_bpe"))
+        .withColumn(
+          "unigram_fertility_ppm",
+          Sampling.divFloor(col("total_unigram") * 1000000L, col("total_words")))
+        .withColumn(
+          "bpe_fertility_ppm",
+          Sampling.divFloor(col("total_bpe") * 1000000L, col("total_words")))
+    },
+
     // ----- adversarial regex-subset fuzz (NEW r11): the same two ops over
     // the generated 1000-doc adversarial corpus (see HtmlFuzzFrags /
     // SentenceFuzzFrags) — Java regex and RE2 must agree byte-for-byte on
@@ -2831,6 +2973,54 @@ object PipelineQueries {
          |  CAST(unnest(range(0, len(ss))) AS INT) AS sentence_idx,
          |  unnest(ss) AS sentence
          |FROM m""".stripMargin
+    },
+    "t_unigram_vocab" -> {
+      val rows = graft.ops.Unigram.Frozen
+        .map { case (p, c) => s"('${p.replace("'", "''")}', $c)" }
+        .mkString(", ")
+      s"SELECT piece, CAST(cost AS INT) AS cost " +
+        s"FROM (VALUES $rows) AS t(piece, cost)"
+    },
+    "t_unigram_encode" ->
+      s"""WITH $unigramWordsCtes,
+         |$unigramViterbiCtes,
+         |ps AS (
+         |  SELECT wo.doc_id, wo.word_idx,
+         |    list_filter(string_split(u.path, chr(31)), x -> x <> '')
+         |      AS pieces
+         |  FROM words wo JOIN useg u ON wo.w = u.w)
+         |SELECT doc_id, word_idx,
+         |  CAST(unnest(range(0, len(pieces))) AS INT) AS piece_idx,
+         |  unnest(pieces) AS piece
+         |FROM ps""".stripMargin,
+    "t_unigram_fertility" -> {
+      val S = "\u001e"
+      def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+      val init =
+        "array_to_string(list_transform(string_split(w, ''), " +
+          "c -> chr(30)||c||chr(30)), '')"
+      val chain = graft.ops.Bpe.Frozen.foldLeft(init) { case (acc, (a, b)) =>
+        s"replace($acc, ${sqlLit(S + a + S + S + b + S)}, ${sqlLit(S + a + b + S)})"
+      }
+      s"""WITH $unigramWordsCtes,
+         |$unigramViterbiCtes,
+         |bt AS (
+         |  SELECT w, (length(e) - length(replace(e, chr(30), ''))) // 2
+         |    AS nbpe
+         |  FROM (SELECT w, $chain AS e FROM dw)),
+         |j AS (
+         |  SELECT wo.lang, u.ntok, b.nbpe
+         |  FROM words wo
+         |  JOIN useg u ON wo.w = u.w
+         |  JOIN bt b ON wo.w = b.w)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS total_words,
+         |  CAST(sum(ntok) AS BIGINT) AS total_unigram,
+         |  CAST(sum(nbpe) AS BIGINT) AS total_bpe,
+         |  CAST((sum(ntok) * 1000000) // count(*) AS BIGINT)
+         |    AS unigram_fertility_ppm,
+         |  CAST((sum(nbpe) * 1000000) // count(*) AS BIGINT)
+         |    AS bpe_fertility_ppm
+         |FROM j GROUP BY lang""".stripMargin
     },
     "t_strip_html_fuzz" ->
       s"""WITH ${fuzzDocsSql(HtmlFuzzFrags)},
