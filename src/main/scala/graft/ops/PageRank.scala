@@ -75,7 +75,17 @@ object PageRank {
       e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")))
     val base = (scale * (dampDen - dampNum)) / (dampDen * n)
     var r = nodes.select(col("node"), lit(scale / n).as("rank"))
-    for (_ <- 1 to iters) {
+    // Checkpoint cadence: every SECOND iteration (and always the last).
+    // One checkpoint per iteration pays an eager node-sized materialization
+    // each round purely for lineage hygiene; letting the plan grow across
+    // two rounds before cutting keeps the tree bounded (≤2 iterations deep)
+    // while dropping the eager jobs from `iters` to ⌈iters/2⌉. Gate-verified
+    // bit-identical at sf0.01; bench-neutral at sf0.1 where the rank vector
+    // is tiny — the saving is the halved node-sized checkpoint I/O when the
+    // node set is large.
+    def cut(df: DataFrame, i: Int): DataFrame =
+      if (i % 2 == 0 || i == iters) df.localCheckpoint() else df
+    for (i <- 1 to iters) {
       val contrib = e
         .join(r, e("__src") === r("node"))
         .join(outdeg, Seq("__src"))
@@ -91,7 +101,7 @@ object PageRank {
           col("node"),
           (lit(base) + coalesce(col("__in"), lit(0L))).as("rank"))
       r =
-        if (!redistributeDangling) withBase.localCheckpoint()
+        if (!redistributeDangling) cut(withBase, i)
         else {
           // dangling mass this iteration = Σ rank over out-degree-0 nodes,
           // ONE 1-row aggregate broadcast into the plan (no driver action);
@@ -107,7 +117,9 @@ object PageRank {
               (col("rank") +
                 intDiv(col("__dmass") * lit(dampNum), lit(dampDen * n)))
                 .as("rank"))
-            .localCheckpoint()
+            .localCheckpoint() // every round: next round's dangling agg
+                               // re-reads r — uncut lineage would double
+                               // the whole prior plan inside it
         }
     }
     r

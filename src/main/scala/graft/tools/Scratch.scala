@@ -3,8 +3,6 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.TextFunctions
-
 /** Dev scratchpad for phase timing. */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -23,26 +21,29 @@ object Scratch {
       r
     }
 
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    time("count docs")(docs.count())
-    val words = docs.select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
-    time("words pass")(words.selectExpr("sum(size(ws))").collect())
-    val sh = docs.select(col("doc_id"), TextFunctions.shingleSet(col("text"), 3).as("sh"))
-    time("shingle pass")(sh.selectExpr("sum(size(sh))").collect())
-    time("shingle pass again")(sh.selectExpr("sum(size(sh))").collect())
-    val hs = docs.select(
-      col("doc_id"),
-      TextFunctions.shingleHashes(col("text"), 3).as("hs"))
-    time("hash pass")(hs.selectExpr("sum(size(hs))").collect())
-    val wmins = transform(
-      sequence(lit(1), size(col("hs"))),
-      i => array_min(slice(col("hs"), i, lit(4))))
-    time("winnow over materialized")(
-      hs.persist().select(col("doc_id"), size(array_distinct(wmins)).as("n"))
-        .selectExpr("sum(n)").collect())
-    time("winnow again")(
-      hs.select(col("doc_id"), size(array_distinct(wmins)).as("n"))
-        .selectExpr("sum(n)").collect())
+    // phase breakdown of the u_pagerank gate
+    def runGate(): Unit = {
+      val docs = graft.ops.Par
+        .fan(spark.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"))
+      val n = time("docs.count")(docs.count())
+      val e1 = docs.select(
+        col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
+      val e2 = docs.select(
+        col("doc_id").as("src"), ((col("doc_id") * 13 + 5) % n).as("dst"))
+      val e3 = docs.filter(col("doc_id") % 5 === 0).select(
+        col("doc_id").as("src"), (col("doc_id") % 37).as("dst"))
+      val edges = e1.union(e2).union(e3)
+      val out = time("ranks build+eval") {
+        graft.ops.PageRank.ranks(edges, "src", "dst", iters = 5)
+          .write.format("noop").mode("overwrite").save()
+      }
+      graft.ops.Par.releaseCaches()
+      out
+    }
+    // warm
+    spark.read.parquet(s"$dir/nation.parquet").count()
+    (1 to 3).foreach(_ => time("u_pagerank full")(runGate()))
     spark.stop()
     sys.exit(0)
   }
