@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
-    // optional second arg (local dev): only run steps whose name contains it
-    val onlySub = args.drop(1).headOption
+    // optional second arg (local dev): only run steps whose name contains
+    // one of the comma-separated substrings
+    val onlySub = args.drop(1).headOption.map(_.split(',').toSeq)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -95,7 +96,7 @@ object ScaleSmoke {
     }
 
     def measure(step: Step): Unit = {
-      if (onlySub.exists(f => !step.name.contains(f))) return
+      if (onlySub.exists(fs => !fs.exists(step.name.contains))) return
       // counters reset BEFORE the build: iterative pipelines (cluster label
       // propagation) execute eagerly while the DataFrame is constructed, so
       // build + noop-write together are the pipeline's true shuffle bill.
@@ -648,6 +649,181 @@ object ScaleSmoke {
         if (bad == 0L) Nil
         else Seq(s"$bad tokens drifted between identical halves")
       }))
+
+    // ----- rangePrefix machinery (r11) at 50M rows: globalShuffle and
+    // systematicSample both ride Sampling.rangePrefix (range-bucket the
+    // corpus, broadcast per-bucket prefix offsets, bucket-local windows).
+    // The driver gates exercise it at 60k rows; these steps run it at
+    // 50M — ~100 partitions' worth of bucket boundaries — and assert the
+    // EXACT global contracts (bijection / Σhits = k) that would break if
+    // a bucket boundary double-counted or dropped a row. spark.range is
+    // the right input here: the machinery is id/weight-shaped, and 50M
+    // is beyond any fanning of the sf0.1 corpus.
+    locally {
+      val n = 50000000L
+      val ids = spark.range(n).select(col("id").as("doc_id"))
+      measure(Step(
+        s"t_global_shuffle(50M rows, bijection)",
+        () => graft.ops.Packing.globalShuffle(ids, "doc_id", shardSize = 64L),
+        ceilingGB = 3.0,
+        invariant = df => {
+          val stats = df.agg(
+            count(lit(1)).as("c"),
+            countDistinct(col("pos")).as("d"),
+            min(col("pos")).as("lo"),
+            max(col("pos")).as("hi")).collect()(0)
+          val shardsOff = df.groupBy(col("shard")).count()
+            .filter(col("count") =!= 64L).count()
+          Seq(
+            if (stats.getLong(0) == n && stats.getLong(1) == n) None
+            else Some(s"rows=${stats.getLong(0)} distinct pos=" +
+              s"${stats.getLong(1)}, expected $n (bijection broken)"),
+            if (stats.getLong(2) == 0L && stats.getLong(3) == n - 1) None
+            else Some(s"pos range [${stats.getLong(2)}, ${stats.getLong(3)}]" +
+              s" != [0, ${n - 1}]"),
+            if (shardsOff <= 1L) None
+            else Some(s"$shardsOff shards off the 64-row size (only the " +
+              "last may be short)")
+          ).flatten
+        }))
+      // skewed-weight PPS: 50k rows carry weight 100001 (each straddles
+      // ~20 grid points of the T/k selection grid — the multi-hit
+      // certainty case), the rest weight 1. Exactness contract: Σ n_hits
+      // == k regardless of how bucket boundaries slice the cumulative
+      // weight, every heavy row is selected with ⌊wk/T⌋..⌊wk/T⌋+1 hits,
+      // every sampled light row exactly once.
+      val k = 1000000L
+      val heavyW = 100001L
+      val total = (n - n / 1000) * 1L + (n / 1000) * heavyW
+      val loHeavy = heavyW * k / total
+      measure(Step(
+        s"t_systematic_sample(50M rows, 50k heavy, k=1M)",
+        () => graft.ops.Sampling.systematicSample(
+          ids.withColumn(
+            "w",
+            when(col("doc_id") % 1000 === 0, lit(heavyW)).otherwise(lit(1L))),
+          "doc_id", col("w"), k = k),
+        ceilingGB = 3.0,
+        invariant = df => {
+          val hits = df.agg(sum(col("n_hits"))).collect()(0).getLong(0)
+          val heavyRows = df.filter(col("doc_id") % 1000 === 0)
+          val nHeavy = heavyRows.count()
+          val badHeavy = heavyRows
+            .filter(col("n_hits") < loHeavy || col("n_hits") > loHeavy + 1)
+            .count()
+          val badLight = df.filter(
+            col("doc_id") % 1000 =!= 0 && col("n_hits") =!= 1L).count()
+          Seq(
+            if (hits == k) None
+            else Some(s"sum(n_hits)=$hits != k=$k (grid crossings lost " +
+              "at a bucket boundary)"),
+            if (nHeavy == n / 1000) None
+            else Some(s"$nHeavy heavy rows sampled, expected ${n / 1000} " +
+              "(certainty inclusion violated)"),
+            if (badHeavy == 0L) None
+            else Some(s"$badHeavy heavy rows outside [$loHeavy, ${loHeavy + 1}] hits"),
+            if (badLight == 0L) None
+            else Some(s"$badLight light rows with n_hits != 1")
+          ).flatten
+        }))
+    }
+
+    // ----- sentence-level boilerplate removal (P93, r11) at `copies`x:
+    // the sentence-explode fan-out case. Fanning multiplies every
+    // segment's document frequency by exactly `copies` (copies are
+    // distinct docs with identical text), so the fanned run with
+    // minDocs = 2*copies must commute with the base run at minDocs = 2:
+    // survivors div copies == base survivors, full-row compare
+    // (clean_text + counts), not just ids.
+    locally {
+      def fixture(d: DataFrame): DataFrame = d.withColumn(
+        "text",
+        concat(
+          lit("Subscribe to our newsletter. "),
+          col("text"),
+          lit(". All rights reserved. Cookie policy applies.")))
+      def run(d: DataFrame, minDocs: Long): DataFrame =
+        graft.ops.Dedup.dropFrequentSegments(
+          fixture(d), "doc_id",
+          graft.ops.TextFunctions.sentences(col("text")),
+          minDocs = minDocs)
+      val base = run(baseDocs, 2L)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      graft.ops.Par.releaseCaches()
+      println(s"[smoke] sentence-boilerplate base run: ${base.size} docs")
+      measure(Step(
+        s"p_sentence_boilerplate(${copies}x, minDocs=2*$copies commutes)",
+        () => run(docs, 2L * copies),
+        ceilingGB = 1.0,
+        invariant = df => {
+          val got = df.select(
+            (col("doc_id") / copies).cast("long"),
+            col("clean_text"), col("n_kept"), col("n_dropped"))
+            .distinct()
+            .collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+            .toSet
+          if (got == base) Nil
+          else Seq(s"fanned survivors (${got.size} distinct base rows) != " +
+            s"base run (${base.size}); duplication does not commute")
+        }))
+    }
+
+    // ----- link authority END-TO-END (P103, r11) at `copies`x: href
+    // extraction over real HTML (regex, map-side) -> registered-domain
+    // reduction -> integer PageRank over the (src domain, dst domain)
+    // multigraph. Domain indices derive from the BASE id, so fanning
+    // multiplies every edge's multiplicity by `copies` but keeps the
+    // 87-node domain graph fixed — the shuffle bill must track the edge
+    // list, never the corpus text. Invariants: exactly the 87 domain
+    // nodes, a FLAT final plan, and bit-identical ranks under an
+    // adversarial repartitioning (integer-exactness at multiplicity 100x).
+    locally {
+      import org.apache.spark.sql.types.StringType
+      def authority(d: DataFrame): DataFrame = {
+        val baseId = (col("doc_id") / copies).cast("long")
+        val url1 = concat(
+          lit("https://www.d"), (baseId % 37).cast(StringType),
+          lit(".co.uk/p"), col("doc_id").cast(StringType))
+        val url2 = concat(
+          lit("http://blog.d"), (baseId % 41).cast(StringType),
+          lit(".com/q?id="), col("doc_id").cast(StringType))
+        val html = concat(
+          lit("<p>"), col("text"), lit("</p><a href=\""), url1,
+          lit("\">x</a> <nav><a href=\""), url2, lit("\">y</a></nav>"))
+        val srcDom = concat(
+          lit("d"), (baseId % 50).cast(StringType), lit(".com"))
+        val edges = d
+          .select(
+            srcDom.as("src"),
+            explode(graft.ops.Urls.extractLinks(html)).as("url"))
+          .select(col("src"), graft.ops.Urls.urlDomain(col("url")).as("dst"))
+        graft.ops.PageRank.ranks(edges, "src", "dst", iters = 3)
+      }
+      measure(Step(
+        s"u_link_authority(${copies}x href explosion, fixed 87-domain graph)",
+        () => authority(docs),
+        ceilingGB = 0.5,
+        invariant = df => {
+          val rows = df.count()
+          val planLines =
+            df.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+          val a = df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+          graft.ops.Par.releaseCaches()
+          val b = authority(docs.repartition(7))
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+          Seq(
+            if (rows == 87L) None
+            else Some(s"$rows domain nodes != 87 (50 .com + 37 .co.uk)"),
+            if (planLines <= 20) None
+            else Some(s"final plan has $planLines lines — lineage not truncated"),
+            if (a == b) None
+            else Some("domain ranks differ across partitionings")
+          ).flatten
+        }))
+    }
 
     graft.ops.Par.releaseCaches()
     spark.stop()
