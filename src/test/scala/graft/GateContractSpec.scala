@@ -40,6 +40,30 @@ class GateContractSpec extends SparkSpec {
     withClue(failures.mkString("\n")) { failures shouldBe empty }
   }
 
+  test("opt-in: every gated query EXECUTES at sf0.001 (noop write)") {
+    // The analysis canary above catches schema drift; this one catches
+    // RUNTIME regressions (ANSI overflows, null guards, stub-server
+    // protocol breaks) before the driver run. Off by default — executing
+    // ~180 gates adds minutes to `sbt test` — and opt-in via
+    //   SPARK_GRAFT_EXECUTE_GATES=1 sbt test
+    // (documented in SURVEY §5). The noop write evaluates EVERY output
+    // column; a bare count would prune the expressions under test.
+    assume(sys.env.get("SPARK_GRAFT_EXECUTE_GATES").contains("1"),
+      "set SPARK_GRAFT_EXECUTE_GATES=1 to execute all gates at sf0.001")
+    assume(new File(dir).isDirectory, s"driver testdata not present at $dir")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          None
+        } catch {
+          case e: Throwable =>
+            Some(s"$name: execution failed — ${e.getMessage}")
+        } finally graft.ops.Par.releaseCaches()
+    }
+    withClue(failures.mkString("\n")) { failures shouldBe empty }
+  }
+
   test("the guard itself rejects nested output columns") {
     val nested = StructType(Seq(
       StructField("id", LongType),
