@@ -25,6 +25,11 @@ object HttpQueries {
   private val lookupServers = new ConcurrentHashMap[String, StubServer]()
   private val flakyAttempts =
     new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  // wire-call counter for the /customer-cached route (L6 gate): the cache
+  // assertion needs to see how many requests actually reached the stub
+  private val cachedRouteHits = new java.util.concurrent.atomic.AtomicLong()
+  private val cacheAsserted =
+    ConcurrentHashMap.newKeySet[String]()
   private val proxyServers =
     new ConcurrentHashMap[String, graft.http.testkit.ProxyServer]()
 
@@ -172,6 +177,29 @@ object HttpQueries {
                 case None => (404, """{"error":"not found"}""")
               }
           }
+          // cache-assertion twin (L6): byte-identical to /customer but
+          // counts every request that reaches the wire — the partial-cache
+          // gate asserts FAR fewer wire calls than probe rows
+          .route("/customer-cached") { req =>
+            cachedRouteHits.incrementAndGet()
+            StubServer.queryMap(req.query).get("c_custkey").flatMap(rows.get) match {
+              case Some(json) => (200, json)
+              case None => (404, """{"error":"not found"}""")
+            }
+          }
+          // timeout twin (L15): keys divisible by 100 respond only after
+          // 1.5s — far past the gate's 250ms request timeout, so the
+          // client must classify them EXCEPTION (the stub thread pool is
+          // per-connection; a sleeping handler never blocks other keys)
+          .route("/customer-slow") { req =>
+            val key = StubServer.queryMap(req.query).get("c_custkey")
+            if (key.exists(k => k.toLongOption.exists(_ % 100 == 0)))
+              Thread.sleep(1500)
+            key.flatMap(rows.get) match {
+              case Some(json) => (200, json)
+              case None => (404, """{"error":"not found"}""")
+            }
+          }
           // flaky twin: the FIRST attempt for every key fails 503; the
           // retry policy must recover (per-JVM counters — later bench
           // iterations see a warm stub, which only makes retries moot)
@@ -281,7 +309,9 @@ object HttpQueries {
     sinkServers.computeIfAbsent(
       dir,
       _ => {
-        val server = StubServer().route("/ingest")(_ => (200, """{"ok":true}"""))
+        val server = StubServer()
+          .route("/ingest")(_ => (200, """{"ok":true}"""))
+          .route("/ingest-table")(_ => (200, """{"ok":true}"""))
         server.start()
         server
       })
@@ -600,6 +630,121 @@ object HttpQueries {
           col("c_acctbal"))
     },
 
+    // ----- metadata columns (L9): every probe row emits one output row
+    // with http_status_code / http_completion_state populated — known keys
+    // are SUCCESS/200, negated keys 404 and (with metadata declared)
+    // KEPT as IGNORE_STATUS_CODE rows with null enrichment, the
+    // reference's "Available Metadata" contract -----
+    "h_lookup_meta" -> { (s, dir) =>
+      val probe = s.read
+        .parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 37 === 0)
+        .select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, -col("o_custkey"))
+            .otherwise(col("o_custkey")).as("c_custkey"))
+      HttpLookup
+        .join(
+          probe,
+          keyCols = Seq("c_custkey"),
+          responseSchema = customerResponseSchema,
+          options = Map(
+            "url" -> customerServiceUrl(s, dir),
+            "lookup-method" -> "GET",
+            "http.source.lookup.request.thread-pool.size" -> "2",
+            "http.source.lookup.dedup-keys" -> "true",
+            "http.source.lookup.success-codes" -> "2XX",
+            "http.source.lookup.ignored-response-codes" -> "404"),
+          includeMetadata = true)
+        .select(
+          col("o_orderkey"),
+          col("c_custkey"),
+          col("c_name"),
+          col(HttpLookup.MetaStatusCode),
+          col(HttpLookup.MetaCompletionState))
+    },
+
+    // ----- partial LRU cache (L6): 5000 probe rows over 100 distinct keys
+    // with per-partition key-dedup OFF — only the shared partial cache
+    // stands between the probe and 5000 wire calls. Result gated against
+    // the relational join; the wire-call ceiling is asserted on the first
+    // (cold-cache) evaluation in this JVM, the h_proxy_lookup pattern -----
+    "h_cached_lookup" -> { (s, dir) =>
+      val probe = s.read
+        .parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(
+          col("o_orderkey"),
+          (col("o_custkey") % 100 + 1).as("c_custkey"))
+      val before = cachedRouteHits.get()
+      val out = HttpLookup
+        .join(
+          probe,
+          keyCols = Seq("c_custkey"),
+          responseSchema = customerResponseSchema,
+          options = Map(
+            "url" -> lookupStub(s, dir).url("/customer-cached"),
+            "lookup-method" -> "GET",
+            "http.source.lookup.request.thread-pool.size" -> "2",
+            "http.source.lookup.dedup-keys" -> "false",
+            "lookup.cache" -> "PARTIAL",
+            "lookup.partial-cache.max-rows" -> "1000",
+            "http.source.lookup.success-codes" -> "2XX",
+            "http.source.lookup.ignored-response-codes" -> "404"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          col("c_mktsegment"))
+      if (cacheAsserted.add(dir)) {
+        val rows = out.count()
+        val distinctKeys = probe
+          .select(countDistinct(col("c_custkey"))).head().getLong(0)
+        val wire = cachedRouteHits.get() - before
+        // >= distinct keys (every key fetched at least once — the cache
+        // cannot conjure responses); <= 8x distinct keys (concurrent tasks
+        // may race the same cold key, but the cache must absorb the rest);
+        // and strictly below the probe row count — without the cache and
+        // with dedup off, every row would be one wire call
+        require(
+          wire >= distinctKeys && wire <= distinctKeys * 8 && wire < rows,
+          s"h_cached_lookup: $wire wire calls for $rows probe rows over " +
+            s"$distinctKeys distinct keys — the partial cache is not " +
+            "absorbing repeats")
+      }
+      out
+    },
+
+    // ----- request timeout (L15): keys divisible by 100 hang 1.5s at the
+    // stub; the 250ms request timeout must classify exactly those keys
+    // EXCEPTION (null status, null enrichment) while the rest stay
+    // SUCCESS/200 — metadata columns gate the classification -----
+    "h_timeout_lookup" -> { (s, dir) =>
+      val probe = s.read
+        .parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 41 === 0)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      HttpLookup
+        .join(
+          probe,
+          keyCols = Seq("c_custkey"),
+          responseSchema = customerResponseSchema,
+          options = Map(
+            "url" -> lookupStub(s, dir).url("/customer-slow"),
+            "lookup-method" -> "GET",
+            "http.source.lookup.request.timeout" -> "250",
+            "lookup.max-retries" -> "0",
+            "http.source.lookup.continue-on-error" -> "true",
+            "http.source.lookup.request.thread-pool.size" -> "4",
+            "http.source.lookup.dedup-keys" -> "true",
+            "http.source.lookup.success-codes" -> "2XX",
+            "http.source.lookup.ignored-response-codes" -> "404"),
+          includeMetadata = true)
+        .select(
+          col("o_orderkey"),
+          col("c_custkey"),
+          col("c_name"),
+          col(HttpLookup.MetaStatusCode),
+          col(HttpLookup.MetaCompletionState))
+    },
+
     // ----- DSv2 lookup TABLE: pure-SQL DDL + JOIN via HttpLookupJoinRule ---
     "h_table_lookup_join" -> { (s, dir) =>
       val url = customerServiceUrl(s, dir)
@@ -731,6 +876,47 @@ object HttpQueries {
           col("rec.sum_acctbal"))
     },
 
+    // ----- DSv2 sink TABLE (K12): pure-SQL DDL + INSERT INTO through the
+    // graft-http-sink TableProvider; the stub records the batched POST
+    // bodies, which decode back to the aggregate — the h_sink_roundtrip
+    // check, driven through the catalog instead of the writer API -----
+    "h_sink_table" -> { (s, dir) =>
+      val server = sinkServer(dir)
+      server.clear()
+      s.sql("DROP TABLE IF EXISTS h_sink_table_out")
+      s.sql(
+        s"""CREATE TABLE h_sink_table_out
+           |  (c_nationkey INT, n_customers BIGINT, sum_acctbal DOUBLE)
+           |USING `graft-http-sink`
+           |OPTIONS (url '${server.url("/ingest-table")}',
+           |         `insert-method` 'POST',
+           |         `http.sink.writer.request.mode` 'batch',
+           |         `http.sink.request.batch.size` '10')""".stripMargin)
+      try {
+        s.sql(
+          s"""INSERT INTO h_sink_table_out
+             |SELECT c_nationkey, count(*),
+             |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+             |FROM parquet.`$dir/customer.parquet`
+             |GROUP BY c_nationkey""".stripMargin)
+        val bodies = server.requests
+          .filter(_.path == "/ingest-table")
+          .map(_.body)
+        val bodySchema = ArrayType(StructType(Seq(
+          StructField("c_nationkey", IntegerType),
+          StructField("n_customers", LongType),
+          StructField("sum_acctbal", DoubleType))))
+        import s.implicits._
+        s.createDataset(bodies)
+          .toDF("body")
+          .select(explode(from_json(col("body"), bodySchema)).as("rec"))
+          .select(
+            col("rec.c_nationkey"),
+            col("rec.n_customers"),
+            col("rec.sum_acctbal"))
+      } finally s.sql("DROP TABLE IF EXISTS h_sink_table_out")
+    },
+
     // ----- single-mode sink: one request per row (K2), PUT method -----
     // ----- DSv2 streaming HTTP polling source, end-to-end (L22) -----
     // The one HTTP surface that had no [S] gate: poll the paginated stub
@@ -841,6 +1027,37 @@ object HttpQueries {
       """SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey % 29 = 0""".stripMargin,
+    "h_lookup_meta" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN -o_custkey ELSE o_custkey END
+        |    AS c_custkey,
+        |  c_name,
+        |  CAST(CASE WHEN c_custkey IS NULL THEN 404 ELSE 200 END AS INTEGER)
+        |    AS http_status_code,
+        |  CASE WHEN c_custkey IS NULL THEN 'IGNORE_STATUS_CODE'
+        |       ELSE 'SUCCESS' END AS http_completion_state
+        |FROM orders LEFT JOIN customer
+        |  ON (CASE WHEN o_orderkey % 3 = 0 THEN -o_custkey
+        |      ELSE o_custkey END) = c_custkey
+        |WHERE o_orderkey % 37 = 0""".stripMargin,
+    "h_cached_lookup" ->
+      """SELECT o_orderkey, (o_custkey % 100) + 1 AS c_custkey,
+        |  c_name, c_mktsegment
+        |FROM orders JOIN customer ON ((o_custkey % 100) + 1) = c_custkey
+        |WHERE o_orderkey % 3 = 0""".stripMargin,
+    "h_timeout_lookup" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey,
+        |  CASE WHEN o_custkey % 100 = 0 THEN NULL ELSE c_name END AS c_name,
+        |  CAST(CASE WHEN o_custkey % 100 = 0 THEN NULL ELSE 200 END
+        |    AS INTEGER) AS http_status_code,
+        |  CASE WHEN o_custkey % 100 = 0 THEN 'EXCEPTION'
+        |       ELSE 'SUCCESS' END AS http_completion_state
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 41 = 0""".stripMargin,
+    "h_sink_table" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
     "h_table_lookup_join" ->
       """SELECT o_orderkey, c_name, c_nationkey, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
