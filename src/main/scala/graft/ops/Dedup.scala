@@ -1207,4 +1207,85 @@ object Dedup {
         (size(col("__ws")) - size(col("__kept")))
           .cast(LongType).as("n_dropped"))
   }
+
+  /** Exact edit-distance (Levenshtein) similarity join over a SHORT-string
+    * column — titles, author names, normalized headlines, product codes:
+    * the near-dup signal for fields where a one-character typo IS the
+    * duplication (n-gram Jaccard needs word overlap; edit distance catches
+    * `"spark sql"` vs `"spark sqk"`). Emits (`id_a`, `id_b`, `dist`) for
+    * every pair with `dist ≤ maxDist`, `id_a < id_b`.
+    *
+    * LOSSLESS candidates without an all-pairs join: the FastSS / SymSpell
+    * deletion neighborhood (Bocek et al. 2007, "Fast Similarity Search in
+    * Large Dictionaries"). If `ed(a,b) ≤ k` then deleting the ≤k edited
+    * positions from each side yields a COMMON ≤k-deletion variant, so
+    * pairs sharing any variant are a complete candidate superset; the
+    * exact `levenshtein` verify (both engines run the classic integer DP)
+    * then keeps only true pairs. Variants build per-row from codegen'd
+    * array HOFs — no UDF, no driver state.
+    *
+    * Scale posture: a string of length L contributes O(L^k) variant rows
+    * (L+1 at k=1), each at most L chars, so the index is
+    * corpus × (L+1)^k rows of short strings; the candidate join shuffles
+    * on the variant key only and pairs are bounded by variant-bucket
+    * sizes. Degenerate-hot variants come from strings shorter than ~2k
+    * chars (everything collapses toward the empty string) — filter those
+    * upstream or exact-match them (they're cheap to compare directly).
+    * Duplication caveat as [[prefixJaccardPairs]]: m identical strings
+    * are m·(m−1)/2 genuine distance-0 pairs, so at scale exact-collapse
+    * to one representative per distinct string first (P1) and join the
+    * representatives — the gate runs exactly that composition.
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      title: Column,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist must be 1 or 2 (got $maxDist): the deletion index grows " +
+        "as L^k and the verify DP is quadratic — larger radii want a " +
+        "different blocking scheme")
+    val base = Par.cached(
+      Par.fan(df)
+        .select(col(idCol).as("__eid"), title.as("__t"))
+        .filter(col("__t").isNotNull))
+    // deletion-at-i as a codegen expression; sequence(1, 0) would yield
+    // [1, 0] (Spark infers step -1 when start > stop), so empty strings
+    // contribute no deletions explicitly
+    def dels(v: Column): Column =
+      when(length(v) === 0, array().cast("array<string>"))
+        .otherwise(
+          transform(
+            sequence(lit(1), length(v)),
+            i =>
+              concat(
+                v.substr(lit(1), i - 1),
+                v.substr(i + 1, length(v)))))
+    var variants = array(col("__t"))
+    for (_ <- 1 to maxDist)
+      variants = array_distinct(
+        concat(variants, flatten(transform(variants, v => dels(v)))))
+    val vrows = base.select(
+      col("__eid"), length(col("__t")).as("__len"),
+      explode(variants).as("__v"))
+    val candidates = vrows
+      .select(col("__eid").as("id_a"), col("__len").as("len_a"), col("__v"))
+      .join(
+        vrows.select(
+          col("__eid").as("id_b"), col("__len").as("len_b"), col("__v")),
+        "__v")
+      .filter(col("id_a") < col("id_b"))
+      // ed(a,b) >= ||a|-|b||: cheap map-side cut before the distinct
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("__eid").as("id_a"), col("__t").as("__ta")), "id_a")
+      .join(base.select(col("__eid").as("id_b"), col("__t").as("__tb")), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        levenshtein(col("__ta"), col("__tb")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -562,6 +562,26 @@ object PipelineQueries {
         threshold = 0.5)
     },
 
+    // ----- exact edit-distance similarity join (NEW r11): FastSS
+    // deletion-neighborhood candidates + levenshtein verify over a short
+    // derived title field — the typo-radius dedup signal n-gram overlap
+    // misses. Fixture plants distance-1 partners (every 7th doc's title
+    // grows one char); exact-collapse front first (reps = min id per
+    // title), the scaladoc'd at-scale composition. Gated against the
+    // NAIVE all-pairs levenshtein oracle = losslessness proof -----
+    "p_edit_pairs" -> { (s, dir) =>
+      val titled = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          substring(col("text"), 1, 12),
+          when(col("doc_id") % 7 === 0, lit("x")).otherwise(lit("")))
+          .as("title"))
+      val reps = titled
+        .groupBy(col("title"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      Dedup.editDistancePairs(reps, "doc_id", col("title"), maxDist = 1)
+    },
+
     // ----- exact n-gram CONTAINMENT join (NEW r10): directional
     // doc-in-doc detection — |S(A)∩S(B)|/|S(A)| ≥ 0.5; catches excerpts
     // and quoted bodies that jaccard misses by construction. Gated against
@@ -2808,6 +2828,20 @@ object PipelineQueries {
       s"""WITH $minhashPairCtes
          |SELECT id_a, id_b, i * 1.0 / u AS jaccard
          |FROM verified WHERE i * 1.0 / u >= 0.5""".stripMargin
+    },
+    // NAIVE all-pairs levenshtein — the losslessness proof for the FastSS
+    // deletion-neighborhood candidates in Dedup.editDistancePairs
+    "p_edit_pairs" -> {
+      """WITH titled AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 12) ||
+        |      CASE WHEN doc_id % 7 = 0 THEN 'x' ELSE '' END AS title
+        |  FROM documents),
+        |reps AS (SELECT title, min(doc_id) AS doc_id FROM titled GROUP BY title)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+        |FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.title, b.title) <= 1""".stripMargin
     },
     // the oracle is the NAIVE all-pairs join the prefix filter replaces —
     // hash-matching it is the losslessness proof (no blocking, no bands)
