@@ -866,6 +866,30 @@ object PipelineQueries {
       graft.ops.PageRank.ranks(edges, "src", "dst", iters = 3)
     },
 
+    // ----- crawl-depth BFS (NEW r11): min-hop distance from a seed list
+    // over the same deterministic link graph — the frontier scheduler's
+    // "how far from the seeds is this URL" signal. Exact integer layers,
+    // early-exit on an exhausted frontier; oracle = a depth-bounded
+    // recursive CTE -----
+    "u_crawl_depth" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e1 = docs.select(
+        col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
+      val e2 = docs.select(
+        col("doc_id").as("src"), ((col("doc_id") * 13 + 5) % n).as("dst"))
+      val e3 = docs.filter(col("doc_id") % 5 === 0).select(
+        col("doc_id").as("src"), (col("doc_id") % 37).as("dst"))
+      graft.ops.Bfs.depths(
+        e1.union(e2).union(e3),
+        "src",
+        "dst",
+        docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("node")),
+        "node",
+        maxDepth = 4)
+    },
+
     // ----- link-graph authority scoring (integer-exact PageRank, 5
     // iterations) over a deterministic link graph derived from doc ids:
     // every doc links to two pseudo-random targets, every 5th doc also
@@ -3479,6 +3503,27 @@ object PipelineQueries {
          |      AS pos
          |  FROM h)
          |SELECT doc_id, pos, pos // 64 AS shard FROM p""".stripMargin,
+    // depth-bounded recursive walk: min(depth) per reached node; the
+    // bound (depth < 4) caps path length so the CTE terminates on the
+    // cyclic graph, and min() collapses the path multiset to BFS layers
+    "u_crawl_depth" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    (doc_id * 13 + 5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, doc_id % 37 FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |walk(node, depth) AS (
+        |  SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+        |  UNION ALL
+        |  SELECT e.dst, w.depth + 1
+        |  FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE w.depth < 4)
+        |SELECT node, CAST(min(depth) AS INTEGER) AS depth
+        |FROM walk GROUP BY node""".stripMargin,
     "u_pagerank" -> pagerankSql(
       """SELECT doc_id AS src,
         |    (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst
