@@ -218,4 +218,72 @@ object Quantize {
         col("qdot"),
         col("mips_score"))
   }
+
+  /** Mutual nearest-neighbor pair mining across TWO corpora — the
+    * parallel-corpus alignment primitive (LASER / CCMatrix-style bitext
+    * mining, cross-lingual sentence pairing, caption-to-image matching):
+    * emit (a, b) exactly when b is a's best match in B AND a is b's best
+    * match in A. Mutuality is the classic precision filter — a hub
+    * sentence that is "everyone's nearest neighbor" on one side survives
+    * only for the single partner that reciprocates.
+    *
+    * Scores are quantized cosine (`quantize` int8 codes + exact integer
+    * dots; the s_quant_topk determinism trade), argmax tie-broken by
+    * neighbor id — a total order, so two engines cannot disagree.
+    *
+    * Scale posture: the smaller corpus `a` BROADCASTS into a map-side
+    * scan of `b` (the audited bounded-query-broadcast shape of
+    * [[quantizedTopK]]/[[mipsTopK]]); each direction's top-1 is a
+    * map-side WindowGroupLimit before one per-key exchange, and the
+    * mutual join is over |A|+|B| winner rows. For two LARGE corpora,
+    * block both sides by IVF cell first (P6b/P73) and run per-cell —
+    * mutual-of-blocked equals blocked-of-mutual whenever true partners
+    * share a cell, the standard mining recall trade.
+    *
+    * Output: (`id_a`, `id_b`, `qdot`, `qcos`), one row per mutual pair.
+    */
+  def mutualTopPairs(
+      a: DataFrame,
+      aId: String,
+      aVec: String,
+      b: DataFrame,
+      bId: String,
+      bVec: String): DataFrame = {
+    def side(df: DataFrame, id: String, vec: String, prefix: String) =
+      quantize(df.select(col(id).as(s"${prefix}_id"), col(vec)),
+          s"${prefix}_id", vec)
+        .select(
+          col(s"${prefix}_id"),
+          col("q").as(s"__${prefix}q"),
+          intDot(col("q"), col("q")).as(s"__${prefix}n"))
+    val qa = side(a, aId, aVec, "a")
+    val qb = side(Par.fan(b), bId, bVec, "b")
+    val scored = qb
+      .crossJoin(broadcast(qa))
+      .withColumn("qdot", intDot(col("__aq"), col("__bq")))
+      .withColumn(
+        "qcos",
+        when(col("__an") === 0L || col("__bn") === 0L, lit(0.0d))
+          .otherwise(col("qdot").cast(DoubleType) /
+            (sqrt(col("__an").cast(DoubleType)) *
+              sqrt(col("__bn").cast(DoubleType)))))
+      .select(col("a_id"), col("b_id"), col("qdot"), col("qcos"))
+    val wa = Window
+      .partitionBy(col("a_id"))
+      .orderBy(col("qcos").desc, col("b_id").asc)
+    val wb = Window
+      .partitionBy(col("b_id"))
+      .orderBy(col("qcos").desc, col("a_id").asc)
+    val topA = scored
+      .withColumn("__rn", row_number().over(wa))
+      .filter(col("__rn") === 1)
+      .select(
+        col("a_id").as("id_a"), col("b_id").as("id_b"),
+        col("qdot"), col("qcos"))
+    val topB = scored
+      .withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") === 1)
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+    topA.join(topB, Seq("id_a", "id_b"))
+  }
 }

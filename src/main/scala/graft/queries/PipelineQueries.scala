@@ -2285,6 +2285,21 @@ object PipelineQueries {
         k = 5)
     },
 
+    // ----- mutual nearest-neighbor mining (NEW r11): bitext-style pair
+    // alignment between the even- and odd-id halves of the embedding
+    // corpus — (a, b) survives only when each is the other's quantized-
+    // cosine top-1 (the LASER/CCMatrix mutuality precision filter) -----
+    "s_mutual_nn" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Quantize.mutualTopPairs(
+        emb.filter(col("vec_id") % 2 === 0),
+        "vec_id",
+        "embedding",
+        emb.filter(col("vec_id") % 2 === 1),
+        "vec_id",
+        "embedding")
+    },
+
     // ----- MIPS top-k (NEW r10): maximum-inner-product ranking — the
     // recommender semantics where magnitude matters and cosine's length
     // normalization is exactly wrong; de-quantized score = qdot·s_q·s_c
@@ -4952,6 +4967,41 @@ object PipelineQueries {
          |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
          |    ORDER BY mips_score DESC, neighbor_id) AS rank
          |  FROM sc) WHERE rank <= 5""".stripMargin,
+
+    // s_mutual_nn (NEW r11): all even-odd pair scores over the shared
+    // quantization CTE, top-1 each direction, inner-join = mutuality
+    "s_mutual_nn" ->
+      s"""WITH $QuantizeCtes,
+         |n AS (
+         |  SELECT vec_id, q,
+         |    CAST(list_reduce(
+         |      list_transform(range(1, len(q)+1), i -> q[i]*q[i]),
+         |      (acc, v) -> acc + v) AS BIGINT) AS nrm
+         |  FROM q8),
+         |pr AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CAST(list_reduce(
+         |      list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]),
+         |      (acc, v) -> acc + v) AS BIGINT) AS qdot,
+         |    a.nrm AS na, b.nrm AS nb
+         |  FROM n a, n b WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+         |sc AS (
+         |  SELECT id_a, id_b, qdot,
+         |    CASE WHEN na = 0 OR nb = 0 THEN CAST(0.0 AS DOUBLE)
+         |      ELSE CAST(qdot AS DOUBLE) /
+         |        (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END
+         |      AS qcos
+         |  FROM pr),
+         |ta AS (
+         |  SELECT id_a, id_b, qdot, qcos FROM (
+         |    SELECT sc.*, row_number() OVER (PARTITION BY id_a
+         |      ORDER BY qcos DESC, id_b) AS rn FROM sc) WHERE rn = 1),
+         |tb AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b, row_number() OVER (PARTITION BY id_b
+         |      ORDER BY qcos DESC, id_a) AS rn FROM sc) WHERE rn = 1)
+         |SELECT ta.id_a, ta.id_b, ta.qdot, ta.qcos
+         |FROM ta JOIN tb ON ta.id_a = tb.id_a AND ta.id_b = tb.id_b""".stripMargin,
 
     // s_ann_recall (NEW r10): recall@k of the integer-exact IVF search
     // (nprobe < cells) against the quantized brute-force truth over the
