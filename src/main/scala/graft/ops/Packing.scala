@@ -245,4 +245,70 @@ object Packing {
       .withColumn("shard", intDiv(col("pos"), lit(shardSize)))
       .drop("__gs_h", "__gs_bkt", "__gs_off")
   }
+
+  /** Deterministic SOURCE-INTERLEAVED training order — the mixture
+    * SCHEDULING step after mixture design (P75) and sampling (P23): a
+    * dataloader reading positions 0..n-1 sequentially sees every source
+    * at its corpus proportion in every prefix, instead of the
+    * source-blocked order a naive concat-of-datasets produces (which
+    * trains on source A for a million steps before source B exists).
+    *
+    * Construction: within each source, rows get a pseudorandom order
+    * `p ∈ 1..n_s` by (keyed hash, id); globally rows sort by fractional
+    * PROGRESS `p / n_s` (ties → (source, p)). Source s's k-th row lands
+    * at global progress k/n_s, so a prefix of global length m ending at
+    * progress t holds `t·n_s ± 1` rows of s while `m = t·n ± S`
+    * (S = source count) — every prefix is proportional by construction
+    * (deviation bounded by `1 + S·n_s/n`, a constant in the SOURCE
+    * count), not merely in expectation like a hash-shuffled order.
+    * Progress is one exact-integer division per row
+    * (two longs → one correctly-rounded double), identical cross-engine;
+    * the (progress, source, p) order is total, so positions are a
+    * reproducible bijection.
+    *
+    * Scale posture: one shuffle on the source key for the per-source
+    * window (the P38 per-group-window trade — a pathologically dominant
+    * source bounds one window task; split such a source upstream), then
+    * the [[Sampling.rangePrefix]] no-global-sort machinery for global
+    * positions (range exchange + broadcast prefix offsets + bucket-local
+    * windows — the [[globalShuffle]] shape).
+    *
+    * Output: input columns + `pos` (global 0-based training position).
+    */
+  def interleaveBySource(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      seed: String = "interleave"): DataFrame = {
+    val helpers =
+      Seq("__il_h", "__il_p", "__il_n", "__il_prog", "__il_bkt", "__il_off")
+    require(
+      !df.columns.exists(helpers.contains),
+      s"input must not contain ${helpers.mkString("/")}")
+    val base = df.withColumn(
+      "__il_h",
+      TextFunctions.hash61(
+        concat(lit(seed + ":"), col(idCol).cast("string"))))
+    val ws = Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col("__il_h").asc, col(idCol).asc)
+    val wn = Window.partitionBy(col(sourceCol))
+    val positioned = base
+      .withColumn("__il_p", row_number().over(ws).cast("long"))
+      .withColumn("__il_n", count(lit(1)).over(wn))
+      .withColumn(
+        "__il_prog",
+        col("__il_p").cast("double") / col("__il_n").cast("double"))
+    val order =
+      Seq(col("__il_prog").asc, col(sourceCol).asc, col("__il_p").asc)
+    val (ranged, offsets, _) =
+      Sampling.rangePrefix(positioned, order, lit(1L), "__il_bkt", "__il_off")
+    val wg = Window
+      .partitionBy(col("__il_bkt"))
+      .orderBy(order: _*)
+    ranged
+      .join(broadcast(offsets), Seq("__il_bkt"))
+      .withColumn("pos", col("__il_off") + row_number().over(wg) - 1)
+      .drop(helpers: _*)
+  }
 }

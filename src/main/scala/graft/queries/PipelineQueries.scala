@@ -842,6 +842,21 @@ object PipelineQueries {
         "doc_id", seed = "shuffle", shardSize = 64L)
     },
 
+    // ----- source-interleaved training order (NEW r11): the mixture
+    // SCHEDULING step — fractional-progress merge over a skewed 70/20/10
+    // source split, so every dataloader prefix carries the corpus
+    // proportions by construction -----
+    "t_interleave" -> { (s, dir) =>
+      graft.ops.Packing.interleaveBySource(
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          when(col("doc_id") % 10 < 7, lit("s0"))
+            .when(col("doc_id") % 10 < 9, lit("s1"))
+            .otherwise(lit("s2")).as("source")),
+        "doc_id",
+        "source")
+    },
+
     // ----- link authority over REAL extracted anchors (NEW r10): the
     // full crawl-authority composition — href extraction (u_outlinks
     // fixture) → PSL-lite registered domains → integer-exact PageRank
@@ -3518,6 +3533,27 @@ object PipelineQueries {
          |      AS pos
          |  FROM h)
          |SELECT doc_id, pos, pos // 64 AS shard FROM p""".stripMargin,
+    // fractional-progress interleave replay: per-source hashed rank and
+    // size, global order by (p/n double, source, p) — the same two exact
+    // longs divide on both engines
+    "t_interleave" ->
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 < 7 THEN 's0'
+         |         WHEN doc_id % 10 < 9 THEN 's1' ELSE 's2' END AS source,
+         |    ${hash61Sql("'interleave:' || CAST(doc_id AS VARCHAR)")} AS hk
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY hk, doc_id)
+         |      AS ip,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM src)
+         |SELECT doc_id, source,
+         |  CAST(row_number() OVER (
+         |    ORDER BY CAST(ip AS DOUBLE) / CAST(n AS DOUBLE), source, ip)
+         |    - 1 AS BIGINT) AS pos
+         |FROM p""".stripMargin,
     // depth-bounded recursive walk: min(depth) per reached node; the
     // bound (depth < 4) caps path length so the CTE terminates on the
     // cyclic graph, and min() collapses the path multiset to BFS layers
