@@ -341,6 +341,48 @@ object Sampling {
       .select(col("q"), col(v).as("value"))
   }
 
+  /** Tukey IQR outlier filter — the classic "drop rows whose `value` falls
+    * outside `[Q1 − k·IQR, Q3 + k·IQR]`" corpus gate (length outliers,
+    * token-count explosions, degenerate near-empty docs) with EXACT,
+    * engine-portable fences: quartiles come from [[exactQuantiles]]
+    * (rank-selected elements, not interpolations) and `k` multiplies
+    * exact integers into one correctly-rounded double per fence. The
+    * default k = 1.5 is binary-exact (3/2), so both engines compute
+    * bit-identical bounds. Keeps null values out (they have no order).
+    *
+    * Scale posture: the two-quantile pass is the [[exactQuantiles]]
+    * no-global-sort machinery; the fences are a 1-row broadcast into a
+    * map-side filter — the corpus itself never shuffles.
+    */
+  def iqrFilter(
+      df: DataFrame,
+      idCol: String,
+      value: Column,
+      k: Double = 1.5): DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    require(
+      !df.columns.exists(Seq("__iqr_lo", "__iqr_hi").contains),
+      "input must not contain __iqr_lo/__iqr_hi")
+    val quartiles = exactQuantiles(df, idCol, value, Seq(0.25, 0.75))
+    val fences = quartiles
+      .agg(
+        min(when(col("q") === 0.25, col("value"))).as("__q1"),
+        min(when(col("q") === 0.75, col("value"))).as("__q3"))
+      .select(
+        (col("__q1").cast(DoubleType) -
+          lit(k) * (col("__q3") - col("__q1")).cast(DoubleType))
+          .as("__iqr_lo"),
+        (col("__q3").cast(DoubleType) +
+          lit(k) * (col("__q3") - col("__q1")).cast(DoubleType))
+          .as("__iqr_hi"))
+    df.crossJoin(broadcast(fences))
+      .filter(
+        value.isNotNull &&
+          value.cast(DoubleType) >= col("__iqr_lo") &&
+          value.cast(DoubleType) <= col("__iqr_hi"))
+      .drop("__iqr_lo", "__iqr_hi")
+  }
+
   /** Per-GROUP exact quantiles (per-language length caps, per-source
     * quality floors): same rank-selection semantics as [[exactQuantiles]]
     * — within each group the result is the rank-`max(1, ceil(q·n_g))`

@@ -842,6 +842,19 @@ object PipelineQueries {
         "doc_id", seed = "shuffle", shardSize = 64L)
     },
 
+    // ----- Tukey IQR outlier filter (NEW r11): exact quantile_disc
+    // fences [Q1 - 1.5*IQR, Q3 + 1.5*IQR] over a metric with planted
+    // 50x outliers (every 97th doc) that must all fall outside -----
+    "t_iqr_filter" -> { (s, dir) =>
+      val metric = when(col("doc_id") % 97 === 0, col("n_chars") * 50)
+        .otherwise(col("n_chars"))
+      graft.ops.Sampling.iqrFilter(
+        t(s, dir, "documents")
+          .select(col("doc_id"), metric.as("metric")),
+        "doc_id",
+        col("metric"))
+    },
+
     // ----- source-interleaved training order (NEW r11): the mixture
     // SCHEDULING step — fractional-progress merge over a skewed 70/20/10
     // source split, so every dataloader prefix carries the corpus
@@ -3533,6 +3546,24 @@ object PipelineQueries {
          |      AS pos
          |  FROM h)
          |SELECT doc_id, pos, pos // 64 AS shard FROM p""".stripMargin,
+    // IQR fences replayed with quantile_disc (= exactQuantiles' pinned
+    // rank semantics); the fence arithmetic mirrors the Spark tree:
+    // CAST(q AS DOUBLE) -/+ 1.5 * CAST(q3 - q1 AS DOUBLE)
+    "t_iqr_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 THEN n_chars * 50 ELSE n_chars END
+        |      AS metric
+        |  FROM documents),
+        |f AS (
+        |  SELECT quantile_disc(metric, 0.25) AS q1,
+        |    quantile_disc(metric, 0.75) AS q3
+        |  FROM m)
+        |SELECT doc_id, metric FROM m, f
+        |WHERE CAST(metric AS DOUBLE) >=
+        |    CAST(q1 AS DOUBLE) - 1.5 * CAST(q3 - q1 AS DOUBLE)
+        |  AND CAST(metric AS DOUBLE) <=
+        |    CAST(q3 AS DOUBLE) + 1.5 * CAST(q3 - q1 AS DOUBLE)""".stripMargin,
     // fractional-progress interleave replay: per-source hashed rank and
     // size, global order by (p/n double, source, p) — the same two exact
     // longs divide on both engines

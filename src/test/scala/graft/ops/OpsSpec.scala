@@ -850,6 +850,29 @@ class SamplingSpec extends SparkSpec {
     Par.releaseCaches()
   }
 
+  test("iqrFilter drops exactly the out-of-fence rows") {
+    // 1..100 plus three planted outliers; Q1=26, Q3=76 over 103 values —
+    // the local reference computes the same rank-selected fences
+    val vals = (1L to 100L) ++ Seq(10000L, -10000L, 5000L)
+    val docs = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("doc_id", "v")
+    val sorted = vals.sorted
+    def qd(q: Double): Long =
+      sorted(math.max(1, math.ceil(q * sorted.size).toInt) - 1)
+    val (q1, q3) = (qd(0.25), qd(0.75))
+    val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+    val expected = vals.zipWithIndex
+      .collect { case (v, i) if v >= lo && v <= hi => i.toLong }
+      .toSet
+    val got = Sampling.iqrFilter(docs, "doc_id", col("v"))
+      .select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    got shouldBe expected
+    // the planted outliers are gone, the bulk survives
+    got.intersect(Set(100L, 101L, 102L)) shouldBe empty
+    Par.releaseCaches()
+  }
+
   test("groupQuantiles agrees with exactQuantiles per group slice") {
     val docs = (1L to 300L)
       .map(i => (i, if (i % 3 == 0) "de" else "en", (i * 271) % 500))
