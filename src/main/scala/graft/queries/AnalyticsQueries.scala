@@ -400,6 +400,86 @@ object AnalyticsQueries {
           unix_micros(col("ts")).as("ts_us"))
     },
 
+    // ----- stream-stream LEFT OUTER interval join (NEW r11): the last
+    // stream-stream join surface after the inner interval join (Q24) —
+    // every signup emits, purchases within 2h attach, and unmatched
+    // signups surface as null-joined rows only once both watermarks pass
+    // their join window (the eventual-emission semantics under test;
+    // AvailableNow's trailing no-data batch performs the flush). The
+    // fixture is staged into a temp dir with a far-future sentinel FILE
+    // (one signup user −1 + one purchase user −2, processed last via
+    // maxFilesPerTrigger=1 + later mtime) that advances BOTH sides'
+    // watermarks past every window; the 45-day delay exceeds the
+    // fixture's 30-day span so no real row is ever late. Two traps this
+    // gate pins, both found empirically: the sentinels must carry REAL
+    // event types (an '__flush' type dies on the event-type filters,
+    // which Catalyst pushes BELOW the watermark node), and the
+    // sentinel-removal filter must run in the BATCH read of the sink —
+    // inside the streaming plan, `signup_id > −1` is pushed down to the
+    // left scan and eats the sentinel before the watermark sees it
+    // (watermark stuck, zero outer rows — the measured failure mode).
+    // Oracle = the plain batch LEFT JOIN.
+    "q_stream_outer_join" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-outer").toString
+      val (inDir, outDir, ckptDir) =
+        (s"$root/in", s"$root/out", s"$root/ckpt")
+      ev.repartition(2).write.parquet(inDir)
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      import s.implicits._
+      Seq(
+        (-1L, -1L, "signup",
+          new java.sql.Timestamp(maxTs.getTime + 47L * 24 * 3600 * 1000)),
+        (-2L, -2L, "purchase",
+          new java.sql.Timestamp(maxTs.getTime + 47L * 24 * 3600 * 1000)))
+        .toDF("event_id", "user_id", "event_type", "ts")
+        .repartition(1) // ONE file: both watermark nodes must see it
+        .write.mode("append").parquet(inDir)
+      val stagedSchema = s.read.parquet(inDir).schema
+
+      def stream = s.readStream
+        .schema(stagedSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .withWatermark("ts", "45 days")
+      val signups = stream
+        .filter(col("event_type") === "signup")
+        .select(
+          col("event_id").as("signup_id"),
+          col("user_id"),
+          col("ts").as("s_ts"))
+      val purchases = stream
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val joined = signups
+        .join(
+          purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("s_ts") &&
+            col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"),
+          "leftOuter")
+        .select(
+          col("signup_id"),
+          col("user_id"),
+          col("purchase_id"),
+          unix_micros(col("s_ts")).as("s_ts_us"))
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // sentinel removal HERE, not in the streaming plan (see above)
+      s.read.parquet(outDir).filter(col("signup_id") > -1)
+    },
+
     // ----- stream-static enrichment join (NEW r10): the remaining core
     // Structured Streaming join surface — an event stream joined to a
     // broadcast dimension table (stateless, append mode; the streaming
@@ -594,6 +674,14 @@ object AnalyticsQueries {
       """SELECT event_id, user_id, event_type,
         |  CAST(epoch_us(ts) AS BIGINT) AS ts_us
         |FROM events""".stripMargin,
+    "q_stream_outer_join" ->
+      """SELECT s.event_id AS signup_id, s.user_id,
+        |  p.event_id AS purchase_id,
+        |  CAST(epoch_us(s.ts) AS BIGINT) AS s_ts_us
+        |FROM events s LEFT JOIN events p
+        |  ON s.user_id = p.user_id AND p.event_type = 'purchase'
+        |  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
+        |WHERE s.event_type = 'signup'""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts,
