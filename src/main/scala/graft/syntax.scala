@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.StructType
 
 import graft.http.{HttpLookup, HttpSink}
-import graft.ops.{AnnEval, AsOfJoin, BloomJoin, Bm25, Chunking, ConnectedComponents, CountMin, Dedup, HeavyHitters, Multimodal, Packing, Pca, Quantize, Sampling, Similarity, TfIdf, Urls, Vocab, ZOrder}
+import graft.ops.{AnnEval, AsOfJoin, Bfs, BloomJoin, Bm25, Chunking, ConnectedComponents, CountMin, Dedup, HeavyHitters, Multimodal, Packing, Pca, Quantize, Sampling, Similarity, TfIdf, Unigram, Urls, Vocab, ZOrder}
 
 /** Fluent entry points: `import graft.syntax._` and every operator hangs off
   * DataFrame — the one-line switch path for users of the reference connector
@@ -351,5 +351,47 @@ object syntax {
         seed: String = "shuffle",
         shardSize: Long = 64L): DataFrame =
       Packing.globalShuffle(df, idCol, seed, shardSize)
+
+    /** Exact edit-distance pairs (FastSS deletion-neighborhood blocking). */
+    def editDistancePairs(
+        idCol: String,
+        title: Column,
+        maxDist: Int = 1): DataFrame =
+      Dedup.editDistancePairs(df, idCol, title, maxDist)
+
+    /** BFS min-hop layers from `seeds` over this edge list. */
+    def crawlDepths(
+        srcCol: String,
+        dstCol: String,
+        seeds: DataFrame,
+        seedCol: String,
+        maxDepth: Int): DataFrame =
+      Bfs.depths(df, srcCol, dstCol, seeds, seedCol, maxDepth)
+
+    /** Mutual top-1 pairs between this corpus (side A) and `b`. */
+    def mutualTopPairs(
+        idCol: String,
+        vecCol: String,
+        b: DataFrame,
+        bId: String,
+        bVec: String): DataFrame =
+      Quantize.mutualTopPairs(df, idCol, vecCol, b, bId, bVec)
+
+    /** Tukey IQR outlier filter with exact rank-selected fences. */
+    def iqrFilter(idCol: String, value: Column, k: Double = 1.5): DataFrame =
+      Sampling.iqrFilter(df, idCol, value, k)
+
+    /** Source-interleaved training order (proportional every prefix). */
+    def interleaveBySource(
+        idCol: String,
+        sourceCol: String,
+        seed: String = "interleave"): DataFrame =
+      Packing.interleaveBySource(df, idCol, sourceCol, seed)
+
+    /** Unigram-LM (SentencePiece-style) tokens for a frozen vocabulary. */
+    def unigramTokens(
+        textCol: Column,
+        vocab: Seq[(String, Int)]): Column =
+      Unigram.tokens(textCol, vocab)
   }
 }
