@@ -825,6 +825,134 @@ object ScaleSmoke {
         }))
     }
 
+    // ----- edit-distance join (P109, r11) at `copies`x: identical titles
+    // collapse to one representative before the deletion-variant index
+    // (the scaladoc'd composition), so the fanned run must reproduce the
+    // UNFANNED corpus's pairs exactly — the p_prefix_jaccard pattern.
+    locally {
+      def titled(d: DataFrame): DataFrame = d
+        .select(
+          col("doc_id"),
+          concat(
+            substring(col("text"), 1, 12),
+            when((col("doc_id") / copies).cast("long") % 7 === 0, lit("x"))
+              .otherwise(lit(""))).as("title"))
+        .groupBy(col("title"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val basePairs = graft.ops.Dedup
+        .editDistancePairs(
+          baseDocs.select(
+            col("doc_id"),
+            concat(
+              substring(col("text"), 1, 12),
+              when(col("doc_id") % 7 === 0, lit("x")).otherwise(lit("")))
+              .as("title"))
+            .groupBy(col("title")).agg(min(col("doc_id")).as("doc_id")),
+          "doc_id", col("title"), maxDist = 1)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      graft.ops.Par.releaseCaches()
+      println(s"[smoke] edit-pairs base run: ${basePairs.size} pairs")
+      measure(Step(
+        s"p_edit_pairs(exact-collapse -> deletion index, ${copies}x)",
+        () => graft.ops.Dedup.editDistancePairs(
+          titled(docs), "doc_id", col("title"), maxDist = 1),
+        ceilingGB = 0.5,
+        invariant = df => {
+          val got = df.select(
+            (col("id_a") / copies).cast("long"),
+            (col("id_b") / copies).cast("long"),
+            col("dist"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+            .toSet
+          if (got == basePairs) Nil
+          else Seq(s"collapsed pairs (${got.size}) != base pairs " +
+            s"(${basePairs.size})")
+        }))
+    }
+
+    // ----- BFS crawl depth (P110, r11) on the 500k-node chain corpus:
+    // chains of 1000 with seeds at the heads, depth capped at 8 — exact
+    // ground truth depth(v) = v mod 1000 for the first nine layers, one
+    // edge-shuffle round per hop. Invariants: exactly 9 layers x #chains
+    // rows, every label on its chain offset, and bit-identical layers
+    // under an adversarial repartitioning.
+    locally {
+      val ids = docs.select(col("doc_id"))
+      def chainOf(d: DataFrame): DataFrame = d
+        .filter(pmod(col("doc_id"), lit(1000L)) =!= 999L)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1L).as("dst"))
+      val seeds = ids
+        .filter(pmod(col("doc_id"), lit(1000L)) === 0L)
+        .select(col("doc_id").as("node"))
+      val nChains = nDocs / 1000L
+      measure(Step(
+        s"u_crawl_depth(${copies}x chains of 1000, depth<=8)",
+        () => graft.ops.Bfs.depths(
+          chainOf(ids), "src", "dst", seeds, "node", maxDepth = 8),
+        ceilingGB = 0.5,
+        invariant = df => {
+          val rows = df.count()
+          val offChain = df
+            .filter(pmod(col("node"), lit(1000L)) =!= col("depth").cast("long"))
+            .count()
+          val a = df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+          graft.ops.Par.releaseCaches()
+          val b = graft.ops.Bfs.depths(
+            chainOf(ids).repartition(7), "src", "dst", seeds, "node", 8)
+            .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+          Seq(
+            if (rows == 9L * nChains) None
+            else Some(s"$rows rows != 9 layers x $nChains chains"),
+            if (offChain == 0L) None
+            else Some(s"$offChain nodes labeled off their chain offset"),
+            if (a == b) None
+            else Some("layers differ across partitionings")
+          ).flatten
+        }))
+    }
+
+    // ----- source interleave (P113, r11) at 10M rows / 8 sources: the
+    // per-source window is the op's P38 trade (one window task per
+    // source, ~1.25M rows each here), the global order rides rangePrefix.
+    // Invariants: position bijection and the scaladoc'd prefix
+    // proportionality bound at three prefix depths. (Mutual-NN P111 is
+    // deliberately absent: brute-force by design, its plan shape is the
+    // already-smoked s_quant_topk broadcast scan; the two-large-corpora
+    // path is IVF blocking, P73's smoked machinery.)
+    locally {
+      val n = 10000000L
+      val ids = spark.range(n).select(
+        col("id").as("doc_id"),
+        concat(lit("s"), pmod(col("id"), lit(8L)).cast("string"))
+          .as("source"))
+      measure(Step(
+        "t_interleave(10M rows, 8 sources)",
+        () => graft.ops.Packing.interleaveBySource(ids, "doc_id", "source"),
+        ceilingGB = 1.5,
+        invariant = df => {
+          val stats = df.agg(
+            count(lit(1)).as("c"),
+            countDistinct(col("pos")).as("d"),
+            max(col("pos")).as("hi")).collect()(0)
+          // 8 equal sources: every prefix m holds m/8 +- (1 + 8*(1/8)) = 2
+          val offProportion = Seq(1000L, 999999L, 5000001L).flatMap { m =>
+            val counts = df.filter(col("pos") < m)
+              .groupBy(col("source")).count().collect()
+            counts.collect {
+              case r if math.abs(r.getLong(1) - m / 8.0) > 2.0 + 1e-9 =>
+                s"prefix $m: source ${r.getString(0)} has ${r.getLong(1)} " +
+                  s"rows, expected ~${m / 8.0}"
+            }
+          }
+          Seq(
+            if (stats.getLong(0) == n && stats.getLong(1) == n &&
+              stats.getLong(2) == n - 1) None
+            else Some("positions are not a 0..n-1 bijection")
+          ).flatten ++ offProportion
+        }))
+    }
+
     graft.ops.Par.releaseCaches()
     spark.stop()
     sys.exit(if (failed) 1 else 0)
