@@ -82,6 +82,31 @@ object Urls {
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit("href=\"([^\"]+)\""), lit(1))
 
+  /** Anchor ELEMENTS of an HTML payload as (url, text) structs — the
+    * link-TEXT signal ([[extractLinks]] keeps only the targets): anchor
+    * words are the classic description of the page they point AT
+    * (anchor-text retrieval, link-context quality signals, alias mining).
+    * Whole `<a …href="…"…>text</a>` elements are matched first, then url
+    * and text extract per element — the two stay aligned by construction
+    * (two independent global extractions could pair an href with the
+    * wrong text on malformed markup). Same deliberately-regex-simple
+    * contract as [[extractLinks]] (shared Java/RE2 subset, attribute-level,
+    * no HTML5 parser): anchors with nested markup inside the text
+    * (`<a…><b>x</b></a>`) don't match `[^<]*` and are skipped.
+    */
+  def anchors(html: Column): Column = {
+    val elems = regexp_extract_all(
+      html,
+      lit("<a\\s[^>]*href=\"[^\"]*\"[^>]*>[^<]*</a>"),
+      lit(0))
+    transform(
+      elems,
+      e =>
+        struct(
+          regexp_extract(e, "href=\"([^\"]*)\"", 1).as("url"),
+          regexp_extract(e, ">([^<]*)</a>", 1).as("text")))
+  }
+
   /** Registered domain of a (lowercase) host column — see object scaladoc
     * for the suffix heuristic. Single- and two-label hosts pass through.
     */

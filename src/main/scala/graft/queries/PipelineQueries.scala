@@ -870,6 +870,32 @@ object PipelineQueries {
         "source")
     },
 
+    // ----- anchor-TEXT aggregation (NEW r11): per target domain, the
+    // words used in anchors pointing AT it — the classic link-text
+    // description signal. Whole <a> elements extract first so url and
+    // text stay aligned; anchor texts derive from each doc's own words -----
+    "u_anchor_text" -> { (s, dir) =>
+      val url1 = concat(
+        lit("https://www.d"), (col("doc_id") % 37).cast(StringType),
+        lit(".co.uk/p"), col("doc_id").cast(StringType))
+      val url2 = concat(
+        lit("http://blog.d"), (col("doc_id") % 41).cast(StringType),
+        lit(".com/q?id="), col("doc_id").cast(StringType))
+      val html = concat(
+        lit("<p>"), col("text"), lit("</p><a href=\""), url1, lit("\">"),
+        substring(col("text"), 1, 20),
+        lit("</a> <nav><a href=\""), url2, lit("\">more "),
+        substring(col("text"), 21, 12), lit("</a></nav>"))
+      t(s, dir, "documents")
+        .select(explode(Urls.anchors(html)).as("a"))
+        .select(
+          Urls.urlDomain(col("a.url")).as("domain"),
+          explode(TextFunctions.words(col("a.text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("domain"), col("term"))
+        .agg(count(lit(1)).as("n_mentions"))
+    },
+
     // ----- link authority over REAL extracted anchors (NEW r10): the
     // full crawl-authority composition — href extraction (u_outlinks
     // fixture) → PSL-lite registered domains → integer-exact PageRank
@@ -2510,7 +2536,7 @@ object PipelineQueries {
 
   private val UrlParseCtes: String =
     s"""p AS (
-       |  SELECT doc_id, url,
+       |  SELECT u.*,
        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
        |      AS scheme,
        |    lower(regexp_extract(url,
@@ -3616,6 +3642,38 @@ object PipelineQueries {
         |  UNION ALL SELECT doc_id, doc_id % 37 FROM documents
         |  WHERE doc_id % 5 = 0""".stripMargin,
       iters = 5),
+    // anchor-text replay: whole-element extraction keeps url/text aligned;
+    // UrlParseCtes passes the atext column through (SELECT u.*)
+    "u_anchor_text" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<p>' || text || '</p><a href="' ||
+         |      'https://www.d' || CAST(doc_id % 37 AS VARCHAR) ||
+         |      '.co.uk/p' || CAST(doc_id AS VARCHAR) ||
+         |    '">' || substr(text, 1, 20) ||
+         |    '</a> <nav><a href="' ||
+         |      'http://blog.d' || CAST(doc_id % 41 AS VARCHAR) ||
+         |      '.com/q?id=' || CAST(doc_id AS VARCHAR) ||
+         |    '">more ' || substr(text, 21, 12) || '</a></nav>' AS html
+         |  FROM documents),
+         |ae AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(html,
+         |      '<a\\s[^>]*href="[^"]*"[^>]*>[^<]*</a>', 0)) AS e
+         |  FROM h),
+         |u AS (
+         |  SELECT doc_id,
+         |    regexp_extract(e, 'href="([^"]*)"', 1) AS url,
+         |    regexp_extract(e, '>([^<]*)</a>', 1) AS atext
+         |  FROM ae),
+         |$UrlParseCtes,
+         |terms AS (
+         |  SELECT domain,
+         |    unnest(regexp_split_to_array(trim(atext), '\\s+')) AS term
+         |  FROM dm)
+         |SELECT domain, term, count(*) AS n_mentions
+         |FROM terms WHERE term <> '' GROUP BY domain, term""".stripMargin,
+
     // real-anchor authority: html fixture → href unnest → UrlParseCtes
     // registered domains → the same generated pagerank replay
     "u_link_authority" -> pagerankSql(

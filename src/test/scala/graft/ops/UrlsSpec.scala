@@ -107,6 +107,25 @@ class UrlsSpec extends SparkSpec {
       .toSeq shouldBe Seq("a.com", "b.co.uk")
   }
 
+  test("anchors pairs each href with ITS text, skipping nested-markup anchors") {
+    val html = """<a href="https://a.com/1">alpha beta</a>""" +
+      """<p>noise</p><a class="x" href="https://b.com/2" rel="nofollow">gamma</a>""" +
+      """<a href="https://c.com/3"><b>nested</b></a>""" + // skipped: [^<]* text
+      """<a name="no-href">plain</a>""" + // skipped: no href
+      """<a href="https://d.com/4"></a>""" // empty text kept
+    val out = Seq(html)
+      .toDF("h")
+      .select(explode(Urls.anchors($"h")).as("a"))
+      .select($"a.url", $"a.text")
+      .as[(String, String)]
+      .collect()
+      .toSeq
+    out shouldBe Seq(
+      ("https://a.com/1", "alpha beta"),
+      ("https://b.com/2", "gamma"),
+      ("https://d.com/4", ""))
+  }
+
   test("capPerDomain keeps at most k per registered domain") {
     val df = (0L until 300L)
       .map(i => (i, s"https://www.d${i % 3}.com/p/$i"))
