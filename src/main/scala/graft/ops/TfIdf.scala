@@ -113,4 +113,46 @@ object TfIdf {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("weight"), col("rank"))
   }
+
+  /** Positional posting lists — the materialized inverted-index artifact
+    * behind keyword retrieval ([[Bm25.searchTopK]] builds its tf relation
+    * on the fly; this EMITS the index for reuse): one row per distinct
+    * (term, document) pair with the within-doc term frequency, the
+    * 1-based position of the FIRST occurrence (phrase/proximity seeds),
+    * and the term's document frequency — everything a downstream search
+    * or decontamination pass joins against.
+    *
+    * Scale posture: one explode exchange into the (term, doc) partial
+    * agg (min-position and count combine map-side); df is a second
+    * partial agg over the already-collapsed postings; the df join back
+    * rides [[SkewJoin.hotTailEquiJoin]] — a stopword-class term owns up
+    * to one posting per document, so the hottest `hotK` terms' df values
+    * broadcast and join map-side while only the tail shuffles (the P19/
+    * P32 convention).
+    *
+    * Output: (`term`, `doc_id`, `tf`, `first_pos`, `df`).
+    */
+  def postings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      hotK: Int = 1024): DataFrame = {
+    val occ = Par.fan(df).select(
+      col(idCol).as("doc_id"),
+      posexplode(TextFunctions.words(col(textCol)))
+        .as(Seq("__pos0", "term")))
+    val post = Par.cached(
+      occ
+        .groupBy(col("term"), col("doc_id"))
+        .agg(
+          count(lit(1)).as("tf"),
+          (min(col("__pos0")) + 1).cast("long").as("first_pos")))
+    val dfreq = post
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    SkewJoin
+      .hotTailEquiJoin(post, dfreq, "term", Seq(col("df").desc, col("term")), hotK)
+      .select(
+        col("term"), col("doc_id"), col("tf"), col("first_pos"), col("df"))
+  }
 }

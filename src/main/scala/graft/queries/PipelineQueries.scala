@@ -712,6 +712,12 @@ object PipelineQueries {
         t(s, dir, "documents"), "doc_id", "text", k = 3)
     },
 
+    // ----- positional posting lists (NEW r11): the materialized
+    // inverted-index artifact — (term, doc, tf, first occurrence, df) -----
+    "t_postings" -> { (s, dir) =>
+      graft.ops.TfIdf.postings(t(s, dir, "documents"), "doc_id", "text")
+    },
+
     // ----- BM25-style keyword retrieval (rational idf, bit-exact) -----
     "t_bm25_topk" -> { (s, dir) =>
       graft.ops.Bm25.searchTopK(
@@ -3379,6 +3385,22 @@ object PipelineQueries {
          |  CAST(sum_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS fluency
          |FROM s""".stripMargin
     },
+    // posting-list replay: parallel unnest zips terms with 1-based
+    // positions; df counts rows of the collapsed (term, doc) table
+    "t_postings" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $WsSql AS ws FROM documents),
+         |occ AS (
+         |  SELECT doc_id,
+         |    unnest(ws) AS term,
+         |    CAST(unnest(range(1, len(ws)+1)) AS BIGINT) AS pos
+         |  FROM w),
+         |post AS (
+         |  SELECT term, doc_id, count(*) AS tf, min(pos) AS first_pos
+         |  FROM occ GROUP BY term, doc_id),
+         |d AS (SELECT term, count(*) AS df FROM post GROUP BY term)
+         |SELECT post.term, doc_id, tf, first_pos, df
+         |FROM post JOIN d ON post.term = d.term""".stripMargin,
     "t_tfidf" -> {
       // replays TfIdf.scoreDocs: integer-scaled rational idf
       // floor((n_docs*1e6)/df) — no logarithm, so no libm variance — with
