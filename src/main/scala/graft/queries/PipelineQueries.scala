@@ -317,6 +317,74 @@ object PipelineQueries {
     "x.y.z url-like.com here. ",
     "Short. S. ")
 
+  // r11 second fuzz pass: the remaining three regex-subset text ops.
+  // Answer normalization: \p{Punct} vs [[:punct:]] (ASCII-identical in
+  // both engines), \b article boundaries incl. digit-adjacent and
+  // punct-created boundaries, \s+ collapse over tabs/newlines.
+  private[graft] val NormFuzzFrags: Seq[String] = Seq(
+    "The Quick A Fox ",
+    "an ANTHEM another thane ", // embedded articles must survive \b
+    "it's don't o'clock ",
+    "semi;colon: comma, dots... ",
+    "(paren) [brack] {brace} <angle> ",
+    "hy-phen under_score slash/ ",
+    "3.14 1,000 #tag @user ",
+    "the3 a1 an0 ", // digit-adjacent: no \b boundary, must survive
+    "A AN THE MiXeD ",
+    "!!bang?? **stars** ",
+    "  multi   spaces\tand\ttabs ",
+    "line\nbreaks\nhere ",
+    "trailing article the",
+    "a",
+    "quotes \"dq\" 'sq' `tick` ",
+    "THE-END a-b-c the_end ", // punct strip CREATES article boundaries
+    "percent% caret^ pipe| tilde~ ",
+    "x ")
+
+  // Script-mix profile: first/last codepoints of every ScriptClasses
+  // range plus the codepoints JUST OUTSIDE each boundary -- the off-by-one
+  // class-membership traps -- and multi-script soup lines. (All \\uXXXX
+  // escapes: raw non-ASCII in source is forbidden by convention.)
+  private[graft] val ScriptFuzzFrags: Seq[String] = Seq(
+    "Az latin edges ",
+    "\u0400\u04FF cyrillic edges ",
+    "\u03FF\u0500 outside cyrillic ",
+    "\u0600\u06FF arabic edges ",
+    "\u05FF\u0700 outside arabic ",
+    "\u4E00\u9FFF cjk edges ",
+    "\u4DFF\uA000 outside cjk ",
+    "\u3040\u30FF kana edges ",
+    "\u303F\u3100 outside kana ",
+    "\uAC00\uD7AF hangul edges ",
+    "\uABFF\uD7B0 outside hangul ",
+    "0099 digit edges ",
+    "@[`{ punct not latin ",
+    "\u0410\u0431\u0412\u0433 ",
+    "\u0627\u0644\u0639\u0631 ",
+    "\u6C49\u5B57\u308A\uAC00 ",
+    "mixed \u0410 a \u0627 1 \u6C49 ",
+    "")
+
+  // Mojibake detection: every MojibakeSeqs marker, lone prefixes that
+  // must NOT count, clean lookalikes (a real e-acute), C1 boundary
+  // codepoints (U+007F and U+00A0 are NOT C1), and overlap runs.
+  private[graft] val MojibakeFuzzFrags: Seq[String] = Seq(
+    "clean ascii text ",
+    "\u00C3\u00A9 artifact pair ",
+    "\u00C3\u00A8\u00C3\u00BC two pairs ",
+    "\u00C3\u00A4\u00C3\u00B6 umlaut pairs ",
+    "\u00E2\u20AC\u2122 smart apostrophe ",
+    "\u00E2\u20AC\u0153 smart quote ",
+    "\uFFFD lone replacement ",
+    "\uFFFD\uFFFD double replacement ",
+    "\u0080\u0085\u0092\u009F c1 members ",
+    "\u007F\u00A0 c1 boundary NON-members ",
+    "\u00E9 real e-acute stays clean ",
+    "\u00C3 lone prefix no pair ",
+    "\u00E2\u20AC lone two-char prefix ",
+    "run \u00C3\u00A9\u00C3\u00A9\u00C3\u00A9 thrice ",
+    "normal words again ")
+
   private val FuzzDocs = 1000L
 
   /** Five fragment selectors (multiplier, offset) -- coprime multipliers so
@@ -2178,6 +2246,43 @@ object PipelineQueries {
           .as(Seq("sentence_idx", "sentence")))
     },
 
+    // ----- r11 second fuzz pass: the remaining three regex-subset text
+    // ops (normalizeAnswer, scripts, mojibake) over their own generated
+    // adversarial corpora — completing the discipline sweep the verdict
+    // named (stripHtml, sentences, normalizeAnswer, scripts, mojibake) -----
+    "t_norm_answer_fuzz" -> { (s, dir) =>
+      fuzzDocsDf(s, NormFuzzFrags).select(
+        col("doc_id"),
+        TextFunctions.normalizeAnswer(col("txt")).as("norm"))
+    },
+    "t_scripts_fuzz" -> { (s, dir) =>
+      val base = fuzzDocsDf(s, ScriptFuzzFrags).select(
+        col("doc_id") +:
+          TextFunctions.ScriptClasses.map { case (name, _) =>
+            TextFunctions.scriptPpm(col("txt"), name).as(s"${name}_ppm")
+          }: _*)
+      val maxPpm = greatest(
+        TextFunctions.ScriptClasses.map(c => col(s"${c._1}_ppm")): _*)
+      val dominant = TextFunctions.ScriptClasses
+        .foldRight(lit("none")) { case ((name, _), elseCol) =>
+          when(col(s"${name}_ppm") === maxPpm && maxPpm > 0, lit(name))
+            .otherwise(elseCol)
+        }
+      base.withColumn("dominant", dominant)
+    },
+    "t_mojibake_fuzz" -> { (s, dir) =>
+      fuzzDocsDf(s, MojibakeFuzzFrags)
+        .select(
+          col("doc_id"),
+          TextFunctions.replacementCharCount(col("txt")).as("n_replacement"),
+          TextFunctions.c1ControlCount(col("txt")).as("n_c1"),
+          TextFunctions.mojibakeSeqCount(col("txt")).as("n_moji"),
+          TextFunctions.encodingArtifactPpm(col("txt")).as("artifact_ppm"))
+        .withColumn(
+          "clean",
+          col("n_replacement") + col("n_c1") + col("n_moji") === 0L)
+    },
+
     // ----- per-language OOV accounting against the top-100 corpus vocab
     // (NEW r10): the report that sizes a tokenizer vocab and flags
     // underserved languages -----
@@ -3188,6 +3293,61 @@ object PipelineQueries {
          |  CAST(unnest(range(0, len(ss))) AS INT) AS sentence_idx,
          |  unnest(ss) AS sentence
          |FROM m""".stripMargin,
+    "t_norm_answer_fuzz" ->
+      s"""WITH ${fuzzDocsSql(NormFuzzFrags)}
+         |SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(regexp_replace(
+         |    lower(txt),
+         |    '[[:punct:]]', ' ', 'g'),
+         |    '\\b(a|an|the)\\b', ' ', 'g'),
+         |    '\\s+', ' ', 'g')) AS norm
+         |FROM docs""".stripMargin,
+    "t_scripts_fuzz" -> {
+      val ppmCols = TextFunctions.ScriptClasses
+        .map { case (n, body) =>
+          s"""CASE WHEN length(txt) = 0 THEN CAST(0 AS BIGINT)
+             |      ELSE ((length(txt) - length(regexp_replace(txt,
+             |        '[$body]', '', 'g'))) * 1000000) // length(txt)
+             |      END AS ${n}_ppm""".stripMargin
+        }
+        .mkString(",\n    ")
+      val names = TextFunctions.ScriptClasses.map(_._1)
+      val maxExpr = s"greatest(${names.map(n => s"${n}_ppm").mkString(", ")})"
+      val domCase = names
+        .map(n => s"WHEN ${n}_ppm = $maxExpr AND $maxExpr > 0 THEN '$n'")
+        .mkString("\n    ")
+      s"""WITH ${fuzzDocsSql(ScriptFuzzFrags)},
+         |c AS (
+         |  SELECT doc_id,
+         |    $ppmCols
+         |  FROM docs)
+         |SELECT doc_id, ${names.map(n => s"${n}_ppm").mkString(", ")},
+         |  CASE $domCase
+         |    ELSE 'none' END AS dominant
+         |FROM c""".stripMargin
+    },
+    "t_mojibake_fuzz" -> {
+      def chrs(s: String) = s.map(c => s"chr(${c.toInt})").mkString(" || ")
+      val mojiSum = TextFunctions.MojibakeSeqs
+        .map(s =>
+          s"(length(txt) - length(replace(txt, ${chrs(s)}, ''))) // ${s.length}")
+        .mkString("\n      + ")
+      s"""WITH ${fuzzDocsSql(MojibakeFuzzFrags)},
+         |c AS (
+         |  SELECT doc_id, CAST(length(txt) AS BIGINT) AS L,
+         |    CAST(length(txt) - length(replace(txt, chr(65533), ''))
+         |      AS BIGINT) AS n_replacement,
+         |    CAST(length(txt) - length(regexp_replace(txt,
+         |      '[\\x{0080}-\\x{009F}]', '', 'g')) AS BIGINT) AS n_c1,
+         |    CAST($mojiSum AS BIGINT) AS n_moji
+         |  FROM docs)
+         |SELECT doc_id, n_replacement, n_c1, n_moji,
+         |  CASE WHEN L = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE ((n_replacement + n_c1 + n_moji) * 1000000) // L END
+         |    AS artifact_ppm,
+         |  (n_replacement + n_c1 + n_moji) = 0 AS clean
+         |FROM c""".stripMargin
+    },
     "t_oov_report" ->
       s"""WITH t AS (
          |  SELECT lang, unnest($WsSql) AS token FROM documents),
