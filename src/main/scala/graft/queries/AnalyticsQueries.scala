@@ -410,7 +410,8 @@ object AnalyticsQueries {
     // (one signup user −1 + one purchase user −2, processed last via
     // maxFilesPerTrigger=1 + later mtime) that advances BOTH sides'
     // watermarks past every window; the 45-day delay exceeds the
-    // fixture's 30-day span so no real row is ever late. Two traps this
+    // fixture's 30-day span so no real row is ever late (and the single
+    // data batch runs under the initial 1970 watermark anyway). Two traps this
     // gate pins, both found empirically: the sentinels must carry REAL
     // event types (an '__flush' type dies on the event-type filters,
     // which Catalyst pushes BELOW the watermark node), and the
@@ -439,9 +440,13 @@ object AnalyticsQueries {
         .write.mode("append").parquet(inDir)
       val stagedSchema = s.read.parquet(inDir).schema
 
+      // no maxFilesPerTrigger: ONE data batch (watermark still 1970 while
+      // it runs, so nothing is late) + the trailing no-data batch that
+      // flushes the outer state once the sentinel has advanced the
+      // watermark — two batches total (the per-file batching this gate
+      // debuted with tripled its bench cost for no extra coverage)
       def stream = s.readStream
         .schema(stagedSchema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(inDir)
         .withWatermark("ts", "45 days")
       val signups = stream
