@@ -944,6 +944,38 @@ object PipelineQueries {
         "source")
     },
 
+    // ----- crawl-scope e2e composition (NEW r11): the frontier-scoping
+    // flow a policy-bounded crawl runs — href extraction (P102) →
+    // registered domains (P39) → BFS hop distance from the seed domains
+    // (P110) → keep only docs whose domain is within 2 hops. The .com
+    // targets cover only d0–d40, so d41+.com sources are genuinely out
+    // of scope unless seeded — the fixture has a real frontier edge -----
+    "u_crawl_scope" -> { (s, dir) =>
+      val url1 = concat(
+        lit("https://www.d"), (col("doc_id") % 37).cast(StringType),
+        lit(".co.uk/p"), col("doc_id").cast(StringType))
+      val url2 = concat(
+        lit("http://blog.d"), (col("doc_id") % 41).cast(StringType),
+        lit(".com/q?id="), col("doc_id").cast(StringType))
+      val html = concat(
+        lit("<p>"), col("text"), lit("</p><a href=\""), url1,
+        lit("\">x</a> <nav><a href=\""), url2, lit("\">y</a></nav>"))
+      val srcDom = concat(
+        lit("d"), (col("doc_id") % 50).cast(StringType), lit(".com"))
+      val docs = t(s, dir, "documents")
+      val edges = docs
+        .select(srcDom.as("src"), explode(Urls.extractLinks(html)).as("url"))
+        .select(col("src"), Urls.urlDomain(col("url")).as("dst"))
+      val seeds = s.range(3).select(
+        concat(lit("d"), col("id").cast(StringType), lit(".com")).as("node"))
+      val depths =
+        graft.ops.Bfs.depths(edges, "src", "dst", seeds, "node", maxDepth = 2)
+      docs
+        .select(col("doc_id"), srcDom.as("domain"))
+        .join(depths, col("domain") === col("node"))
+        .select(col("doc_id"), col("domain"), col("depth"))
+    },
+
     // ----- anchor-TEXT aggregation (NEW r11): per target domain, the
     // words used in anchors pointing AT it — the classic link-text
     // description signal. Whole <a> elements extract first so url and
@@ -3824,6 +3856,45 @@ object PipelineQueries {
         |  UNION ALL SELECT doc_id, doc_id % 37 FROM documents
         |  WHERE doc_id % 5 = 0""".stripMargin,
       iters = 5),
+    // crawl-scope replay: the u_link_authority extraction CTEs feed a
+    // DISTINCT domain edge list; depth-bounded recursive walk from the
+    // three seed domains; docs join their own domain's min depth
+    "u_crawl_scope" ->
+      s"""WITH RECURSIVE h AS (
+         |  SELECT doc_id,
+         |    '<p>' || text || '</p><a href="' ||
+         |      'https://www.d' || CAST(doc_id % 37 AS VARCHAR) ||
+         |      '.co.uk/p' || CAST(doc_id AS VARCHAR) ||
+         |    '">x</a> <nav><a href="' ||
+         |      'http://blog.d' || CAST(doc_id % 41 AS VARCHAR) ||
+         |      '.com/q?id=' || CAST(doc_id AS VARCHAR) ||
+         |    '">y</a></nav>' AS html
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS url
+         |  FROM h),
+         |$UrlParseCtes,
+         |edges AS (
+         |  SELECT DISTINCT
+         |    'd' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS src,
+         |    domain AS dst
+         |  FROM dm),
+         |walk(node, depth) AS (
+         |  SELECT 'd' || CAST(range AS VARCHAR) || '.com', 0 FROM range(0, 3)
+         |  UNION ALL
+         |  SELECT e.dst, w.depth + 1
+         |  FROM walk w JOIN edges e ON e.src = w.node
+         |  WHERE w.depth < 2),
+         |mind AS (
+         |  SELECT node, CAST(min(depth) AS INTEGER) AS depth
+         |  FROM walk GROUP BY node)
+         |SELECT doc_id,
+         |  'd' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS domain,
+         |  depth
+         |FROM documents JOIN mind
+         |  ON ('d' || CAST(doc_id % 50 AS VARCHAR) || '.com') = mind.node""".stripMargin,
+
     // anchor-text replay: whole-element extraction keeps url/text aligned;
     // UrlParseCtes passes the atext column through (SELECT u.*)
     "u_anchor_text" ->
