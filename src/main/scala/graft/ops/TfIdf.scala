@@ -155,4 +155,54 @@ object TfIdf {
       .select(
         col("term"), col("doc_id"), col("tf"), col("first_pos"), col("df"))
   }
+
+  /** Exact PHRASE search — documents containing `phrase` as consecutive
+    * words, with the match count and the 1-based position of the first
+    * match: the positional-index query ([[postings]] is the artifact,
+    * this is the classic consumer) behind quoted-query retrieval,
+    * benchmark-prompt decontamination ("drop docs containing this exact
+    * question"), and n-gram provenance lookups.
+    *
+    * Scale posture: the occurrence stream filters to the phrase's words
+    * MAP-SIDE before anything shuffles (a k-word phrase keeps only its
+    * k terms' postings), then k−1 equi-joins on (doc, adjacent position)
+    * — each join key is (doc_id, pos), so volume is bounded by the
+    * phrase terms' occurrence counts, never the corpus. A stopword-only
+    * phrase degrades toward the full stream; prefer phrases with at
+    * least one rare word (the standard positional-index advice).
+    */
+  def phraseMatches(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val occ = Par.cached(
+      Par.fan(df)
+        .select(
+          col(idCol).as("doc_id"),
+          posexplode(TextFunctions.words(col(textCol)))
+            .as(Seq("__pos0", "__term")))
+        .filter(col("__term").isin(phrase: _*))
+        .select(
+          col("doc_id"),
+          (col("__pos0") + 1).cast("long").as("__pos"),
+          col("__term")))
+    val first = occ
+      .filter(col("__term") === phrase.head)
+      .select(col("doc_id"), col("__pos").as("start_pos"))
+    val matches = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (w, i)) =>
+        acc.join(
+          occ
+            .filter(col("__term") === w)
+            .select(col("doc_id"), (col("__pos") - i).as("start_pos")),
+          Seq("doc_id", "start_pos"))
+    }
+    matches
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_matches"),
+        min(col("start_pos")).as("first_pos"))
+  }
 }

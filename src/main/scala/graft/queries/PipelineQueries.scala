@@ -786,6 +786,14 @@ object PipelineQueries {
       graft.ops.TfIdf.postings(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    // ----- exact phrase search (NEW r11): consecutive-word matches via
+    // the positional machinery — the corpus contains a doc with TWO
+    // matches, so n_matches > 1 is exercised -----
+    "t_phrase_search" -> { (s, dir) =>
+      graft.ops.TfIdf.phraseMatches(
+        t(s, dir, "documents"), "doc_id", "text", Seq("table", "value"))
+    },
+
     // ----- BM25-style keyword retrieval (rational idf, bit-exact) -----
     "t_bm25_topk" -> { (s, dir) =>
       graft.ops.Bm25.searchTopK(
@@ -3577,6 +3585,23 @@ object PipelineQueries {
          |  CAST(sum_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS fluency
          |FROM s""".stripMargin
     },
+    // phrase replay: adjacent-position self-join over the positional
+    // occurrence stream
+    "t_phrase_search" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $WsSql AS ws FROM documents),
+         |occ AS (
+         |  SELECT doc_id,
+         |    unnest(ws) AS term,
+         |    CAST(unnest(range(1, len(ws)+1)) AS BIGINT) AS pos
+         |  FROM w),
+         |m AS (
+         |  SELECT a.doc_id, a.pos AS start_pos
+         |  FROM occ a JOIN occ b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term = 'table' AND b.term = 'value')
+         |SELECT doc_id, count(*) AS n_matches, min(start_pos) AS first_pos
+         |FROM m GROUP BY doc_id""".stripMargin,
     // posting-list replay: parallel unnest zips terms with 1-based
     // positions; df counts rows of the collapsed (term, doc) table
     "t_postings" ->

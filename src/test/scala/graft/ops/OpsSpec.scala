@@ -1412,6 +1412,28 @@ class TfIdfSpec extends SparkSpec {
     split should contain ((1L, "the", 3L, 3000000L))
     Par.releaseCaches()
   }
+
+  test("phraseMatches finds consecutive words only, with counts and positions") {
+    val docs = Seq(
+      (1L, "a b c a b c"), // two matches of "a b c" at 1 and 4
+      (2L, "a b x c"), // broken by x: no match
+      (3L, "c b a"), // reversed: no match
+      (4L, "x a b c"), // one match at 2
+      (5L, "a b"), // prefix only
+      (6L, "a a b c c") // one match at 2 (overlapping starts don't double)
+    ).toDF("doc_id", "text")
+    val out = TfIdf.phraseMatches(docs, "doc_id", "text", Seq("a", "b", "c"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    out shouldBe Map(1L -> ((2L, 1L)), 4L -> ((1L, 2L)), 6L -> ((1L, 2L)))
+    Par.releaseCaches()
+    // single-word phrase degenerates to term lookup
+    val one = TfIdf.phraseMatches(docs, "doc_id", "text", Seq("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    one shouldBe Map(2L -> 1L, 4L -> 1L)
+    Par.releaseCaches()
+  }
 }
 
 class BudgetEdgeSpec extends SparkSpec {
