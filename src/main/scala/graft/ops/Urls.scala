@@ -335,6 +335,86 @@ object Urls {
       .drop("__rb_domain", "__rb_path")
   }
 
+  /** Full robots.txt DECISION engine — per-URL allow/disallow with the
+    * longest-match precedence real crawlers implement (RFC 9309 / the
+    * Google documentation): within the applicable agent GROUP, the rule
+    * with the longest matching path prefix wins; on a length tie, allow
+    * wins; no matching rule (or no rules for the domain) ⇒ allowed.
+    * Group selection per RFC: a domain with rules for `agent` uses
+    * EXACTLY those (its `*` group is ignored — the classic surprise);
+    * otherwise its `*` group; otherwise no group. Prefix matching is
+    * literal ([[dropDisallowed]]'s contract — flatten `$`/`*` wildcard
+    * rules upstream, the P39 PSL discipline).
+    *
+    * [[dropDisallowed]] remains the fast path for a pure blocklist (one
+    * broadcast left_anti, no precedence); this is the faithful-semantics
+    * engine for rule sets that mix allow and disallow.
+    *
+    * `rules` columns: (`ruleDomainCol`, `agentCol`,
+    * `ruleCol` = 'allow'|'disallow', `prefixCol`).
+    * Output: input columns + `domain`, `decision`, `matched_prefix`
+    * ('' when no rule matched).
+    *
+    * Scale posture: robots rule sets are crawl-config-sized, so group
+    * selection and the applicable rules BROADCAST; corpus-side work is a
+    * map-side startsWith join plus a per-URL argmax window bounded by
+    * rules-per-domain, never corpus size.
+    */
+  def robotsDecisions(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      rules: DataFrame,
+      agent: String,
+      ruleDomainCol: String = "rule_domain",
+      agentCol: String = "agent",
+      ruleCol: String = "rule",
+      prefixCol: String = "prefix"): DataFrame = {
+    require(
+      !df.columns.exists(Seq("domain", "decision", "matched_prefix").contains),
+      "input must not contain domain/decision/matched_prefix")
+    // agent-group selection: domains with an agent-specific group use it
+    // EXCLUSIVELY; the rest fall back to their '*' group
+    val specificDomains = rules
+      .filter(col(agentCol) === agent)
+      .select(col(ruleDomainCol))
+      .distinct()
+    val applicable = rules
+      .filter(col(agentCol) === agent)
+      .unionByName(
+        rules
+          .filter(col(agentCol) === "*")
+          .join(specificDomains, Seq(ruleDomainCol), "left_anti"))
+      .select(
+        col(ruleDomainCol).as("__rb_rdomain"),
+        col(ruleCol).as("__rb_rule"),
+        col(prefixCol).as("__rb_prefix"))
+    val withParts = Par.fan(df)
+      .withColumn("domain", urlDomain(col(urlCol)))
+      .withColumn("__rb_path", urlPath(col(urlCol)))
+    val matched = withParts.join(
+      broadcast(applicable),
+      col("domain") === col("__rb_rdomain") &&
+        col("__rb_path").startsWith(col("__rb_prefix")),
+      "left")
+    // longest prefix wins; tie -> allow ('allow' < 'disallow'); prefix
+    // completes the total order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(
+        length(col("__rb_prefix")).desc,
+        col("__rb_rule").asc,
+        col("__rb_prefix").asc)
+    matched
+      .withColumn("__rb_rn", row_number().over(w))
+      .filter(col("__rb_rn") === 1)
+      .withColumn(
+        "decision",
+        coalesce(col("__rb_rule"), lit("allow")))
+      .withColumn("matched_prefix", coalesce(col("__rb_prefix"), lit("")))
+      .drop("__rb_path", "__rb_rdomain", "__rb_rule", "__rb_prefix", "__rb_rn")
+  }
+
   /** Politeness-aware fetch partitioning: spread each registered domain's
     * URLs round-robin across `slots` fetch workers so no worker hammers
     * one host — with `n_d` urls on a domain, every slot gets

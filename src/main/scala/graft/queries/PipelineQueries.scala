@@ -385,6 +385,22 @@ object PipelineQueries {
     "run \u00C3\u00A9\u00C3\u00A9\u00C3\u00A9 thrice ",
     "normal words again ")
 
+  /** Robots-decision gate rule set — shared between the Spark gate and
+    * the generated oracle VALUES so they cannot drift. d0-d9 carry the
+    * '*' group (disallow /admin overridden by the longer allow
+    * /admin/tools), d0-d4 ADDITIONALLY carry a graftbot-specific group
+    * (which must REPLACE '*' entirely), d6 carries an allow /admin that
+    * ties the disallow /admin exactly (allow must win the tie).
+    */
+  private[graft] val RobotsRules: Seq[(String, String, String, String)] =
+    (0 until 10).flatMap(k =>
+      Seq(
+        (s"d$k.com", "*", "disallow", "/admin"),
+        (s"d$k.com", "*", "allow", "/admin/tools"))) ++
+      (0 until 5).map(k =>
+        (s"d$k.com", "graftbot", "disallow", "/admin/tools")) :+
+      ("d6.com", "*", "allow", "/admin")
+
   private val FuzzDocs = 1000L
 
   /** Five fragment selectors (multiplier, offset) -- coprime multipliers so
@@ -1960,6 +1976,26 @@ object PipelineQueries {
       Urls.dropDisallowed(urls, "url", rules, "rule_domain", "rule_prefix")
     },
 
+    // ----- robots.txt DECISION engine (NEW r11): RFC 9309 longest-match
+    // precedence — agent-specific groups REPLACE the '*' group entirely
+    // (d0-d4 for graftbot), a longer allow overrides a shorter disallow
+    // (/admin/tools under disallow /admin), and an exact-length tie goes
+    // to allow (d6's allow+disallow /admin) -----
+    "u_robots_decisions" -> { (s, dir) =>
+      import s.implicits._
+      val urls = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          lit("https://www.d"), (col("doc_id") % 25).cast(StringType),
+          lit(".com"),
+          when(col("doc_id") % 8 === 0, lit("/admin/tools/p"))
+            .when(col("doc_id") % 4 === 0, lit("/admin/p"))
+            .otherwise(lit("/public/p")),
+          col("doc_id").cast(StringType)).as("url"))
+      val rules = RobotsRules.toDF("rule_domain", "agent", "rule", "prefix")
+      Urls.robotsDecisions(urls, "doc_id", "url", rules, agent = "graftbot")
+    },
+
     // ----- politeness fetch partitioning (NEW r10): each domain's urls
     // spread round-robin over 4 fetch slots in a deterministic hash
     // order — balance per (domain, slot) is asserted in the spec -----
@@ -3153,6 +3189,48 @@ object PipelineQueries {
          |  SELECT 1 FROM r
          |  WHERE u.dom = r.rule_domain
          |    AND starts_with(u.path, r.rule_prefix))""".stripMargin
+    },
+    // robots decisions: VALUES generated from the SAME RobotsRules
+    // constant as the gate; group selection, longest-match, allow-on-tie
+    // all replayed relationally
+    "u_robots_decisions" -> {
+      val values = RobotsRules
+        .map { case (d, a, r, p) => s"('$d', '$a', '$r', '$p')" }
+        .mkString(", ")
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'https://www.d' || CAST(doc_id % 25 AS VARCHAR) || '.com' ||
+         |      CASE WHEN doc_id % 8 = 0 THEN '/admin/tools/p'
+         |           WHEN doc_id % 4 = 0 THEN '/admin/p'
+         |           ELSE '/public/p' END ||
+         |      CAST(doc_id AS VARCHAR) AS url,
+         |    'd' || CAST(doc_id % 25 AS VARCHAR) || '.com' AS dom,
+         |    CASE WHEN doc_id % 8 = 0 THEN '/admin/tools/p'
+         |         WHEN doc_id % 4 = 0 THEN '/admin/p'
+         |         ELSE '/public/p' END ||
+         |      CAST(doc_id AS VARCHAR) AS path
+         |  FROM documents),
+         |rules(rule_domain, agent, rule, prefix) AS (VALUES $values),
+         |specific AS (
+         |  SELECT DISTINCT rule_domain FROM rules WHERE agent = 'graftbot'),
+         |applicable AS (
+         |  SELECT rule_domain, rule, prefix FROM rules
+         |  WHERE agent = 'graftbot'
+         |  UNION ALL
+         |  SELECT rule_domain, rule, prefix FROM rules
+         |  WHERE agent = '*' AND rule_domain NOT IN
+         |    (SELECT rule_domain FROM specific)),
+         |m AS (
+         |  SELECT u.doc_id, u.url, u.dom, a.rule, a.prefix,
+         |    row_number() OVER (PARTITION BY u.doc_id
+         |      ORDER BY length(a.prefix) DESC, a.rule ASC, a.prefix ASC)
+         |      AS rn
+         |  FROM u LEFT JOIN applicable a
+         |    ON u.dom = a.rule_domain AND starts_with(u.path, a.prefix))
+         |SELECT doc_id, url, dom AS domain,
+         |  coalesce(rule, 'allow') AS decision,
+         |  coalesce(prefix, '') AS matched_prefix
+         |FROM m WHERE rn = 1""".stripMargin
     },
     "u_fetch_slots" -> {
       s"""WITH u AS (

@@ -126,6 +126,41 @@ class UrlsSpec extends SparkSpec {
       ("https://d.com/4", ""))
   }
 
+  test("robotsDecisions: longest match wins, allow wins ties, agent group replaces '*'") {
+    val urls = Seq(
+      (1L, "https://www.a.com/admin/secret"), // * group: disallow /admin
+      (2L, "https://www.a.com/admin/tools/x"), // longer allow overrides
+      (3L, "https://www.a.com/public/x"), // no rule -> allow
+      (4L, "https://www.b.com/admin/x"), // bot group replaces '*': allowed
+      (5L, "https://www.b.com/admin/tools/x"), // bot group disallows tools
+      (6L, "https://www.c.com/tie/x"), // equal-length allow+disallow -> allow
+      (7L, "https://www.z.com/anything") // domain with no rules
+    ).toDF("id", "url")
+    val rules = Seq(
+      ("a.com", "*", "disallow", "/admin"),
+      ("a.com", "*", "allow", "/admin/tools"),
+      ("b.com", "*", "disallow", "/admin"),
+      ("b.com", "bot", "disallow", "/admin/tools"),
+      ("c.com", "*", "allow", "/tie"),
+      ("c.com", "*", "disallow", "/tie"))
+      .toDF("rule_domain", "agent", "rule", "prefix")
+    val out = Urls
+      .robotsDecisions(urls, "id", "url", rules, agent = "bot")
+      .select($"id", $"decision", $"matched_prefix")
+      .as[(Long, String, String)]
+      .collect()
+      .map(t => t._1 -> ((t._2, t._3)))
+      .toMap
+    out shouldBe Map(
+      1L -> (("disallow", "/admin")),
+      2L -> (("allow", "/admin/tools")),
+      3L -> (("allow", "")),
+      4L -> (("allow", "")), // b.com's bot group has no /admin rule
+      5L -> (("disallow", "/admin/tools")),
+      6L -> (("allow", "/tie")),
+      7L -> (("allow", "")))
+  }
+
   test("capPerDomain keeps at most k per registered domain") {
     val df = (0L until 300L)
       .map(i => (i, s"https://www.d${i % 3}.com/p/$i"))
