@@ -464,10 +464,18 @@ object Dedup {
         transform(
           TextFunctions.shingleSet(col(textCol), n),
           s => TextFunctions.hash61(s))).as("sh")))
+    (sh, bandedOf(sh, bands, rows))
+  }
+
+  /** Banded LSH keys of a cached (id, hashed-shingle-array) frame — the
+    * signature + banding stages shared by the word- and char-shingle
+    * entry points.
+    */
+  private def bandedOf(sh: DataFrame, bands: Int, rows: Int): DataFrame = {
     val sig = sh
       .filter(size(col("sh")) > 0)
       .select(col("id"), minhashSignature(col("sh")).as("sig"))
-    val banded = sig.select(
+    sig.select(
       col("id"),
       posexplode(
         array((0 until bands).map { b =>
@@ -476,7 +484,6 @@ object Dedup {
             (0 until rows).map(j =>
               element_at(col("sig"), b * rows + j + 1).cast(StringType)): _*)
         }: _*)).as(Seq("band", "band_key")))
-    (sh, banded)
   }
 
   private def jaccardVerify(pairs: DataFrame, threshold: Double): DataFrame = {
@@ -552,7 +559,17 @@ object Dedup {
     val rows = k / bands
 
     val (sh, banded) = shinglesAndBands(df, idCol, textCol, n, bands, rows)
+    minhashPairsOf(sh, banded, threshold)
+  }
 
+  /** Candidate generation + semi-narrowed exact-Jaccard verify over a
+    * cached shingle frame and its banded keys (shared by the word- and
+    * char-shingle entry points).
+    */
+  private def minhashPairsOf(
+      sh: DataFrame,
+      banded: DataFrame,
+      threshold: Double): DataFrame = {
     val candidates = banded
       .join(
         banded.select(col("band"), col("band_key"), col("id").as("id_b")),
@@ -572,6 +589,38 @@ object Dedup {
       .join(shA.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shB.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
     jaccardVerify(verified, threshold)
+  }
+
+  /** CHARACTER-shingle MinHash + LSH near-dup pairs — the variant for
+    * unsegmented or whitespace-free text (CJK, Thai, URLs-as-text, OCR
+    * output with lost spacing) where word shingles degenerate to whole
+    * lines. Identical pipeline to [[minhashLshPairs]] (same fixed
+    * permutations, banding, semi-narrowed exact verify) over distinct
+    * n-CHARACTER shingles; Jaccard is over the char-shingle sets. The
+    * standard n for char shingles is larger than for words (default 5 —
+    * 3-char shingles of natural text are near-universal and bucket
+    * everything together).
+    *
+    * Scale posture identical to [[minhashLshPairs]]; the duplication
+    * caveat (m copies ⇒ m·(m−1)/2 true pairs) applies — exact-collapse
+    * first at scale (P1).
+    */
+  def minhashLshPairsChars(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val k = MinhashA.length
+    require(k % bands == 0, "bands must divide k")
+    val sh = Par.cached(Par.fan(df).select(
+      col(idCol).as("id"),
+      array_distinct(
+        transform(
+          TextFunctions.charShingleSet(col(textCol), n),
+          s => TextFunctions.hash61(s))).as("sh")))
+    minhashPairsOf(sh, bandedOf(sh, bands, k / bands), threshold)
   }
 
   /** EXACT similarity join by prefix filtering (the AllPairs / PPJoin

@@ -20,6 +20,21 @@ object TextFunctions {
   /** Distinct word set. */
   def wordSet(text: Column): Column = array_distinct(words(text))
 
+  /** Distinct n-CHARACTER shingles — the unit for similarity over
+    * unsegmented text (CJK, Thai, OCR output with lost spacing) where
+    * whitespace words degenerate to whole lines. Codepoint-positioned
+    * (`substr` counts codepoints on both engines); text shorter than `n`
+    * chars yields an empty array (cannot shingle, mirroring the word
+    * case). Pure codegen HOF, shuffle-free.
+    */
+  def charShingleSet(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(
+        array_distinct(
+          transform(
+            sequence(lit(1), length(text) - n + 1),
+            i => text.substr(i, lit(n)))))
+
   /** `n`-word shingles (sliding windows joined by single spaces), 1-based
     * positions; documents shorter than `n` words yield an empty array.
     */

@@ -515,12 +515,19 @@ object PipelineQueries {
     * oracle and the clustering oracle built on its pair graph. Generated
     * from the same Scala constants as the Spark side so they cannot drift.
     */
-  private def minhashPairCtes: String = {
+  private def minhashPairCtes: String =
+    minhashPairCtesFor(hashedShinglesSql(WsSql))
+
+  /** The banded-minhash pair replay, parameterized on the hashed-shingle
+    * expression (word shingles for p_minhash_lsh, char shingles for
+    * p_char_minhash) — one generator, both gates.
+    */
+  private def minhashPairCtesFor(shExpr: String): String = {
     val a = listLit(Dedup.MinhashA)
     val b = listLit(Dedup.MinhashB)
     val p = Dedup.MinhashP
     s"""d AS (
-       |  SELECT doc_id, ${hashedShinglesSql(WsSql)} AS sh FROM documents),
+       |  SELECT doc_id, $shExpr AS sh FROM documents),
        |h AS (
        |  SELECT doc_id, sh, sh AS hs FROM d),
        |sig AS (
@@ -633,6 +640,23 @@ object PipelineQueries {
         n = 3,
         bands = 4,
         threshold = 0.5)
+    },
+
+    // ----- char-shingle MinHash+LSH (NEW r11): the near-dup variant for
+    // UNSEGMENTED text — the fixture strips every space, so word shingles
+    // would degenerate to whole lines; 5-char shingles at jaccard >= 0.6
+    // over the same fixed permutations -----
+    "p_char_minhash" -> { (s, dir) =>
+      Dedup.minhashLshPairsChars(
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            regexp_replace(col("text"), "\\s+", "").as("txt")),
+        "doc_id",
+        "txt",
+        n = 5,
+        bands = 4,
+        threshold = 0.6)
     },
 
     // ----- EXACT prefix-filter similarity join (lossless, no LSH recall
@@ -3108,6 +3132,18 @@ object PipelineQueries {
       s"""WITH $minhashPairCtes
          |SELECT id_a, id_b, i * 1.0 / u AS jaccard
          |FROM verified WHERE i * 1.0 / u >= 0.5""".stripMargin
+    },
+    // char-shingle replay over the space-stripped fixture — the SAME
+    // generated banded-minhash machinery as p_minhash_lsh
+    "p_char_minhash" -> {
+      val txt = "regexp_replace(text, '\\s+', '', 'g')"
+      val shExpr =
+        s"list_distinct(list_transform(" +
+          s"list_transform(range(1, greatest(length($txt) - 4, 0) + 1), " +
+          s"i -> substr($txt, i, 5)), s -> ${hash61Sql("s")}))"
+      s"""WITH ${minhashPairCtesFor(shExpr)}
+         |SELECT id_a, id_b, i * 1.0 / u AS jaccard
+         |FROM verified WHERE i * 1.0 / u >= 0.6""".stripMargin
     },
     // NAIVE all-pairs levenshtein — the losslessness proof for the FastSS
     // deletion-neighborhood candidates in Dedup.editDistancePairs
