@@ -393,5 +393,36 @@ object syntax {
         textCol: Column,
         vocab: Seq[(String, Int)]): Column =
       Unigram.tokens(textCol, vocab)
+
+    /** Positional posting lists (term, doc, tf, first position, df). */
+    def postings(idCol: String, textCol: String): DataFrame =
+      TfIdf.postings(df, idCol, textCol)
+
+    /** Exact consecutive-word phrase matches with counts + positions. */
+    def phraseMatches(
+        idCol: String,
+        textCol: String,
+        phrase: Seq[String]): DataFrame =
+      TfIdf.phraseMatches(df, idCol, textCol, phrase)
+
+    /** RFC 9309 robots decisions (longest match, allow ties, agent groups). */
+    def robotsDecisions(
+        idCol: String,
+        urlCol: String,
+        rules: DataFrame,
+        agent: String): DataFrame =
+      Urls.robotsDecisions(df, idCol, urlCol, rules, agent)
+
+    /** Char-shingle MinHash near-dup pairs (unsegmented text). */
+    def nearDupMinhashChars(
+        idCol: String,
+        textCol: String,
+        n: Int = 5,
+        bands: Int = 4,
+        threshold: Double = 0.5): DataFrame =
+      Dedup.minhashLshPairsChars(df, idCol, textCol, n, bands, threshold)
+
+    /** Per-domain anchor-text mention counts feed from [[Urls.anchors]]. */
+    def anchorsOf(htmlCol: Column): Column = Urls.anchors(htmlCol)
   }
 }
