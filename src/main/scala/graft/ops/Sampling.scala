@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 /** Deterministic corpus sampling.
   *
@@ -339,6 +339,59 @@ object Sampling {
       .withColumn("__eq_rank", col("__eq_offset") + col("__eq_rn"))
       .join(broadcast(targets), "__eq_rank")
       .select(col("q"), col(v).as("value"))
+  }
+
+  /** Deterministic k-fold assignment — cross-validation / ensembling fold
+    * labels with EXACT balance: within each stratum, rows order by a
+    * keyed hash and fold = (rank − 1) mod k, so every (stratum, fold)
+    * cell holds ⌊n_s/k⌋ or ⌈n_s/k⌉ rows — no binomial imbalance, and the
+    * assignment is reproducible run-to-run, engine-to-engine, and
+    * re-derivable after corpus edits only for the strata that changed.
+    * The hash-modulo shortcut (`hash % k`) gives folds balanced only in
+    * expectation; eval folds want exact counts (the P29 quota argument).
+    *
+    * Scale posture: one shuffle on the strata key + per-stratum windows
+    * (the P38 per-group-window trade); with NO strata the rank rides the
+    * [[rangePrefix]] no-global-sort machinery instead of a single-task
+    * global window. Output: input columns + `fold` (0-based INT).
+    */
+  def kFolds(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      strataCols: Seq[String] = Nil,
+      seed: String = "fold"): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val helpers = Seq("__kf_h", "__kf_bkt", "__kf_off", "fold")
+    require(
+      !df.columns.exists(helpers.contains),
+      s"input must not contain ${helpers.mkString("/")}")
+    val base = df.withColumn(
+      "__kf_h",
+      TextFunctions.hash61(
+        concat(lit(seed + ":"), col(idCol).cast("string"))))
+    if (strataCols.nonEmpty) {
+      val w = Window
+        .partitionBy(strataCols.map(col): _*)
+        .orderBy(col("__kf_h").asc, col(idCol).asc)
+      base
+        .withColumn(
+          "fold",
+          ((row_number().over(w) - 1) % k).cast(IntegerType))
+        .drop("__kf_h")
+    } else {
+      val order = Seq(col("__kf_h").asc, col(idCol).asc)
+      val (ranged, offsets, _) =
+        rangePrefix(base, order, lit(1L), "__kf_bkt", "__kf_off")
+      val w = Window.partitionBy(col("__kf_bkt")).orderBy(order: _*)
+      ranged
+        .join(broadcast(offsets), Seq("__kf_bkt"))
+        .withColumn(
+          "fold",
+          pmod(col("__kf_off") + row_number().over(w) - 1, lit(k.toLong))
+            .cast(IntegerType))
+        .drop("__kf_h", "__kf_bkt", "__kf_off")
+    }
   }
 
   /** Tukey IQR outlier filter — the classic "drop rows whose `value` falls

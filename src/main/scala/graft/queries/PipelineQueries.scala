@@ -964,6 +964,16 @@ object PipelineQueries {
         "doc_id", seed = "shuffle", shardSize = 64L)
     },
 
+    // ----- deterministic k-fold assignment (NEW r11): exact per-stratum
+    // balance — every (lang, fold) cell within one row of n_lang/5 -----
+    "t_kfold" -> { (s, dir) =>
+      graft.ops.Sampling.kFolds(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id",
+        k = 5,
+        strataCols = Seq("lang"))
+    },
+
     // ----- Tukey IQR outlier filter (NEW r11): exact quantile_disc
     // fences [Q1 - 1.5*IQR, Q3 + 1.5*IQR] over a metric with planted
     // 50x outliers (every 97th doc) that must all fall outside -----
@@ -3925,6 +3935,13 @@ object PipelineQueries {
          |      AS pos
          |  FROM h)
          |SELECT doc_id, pos, pos // 64 AS shard FROM p""".stripMargin,
+    // stratified k-fold replay: per-lang hashed rank mod 5
+    "t_kfold" ->
+      s"""SELECT doc_id, lang,
+         |  CAST((row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${hash61Sql("'fold:' || CAST(doc_id AS VARCHAR)")},
+         |    doc_id) - 1) % 5 AS INT) AS fold
+         |FROM documents""".stripMargin,
     // IQR fences replayed with quantile_disc (= exactQuantiles' pinned
     // rank semantics); the fence arithmetic mirrors the Spark tree:
     // CAST(q AS DOUBLE) -/+ 1.5 * CAST(q3 - q1 AS DOUBLE)

@@ -873,6 +873,36 @@ class SamplingSpec extends SparkSpec {
     Par.releaseCaches()
   }
 
+  test("kFolds: exact balance per stratum and globally, deterministic") {
+    val docs = (0L until 103L)
+      .map(i => (i, if (i % 3 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    // stratified: every (lang, fold) cell within 1 of n_lang/5
+    val strat = Sampling.kFolds(docs, "doc_id", 5, Seq("lang"))
+      .groupBy("lang", "fold").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (lang <- Seq("en", "de")) {
+      val sizes = (0 until 5).map(f => strat.getOrElse((lang, f), 0L))
+      (sizes.max - sizes.min) should be <= 1L
+    }
+    // global path (rangePrefix): exact balance, no strata
+    val glob = Sampling.kFolds(docs, "doc_id", 5)
+      .groupBy("fold").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (glob.values.max - glob.values.min) should be <= 1L
+    glob.values.sum shouldBe 103L
+    Par.releaseCaches()
+    // deterministic under repartitioning
+    val a = Sampling.kFolds(docs, "doc_id", 5, Seq("lang"))
+      .select("doc_id", "fold")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Sampling.kFolds(docs.repartition(7), "doc_id", 5, Seq("lang"))
+      .select("doc_id", "fold")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    a shouldBe b
+    Par.releaseCaches()
+  }
+
   test("groupQuantiles agrees with exactQuantiles per group slice") {
     val docs = (1L to 300L)
       .map(i => (i, if (i % 3 == 0) "de" else "en", (i * 271) % 500))
