@@ -200,6 +200,20 @@ object HttpQueries {
               case None => (404, """{"error":"not found"}""")
             }
           }
+          // custom-header twin (L12): answers ONLY requests carrying both
+          // configured static headers — a dropped or misnamed header
+          // yields 403s and a hash mismatch
+          .route("/customer-headers") { req =>
+            // StubServer normalizes header keys to First-upper-rest-lower
+            val ok = req.headers.get("X-api-key").exists(_.contains("graft-k1")) &&
+              req.headers.get("X-tenant").exists(_.contains("acme"))
+            if (!ok) (403, """{"error":"missing headers"}""")
+            else
+              StubServer.queryMap(req.query).get("c_custkey").flatMap(rows.get) match {
+                case Some(json) => (200, json)
+                case None => (404, """{"error":"not found"}""")
+              }
+          }
           // flaky twin: the FIRST attempt for every key fails 503; the
           // retry policy must recover (per-JVM counters — later bench
           // iterations see a warm stub, which only makes retries moot)
@@ -630,6 +644,35 @@ object HttpQueries {
           col("c_acctbal"))
     },
 
+    // ----- custom static headers (L12): the stub answers ONLY requests
+    // carrying both configured `http.source.lookup.header.*` headers —
+    // a dropped or renamed header 403s every row and fails the hash -----
+    "h_header_lookup" -> { (s, dir) =>
+      val probe = s.read
+        .parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 43 === 0)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      HttpLookup
+        .join(
+          probe,
+          keyCols = Seq("c_custkey"),
+          responseSchema = customerResponseSchema,
+          options = Map(
+            "url" -> lookupStub(s, dir).url("/customer-headers"),
+            "lookup-method" -> "GET",
+            "http.source.lookup.header.X-Api-Key" -> "graft-k1",
+            "http.source.lookup.header.X-Tenant" -> "acme",
+            "http.source.lookup.request.thread-pool.size" -> "2",
+            "http.source.lookup.dedup-keys" -> "true",
+            "http.source.lookup.success-codes" -> "2XX",
+            "http.source.lookup.ignored-response-codes" -> "404"))
+        .select(
+          col("o_orderkey"),
+          col("c_custkey"),
+          col("c_name"),
+          col("c_nationkey"))
+    },
+
     // ----- metadata columns (L9): every probe row emits one output row
     // with http_status_code / http_completion_state populated — known keys
     // are SUCCESS/200, negated keys 404 and (with metadata declared)
@@ -1027,6 +1070,10 @@ object HttpQueries {
       """SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey % 29 = 0""".stripMargin,
+    "h_header_lookup" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_nationkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 43 = 0""".stripMargin,
     "h_lookup_meta" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 3 = 0 THEN -o_custkey ELSE o_custkey END
