@@ -1125,6 +1125,23 @@ object PipelineQueries {
         e1.union(e2).union(e3), "src", "dst", iters = 5)
     },
 
+    // ----- HITS hubs & authorities (NEW r11) over the SAME derived link
+    // graph as u_pagerank: the 37 hub-targets should surface as the top
+    // authorities and the every-5th linkers as hubs. Integer-exact
+    // max-rescale iterations — hash-gateable like the PageRank family -----
+    "u_hits" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e1 = docs.select(
+        col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
+      val e2 = docs.select(
+        col("doc_id").as("src"), ((col("doc_id") * 13 + 5) % n).as("dst"))
+      val e3 = docs.filter(col("doc_id") % 5 === 0).select(
+        col("doc_id").as("src"), (col("doc_id") % 37).as("dst"))
+      graft.ops.Hits.ranks(
+        e1.union(e2).union(e3), "src", "dst", iters = 5)
+    },
+
     // ----- textbook PageRank with dangling-mass redistribution (NEW r10,
     // the r9 verdict's optional item 7): docs divisible by 3 emit NO
     // out-links but are linked to, so a third of the graph is dangling —
@@ -2878,6 +2895,46 @@ object PipelineQueries {
        |SELECT node, rank FROM r$iters""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.ops.Hits.ranks]]: per iteration one
+    * authority half-step (sum hub scores over in-edges, floor-div rescale
+    * by `max(1, ⌊max/scale⌋)`) and one hub half-step (sum authority
+    * scores over out-edges, same rescale) — exact integer arithmetic, so
+    * the unrolled CTE chain reproduces the Spark scores bit-for-bit.
+    */
+  private def hitsSql(
+      edgesSelect: String,
+      iters: Int,
+      scale: Long = 1000000L): String = {
+    // each CTE is referenced exactly ONCE downstream (the rescale divisor
+    // is a window max, not a second aggregate read): DuckDB inlines
+    // non-materialized CTEs, so a double reference per iteration would
+    // expand the plan exponentially in `iters`
+    val iterCtes = (1 to iters).map { i =>
+      s"""ax$i AS (
+         |  SELECT node, raw // greatest(1, max(raw) OVER () // $scale) AS v
+         |  FROM (SELECT e.dst AS node, sum(h.h) AS raw
+         |        FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst)),
+         |a$i AS (
+         |  SELECT nodes.node, CAST(coalesce(ax.v, 0) AS BIGINT) AS a
+         |  FROM nodes LEFT JOIN ax$i ax ON nodes.node = ax.node),
+         |hx$i AS (
+         |  SELECT node, raw // greatest(1, max(raw) OVER () // $scale) AS v
+         |  FROM (SELECT e.src AS node, sum(a.a) AS raw
+         |        FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src)),
+         |h$i AS (
+         |  SELECT nodes.node, CAST(coalesce(hx.v, 0) AS BIGINT) AS h
+         |  FROM nodes LEFT JOIN hx$i hx ON nodes.node = hx.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  $edgesSelect),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |h0 AS (SELECT node, CAST($scale AS BIGINT) AS h FROM nodes),
+       |$iterCtes
+       |SELECT h.node, h.h AS hub, a.a AS authority
+       |FROM h$iters h JOIN a$iters a ON h.node = a.node""".stripMargin
+  }
+
   private val IvfIntCells = 8
   private val IvfIntIters = 2
   private val IvfIntNprobe = 2
@@ -4003,6 +4060,16 @@ object PipelineQueries {
         |SELECT node, CAST(min(depth) AS INTEGER) AS depth
         |FROM walk GROUP BY node""".stripMargin,
     "u_pagerank" -> pagerankSql(
+      """SELECT doc_id AS src,
+        |    (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    (doc_id * 13 + 5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, doc_id % 37 FROM documents
+        |  WHERE doc_id % 5 = 0""".stripMargin,
+      iters = 5),
+    "u_hits" -> hitsSql(
       """SELECT doc_id AS src,
         |    (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst
         |  FROM documents
