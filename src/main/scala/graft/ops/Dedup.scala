@@ -761,6 +761,62 @@ object Dedup {
     * Output: (id_a, id_b, inter, len_a, containment_ppm) — all exact
     * integers, `containment_ppm = ⌊inter·10⁶/len_a⌋`.
     */
+  /** Pair-recall audit of a candidate-pair stage against an exact truth
+    * set: one row `(n_true, n_found, n_hit, n_missed, recall_ppm)` with
+    * `recall_ppm = ⌊n_hit·10⁶/n_true⌋` (10⁶ when the truth set is empty —
+    * nothing to miss). Both inputs are `(id_a, id_b)` relations; duplicate
+    * pair rows are collapsed before counting so malformed inputs cannot
+    * inflate the hit count past the truth count.
+    *
+    * Scale posture: two pair-sized `distinct`s, one pair-keyed join, and
+    * 1-row aggregates combined with a broadcast cross — the audit costs a
+    * constant number of passes over relations the caller already built.
+    */
+  def pairRecallReport(truth: DataFrame, found: DataFrame): DataFrame = {
+    val t = truth.select(col("id_a"), col("id_b")).distinct()
+    val f = Par.cached(found.select(col("id_a"), col("id_b")).distinct())
+    val hitAgg = t
+      .join(f.withColumn("__hit", lit(1L)), Seq("id_a", "id_b"), "left")
+      .agg(
+        count(lit(1)).as("n_true"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+    val foundAgg = f.agg(count(lit(1)).as("n_found"))
+    hitAgg
+      .crossJoin(broadcast(foundAgg))
+      .select(
+        col("n_true"),
+        col("n_found"),
+        col("n_hit"),
+        (col("n_true") - col("n_hit")).as("n_missed"),
+        when(col("n_true") === 0, lit(1000000L))
+          .otherwise(
+            Sampling.divFloor(col("n_hit") * lit(1000000L), col("n_true")))
+          .as("recall_ppm"))
+  }
+
+  /** Recall of the banded-MinHash near-dup pipeline ([[minhashLshPairs]])
+    * against the LOSSLESS exact-Jaccard truth ([[prefixJaccardPairs]]) at
+    * the same shingle size and threshold — the "is my band/row config good
+    * enough" audit a dedup run reports before trusting LSH at scale. LSH
+    * verifies candidates with exact Jaccard, so its pairs are a subset of
+    * the truth; what the audit measures is how many true pairs never
+    * collided in any band (the classic S-curve miss probability —
+    * `1 − (1 − j^rows)^bands` at jaccard j).
+    */
+  def lshRecallReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val shared = Par.cached(Par.fan(df)
+      .select(col(idCol).as("__id"), col(textCol).as("__text")))
+    pairRecallReport(
+      prefixJaccardPairs(shared, "__id", "__text", n, threshold),
+      minhashLshPairs(shared, "__id", "__text", n, bands, threshold))
+  }
+
   def containmentPairs(
       df: DataFrame,
       idCol: String,

@@ -520,12 +520,19 @@ object PipelineQueries {
 
   /** The banded-minhash pair replay, parameterized on the hashed-shingle
     * expression (word shingles for p_minhash_lsh, char shingles for
-    * p_char_minhash) — one generator, both gates.
+    * p_char_minhash) and the band/row split of the 16 permutations
+    * (4×4 for the near-dup gates; 2×8 for the deliberately-coarse
+    * p_lsh_recall audit config) — one generator, all three gates.
     */
-  private def minhashPairCtesFor(shExpr: String): String = {
+  private def minhashPairCtesFor(
+      shExpr: String, bands: Int = 4, rows: Int = 4): String = {
     val a = listLit(Dedup.MinhashA)
     val b = listLit(Dedup.MinhashB)
     val p = Dedup.MinhashP
+    require(bands * rows == 16, "bands*rows must cover the 16 permutations")
+    val bandKey = (1 to rows)
+      .map(r => s"CAST(sig[bi*$rows+$r] AS VARCHAR)")
+      .mkString(" || '-' || ")
     s"""d AS (
        |  SELECT doc_id, $shExpr AS sh FROM documents),
        |h AS (
@@ -538,10 +545,8 @@ object PipelineQueries {
        |  FROM h WHERE len(hs) > 0),
        |banded AS (
        |  SELECT doc_id, sh,
-       |    unnest(range(0, 4)) AS band,
-       |    unnest(list_transform(range(0, 4), bi ->
-       |      CAST(sig[bi*4+1] AS VARCHAR) || '-' || CAST(sig[bi*4+2] AS VARCHAR) ||
-       |      '-' || CAST(sig[bi*4+3] AS VARCHAR) || '-' || CAST(sig[bi*4+4] AS VARCHAR)))
+       |    unnest(range(0, $bands)) AS band,
+       |    unnest(list_transform(range(0, $bands), bi -> $bandKey))
        |      AS band_key
        |  FROM sig),
        |cand AS (
@@ -657,6 +662,20 @@ object PipelineQueries {
         n = 5,
         bands = 4,
         threshold = 0.6)
+    },
+
+    // ----- LSH-config recall audit (NEW r11): how many TRUE jaccard>=0.5
+    // pairs does a banded-MinHash config actually surface? Truth = the
+    // lossless prefix-filter exact join; found = the LSH pairs under a
+    // DELIBERATELY coarse 2-band x 8-row split of the 16 permutations,
+    // where the S-curve genuinely drops borderline pairs (collision
+    // probability 1-(1-j^8)^2) — so the gate pins a non-trivial
+    // n_missed > 0, the number a dedup run reports before trusting a
+    // config at 100 TB -----
+    "p_lsh_recall" -> { (s, dir) =>
+      Dedup.lshRecallReport(
+        t(s, dir, "documents"), "doc_id", "text",
+        n = 3, bands = 2, threshold = 0.5)
     },
 
     // ----- EXACT prefix-filter similarity join (lossless, no LSH recall
@@ -3211,6 +3230,31 @@ object PipelineQueries {
       s"""WITH ${minhashPairCtesFor(shExpr)}
          |SELECT id_a, id_b, i * 1.0 / u AS jaccard
          |FROM verified WHERE i * 1.0 / u >= 0.6""".stripMargin
+    },
+    // LSH recall audit: found = the banded-minhash replay at the coarse
+    // 2x8 config; truth = the p_prefix_jaccard all-pairs exact replay;
+    // integer count/ppm arithmetic
+    "p_lsh_recall" -> {
+      s"""WITH ${minhashPairCtesFor(hashedShinglesSql(WsSql), bands = 2, rows = 8)},
+         |found AS (
+         |  SELECT id_a, id_b FROM verified WHERE i * 1.0 / u >= 0.5),
+         |de AS (
+         |  SELECT doc_id, ${hashedShinglesSql(WsSql)} AS sh
+         |  FROM documents WHERE len($WsSql) >= 3),
+         |tp AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM de a JOIN de b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         |c AS (
+         |  SELECT
+         |    (SELECT count(*) FROM tp) AS n_true,
+         |    (SELECT count(*) FROM found) AS n_found,
+         |    (SELECT count(*) FROM tp JOIN found USING (id_a, id_b)) AS n_hit)
+         |SELECT n_true, n_found, n_hit, n_true - n_hit AS n_missed,
+         |  CASE WHEN n_true = 0 THEN 1000000
+         |       ELSE (n_hit * 1000000) // n_true END AS recall_ppm
+         |FROM c""".stripMargin
     },
     // NAIVE all-pairs levenshtein — the losslessness proof for the FastSS
     // deletion-neighborhood candidates in Dedup.editDistancePairs

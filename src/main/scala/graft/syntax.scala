@@ -330,6 +330,17 @@ object syntax {
         neighborCol: String): DataFrame =
       AnnEval.recallAtK(df, truth, queryCol, neighborCol)
 
+    /** Recall audit of this corpus's banded-MinHash config against the
+      * lossless exact-Jaccard truth ([[Dedup.lshRecallReport]]).
+      */
+    def lshRecallReport(
+        idCol: String,
+        textCol: String,
+        n: Int = 3,
+        bands: Int = 4,
+        threshold: Double = 0.5): DataFrame =
+      Dedup.lshRecallReport(df, idCol, textCol, n, bands, threshold)
+
     /** Star-contraction CC over this pair frame — the arbitrary-diameter
       * alternative to [[keepOnePerCluster]]'s label propagation.
       */

@@ -245,6 +245,40 @@ class DedupSpec extends SparkSpec {
     lsh shouldBe exact
   }
 
+  test("pairRecallReport counts hits/misses and floors the ppm") {
+    val truth = Seq((1L, 2L), (1L, 4L), (2L, 4L)).toDF("id_a", "id_b")
+    val found = Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b")
+    val r = Dedup.pairRecallReport(truth, found).collect().head
+    r.getAs[Long]("n_true") shouldBe 3L
+    r.getAs[Long]("n_found") shouldBe 2L
+    r.getAs[Long]("n_hit") shouldBe 2L
+    r.getAs[Long]("n_missed") shouldBe 1L
+    r.getAs[Long]("recall_ppm") shouldBe 666666L // floor(2e6/3)
+  }
+
+  test("pairRecallReport collapses duplicate pair rows; empty truth = 1e6") {
+    val truth = Seq((1L, 2L), (1L, 2L)).toDF("id_a", "id_b")
+    val found = Seq((1L, 2L), (1L, 2L), (1L, 2L)).toDF("id_a", "id_b")
+    val r = Dedup.pairRecallReport(truth, found).collect().head
+    r.getAs[Long]("n_true") shouldBe 1L
+    r.getAs[Long]("n_found") shouldBe 1L
+    r.getAs[Long]("recall_ppm") shouldBe 1000000L
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val e = Dedup.pairRecallReport(empty, found).collect().head
+    e.getAs[Long]("n_true") shouldBe 0L
+    e.getAs[Long]("recall_ppm") shouldBe 1000000L // nothing to miss
+  }
+
+  test("lshRecallReport: full-band config recalls all true pairs here") {
+    val r = Dedup
+      .lshRecallReport(df, "doc_id", "text", n = 3, bands = 4, threshold = 0.5)
+      .collect()
+      .head
+    r.getAs[Long]("n_true") should be > 0L
+    r.getAs[Long]("n_missed") shouldBe 0L
+    r.getAs[Long]("recall_ppm") shouldBe 1000000L
+  }
+
   test("prefix-filter jaccard join is LOSSLESS vs the naive all-pairs join") {
     // naive truth: every unblocked pair with jaccard >= t, computed directly
     // from the hashed shingle sets (the oracle the prefix filter must match)
