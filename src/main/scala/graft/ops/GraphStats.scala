@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Structural audit of a link graph BEFORE running the iterative scorers
+  * ([[PageRank]], [[Hits]], [[Bfs]]): the in/out-degree distribution — is
+  * it power-law shaped, how heavy is the hub tail (the skew the salted
+  * joins must absorb), how many sinks (dangling mass for PageRank) and
+  * sources (nodes nothing links to). Crawl pipelines read this histogram
+  * to pick frontier caps and skew strategies; the same audit role P94's
+  * length histogram plays for token counts.
+  *
+  * Bucket = number of binary digits of the degree (`length(bin(d))` —
+  * EXACT integer log2+1, no float log; the [[CorpusStats.lengthHistogram]]
+  * trick), so bucket k holds degrees 2^(k−1) ≤ d < 2^k and bucket 1
+  * additionally holds the degree-0 nodes (sinks on the `out` side,
+  * sources on the `in` side). Output: one row per (direction, bucket) —
+  * `direction ∈ {out, in}`, `n_nodes`, `total_degree`, `min_degree`,
+  * `max_degree` — all exact integers, hash-gateable.
+  *
+  * Scale posture: one edge-sized shuffle per direction for the degree
+  * aggregation (partial-agg'd: a billion-link hub arrives as one row per
+  * map partition), one distinct for the node set, a node-sized left join
+  * to surface degree-0 nodes, and a ≤128-row bucket aggregate. Nothing
+  * retained beyond node-sized intermediates.
+  */
+object GraphStats {
+
+  def degreeReport(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = Par.cached(
+      Par.fan(edges).select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
+    val nodes = Par.cached(
+      e.select(col("__src").as("node"))
+        .union(e.select(col("__dst").as("node")))
+        .distinct())
+
+    def side(endpoint: String, direction: String): DataFrame = {
+      val deg = e
+        .groupBy(col(endpoint).as("node"))
+        .agg(count(lit(1)).as("__d"))
+      nodes
+        .join(deg, Seq("node"), "left")
+        .select(
+          lit(direction).as("direction"),
+          coalesce(col("__d"), lit(0L)).cast(LongType).as("__d"))
+    }
+
+    side("__src", "out")
+      .union(side("__dst", "in"))
+      .groupBy(
+        col("direction"),
+        length(bin(col("__d"))).cast(IntegerType).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("__d")).as("total_degree"),
+        min(col("__d")).as("min_degree"),
+        max(col("__d")).as("max_degree"))
+  }
+}

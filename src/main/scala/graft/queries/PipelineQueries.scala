@@ -1161,6 +1161,24 @@ object PipelineQueries {
         e1.union(e2).union(e3), "src", "dst", iters = 5)
     },
 
+    // ----- degree-distribution audit (NEW r11) of the same link graph:
+    // the structural pre-flight before PageRank/HITS/BFS — power-of-two
+    // in/out-degree histogram incl. degree-0 sinks/sources (the dangling
+    // set u_pagerank_dangling redistributes; the hub tail the salted
+    // joins absorb). Exact integer buckets via length(bin(d)) -----
+    "u_degree_dist" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e1 = docs.select(
+        col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
+      val e2 = docs.select(
+        col("doc_id").as("src"), ((col("doc_id") * 13 + 5) % n).as("dst"))
+      val e3 = docs.filter(col("doc_id") % 5 === 0).select(
+        col("doc_id").as("src"), (col("doc_id") % 37).as("dst"))
+      graft.ops.GraphStats.degreeReport(
+        e1.union(e2).union(e3), "src", "dst")
+    },
+
     // ----- textbook PageRank with dangling-mass redistribution (NEW r10,
     // the r9 verdict's optional item 7): docs divisible by 3 emit NO
     // out-links but are linked to, so a third of the graph is dangling —
@@ -4123,6 +4141,32 @@ object PipelineQueries {
         |  UNION ALL SELECT doc_id, doc_id % 37 FROM documents
         |  WHERE doc_id % 5 = 0""".stripMargin,
       iters = 5),
+    "u_degree_dist" ->
+      """WITH e AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    (doc_id * 13 + 5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, doc_id % 37 FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        |  FROM e GROUP BY src),
+        |idg AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS d
+        |  FROM e GROUP BY dst),
+        |sides AS (
+        |  SELECT 'out' AS direction, coalesce(od.d, 0) AS d
+        |  FROM nodes LEFT JOIN od ON nodes.node = od.node
+        |  UNION ALL
+        |  SELECT 'in', coalesce(idg.d, 0)
+        |  FROM nodes LEFT JOIN idg ON nodes.node = idg.node)
+        |SELECT direction, CAST(length(bin(d)) AS INT) AS bucket,
+        |  count(*) AS n_nodes, CAST(sum(d) AS BIGINT) AS total_degree,
+        |  min(d) AS min_degree, max(d) AS max_degree
+        |FROM sides GROUP BY 1, 2""".stripMargin,
     // crawl-scope replay: the u_link_authority extraction CTEs feed a
     // DISTINCT domain edge list; depth-bounded recursive walk from the
     // three seed domains; docs join their own domain's min depth

@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class GraphStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def report(edges: Seq[(Long, Long)], parts: Int = 1) =
+    GraphStats
+      .degreeReport(
+        edges.toDF("src", "dst").repartition(parts), "src", "dst")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+
+  test("hand-checked buckets; degree-0 sinks and sources land in bucket 1") {
+    // 1 -> 2, 1 -> 3, 2 -> 3: node 3 is a sink (out-deg 0), node 1 a
+    // source (in-deg 0); out-degrees {1:2, 2:1, 3:0}, in mirrored
+    val out = report(Seq(1L -> 2L, 1L -> 3L, 2L -> 3L))
+    out(("out", 2)) shouldBe ((1L, 2L, 2L, 2L)) // node 1: degree 2
+    out(("out", 1)) shouldBe ((2L, 1L, 0L, 1L)) // nodes 2 (1) and 3 (0)
+    out(("in", 2)) shouldBe ((1L, 2L, 2L, 2L))  // node 3
+    out(("in", 1)) shouldBe ((2L, 1L, 0L, 1L))  // nodes 1 (0) and 2 (1)
+  }
+
+  test("multi-edges count with multiplicity; totals equal the edge count") {
+    val edges = Seq(1L -> 2L, 1L -> 2L, 1L -> 2L, 1L -> 2L) // bin(4) = 100
+    val out = report(edges)
+    out(("out", 3)) shouldBe ((1L, 4L, 4L, 4L))
+    val totalOut = out.collect { case (("out", _), (_, t, _, _)) => t }.sum
+    val totalIn = out.collect { case (("in", _), (_, t, _, _)) => t }.sum
+    totalOut shouldBe edges.size.toLong
+    totalIn shouldBe edges.size.toLong
+  }
+
+  test("deterministic across partitionings") {
+    val edges = (0L until 300L).flatMap { i =>
+      Seq(i -> ((i * 7 + 3) % 300), i -> (i % 17))
+    }
+    report(edges, parts = 1) shouldBe report(edges, parts = 13)
+  }
+}
