@@ -863,6 +863,34 @@ object PipelineQueries {
         k = 200)
     },
 
+    // ----- rank-aware retrieval eval (NEW r11): MRR / integer-AP / hit@k
+    // of a ranked run vs binary qrels — WHERE the relevant docs rank, not
+    // just whether they appear (P80 recall@k). Fixture: 20 query buckets
+    // (doc_id % 20), run = per-bucket hash-scored ranking truncated at
+    // k=10, qrels = every hash-5th doc — so some relevants rank high,
+    // some low, some miss the cutoff entirely and every metric is
+    // non-trivial -----
+    "t_rank_eval" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val qrels = docs
+        .filter(
+          TextFunctions.hash61(
+            concat(lit("rel:"), col("doc_id").cast(StringType))) % 5 === 0)
+        .select((col("doc_id") % 20).as("query_id"), col("doc_id").as("d"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("__s").desc, col("d"))
+      val run = docs
+        .select(
+          (col("doc_id") % 20).as("query_id"),
+          col("doc_id").as("d"),
+          TextFunctions.hash61(
+            concat(lit("score:"), col("doc_id").cast(StringType))).as("__s"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .drop("__s")
+      graft.ops.RankEval.perQuery(
+        run, qrels, "query_id", "d", "rank", k = 10)
+    },
+
     // ----- simhash signatures -----
     "p_simhash" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -3928,6 +3956,41 @@ object PipelineQueries {
          |      AS rank
          |  FROM agg)
          |SELECT doc_id, n_hits, score, rank FROM r WHERE rank <= 200""".stripMargin
+    },
+    // rank-eval replay: identical hash-derived qrels/run fixture, then the
+    // documented integer metric contract (per-term-floored AP, floor MRR)
+    "t_rank_eval" -> {
+      val rel = hash61Sql("'rel:' || CAST(doc_id AS VARCHAR)")
+      val sc = hash61Sql("'score:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH rels AS (
+         |  SELECT doc_id % 20 AS query_id, doc_id AS d FROM documents
+         |  WHERE $rel % 5 = 0),
+         |nrel AS (
+         |  SELECT query_id, count(*) AS n_rel FROM rels GROUP BY query_id),
+         |run AS (
+         |  SELECT query_id, d,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, d) AS r
+         |  FROM (SELECT doc_id % 20 AS query_id, doc_id AS d, $sc AS s
+         |        FROM documents)),
+         |hits AS (
+         |  SELECT run.query_id, run.r FROM run
+         |  JOIN rels ON run.query_id = rels.query_id AND run.d = rels.d
+         |  WHERE run.r <= 10),
+         |j AS (
+         |  SELECT query_id, r,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY r) AS j
+         |  FROM hits),
+         |per AS (
+         |  SELECT query_id, count(*) AS n_hits_at_k, min(r) AS first,
+         |    sum((1000000 * j) // r) AS apnum
+         |  FROM j GROUP BY query_id)
+         |SELECT nrel.query_id, n_rel,
+         |  CAST(coalesce(n_hits_at_k, 0) AS BIGINT) AS n_hits_at_k,
+         |  CAST(coalesce(first, 0) AS BIGINT) AS first_rank,
+         |  CAST(CASE WHEN first IS NULL THEN 0
+         |       ELSE 1000000 // first END AS BIGINT) AS rr_ppm,
+         |  CAST(coalesce(apnum, 0) // n_rel AS BIGINT) AS ap_ppm
+         |FROM nrel LEFT JOIN per ON nrel.query_id = per.query_id""".stripMargin
     },
     "p_simhash" -> {
       s"""WITH h AS (

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.StructType
 
 import graft.http.{HttpLookup, HttpSink}
-import graft.ops.{AnnEval, AsOfJoin, Bfs, BloomJoin, Bm25, Chunking, ConnectedComponents, CountMin, Dedup, HeavyHitters, Multimodal, Packing, Pca, Quantize, Sampling, Similarity, TfIdf, Unigram, Urls, Vocab, ZOrder}
+import graft.ops.{AnnEval, AsOfJoin, Bfs, BloomJoin, Bm25, Chunking, ConnectedComponents, CountMin, Dedup, HeavyHitters, Multimodal, Packing, Pca, Quantize, RankEval, Sampling, Similarity, TfIdf, Unigram, Urls, Vocab, ZOrder}
 
 /** Fluent entry points: `import graft.syntax._` and every operator hangs off
   * DataFrame — the one-line switch path for users of the reference connector
@@ -329,6 +329,17 @@ object syntax {
         queryCol: String,
         neighborCol: String): DataFrame =
       AnnEval.recallAtK(df, truth, queryCol, neighborCol)
+
+    /** Rank-aware eval of this ranked run against binary qrels
+      * ([[RankEval.perQuery]]: MRR / integer-AP / hit@k).
+      */
+    def rankEvalAgainst(
+        qrels: DataFrame,
+        queryCol: String,
+        docCol: String,
+        rankCol: String,
+        k: Int): DataFrame =
+      RankEval.perQuery(df, qrels, queryCol, docCol, rankCol, k)
 
     /** Recall audit of this corpus's banded-MinHash config against the
       * lossless exact-Jaccard truth ([[Dedup.lshRecallReport]]).
