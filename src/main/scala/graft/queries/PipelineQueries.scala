@@ -1189,6 +1189,27 @@ object PipelineQueries {
         e1.union(e2).union(e3), "src", "dst", iters = 5)
     },
 
+    // ----- TrustRank / personalized PageRank (NEW r11): teleportation
+    // returns mass ONLY to a trusted seed set (every 50th doc), so rank
+    // measures link-proximity to trust — the spam-damping signal plain
+    // PageRank lacks (link farms inflate global in-link mass but sit far
+    // from seeds). Unreachable nodes get rank 0. Integer-exact -----
+    "u_trustrank" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e1 = docs.select(
+        col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
+      val e2 = docs.select(
+        col("doc_id").as("src"), ((col("doc_id") * 13 + 5) % n).as("dst"))
+      val e3 = docs.filter(col("doc_id") % 5 === 0).select(
+        col("doc_id").as("src"), (col("doc_id") % 37).as("dst"))
+      val seeds = docs
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("node"))
+      graft.ops.PageRank.personalizedRanks(
+        e1.union(e2).union(e3), "src", "dst", seeds, "node", iters = 5)
+    },
+
     // ----- degree-distribution audit (NEW r11) of the same link graph:
     // the structural pre-flight before PageRank/HITS/BFS — power-of-two
     // in/out-degree histogram incl. degree-0 sinks/sources (the dangling
@@ -2960,6 +2981,48 @@ object PipelineQueries {
        |SELECT node, rank FROM r$iters""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.ops.PageRank.personalizedRanks]] (TrustRank):
+    * the [[pagerankSql]] chain with the teleport term and initial mass
+    * restricted to the seed predicate — exact integer arithmetic, no
+    * dangling redistribution (the simplified variant).
+    */
+  private def trustrankSql(
+      edgesSelect: String,
+      seedPred: String,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      dn: Int = 85,
+      dd: Int = 100): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |    sum((r.rank * $dn) // ($dd * deg.d)) AS inr
+         |  FROM e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg ON e.src = deg.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT nodes.node,
+         |    CAST(CASE WHEN nodes.is_seed = 1
+         |      THEN ($scale * ${dd - dn}) // ($dd * (SELECT ns FROM sn))
+         |      ELSE 0 END + coalesce(c$i.inr, 0) AS BIGINT) AS rank
+         |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  $edgesSelect),
+       |nodes AS (
+       |  SELECT node, CASE WHEN $seedPred THEN 1 ELSE 0 END AS is_seed
+       |  FROM (SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e))),
+       |sn AS (SELECT CAST(sum(is_seed) AS BIGINT) AS ns FROM nodes),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+       |r0 AS (
+       |  SELECT node, CASE WHEN is_seed = 1
+       |    THEN $scale // (SELECT ns FROM sn) ELSE 0 END AS rank
+       |  FROM nodes),
+       |$iterCtes
+       |SELECT node, rank FROM r$iters""".stripMargin
+  }
+
   /** DuckDB replay of [[graft.ops.Hits.ranks]]: per iteration one
     * authority half-step (sum hub scores over in-edges, floor-div rescale
     * by `max(1, ⌊max/scale⌋)`) and one hub half-step (sum authority
@@ -4203,6 +4266,17 @@ object PipelineQueries {
         |  FROM documents
         |  UNION ALL SELECT doc_id, doc_id % 37 FROM documents
         |  WHERE doc_id % 5 = 0""".stripMargin,
+      iters = 5),
+    "u_trustrank" -> trustrankSql(
+      """SELECT doc_id AS src,
+        |    (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    (doc_id * 13 + 5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, doc_id % 37 FROM documents
+        |  WHERE doc_id % 5 = 0""".stripMargin,
+      seedPred = "node % 50 = 0",
       iters = 5),
     "u_degree_dist" ->
       """WITH e AS (

@@ -78,4 +78,50 @@ class PageRankSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       PageRank.ranks(df, "src", "dst", iters = 3, dampNum = 100, dampDen = 100)
   }
+
+  private def runP(
+      edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int = 5,
+      parts: Int = 1) =
+    PageRank
+      .personalizedRanks(
+        edges.toDF("src", "dst").repartition(parts),
+        "src", "dst", seeds.toDF("node"), "node", iters)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+  test("trustrank: nodes unreachable from the seed set get rank 0") {
+    // 0 -> 1 -> 2 is the trusted chain; 3 -> 4 is a disconnected farm
+    // that plain PageRank would still pay teleport mass
+    val out = runP(Seq(0L -> 1L, 1L -> 2L, 3L -> 4L), seeds = Seq(0L))
+    out(0L) should be > 0L
+    out(1L) should be > 0L
+    out(2L) should be > 0L
+    out(3L) shouldBe 0L
+    out(4L) shouldBe 0L
+    PageRank.ranks(
+      Seq(0L -> 1L, 1L -> 2L, 3L -> 4L).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .apply(4L) should be > 0L // the contrast: global PR trusts the farm
+  }
+
+  test("trustrank with ALL nodes as seeds equals plain PageRank") {
+    val edges = (0L until 100L).flatMap { i =>
+      Seq(i -> ((i * 7 + 3) % 100), i -> ((i * 13 + 5) % 100))
+    }
+    runP(edges, seeds = (0L until 100L)) shouldBe run(edges)
+  }
+
+  test("trustrank is exact across partitionings") {
+    val edges = (0L until 150L).flatMap { i =>
+      Seq(i -> ((i * 7 + 3) % 150), i -> ((i * 13 + 5) % 150))
+    }
+    val seeds = (0L until 150L by 30L).toSeq
+    runP(edges, seeds, parts = 1) shouldBe runP(edges, seeds, parts = 11)
+  }
+
+  test("trustrank rejects a seed set disjoint from the graph") {
+    an[IllegalArgumentException] should be thrownBy
+      runP(Seq(1L -> 2L), seeds = Seq(99L))
+  }
 }
