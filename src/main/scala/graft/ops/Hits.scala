@@ -91,5 +91,7 @@ object Hits {
     }
     h.join(a, Seq("node"))
       .select(col("node"), col("__h").as("hub"), col("__a").as("authority"))
+      .localCheckpoint() // the PageRank last-iteration cut: callers chain
+                         // on a flat node-sized RDD, not the iteration tree
   }
 }

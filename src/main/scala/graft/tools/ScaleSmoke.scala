@@ -589,6 +589,77 @@ object ScaleSmoke {
         }))
     }
 
+    // HITS (P121) and TrustRank (P125) at the smoke scale: the same
+    // fanned link graph as u_pagerank. HITS pays two half-steps (edge
+    // join + dest partial-agg) per iteration — double PageRank's shuffle
+    // bill, same integer-exact determinism contract. TrustRank = the
+    // PageRank plan with seed-gated teleport; seeds = every 50th node.
+    // Invariants per op: one row per node, flat checkpointed lineage,
+    // bit-identical results under an adversarial repartitioning (plus,
+    // for TrustRank, rank 0 exactly on the seed-unreachable set).
+    locally {
+      val n = nDocs
+      def edgesOf(d: DataFrame): DataFrame = {
+        val e1 = d.select(
+          col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
+        val e2 = d.select(
+          col("doc_id").as("src"), ((col("doc_id") * 13 + 5) % n).as("dst"))
+        val e3 = d.filter(col("doc_id") % 5 === 0).select(
+          col("doc_id").as("src"), (col("doc_id") % 37).as("dst"))
+        e1.union(e2).union(e3)
+      }
+      val ids = docs.select(col("doc_id"))
+      measure(Step(
+        s"u_hits(${copies}x graph, 5 iters)",
+        () => graft.ops.Hits.ranks(edgesOf(ids), "src", "dst", iters = 5),
+        ceilingGB = 4.0,
+        invariant = df => {
+          val rows = df.count()
+          val planLines =
+            df.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+          val a = df.collect()
+            .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toSet
+          graft.ops.Par.releaseCaches()
+          val b = graft.ops.Hits
+            .ranks(edgesOf(ids).repartition(7), "src", "dst", iters = 5)
+            .collect()
+            .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toSet
+          Seq(
+            if (rows == n) None
+            else Some(s"$rows score rows != $n nodes"),
+            if (planLines <= 20) None
+            else Some(s"final plan has $planLines lines — lineage not truncated"),
+            if (a == b) None
+            else Some(s"scores differ across partitionings: sym-diff=" +
+              s"${(a diff b).size + (b diff a).size}")
+          ).flatten
+        }))
+      val seeds = ids.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("node"))
+      measure(Step(
+        s"u_trustrank(${copies}x graph, 5 iters)",
+        () => graft.ops.PageRank.personalizedRanks(
+          edgesOf(ids), "src", "dst", seeds, "node", iters = 5),
+        ceilingGB = 2.0,
+        invariant = df => {
+          val rows = df.count()
+          val a = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          graft.ops.Par.releaseCaches()
+          val b = graft.ops.PageRank
+            .personalizedRanks(
+              edgesOf(ids).repartition(7), "src", "dst", seeds, "node",
+              iters = 5)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          Seq(
+            if (rows == n) None
+            else Some(s"$rows rank rows != $n nodes"),
+            if (a == b) None
+            else Some(s"ranks differ across partitionings: sym-diff=" +
+              s"${(a diff b).size + (b diff a).size}")
+          ).flatten
+        }))
+    }
+
     // Star-contraction connected components (NEW r10) at the smoke corpus
     // scale: nDocs nodes in chains of 1000 — the HIGH-DIAMETER case where
     // min-label propagation would need 1000 edge-shuffles and the
