@@ -253,6 +253,70 @@ object PipelineQueries {
             w => w =!= "")).as(Seq("word_idx", "w")))
       .filter(length(col("w")) <= UnigramMaxWordLen)
 
+  /** Greedy WordPiece segmentation as unrolled DuckDB CTEs: expects the
+    * `words` CTE upstream, emits `wseg(w, path)` — per distinct word the
+    * longest-match-first piece path (chr(31)-delimited) or the single
+    * `[UNK]` on any dead-end position (the all-or-nothing BERT contract).
+    * One stage per emitted token (a piece advances ≥1 codepoint, so
+    * [[UnigramMaxWordLen]] stages suffice); per stage one constant-length
+    * equi-join branch per piece length picks candidates, `row_number`
+    * ORDER BY length DESC takes the greedy winner, and an anti-join
+    * collects the dead-ends. Generated from [[graft.ops.WordPiece]]'s
+    * frozen constants so SQL and Scala cannot drift.
+    */
+  private def wordpieceGreedyCtes: String = {
+    val vocab = graft.ops.WordPiece.Frozen
+    val maxPiece = graft.ops.WordPiece.MaxPieceLen
+    def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+    val rows = vocab.map { p =>
+      val cont = if (p.startsWith(graft.ops.WordPiece.ContPrefix)) 1 else 0
+      val body = if (cont == 1) p.substring(2) else p
+      s"(${sqlLit(p)}, ${sqlLit(body)}, $cont, " +
+        s"${body.codePointCount(0, body.length)})"
+    }.mkString(", ")
+    val sb = new StringBuilder
+    sb.append(
+      s"wpvocab(piece, body, cont, blen) AS MATERIALIZED (VALUES $rows),\n")
+    sb.append("wdw AS MATERIALIZED (SELECT DISTINCT w FROM words),\n")
+    sb.append(
+      "g0 AS MATERIALIZED (SELECT w, 1 AS pos, '' AS path FROM wdw),\n")
+    for (t <- 1 to UnigramMaxWordLen) {
+      val branches = (1 to maxPiece).map { l =>
+        s"""SELECT g.w, g.pos + $l AS pos,
+           |    g.path || chr(31) || v.piece AS path, $l AS blen
+           |  FROM g${t - 1} g JOIN wpvocab v
+           |    ON v.blen = $l
+           |   AND v.cont = CASE WHEN g.pos > 1 THEN 1 ELSE 0 END
+           |   AND v.body = substr(g.w, g.pos, $l)
+           |  WHERE g.pos + $l - 1 <= length(g.w)""".stripMargin
+      }
+      sb.append(
+        s"c$t AS MATERIALIZED (${branches.mkString("\n  UNION ALL\n  ")}),\n")
+      sb.append(
+        s"g$t AS MATERIALIZED (SELECT w, pos, path FROM (SELECT *, " +
+          "row_number() OVER (PARTITION BY w ORDER BY blen DESC) AS rn " +
+          s"FROM c$t) WHERE rn = 1),\n")
+      sb.append(
+        s"f$t AS MATERIALIZED (SELECT g.w FROM g${t - 1} g " +
+          "WHERE g.pos <= length(g.w) " +
+          s"AND g.w NOT IN (SELECT w FROM c$t)),\n")
+      sb.append(
+        s"d$t AS MATERIALIZED (SELECT w, path FROM g$t " +
+          "WHERE pos > length(w)),\n")
+    }
+    sb.append("wseg AS (" +
+      (1 to UnigramMaxWordLen)
+        .map(t => s"SELECT w, path FROM d$t")
+        .mkString(" UNION ALL ") +
+      " UNION ALL " +
+      (1 to UnigramMaxWordLen)
+        .map(t =>
+          s"SELECT w, chr(31) || '[UNK]' AS path FROM f$t")
+        .mkString(" UNION ALL ") +
+      ")")
+    sb.toString
+  }
+
   // ----- adversarial fuzz corpora (NEW r11) -------------------------------
   // The Java-regex vs RE2 shared-subset discipline (stripHtml, sentences)
   // is a structural correctness bet: both engines run the SAME pattern
@@ -2421,6 +2485,30 @@ object PipelineQueries {
             graft.ops.Unigram.wordPieces(col("w"), graft.ops.Unigram.Frozen))
             .as(Seq("piece_idx", "piece")))
     },
+
+    // ----- WordPiece greedy encode (NEW r11): the third production
+    // subword family (BERT longest-match-first, ## continuations,
+    // all-or-nothing [UNK]) next to BPE merges and unigram Viterbi —
+    // frozen a-z+planted-pieces vocab. The corpus words are pure alpha,
+    // so one digit-bearing word per doc (word_idx -1, 'x'||doc_id) is
+    // injected on BOTH sides: its head matches but the first digit
+    // dead-ends, pinning the all-or-nothing [UNK] path hash-exact -----
+    "t_wordpiece" -> { (s, dir) =>
+      val extra = t(s, dir, "documents").select(
+        col("doc_id"),
+        lit(-1).cast(IntegerType).as("word_idx"),
+        concat(lit("x"), col("doc_id").cast(StringType)).as("w"))
+      unigramWordsDf(s, dir)
+        .select(col("doc_id"), col("word_idx"), col("w"))
+        .union(extra)
+        .select(
+          col("doc_id"),
+          col("word_idx"),
+          posexplode(
+            graft.ops.WordPiece.wordPieces(
+              col("w"), graft.ops.WordPiece.Frozen))
+            .as(Seq("piece_idx", "piece")))
+    },
     "t_unigram_fertility" -> { (s, dir) =>
       val bpeLen = udf { (w: String) =>
         if (w == null) 0
@@ -3605,6 +3693,28 @@ object PipelineQueries {
          |  CAST(unnest(range(0, len(pieces))) AS INT) AS piece_idx,
          |  unnest(pieces) AS piece
          |FROM ps""".stripMargin,
+    "t_wordpiece" -> {
+      val wordsCtes = unigramWordsCtes.replace(
+        "words AS MATERIALIZED (",
+        "wbase AS MATERIALIZED (")
+      s"""WITH $wordsCtes,
+         |words AS MATERIALIZED (
+         |  SELECT doc_id, word_idx, w FROM wbase
+         |  UNION ALL
+         |  SELECT doc_id, CAST(-1 AS INT) AS word_idx,
+         |    'x' || CAST(doc_id AS VARCHAR) AS w
+         |  FROM documents),
+         |$wordpieceGreedyCtes,
+         |ps AS (
+         |  SELECT wo.doc_id, wo.word_idx,
+         |    list_filter(string_split(u.path, chr(31)), x -> x <> '')
+         |      AS pieces
+         |  FROM words wo JOIN wseg u ON wo.w = u.w)
+         |SELECT doc_id, word_idx,
+         |  CAST(unnest(range(0, len(pieces))) AS INT) AS piece_idx,
+         |  unnest(pieces) AS piece
+         |FROM ps""".stripMargin
+    },
     "t_unigram_fertility" -> {
       val S = "\u001e"
       def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.StructType
 
 import graft.http.{HttpLookup, HttpSink}
-import graft.ops.{AnnEval, AsOfJoin, Bfs, BloomJoin, Bm25, Chunking, ConnectedComponents, CountMin, Dedup, HeavyHitters, Multimodal, Packing, Pca, Quantize, RankEval, Sampling, Similarity, TfIdf, Unigram, Urls, Vocab, ZOrder}
+import graft.ops.{AnnEval, AsOfJoin, Bfs, BloomJoin, Bm25, Chunking, ConnectedComponents, CountMin, Dedup, HeavyHitters, Multimodal, Packing, Pca, Quantize, RankEval, Sampling, Similarity, TfIdf, Unigram, Urls, WordPiece, Vocab, ZOrder}
 
 /** Fluent entry points: `import graft.syntax._` and every operator hangs off
   * DataFrame — the one-line switch path for users of the reference connector
@@ -411,6 +411,11 @@ object syntax {
       Packing.interleaveBySource(df, idCol, sourceCol, seed)
 
     /** Unigram-LM (SentencePiece-style) tokens for a frozen vocabulary. */
+    def wordpieceTokens(
+        textCol: Column,
+        vocab: Seq[String] = WordPiece.Frozen): Column =
+      WordPiece.tokens(textCol, vocab)
+
     def unigramTokens(
         textCol: Column,
         vocab: Seq[(String, Int)]): Column =
