@@ -16,6 +16,25 @@ import org.apache.spark.storage.StorageLevel
   */
 object Par {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n`,
+    * restoring the session value after. Stateful streaming queries carve
+    * one state store PER shuffle partition PER stateful operator side at
+    * the checkpoint's first batch; a fixed-size gate fixture under the
+    * session's 32 partitions pays 32-64 state-store provider
+    * init/commit/maintenance cycles for a handful of rows each — pure
+    * fixed overhead (measured: q_stream_outer_join 11.2s -> 4.5s median
+    * at 8). At production scale the right number is load-sized and set
+    * the same way — it is pinned INTO the checkpoint at creation. Gates
+    * run sequentially in Verify/Bench, so the scoped set cannot race.
+    */
+  def withShufflePartitions[A](
+      spark: org.apache.spark.sql.SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Fan a low-parallelism scan out to the session's default parallelism.
     * No-op (and no added shuffle) when the input already has at least
     * `defaultParallelism` partitions — i.e. on any at-scale dataset.

@@ -31,6 +31,11 @@ object AnalyticsQueries {
   private def events(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
 
+  // stateful streaming gates scope their state-store count to the fixture
+  // size (see Par.withShufflePartitions scaladoc)
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A =
+    graft.ops.Par.withShufflePartitions(s, n)(body)
+
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
   /** Exact decimal sum, rounded AT DECIMAL precision and only then cast to
@@ -284,7 +289,7 @@ object AnalyticsQueries {
     // driver's DuckDB compare then gates streaming semantics itself.
     // countDistinct is unsupported on streams, so this twin carries the
     // count + exact-decimal sum columns only.
-    "q_stream_events_hourly" -> { (s, dir) =>
+    "q_stream_events_hourly" -> { (s, dir) => withShufflePartitions(s, 8) {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val agg = s.readStream
         .schema(schema)
@@ -308,7 +313,7 @@ object AnalyticsQueries {
         .start()
       q.awaitTermination()
       s.table(sinkName)
-    },
+    }},
 
     // ----- watermarked streaming dedup (NEW r10): the exactly-once event
     // dedup every ingest pipeline runs — at-least-once delivery simulated
@@ -317,7 +322,7 @@ object AnalyticsQueries {
     // (bounded state: ids older than the watermark are evicted, which the
     // unbounded `dropDuplicates` cannot do on an infinite stream). Append
     // mode; oracle = the distinct events -----
-    "q_stream_dedup_watermark" -> { (s, dir) =>
+    "q_stream_dedup_watermark" -> { (s, dir) => withShufflePartitions(s, 8) {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       def leg = s.readStream
         .schema(schema)
@@ -340,7 +345,7 @@ object AnalyticsQueries {
         .start()
       q.awaitTermination()
       s.table(sinkName)
-    },
+    }},
 
     // ----- checkpoint RESTART (NEW r11): exactly-once ACROSS a stop — the
     // property Flink's checkpointed operators actually guarantee, and the
@@ -355,7 +360,7 @@ object AnalyticsQueries {
     // redelivered id. Output = each event exactly once, gated hash-exact
     // against the plain batch table; a lost state store, a replayed file,
     // or a broken sink commit log all duplicate rows and fail the hash. --
-    "q_stream_restart" -> { (s, dir) =>
+    "q_stream_restart" -> { (s, dir) => withShufflePartitions(s, 8) {
       val ev = events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
       val root = java.nio.file.Files
@@ -398,7 +403,7 @@ object AnalyticsQueries {
         .select(
           col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("ts_us"))
-    },
+    }},
 
     // ----- stream-stream LEFT OUTER interval join (NEW r11): the last
     // stream-stream join surface after the inner interval join (Q24) —
@@ -420,7 +425,7 @@ object AnalyticsQueries {
     // left scan and eats the sentinel before the watermark sees it
     // (watermark stuck, zero outer rows — the measured failure mode).
     // Oracle = the plain batch LEFT JOIN.
-    "q_stream_outer_join" -> { (s, dir) =>
+    "q_stream_outer_join" -> { (s, dir) => withShufflePartitions(s, 8) {
       val ev = events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
       val root = java.nio.file.Files
@@ -483,7 +488,7 @@ object AnalyticsQueries {
       q.awaitTermination()
       // sentinel removal HERE, not in the streaming plan (see above)
       s.read.parquet(outDir).filter(col("signup_id") > -1)
-    },
+    }},
 
     // ----- stream-static enrichment join (NEW r10): the remaining core
     // Structured Streaming join surface — an event stream joined to a

@@ -99,6 +99,7 @@ object ExtendedQueries {
     // Inner stream-stream joins are legal without watermarks (unbounded
     // state); the bounded AvailableNow run emits the complete result.
     "q_stream_range_join" -> { (s, dir) =>
+      graft.ops.Par.withShufflePartitions(s, 8) {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       def stream = s.readStream
         .schema(schema)
@@ -128,7 +129,7 @@ object ExtendedQueries {
         .start()
       q.awaitTermination()
       s.table(sinkName)
-    },
+    }},
 
     // ----- ordered funnel (signup → view → purchase): per-user earliest
     // qualifying timestamp per stage, each stage strictly after the

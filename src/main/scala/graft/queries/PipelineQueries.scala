@@ -2606,6 +2606,7 @@ object PipelineQueries {
     // mode, AvailableNow) — the q_stream_events_hourly pattern applied to
     // the dedup family, gated by the batch relational oracle
     "p_stream_exact_dedup" -> { (s, dir) =>
+      graft.ops.Par.withShufflePartitions(s, 8) {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val agg = s.readStream
         .schema(schema)
@@ -2623,7 +2624,7 @@ object PipelineQueries {
         .start()
       q.awaitTermination()
       s.table(sinkName)
-    },
+    }},
 
     "t_line_filter" -> { (s, dir) =>
       val d = col("doc_id")
