@@ -98,6 +98,71 @@ object Packing {
         md5(array_join(array_sort(collect_list(col("__sm_id"))), ","))
           .as("content_md5"))
 
+  /** Rendezvous (highest-random-weight) assignment: each row goes to the
+    * worker maximizing `hash61(id || '|' || worker)` — the minimal-movement
+    * sharding for INCREMENTAL pipelines: adding or removing one worker
+    * moves only ~1/|workers| of the corpus (provably only the rows whose
+    * new worker IS the added one), where `id % k` reshuffles nearly
+    * everything on k→k+1. The standard assignment scheme for sticky
+    * shard→executor maps, per-host fetch slots, and cache affinity
+    * (Thaler & Ravishankar 1998; what Ceph/consistent-hash rings buy with
+    * more machinery).
+    *
+    * Deterministic and engine-replayable: the winner is the total-order
+    * argmax by (score desc, worker desc) — hash ties (~2⁻⁶⁰) break
+    * lexicographically. Entirely map-side: |workers| hash evaluations per
+    * row, no shuffle, no state.
+    */
+  def rendezvousAssign(
+      df: DataFrame,
+      idCol: String,
+      workers: Seq[String],
+      outCol: String = "worker"): DataFrame = {
+    require(workers.nonEmpty, "need at least one worker")
+    require(workers.distinct.size == workers.size, "workers must be unique")
+    df.withColumn(outCol, rendezvousWinner(col(idCol), workers))
+  }
+
+  private def rendezvousWinner(id: Column, workers: Seq[String]): Column = {
+    val scored = workers.map { w =>
+      struct(
+        TextFunctions.hash61(
+          concat(id.cast(org.apache.spark.sql.types.StringType),
+            lit("|" + w))).as("s"),
+        lit(w).as("w"))
+    }
+    val top =
+      if (scored.size == 1) scored.head else greatest(scored: _*)
+    top.getField("w")
+  }
+
+  /** Movement audit between two worker sets: one row
+    * (`n_total`, `n_moved`, `moved_ppm`) counting rows whose rendezvous
+    * worker differs under `before` vs `after` — the number that proves
+    * the ~1/k movement bound before a resize ships. Map-side scoring +
+    * one 1-row aggregate.
+    */
+  def rendezvousMoveReport(
+      df: DataFrame,
+      idCol: String,
+      before: Seq[String],
+      after: Seq[String]): DataFrame =
+    Par.fan(df)
+      .select(
+        rendezvousWinner(col(idCol), before).as("__a"),
+        rendezvousWinner(col(idCol), after).as("__b"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        coalesce(sum(when(col("__a") =!= col("__b"), 1L).otherwise(0L)),
+          lit(0L)).as("n_moved"))
+      .select(
+        col("n_total"),
+        col("n_moved"),
+        when(col("n_total") === 0, lit(0L))
+          .otherwise(
+            Sampling.divFloor(col("n_moved") * lit(1000000L), col("n_total")))
+          .as("moved_ppm"))
+
   def balancedShards(
       df: DataFrame,
       idCol: String,

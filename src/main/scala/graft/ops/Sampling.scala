@@ -794,4 +794,78 @@ object Sampling {
         rate.as("rate_per_mille"),
         divFloor(checkedTokens * rate, lit(1000L)).as("planned_tokens"))
   }
+
+  /** Largest-remainder (Hamilton) apportionment: split EXACTLY `total`
+    * integer slots across groups proportional to a weight — shard counts
+    * per source, eval-question quotas per category, per-language sampling
+    * budgets. Floor shares `⌊total·w_g/T⌋` under-allocate by
+    * `total − Σ floors < |groups|` slots; those go to the groups with the
+    * largest remainders `total·w_g mod T` (ties: group ascending) — the
+    * unique allocation with every group within 1 slot of its exact
+    * proportional share and the total landing EXACTLY on `total`
+    * ([[mixturePlan]] plans per-row RATES and cannot promise an exact
+    * total; this is the per-group exact-total complement).
+    *
+    * Output: (`group`, `weight`, `floor_alloc`, `extra`, `n_alloc`) — all
+    * exact integers, `Σ n_alloc = total` whenever `T > 0`.
+    *
+    * Scale posture: one partial-agg'd shuffle to the per-group weight
+    * relation (the only row-count-sized pass), a 1-row total broadcast,
+    * and one window over the GROUP relation (bounded by the group count —
+    * languages/sources/shards, never corpus-sized). Overflow-guarded
+    * loudly: `total·w_g` must fit a long; the weight cap is in-plan
+    * (data-dependent), the total cap a require.
+    */
+  def apportion(
+      df: DataFrame,
+      groupCol: String,
+      weight: Column,
+      total: Long): DataFrame = {
+    require(total >= 0, "total must be non-negative")
+    require(total <= 1000000000000L, "total above 1e12 risks weight overflow")
+    val byGroup = Par.fan(df)
+      .groupBy(col(groupCol))
+      .agg(sum(greatest(weight.cast(LongType), lit(0L))).as("weight"))
+    val weightCap = Long.MaxValue / math.max(1L, total)
+    val w = when(
+      col("weight") > weightCap,
+      raise_error(concat(
+        lit(s"apportion: group weight exceeds overflow-safe cap $weightCap: "),
+        col("weight").cast(StringType))).cast(LongType))
+      .otherwise(col("weight"))
+    val tot = byGroup.agg(sum(col("weight")).as("__t"))
+    val shares = byGroup
+      .crossJoin(broadcast(tot))
+      .select(
+        col(groupCol),
+        col("weight"),
+        col("__t"),
+        when(col("__t") === 0, lit(0L))
+          .otherwise(divFloor(w * lit(total), col("__t")))
+          .as("floor_alloc"),
+        when(col("__t") === 0, lit(0L))
+          .otherwise(w * lit(total) - divFloor(w * lit(total), col("__t")) * col("__t"))
+          .as("__rem"))
+    // T = 0 means no proportionality basis: allocate nothing (documented)
+    val need = shares
+      .agg(
+        when(coalesce(max(col("__t")), lit(0L)) === 0, lit(0L))
+          .otherwise(lit(total) - coalesce(sum(col("floor_alloc")), lit(0L)))
+          .as("__need"))
+    val byRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(groupCol).asc)
+    shares
+      .drop("__t")
+      .crossJoin(broadcast(need))
+      .withColumn("__rank", row_number().over(byRem))
+      .select(
+        col(groupCol),
+        col("weight"),
+        col("floor_alloc"),
+        when(col("__rank") <= col("__need"), lit(1L)).otherwise(lit(0L))
+          .as("extra"),
+        (col("floor_alloc") +
+          when(col("__rank") <= col("__need"), lit(1L)).otherwise(lit(0L)))
+          .as("n_alloc"))
+  }
 }

@@ -927,6 +927,37 @@ object PipelineQueries {
         k = 200)
     },
 
+    // ----- largest-remainder apportionment (NEW r11): split EXACTLY 1000
+    // slots across languages proportional to their char mass — the
+    // per-group exact-total complement to the P75 rate planner (floors
+    // under-allocate; the remainder ranking tops up, Σ n_alloc = 1000) --
+    "t_apportion" -> { (s, dir) =>
+      Sampling.apportion(
+        t(s, dir, "documents")
+          .select(
+            col("lang"),
+            coalesce(length(col("text")), lit(0)).as("w")),
+        "lang", col("w"), total = 1000L)
+    },
+
+    // ----- rendezvous (highest-random-weight) sharding (NEW r11): the
+    // minimal-movement assignment for incremental pipelines — and its
+    // movement audit on a 5->6 worker resize, where ~1/6 of rows move
+    // (id % k would reshuffle nearly everything) -----
+    "t_rendezvous" -> { (s, dir) =>
+      graft.ops.Packing.rendezvousAssign(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id",
+        workers = Seq("w0", "w1", "w2", "w3", "w4"))
+    },
+    "t_rendezvous_moves" -> { (s, dir) =>
+      graft.ops.Packing.rendezvousMoveReport(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id",
+        before = Seq("w0", "w1", "w2", "w3", "w4"),
+        after = Seq("w0", "w1", "w2", "w3", "w4", "w5"))
+    },
+
     // ----- rank-aware retrieval eval (NEW r11): MRR / integer-AP / hit@k
     // of a ranked run vs binary qrels — WHERE the relevant docs rank, not
     // just whether they appear (P80 recall@k). Fixture: 20 query buckets
@@ -4130,6 +4161,67 @@ object PipelineQueries {
          |      AS rank
          |  FROM agg)
          |SELECT doc_id, n_hits, score, rank FROM r WHERE rank <= 200""".stripMargin
+    },
+    // largest-remainder replay: floors + remainder ranking, Σ = total
+    "t_apportion" ->
+      """WITH g AS (
+        |  SELECT lang,
+        |    CAST(sum(greatest(coalesce(length(text), 0), 0)) AS BIGINT)
+        |      AS weight
+        |  FROM documents GROUP BY lang),
+        |tt AS (SELECT CAST(sum(weight) AS BIGINT) AS t FROM g),
+        |sh AS (
+        |  SELECT lang, weight,
+        |    (weight * 1000) // (SELECT t FROM tt) AS floor_alloc,
+        |    (weight * 1000) % (SELECT t FROM tt) AS rem
+        |  FROM g),
+        |nd AS (
+        |  SELECT 1000 - CAST(sum(floor_alloc) AS BIGINT) AS need FROM sh),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+        |  FROM sh)
+        |SELECT lang, weight, CAST(floor_alloc AS BIGINT) AS floor_alloc,
+        |  CAST(CASE WHEN rk <= (SELECT need FROM nd) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS extra,
+        |  CAST(floor_alloc +
+        |    CASE WHEN rk <= (SELECT need FROM nd) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_alloc
+        |FROM r""".stripMargin,
+    // rendezvous replay: per-(doc, worker) hash scores, argmax by
+    // (score DESC, worker DESC) — the op's documented tie order
+    "t_rendezvous" -> {
+      val ws = Seq("w0", "w1", "w2", "w3", "w4")
+        .map(w => s"('$w')").mkString(", ")
+      s"""WITH ws(w) AS (VALUES $ws),
+         |sc AS (
+         |  SELECT doc_id, w,
+         |    ${hash61Sql("CAST(doc_id AS VARCHAR) || '|' || w")} AS s
+         |  FROM documents CROSS JOIN ws)
+         |SELECT doc_id, w AS worker FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY s DESC, w DESC) AS rn
+         |  FROM sc) WHERE rn = 1""".stripMargin
+    },
+    "t_rendezvous_moves" -> {
+      def pick(workers: Seq[String], alias: String): String = {
+        val ws = workers.map(w => s"('$w')").mkString(", ")
+        s"""$alias AS (
+           |  SELECT doc_id, w FROM (
+           |    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY ${hash61Sql("CAST(doc_id AS VARCHAR) || '|' || w")}
+           |        DESC, w DESC) AS rn
+           |    FROM documents CROSS JOIN (VALUES $ws) AS ws(w))
+           |  WHERE rn = 1)""".stripMargin
+      }
+      s"""WITH ${pick(Seq("w0", "w1", "w2", "w3", "w4"), "pa")},
+         |${pick(Seq("w0", "w1", "w2", "w3", "w4", "w5"), "pb")},
+         |j AS (
+         |  SELECT CASE WHEN pa.w <> pb.w THEN 1 ELSE 0 END AS moved
+         |  FROM pa JOIN pb ON pa.doc_id = pb.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(sum(moved) AS BIGINT) AS n_moved,
+         |  CAST((sum(moved) * 1000000) // count(*) AS BIGINT) AS moved_ppm
+         |FROM j""".stripMargin
     },
     // rank-eval replay: identical hash-derived qrels/run fixture, then the
     // documented integer metric contract (per-term-floored AP, floor MRR)

@@ -411,6 +411,19 @@ object syntax {
       Packing.interleaveBySource(df, idCol, sourceCol, seed)
 
     /** Unigram-LM (SentencePiece-style) tokens for a frozen vocabulary. */
+    /** Exact-total largest-remainder slot allocation per group
+      * ([[Sampling.apportion]]).
+      */
+    def apportion(groupCol: String, weight: Column, total: Long): DataFrame =
+      Sampling.apportion(df, groupCol, weight, total)
+
+    /** Minimal-movement rendezvous sharding ([[Packing.rendezvousAssign]]). */
+    def rendezvousAssign(
+        idCol: String,
+        workers: Seq[String],
+        outCol: String = "worker"): DataFrame =
+      Packing.rendezvousAssign(df, idCol, workers, outCol)
+
     def wordpieceTokens(
         textCol: Column,
         vocab: Seq[String] = WordPiece.Frozen): Column =

@@ -1093,6 +1093,70 @@ class SamplingSpec extends SparkSpec {
 class PackingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("apportion: exact total, every group within 1 of proportional") {
+    val df = Seq(("a", 10L), ("b", 25L), ("c", 65L), ("b", 10L))
+      .toDF("g", "w")
+    val out = Sampling.apportion(df, "g", col("w"), total = 10L)
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_alloc"))
+      .toMap
+    // weights a=10, b=35, c=65 of 110: exact shares 0.909/3.18/5.909;
+    // floors 0/3/5 leave 2 extras -> the largest remainders (a .909, c .909,
+    // tie a<c alphabetical both get one... need=2: a and c)
+    out("a") shouldBe 1L
+    out("b") shouldBe 3L
+    out("c") shouldBe 6L
+    out.values.sum shouldBe 10L
+  }
+
+  test("apportion: zero total weight allocates nothing; total=0 works") {
+    val z = Seq(("a", 0L), ("b", 0L)).toDF("g", "w")
+    Sampling.apportion(z, "g", col("w"), 7L)
+      .agg(sum("n_alloc")).collect().head.getLong(0) shouldBe 0L
+    val df = Seq(("a", 5L)).toDF("g", "w")
+    Sampling.apportion(df, "g", col("w"), 0L)
+      .collect().head.getAs[Long]("n_alloc") shouldBe 0L
+  }
+
+  test("apportion rejects an overflow-risk total; clamps negative weights") {
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.apportion(
+        Seq(("a", 1L)).toDF("g", "w"), "g", col("w"), 2000000000000L)
+    val out = Sampling.apportion(
+      Seq(("a", -5L), ("b", 10L)).toDF("g", "w"), "g", col("w"), 4L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_alloc")).toMap
+    out("a") shouldBe 0L
+    out("b") shouldBe 4L
+  }
+
+  test("rendezvous: moved rows move ONLY to the added worker") {
+    val ids = (0L until 2000L).toDF("id")
+    val before = Seq("w0", "w1", "w2", "w3", "w4")
+    val after = before :+ "w5"
+    val a = Packing.rendezvousAssign(ids, "id", before)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Packing.rendezvousAssign(ids, "id", after)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val moved = a.keys.filter(k => a(k) != b(k))
+    moved.foreach(k => b(k) shouldBe "w5") // the HRW minimal-movement proof
+    // ~1/6 of rows move (hash-deterministic, so exact for this fixture)
+    val frac = moved.size.toDouble / 2000
+    frac should be > 0.10
+    frac should be < 0.25
+    val rep = Packing.rendezvousMoveReport(ids, "id", before, after)
+      .collect().head
+    rep.getAs[Long]("n_moved") shouldBe moved.size.toLong
+    rep.getAs[Long]("moved_ppm") shouldBe (moved.size.toLong * 1000000L / 2000)
+  }
+
+  test("rendezvous rejects duplicate or empty worker sets") {
+    val ids = Seq(1L).toDF("id")
+    an[IllegalArgumentException] should be thrownBy
+      Packing.rendezvousAssign(ids, "id", Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Packing.rendezvousAssign(ids, "id", Seq("a", "a"))
+  }
+
   test("contiguousWindows: hand-checked offsets, window spans, invariance") {
     // token counts by doc_id order: 5, 3, 4 ; L = 4
     // starts: 0, 5, 8 -> windows (0,1) off 0 ; (1,1) off 1 ; (2,2) off 0
