@@ -2561,6 +2561,33 @@ object PipelineQueries {
           Sampling.divFloor(col("total_bpe") * 1000000L, col("total_words")))
     },
 
+    // ----- WordPiece fertility (NEW r11): the triad-completing
+    // tokens-per-word comparison — greedy WordPiece vs the frozen BPE on
+    // the same words, per language ([UNK] counts as 1 token: the
+    // all-or-nothing collapse UNDER-counts vs its char spell-out, which
+    // is exactly the coverage-gap signal this report surfaces) -----
+    "t_wordpiece_fertility" -> { (s, dir) =>
+      val bpeLen = udf { (w: String) =>
+        if (w == null) 0
+        else graft.ops.Bpe.encodeWordOrdered(w, graft.ops.Bpe.Frozen).length
+      }
+      unigramWordsDf(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("total_words"),
+          sum(size(graft.ops.WordPiece
+            .wordPieces(col("w"), graft.ops.WordPiece.Frozen))
+            .cast(LongType)).as("total_wordpiece"),
+          sum(bpeLen(col("w")).cast(LongType)).as("total_bpe"))
+        .withColumn(
+          "wordpiece_fertility_ppm",
+          Sampling.divFloor(
+            col("total_wordpiece") * 1000000L, col("total_words")))
+        .withColumn(
+          "bpe_fertility_ppm",
+          Sampling.divFloor(col("total_bpe") * 1000000L, col("total_words")))
+    },
+
     // ----- adversarial regex-subset fuzz (NEW r11): the same two ops over
     // the generated 1000-doc adversarial corpus (see HtmlFuzzFrags /
     // SentenceFuzzFrags) — Java regex and RE2 must agree byte-for-byte on
@@ -3725,6 +3752,40 @@ object PipelineQueries {
          |  CAST(unnest(range(0, len(pieces))) AS INT) AS piece_idx,
          |  unnest(pieces) AS piece
          |FROM ps""".stripMargin,
+    "t_wordpiece_fertility" -> {
+      val S = "\u001e"
+      def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+      val init =
+        "array_to_string(list_transform(string_split(w, ''), " +
+          "c -> chr(30)||c||chr(30)), '')"
+      val chain = graft.ops.Bpe.Frozen.foldLeft(init) { case (acc, (a, b)) =>
+        s"replace($acc, ${sqlLit(S + a + S + S + b + S)}, ${sqlLit(S + a + b + S)})"
+      }
+      s"""WITH $unigramWordsCtes,
+         |$wordpieceGreedyCtes,
+         |wt AS (
+         |  SELECT w,
+         |    len(list_filter(string_split(path, chr(31)), x -> x <> ''))
+         |      AS nwp
+         |  FROM wseg),
+         |bt AS (
+         |  SELECT w, (length(e) - length(replace(e, chr(30), ''))) // 2
+         |    AS nbpe
+         |  FROM (SELECT w, $chain AS e FROM wdw)),
+         |j AS (
+         |  SELECT wo.lang, t.nwp, b.nbpe
+         |  FROM words wo
+         |  JOIN wt t ON wo.w = t.w
+         |  JOIN bt b ON wo.w = b.w)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS total_words,
+         |  CAST(sum(nwp) AS BIGINT) AS total_wordpiece,
+         |  CAST(sum(nbpe) AS BIGINT) AS total_bpe,
+         |  CAST((sum(nwp) * 1000000) // count(*) AS BIGINT)
+         |    AS wordpiece_fertility_ppm,
+         |  CAST((sum(nbpe) * 1000000) // count(*) AS BIGINT)
+         |    AS bpe_fertility_ppm
+         |FROM j GROUP BY lang""".stripMargin
+    },
     "t_wordpiece" -> {
       val wordsCtes = unigramWordsCtes.replace(
         "words AS MATERIALIZED (",
