@@ -253,6 +253,66 @@ object TextFunctions {
       "<PHONE>")
   }
 
+  /** Luhn checksum validity of a pure-digit string column (ISO/IEC 7812 —
+    * the check digit every real payment-card number carries): from the
+    * RIGHT, double every second digit, subtract 9 when over 9, and the
+    * total must divide by 10. Bare `\d{13,19}` PII regexes flag order
+    * ids, timestamps and hashes as card numbers; ~90% of random digit
+    * runs fail Luhn, so validating candidates kills the false-positive
+    * class that makes regex-only CC redaction unusable on web corpora.
+    *
+    * Pure built-ins (reverse/transform/aggregate — codegen'd, no UDF);
+    * exact integer arithmetic, so the verdict is engine-replayable
+    * (DuckDB replays with a 1-based range transform over the reversed
+    * string). Candidates outside 13–19 digits are invalid by definition.
+    */
+  def luhnValid(digits: Column): Column = {
+    val ds = reverse(filter(split(digits, ""), x => x =!= lit("")))
+    val total = aggregate(
+      transform(ds, (x, i) => {
+        val d = x.cast(IntegerType)
+        val dd = when(i % 2 === 1, d * 2).otherwise(d) // 0-based: odd = the
+                                                       // "every second from
+                                                       // the right" digits
+        when(dd > 9, dd - 9).otherwise(dd)
+      }),
+      lit(0),
+      (acc, v) => acc + v)
+    length(digits).between(13, 19) && total % 10 === 0
+  }
+
+  /** Card-number candidates of a text column: maximal-per-position
+    * 13–19 digit runs (`regexp_extract_all` — RE2/Java agree on
+    * leftmost-greedy here, part of the shared-subset discipline).
+    */
+  def cardCandidates(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")), lit("\\d{13,19}"), lit(0))
+
+  /** Per-document payment-card audit: candidate digit runs found vs how
+    * many pass [[luhnValid]] — the precision report a PII pass publishes
+    * before redacting (candidates minus valid = the false-positive mass a
+    * bare regex would have redacted). Map-side only.
+    */
+  def cardAudit(text: Column): Column = {
+    val cands = cardCandidates(text)
+    struct(
+      size(cands).cast(LongType).as("n_candidates"),
+      size(filter(cands, c => luhnValid(c))).cast(LongType).as("n_luhn_valid"))
+  }
+
+  /** Redact ONLY Luhn-valid card numbers (the checksum-gated upgrade of
+    * [[redactPii]]'s class of rules): candidates that fail the checksum
+    * are left untouched. Fold over the candidate list with `aggregate` —
+    * still pure built-ins.
+    */
+  def redactValidCards(text: Column, marker: String = "<CC>"): Column =
+    aggregate(
+      cardCandidates(text),
+      coalesce(text, lit("")),
+      (acc, c) =>
+        // candidates are pure digits: literal replace, no regex quoting
+        when(luhnValid(c), replace(acc, c, lit(marker))).otherwise(acc))
+
   /** Tokens of `text` with the given words removed (vocabulary pruning —
     * e.g. the corpus-frequency top-k from a histogram pass).
     */

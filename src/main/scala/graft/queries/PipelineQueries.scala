@@ -927,6 +927,28 @@ object PipelineQueries {
         k = 200)
     },
 
+    // ----- Luhn-validated payment-card audit (NEW r11): bare \d{13,19}
+    // PII regexes flag order ids/timestamps/hashes as cards; the ISO 7812
+    // checksum kills ~90% of that false-positive class. Fixture plants a
+    // valid Visa test number (doc%3=0), a one-digit-off INVALID twin
+    // (doc%3=1 — same regex hit, fails the checksum), a too-short run
+    // (doc%3=2 — not a candidate), and a second valid Amex on doc%5=0 --
+    "t_card_audit" -> { (s, dir) =>
+      val d = col("doc_id")
+      val planted = concat(
+        col("text"), lit(" pay "),
+        when(d % 3 === 0, lit("4111111111111111"))
+          .when(d % 3 === 1, lit("4111111111111112"))
+          .otherwise(lit("12345678")),
+        when(d % 5 === 0, lit(" 378282246310005")).otherwise(lit("")),
+        lit(" end"))
+      val audit = TextFunctions.cardAudit(planted)
+      t(s, dir, "documents").select(
+        d,
+        audit.getField("n_candidates").as("n_candidates"),
+        audit.getField("n_luhn_valid").as("n_luhn_valid"))
+    },
+
     // ----- largest-remainder apportionment (NEW r11): split EXACTLY 1000
     // slots across languages proportional to their char mass — the
     // per-group exact-total complement to the P75 rate planner (floors
@@ -4223,6 +4245,38 @@ object PipelineQueries {
          |  FROM agg)
          |SELECT doc_id, n_hits, score, rank FROM r WHERE rank <= 200""".stripMargin
     },
+    // Luhn replay: same planted fixture; checksum via a 1-based range
+    // transform over the reversed candidate (Spark's 0-based transform
+    // doubles odd indices; 1-based here doubles even — same digits)
+    "t_card_audit" ->
+      """WITH d2 AS (
+        |  SELECT doc_id,
+        |    text || ' pay ' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '4111111111111111'
+        |         WHEN doc_id % 3 = 1 THEN '4111111111111112'
+        |         ELSE '12345678' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' 378282246310005' ELSE '' END ||
+        |    ' end' AS t2
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(t2, '\d{13,19}')) AS cand
+        |  FROM d2),
+        |v AS (
+        |  SELECT doc_id, cand,
+        |    CASE WHEN length(cand) BETWEEN 13 AND 19 AND
+        |      list_sum(list_transform(range(1, length(cand) + 1), i ->
+        |        CASE WHEN i % 2 = 0 THEN
+        |          CASE WHEN CAST(substr(reverse(cand), i, 1) AS INT) * 2 > 9
+        |               THEN CAST(substr(reverse(cand), i, 1) AS INT) * 2 - 9
+        |               ELSE CAST(substr(reverse(cand), i, 1) AS INT) * 2 END
+        |        ELSE CAST(substr(reverse(cand), i, 1) AS INT) END)) % 10 = 0
+        |    THEN 1 ELSE 0 END AS ok
+        |  FROM c)
+        |SELECT d2.doc_id,
+        |  CAST(count(v.cand) AS BIGINT) AS n_candidates,
+        |  CAST(coalesce(sum(v.ok), 0) AS BIGINT) AS n_luhn_valid
+        |FROM d2 LEFT JOIN v ON d2.doc_id = v.doc_id
+        |GROUP BY d2.doc_id""".stripMargin,
     // largest-remainder replay: floors + remainder ranking, Σ = total
     "t_apportion" ->
       """WITH g AS (

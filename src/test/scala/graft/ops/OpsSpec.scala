@@ -17,6 +17,27 @@ class TextFunctionsSpec extends SparkSpec {
     evalOne(TextFunctions.meanTokenLength(col("text")), "a bb ccc a") shouldBe 1.75
   }
 
+  test("luhnValid: known card test numbers pass, one-digit-off fails") {
+    def luhn(s: String) =
+      evalOne(TextFunctions.luhnValid(col("text")), s)
+    luhn("4111111111111111") shouldBe true  // Visa 16
+    luhn("378282246310005") shouldBe true   // Amex 15
+    luhn("6011111111111117") shouldBe true  // Discover 16
+    luhn("4111111111111112") shouldBe false // checksum off by one
+    luhn("411111111111") shouldBe false     // 12 digits: below candidate min
+    luhn("41111111111111111111") shouldBe false // 20 digits: above max
+  }
+
+  test("cardAudit separates candidates from Luhn-valid; redact is checksum-gated") {
+    val txt = "id 4111111111111112 ok card 4111111111111111 ref 12345678"
+    val audit = evalOne(TextFunctions.cardAudit(col("text")), txt)
+      .asInstanceOf[org.apache.spark.sql.Row]
+    audit.getAs[Long]("n_candidates") shouldBe 2L
+    audit.getAs[Long]("n_luhn_valid") shouldBe 1L
+    evalOne(TextFunctions.redactValidCards(col("text")), txt) shouldBe
+      "id 4111111111111112 ok card <CC> ref 12345678"
+  }
+
   test("script-mix ppm counts each Unicode script class exactly") {
     // 4 CJK + 6 Cyrillic + "ab12" latin/digits + 2 spaces = 16 chars
     val mixed = "\u4F60\u597D\u4E16\u754C \u043F\u0440\u0438\u0432\u0435\u0442 ab12"
