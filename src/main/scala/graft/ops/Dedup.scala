@@ -591,6 +591,61 @@ object Dedup {
     jaccardVerify(verified, threshold)
   }
 
+  /** Estimator-accuracy audit of the MinHash signature itself: for every
+    * LSH candidate pair (threshold-free — exactly the pairs the banding
+    * surfaces, including sub-threshold collisions), the signature
+    * agreement count against the EXACT Jaccard. `E[sig_agree/k] =
+    * jaccard` is the MinHash guarantee (Broder 1997); this measures the
+    * estimator's actual bias/spread on this corpus at this k — the
+    * companion to [[lshRecallReport]] (which audits the BANDING, not the
+    * estimate). Pipelines that skip exact verification and act on
+    * estimated similarity read this before trusting the estimate.
+    *
+    * Output: (id_a, id_b, sig_agree, est_ppm = ⌊agree·10⁶/k⌋,
+    * exact_ppm = ⌊i·10⁶/u⌋) — exact integers, hash-gateable.
+    *
+    * Scale posture = [[minhashLshPairs]]: the band-bucket join bounds the
+    * pair space; signatures are recomputed only for the semi-narrowed
+    * candidate ids (one codegen'd pass over their shingles).
+    */
+  def minhashEstimateReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 4): DataFrame = {
+    val k = MinhashA.length
+    require(k % bands == 0, "bands must divide k")
+    val (sh, banded) = shinglesAndBands(df, idCol, textCol, n, bands, k / bands)
+    val candidates = banded
+      .join(
+        banded.select(col("band"), col("band_key"), col("id").as("id_b")),
+        Seq("band", "band_key"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .distinct()
+    def side(idName: String, suffix: String) = sh
+      .join(candidates.select(col(idName).as("id")), Seq("id"), "left_semi")
+      .select(
+        col("id").as(idName),
+        col("sh").as("sh" + suffix),
+        minhashSignature(col("sh")).as("sig" + suffix))
+    val joined = candidates
+      .join(side("id_a", "_a"), "id_a")
+      .join(side("id_b", "_b"), "id_b")
+    val agree = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      b => b)).cast(LongType)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType)
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast(LongType) - inter
+    joined.select(
+      col("id_a"),
+      col("id_b"),
+      agree.as("sig_agree"),
+      Sampling.divFloor(agree * lit(1000000L), lit(k.toLong)).as("est_ppm"),
+      Sampling.divFloor(inter * lit(1000000L), union).as("exact_ppm"))
+  }
+
   /** CHARACTER-shingle MinHash + LSH near-dup pairs — the variant for
     * unsegmented or whitespace-free text (CJK, Thai, URLs-as-text, OCR
     * output with lost spacing) where word shingles degenerate to whole

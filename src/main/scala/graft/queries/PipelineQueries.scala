@@ -728,6 +728,16 @@ object PipelineQueries {
         threshold = 0.6)
     },
 
+    // ----- MinHash estimator-accuracy audit (NEW r11): per LSH candidate
+    // pair, signature-agreement estimate vs exact jaccard — audits the
+    // ESTIMATE (Broder's E[agree/k] = J) where p_lsh_recall audits the
+    // BANDING; the report read before acting on estimated similarity
+    // without exact verification -----
+    "p_minhash_estimate" -> { (s, dir) =>
+      Dedup.minhashEstimateReport(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, bands = 4)
+    },
+
     // ----- LSH-config recall audit (NEW r11): how many TRUE jaccard>=0.5
     // pairs does a banded-MinHash config actually surface? Truth = the
     // lossless prefix-filter exact join; found = the LSH pairs under a
@@ -3508,6 +3518,25 @@ object PipelineQueries {
       s"""WITH ${minhashPairCtesFor(shExpr)}
          |SELECT id_a, id_b, i * 1.0 / u AS jaccard
          |FROM verified WHERE i * 1.0 / u >= 0.6""".stripMargin
+    },
+    // estimator audit: the shared banded-minhash replay's sig/cand CTEs,
+    // agreement counted over the 16 permutation slots
+    "p_minhash_estimate" -> {
+      s"""WITH $minhashPairCtes,
+         |est AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_filter(list_transform(range(1, 17),
+         |      j -> sa.sig[j] = sb.sig[j]), x -> x)) AS BIGINT) AS sig_agree,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS i,
+         |    CAST(len(sa.sh) + len(sb.sh) -
+         |      len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS u
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.id_a
+         |  JOIN sig sb ON sb.doc_id = c.id_b)
+         |SELECT id_a, id_b, sig_agree,
+         |  CAST((sig_agree * 1000000) // 16 AS BIGINT) AS est_ppm,
+         |  CAST((i * 1000000) // u AS BIGINT) AS exact_ppm
+         |FROM est""".stripMargin
     },
     // LSH recall audit: found = the banded-minhash replay at the coarse
     // 2x8 config; truth = the p_prefix_jaccard all-pairs exact replay;

@@ -290,6 +290,22 @@ class DedupSpec extends SparkSpec {
     e.getAs[Long]("recall_ppm") shouldBe 1000000L // nothing to miss
   }
 
+  test("minhashEstimateReport: identical docs estimate 1.0; est tracks exact") {
+    val out = Dedup
+      .minhashEstimateReport(df, "doc_id", "text", n = 3, bands = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("sig_agree"), r.getAs[Long]("est_ppm"),
+          r.getAs[Long]("exact_ppm"))))
+      .toMap
+    // docs 1 and 4 are exact duplicates: all 16 slots agree, both ppms 1e6
+    out((1L, 4L)) shouldBe ((16L, 1000000L, 1000000L))
+    // every candidate's estimate is a multiple of 1e6/16 = 62500
+    out.values.foreach { case (agree, est, _) =>
+      est shouldBe (agree * 1000000L) / 16L
+    }
+  }
+
   test("lshRecallReport: full-band config recalls all true pairs here") {
     val r = Dedup
       .lshRecallReport(df, "doc_id", "text", n = 3, bands = 4, threshold = 0.5)
