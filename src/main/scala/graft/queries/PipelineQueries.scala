@@ -465,6 +465,28 @@ object PipelineQueries {
         (s"d$k.com", "graftbot", "disallow", "/admin/tools")) :+
       ("d6.com", "*", "allow", "/admin")
 
+  /** Card-candidate fuzz fragments: digit-run shapes that stress the
+    * leftmost-greedy `\d{13,19}` agreement between Java regex and RE2 —
+    * over-length runs that must split 19+rest, runs crossing two real
+    * card numbers (the documented false-negative), separator-broken
+    * runs, boundary lengths 12/13/19/20, an all-zero "valid" checksum,
+    * and known valid/invalid checksums.
+    */
+  private val CardFuzzFrags: Seq[String] = Seq(
+    "pay 4111111111111111 ok ",
+    "bad 4111111111111112 no ",
+    "amex 378282246310005 yes ",
+    "twenty 41111111111111112222 digits ",
+    "thirty 123456789012345678901234567890 digits ",
+    "fused 4111111111111111378282246310005 cards ",
+    "nines 9999999999999999999 run ",
+    "zeros 00000000000000 all ",
+    "dashes 5555-5555-5555-4444 broken ",
+    "twelve 411111111111 short ",
+    "thirteen 1234567890123 edge ",
+    "no digits at all here ",
+    "snug x6011111111111117y tight ")
+
   private val FuzzDocs = 1000L
 
   /** Five fragment selectors (multiplier, offset) -- coprime multipliers so
@@ -2646,6 +2668,24 @@ object PipelineQueries {
         col("doc_id"),
         TextFunctions.normalizeAnswer(col("txt")).as("norm"))
     },
+
+    // ----- card-candidate fuzz (NEW r11): per-candidate extraction order
+    // AND checksum verdict over digit-run shapes that stress the
+    // leftmost-greedy \d{13,19} agreement (over-length splits, fused
+    // cards, separator breaks, 12/13/19/20 boundaries, all-zero valid) --
+    "t_card_fuzz" -> { (s, dir) =>
+      fuzzDocsDf(s, CardFuzzFrags)
+        .select(
+          col("doc_id"),
+          posexplode(TextFunctions.cardCandidates(col("txt")))
+            .as(Seq("cand_idx", "cand")))
+        .select(
+          col("doc_id"),
+          col("cand_idx"),
+          col("cand"),
+          when(TextFunctions.luhnValid(col("cand")), 1L).otherwise(0L)
+            .as("luhn_ok"))
+    },
     "t_scripts_fuzz" -> { (s, dir) =>
       val base = fuzzDocsDf(s, ScriptFuzzFrags).select(
         col("doc_id") +:
@@ -4306,6 +4346,29 @@ object PipelineQueries {
         |  CAST(coalesce(sum(v.ok), 0) AS BIGINT) AS n_luhn_valid
         |FROM d2 LEFT JOIN v ON d2.doc_id = v.doc_id
         |GROUP BY d2.doc_id""".stripMargin,
+    // card fuzz replay: generated corpus + zipped-unnest candidate list +
+    // the shared 1-based-range Luhn checksum
+    "t_card_fuzz" -> {
+      s"""WITH ${fuzzDocsSql(CardFuzzFrags)},
+         |cl AS (
+         |  SELECT doc_id, regexp_extract_all(txt, '\\d{13,19}') AS l
+         |  FROM docs),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(unnest(range(1, len(l) + 1)) AS INT) - 1 AS cand_idx,
+         |    unnest(l) AS cand
+         |  FROM cl)
+         |SELECT doc_id, cand_idx, cand,
+         |  CAST(CASE WHEN length(cand) BETWEEN 13 AND 19 AND
+         |    list_sum(list_transform(range(1, length(cand) + 1), i ->
+         |      CASE WHEN i % 2 = 0 THEN
+         |        CASE WHEN CAST(substr(reverse(cand), i, 1) AS INT) * 2 > 9
+         |             THEN CAST(substr(reverse(cand), i, 1) AS INT) * 2 - 9
+         |             ELSE CAST(substr(reverse(cand), i, 1) AS INT) * 2 END
+         |      ELSE CAST(substr(reverse(cand), i, 1) AS INT) END)) % 10 = 0
+         |  THEN 1 ELSE 0 END AS BIGINT) AS luhn_ok
+         |FROM c""".stripMargin
+    },
     // largest-remainder replay: floors + remainder ranking, Σ = total
     "t_apportion" ->
       """WITH g AS (
