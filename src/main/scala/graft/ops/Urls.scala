@@ -429,6 +429,63 @@ object Urls {
     * hot domain is rate-limited by politeness anyway, the slot assignment
     * is not the bottleneck. Output: input columns + `domain` + `slot`.
     */
+  /** Redirect-chain resolution by POINTER DOUBLING: follow a redirect map
+    * (src → dst) to each source's terminal URL — the crawl-frontier step
+    * that collapses 301/302 chains before fetch dedup (a chain of
+    * mirrors/shorteners otherwise counts each hop as a distinct page).
+    *
+    * Semantics, exact and engine-replayable: the map is first
+    * canonicalized to ONE out-edge per src (min dst — multi-valued
+    * redirect logs happen); then each src is followed for
+    * `min(maxHops, chain length)` hops. Output one row per mapped src:
+    * (`src`, `final_url`, `hops`, `resolved`) — `resolved = 1` when the
+    * final URL has no outgoing redirect; `resolved = 0` (a cycle, or a
+    * chain longer than the cap) leaves `final_url` at the node reached
+    * after EXACTLY `maxHops` hops with `hops = maxHops`, so the verdict
+    * is a pure function of the map, not of iteration order.
+    *
+    * Scale posture: log₂(maxHops) self-join rounds of the map relation
+    * (composing x→y with y→z doubles the stride — a 2³⁰-long chain
+    * resolves in 30 rounds where per-hop walking needs 2³⁰), each one
+    * map-sized shuffle; per-round `localCheckpoint` keeps lineage flat
+    * (the [[graft.ops.PageRank]] iterative-state pattern). The terminal
+    * check is one left join against the src set.
+    */
+  def resolveRedirects(
+      redirects: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxHops: Int = 16): DataFrame = {
+    require(
+      maxHops >= 1 && (maxHops & (maxHops - 1)) == 0,
+      "maxHops must be a power of two (the doubling rounds compose to it)")
+    val rounds = java.lang.Integer.numberOfTrailingZeros(maxHops)
+    var m = Par.fan(redirects)
+      .groupBy(col(srcCol).as("src"))
+      .agg(min(col(dstCol)).as("dst"))
+      .select(col("src"), col("dst"), lit(1L).as("hops"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = m.select(
+        col("src").as("__s2"), col("dst").as("__d2"), col("hops").as("__h2"))
+      m = m
+        .join(next, m("dst") === next("__s2"), "left")
+        .select(
+          col("src"),
+          coalesce(col("__d2"), col("dst")).as("dst"),
+          (col("hops") + coalesce(col("__h2"), lit(0L))).as("hops"))
+        .localCheckpoint()
+    }
+    val srcs = m.select(col("src").as("__t"), lit(1).as("__has_out"))
+    m.join(srcs, m("dst") === srcs("__t"), "left")
+      .select(
+        col("src"),
+        col("dst").as("final_url"),
+        col("hops"),
+        when(col("__has_out").isNull, lit(1L)).otherwise(lit(0L))
+          .as("resolved"))
+  }
+
   def fetchSlots(
       df: DataFrame,
       idCol: String,

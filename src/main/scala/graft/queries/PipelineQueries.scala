@@ -959,6 +959,29 @@ object PipelineQueries {
         k = 200)
     },
 
+    // ----- redirect-chain resolution (NEW r11): pointer-doubling to each
+    // src's terminal URL with exact hop counts — chains of length up to
+    // 99 (docs link doc_id -> doc_id-1, heads at %100==0) against a
+    // maxHops=16 cap, so both resolved (hops<=16) and capped/unresolved
+    // rows appear; a 3-node literal cycle pins the cycle verdict; every
+    // %50 doc carries a SECOND out-edge that min-collapse must drop -----
+    "u_redirects" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val u = (x: Column) => concat(lit("u"), x.cast(StringType))
+      val e1 = docs.filter(col("doc_id") % 100 =!= 0)
+        .select(u(col("doc_id")).as("src"), u(col("doc_id") - 1).as("dst"))
+      val e2 = docs.filter(col("doc_id") % 50 === 0 && col("doc_id") % 100 =!= 0)
+        .select(
+          u(col("doc_id")).as("src"),
+          concat(lit("z"), col("doc_id").cast(StringType)).as("dst"))
+      import s.implicits._
+      val e3 = Seq(
+        ("cycA", "cycB"), ("cycB", "cycC"), ("cycC", "cycA"))
+        .toDF("src", "dst")
+      graft.ops.Urls.resolveRedirects(
+        e1.union(e2).union(e3), "src", "dst", maxHops = 16)
+    },
+
     // ----- Luhn-validated payment-card audit (NEW r11): bare \d{13,19}
     // PII regexes flag order ids/timestamps/hashes as cards; the ISO 7812
     // checksum kills ~90% of that false-positive class. Fixture plants a
@@ -4346,6 +4369,38 @@ object PipelineQueries {
         |  CAST(coalesce(sum(v.ok), 0) AS BIGINT) AS n_luhn_valid
         |FROM d2 LEFT JOIN v ON d2.doc_id = v.doc_id
         |GROUP BY d2.doc_id""".stripMargin,
+    // redirect replay: recursive per-hop walk capped at 16, last row per
+    // src = position after min(16, resolution) hops — the doubling's
+    // exact semantics; resolved = terminal has no outgoing edge
+    "u_redirects" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+        |    'u' || CAST(doc_id - 1 AS VARCHAR) AS dst
+        |  FROM documents WHERE doc_id % 100 <> 0
+        |  UNION ALL
+        |  SELECT 'u' || CAST(doc_id AS VARCHAR),
+        |    'z' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 50 = 0 AND doc_id % 100 <> 0
+        |  UNION ALL
+        |  SELECT * FROM (VALUES ('cycA', 'cycB'), ('cycB', 'cycC'),
+        |    ('cycC', 'cycA')) AS c(src, dst)),
+        |m AS (SELECT src, min(dst) AS dst FROM raw GROUP BY src),
+        |walk(src, cur, hops) AS (
+        |  SELECT src, dst, 1 FROM m
+        |  UNION ALL
+        |  SELECT w.src, m.dst, w.hops + 1
+        |  FROM walk w JOIN m ON w.cur = m.src
+        |  WHERE w.hops < 16),
+        |last AS (
+        |  SELECT src, cur, hops FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY src
+        |      ORDER BY hops DESC) AS rn
+        |    FROM walk) WHERE rn = 1)
+        |SELECT last.src, last.cur AS final_url,
+        |  CAST(last.hops AS BIGINT) AS hops,
+        |  CAST(CASE WHEN last.cur IN (SELECT src FROM m) THEN 0 ELSE 1 END
+        |    AS BIGINT) AS resolved
+        |FROM last""".stripMargin,
     // card fuzz replay: generated corpus + zipped-unnest candidate list +
     // the shared 1-based-range Luhn checksum
     "t_card_fuzz" -> {

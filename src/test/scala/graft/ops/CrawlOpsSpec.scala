@@ -29,6 +29,46 @@ class CrawlOpsSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("resolveRedirects follows chains to the terminal with exact hops") {
+    val m = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val out = Urls.resolveRedirects(m, "src", "dst", maxHops = 8)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    out("a") shouldBe (("d", 3L, 1L))
+    out("b") shouldBe (("d", 2L, 1L))
+    out("c") shouldBe (("d", 1L, 1L))
+  }
+
+  test("resolveRedirects: cycles and over-cap chains land at exactly maxHops") {
+    val cyc = Seq(("x", "y"), ("y", "x")).toDF("src", "dst")
+    val c = Urls.resolveRedirects(cyc, "src", "dst", maxHops = 4)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    c("x") shouldBe (("x", 4L, 0L)) // 4 hops around a 2-cycle = itself
+    c("y") shouldBe (("y", 4L, 0L))
+    // acyclic chain of 6 against cap 4: node reached after EXACTLY 4 hops
+    val chain = (0 until 6).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    val r = Urls.resolveRedirects(chain, "src", "dst", maxHops = 4)
+      .collect()
+      .map(x => x.getString(0) -> ((x.getString(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    r("n0") shouldBe (("n4", 4L, 0L))
+    r("n3") shouldBe (("n6", 3L, 1L)) // resolves inside the cap
+  }
+
+  test("resolveRedirects collapses multi-valued sources to the min dst") {
+    val m = Seq(("a", "z"), ("a", "b"), ("b", "c")).toDF("src", "dst")
+    val out = Urls.resolveRedirects(m, "src", "dst", maxHops = 8)
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+    out("a") shouldBe "c" // via the min edge a->b, not a->z
+    an[IllegalArgumentException] should be thrownBy
+      Urls.resolveRedirects(m, "src", "dst", maxHops = 6) // not a power of 2
+  }
+
   test("fetchSlots balances each domain across slots within one url") {
     val urls = (1L to 103L).map(i =>
       (i, s"https://www.h${i % 3}.com/p$i")).toDF("id", "url")
