@@ -660,6 +660,59 @@ object ScaleSmoke {
         }))
     }
 
+    // Redirect resolution by pointer doubling (P131) at the smoke scale:
+    // nDocs nodes in redirect chains of 1000 (node -> node-1, heads at
+    // %1000==0), maxHops=1024 so EVERY chain resolves — 10 doubling
+    // self-joins of the map relation. Invariants: one row per mapped src;
+    // a FULL ground-truth check (final = the chain head, hops = position
+    // in chain — exact for every row, not a sample); determinism across
+    // an adversarial repartitioning.
+    locally {
+      val ids = docs.select(col("doc_id"))
+      def chainOf(d: DataFrame): DataFrame = d
+        .filter(pmod(col("doc_id"), lit(1000L)) =!= 0L)
+        .select(
+          concat(lit("u"), col("doc_id").cast("string")).as("src"),
+          concat(lit("u"), (col("doc_id") - 1L).cast("string")).as("dst"))
+      measure(Step(
+        s"u_redirects(${copies}x, chains of 1000, maxHops=1024)",
+        () => graft.ops.Urls.resolveRedirects(
+          chainOf(ids), "src", "dst", maxHops = 1024),
+        ceilingGB = 3.0,
+        invariant = df => {
+          val n = ids.filter(pmod(col("doc_id"), lit(1000L)) =!= 0L).count()
+          val rows = df.count()
+          // ground truth per row: src u<k> resolves to u<k - k%1000> in
+          // exactly k%1000 hops, all resolved
+          val wrong = df
+            .withColumn("__k",
+              substring(col("src"), 2, 100).cast("long"))
+            .filter(
+              col("final_url") =!=
+                concat(lit("u"),
+                  (col("__k") - pmod(col("__k"), lit(1000L))).cast("string")) ||
+              col("hops") =!= pmod(col("__k"), lit(1000L)) ||
+              col("resolved") =!= 1L)
+            .count()
+          val a = df.collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+          graft.ops.Par.releaseCaches()
+          val b = graft.ops.Urls
+            .resolveRedirects(
+              chainOf(ids).repartition(7), "src", "dst", maxHops = 1024)
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+          Seq(
+            if (rows == n) None
+            else Some(s"$rows result rows != $n mapped srcs"),
+            if (wrong == 0) None
+            else Some(s"$wrong rows deviate from chain ground truth"),
+            if (a == b) None
+            else Some("results differ across partitionings")
+          ).flatten
+        }))
+    }
+
     // Star-contraction connected components (NEW r10) at the smoke corpus
     // scale: nDocs nodes in chains of 1000 — the HIGH-DIAMETER case where
     // min-label propagation would need 1000 edge-shuffles and the
