@@ -1,9 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Rank-aware retrieval evaluation — MRR, MAP and hit@k of a ranked run
   * against relevance judgments (qrels): the metrics that grade a
@@ -85,6 +85,89 @@ object RankEval {
           .as("rr_ppm"),
         Sampling.divFloor(coalesce(col("__apnum"), lit(0L)), col("n_rel"))
           .as("ap_ppm"))
+  }
+
+  /** Fixed ppm discount table for NDCG: `D[r] = round(10⁶ / log₂(r+1))`
+    * for ranks 1..64, computed ONCE from `StrictMath` (platform-pinned)
+    * and shared verbatim with the DuckDB oracle — the only log anywhere
+    * is in this frozen constant, so the metric itself stays exact-integer
+    * and engine-replayable (the P108 unigram-cost trade).
+    */
+  val DiscountPpm: IndexedSeq[Long] =
+    (1 to 64).map(r =>
+      math.round(1e6 / (StrictMath.log(r + 1.0) / StrictMath.log(2.0))))
+
+  /** Per-query NDCG@k for GRADED relevance — the ranking metric that
+    * credits putting HIGHLY relevant docs first, where [[perQuery]]'s
+    * binary MRR/MAP treat all relevant docs alike. Integer contract:
+    * `gain = 2^rel − 1` (rel clamped to [0, 16] so `dcg·10⁶` stays far
+    * under 2⁶³), `dcg = Σ gain·D[rank]` over the top `k` with the frozen
+    * [[DiscountPpm]] table, `idcg` the same sum over the query's rels
+    * sorted (rel desc, doc asc), `ndcg_ppm = ⌊dcg·10⁶/idcg⌋` (0 when the
+    * query has no positive rel). Duplicate defenses as [[perQuery]]:
+    * best rank per doc, max grade per (query, doc).
+    *
+    * Output per judged query: (queryCol, n_rel, dcg, idcg, ndcg_ppm).
+    * Scale posture: same as [[perQuery]] — (query, doc)-keyed joins, a
+    * per-query window bounded by k (run side) / judged docs (ideal side).
+    */
+  def ndcgPerQuery(
+      run: DataFrame,
+      qrels: DataFrame,
+      queryCol: String,
+      docCol: String,
+      rankCol: String,
+      relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= DiscountPpm.length,
+      s"k must be in [1, ${DiscountPpm.length}] (the frozen discount table)")
+    val disc = DiscountPpm // captured for the lambda below
+    def discountAt(rank: Column): Column =
+      element_at(
+        array(disc.map(lit): _*), rank.cast(IntegerType))
+    def gain(rel: Column): Column =
+      (pow(lit(2.0), least(greatest(rel.cast(DoubleType), lit(0.0)), lit(16.0)))
+        .cast(LongType) - 1L)
+    val rels = Par.cached(
+      Par.fan(qrels)
+        .groupBy(col(queryCol).as("__q"), col(docCol).as("__d"))
+        .agg(max(col(relCol).cast(LongType)).as("__rel")))
+    val topK = Par.fan(run)
+      .select(
+        col(queryCol).as("__q"),
+        col(docCol).as("__d"),
+        col(rankCol).cast(LongType).as("__r"))
+      .filter(col("__r") >= 1 && col("__r") <= k)
+      .groupBy(col("__q"), col("__d"))
+      .agg(min(col("__r")).as("__r"))
+    val dcg = topK
+      .join(rels, Seq("__q", "__d"))
+      .groupBy(col("__q"))
+      .agg(sum(gain(col("__rel")) * discountAt(col("__r"))).as("dcg"))
+    val wIdeal = Window
+      .partitionBy(col("__q"))
+      .orderBy(col("__rel").desc, col("__d").asc)
+    val idcg = rels
+      .withColumn("__ir", row_number().over(wIdeal).cast(LongType))
+      .filter(col("__ir") <= k)
+      .groupBy(col("__q"))
+      .agg(
+        sum(gain(col("__rel")) * discountAt(col("__ir"))).as("idcg"),
+        count(lit(1)).as("__n_top"))
+    val nRel = rels.groupBy(col("__q")).agg(count(lit(1)).as("n_rel"))
+    nRel
+      .join(idcg.drop("__n_top"), Seq("__q"))
+      .join(dcg, Seq("__q"), "left")
+      .select(
+        col("__q").as(queryCol),
+        col("n_rel"),
+        coalesce(col("dcg"), lit(0L)).as("dcg"),
+        col("idcg"),
+        when(col("idcg") === 0, lit(0L))
+          .otherwise(
+            Sampling.divFloor(
+              coalesce(col("dcg"), lit(0L)) * lit(1000000L), col("idcg")))
+          .as("ndcg_ppm"))
   }
 
   /** Corpus-level roll-up of [[perQuery]] output: one row

@@ -1035,6 +1035,38 @@ object PipelineQueries {
         after = Seq("w0", "w1", "w2", "w3", "w4", "w5"))
     },
 
+    // ----- NDCG@k for GRADED relevance (NEW r11): credits putting HIGHLY
+    // relevant docs first where MRR/MAP treat all rels alike. The 1/log2
+    // discount is a FROZEN ppm constant table (RankEval.DiscountPpm,
+    // StrictMath at class load) shared verbatim with the oracle — the
+    // metric arithmetic itself stays exact-integer. Same 20-bucket run
+    // fixture as t_rank_eval; grades 1..3 hash-derived -----
+    "t_ndcg" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val qrels = docs
+        .filter(
+          TextFunctions.hash61(
+            concat(lit("rel:"), col("doc_id").cast(StringType))) % 5 === 0)
+        .select(
+          (col("doc_id") % 20).as("query_id"),
+          col("doc_id").as("d"),
+          (TextFunctions.hash61(
+            concat(lit("grade:"), col("doc_id").cast(StringType))) % 3 + 1)
+            .as("rel"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("__s").desc, col("d"))
+      val run = docs
+        .select(
+          (col("doc_id") % 20).as("query_id"),
+          col("doc_id").as("d"),
+          TextFunctions.hash61(
+            concat(lit("score:"), col("doc_id").cast(StringType))).as("__s"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .drop("__s")
+      graft.ops.RankEval.ndcgPerQuery(
+        run, qrels, "query_id", "d", "rank", "rel", k = 10)
+    },
+
     // ----- rank-aware retrieval eval (NEW r11): MRR / integer-AP / hit@k
     // of a ranked run vs binary qrels — WHERE the relevant docs rank, not
     // just whether they appear (P80 recall@k). Fixture: 20 query buckets
@@ -4484,6 +4516,55 @@ object PipelineQueries {
          |  CAST(sum(moved) AS BIGINT) AS n_moved,
          |  CAST((sum(moved) * 1000000) // count(*) AS BIGINT) AS moved_ppm
          |FROM j""".stripMargin
+    },
+    // NDCG replay: the frozen discount table rendered as VALUES from the
+    // SAME Scala constant; power(2, rel) is double-exact for rel <= 3
+    "t_ndcg" -> {
+      val rel = hash61Sql("'rel:' || CAST(doc_id AS VARCHAR)")
+      val grade = hash61Sql("'grade:' || CAST(doc_id AS VARCHAR)")
+      val sc = hash61Sql("'score:' || CAST(doc_id AS VARCHAR)")
+      val discRows = graft.ops.RankEval.DiscountPpm.zipWithIndex
+        .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+      s"""WITH disc(r, d) AS (VALUES $discRows),
+         |rels AS (
+         |  SELECT doc_id % 20 AS query_id, doc_id AS dd,
+         |    CAST($grade % 3 + 1 AS BIGINT) AS rel
+         |  FROM documents WHERE $rel % 5 = 0),
+         |run AS (
+         |  SELECT query_id, dd,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, dd)
+         |      AS r
+         |  FROM (SELECT doc_id % 20 AS query_id, doc_id AS dd, $sc AS s
+         |        FROM documents)),
+         |dcgq AS (
+         |  SELECT run.query_id,
+         |    sum((CAST(power(2, rels.rel) AS BIGINT) - 1) * disc.d) AS dcg
+         |  FROM run
+         |  JOIN rels ON run.query_id = rels.query_id AND run.dd = rels.dd
+         |  JOIN disc ON disc.r = run.r
+         |  WHERE run.r <= 10
+         |  GROUP BY run.query_id),
+         |ideal AS (
+         |  SELECT query_id, rel,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, dd ASC) AS ir
+         |  FROM rels),
+         |idcgq AS (
+         |  SELECT query_id,
+         |    sum((CAST(power(2, rel) AS BIGINT) - 1) * disc.d) AS idcg
+         |  FROM ideal JOIN disc ON disc.r = ideal.ir
+         |  WHERE ir <= 10 GROUP BY query_id),
+         |nr AS (
+         |  SELECT query_id, count(*) AS n_rel FROM rels GROUP BY query_id)
+         |SELECT nr.query_id, nr.n_rel,
+         |  CAST(coalesce(dcg, 0) AS BIGINT) AS dcg,
+         |  CAST(idcg AS BIGINT) AS idcg,
+         |  CAST(CASE WHEN idcg = 0 THEN 0
+         |    ELSE (coalesce(dcg, 0) * 1000000) // idcg END AS BIGINT)
+         |    AS ndcg_ppm
+         |FROM nr
+         |JOIN idcgq USING (query_id)
+         |LEFT JOIN dcgq USING (query_id)""".stripMargin
     },
     // rank-eval replay: identical hash-derived qrels/run fixture, then the
     // documented integer metric contract (per-term-floored AP, floor MRR)

@@ -67,6 +67,48 @@ class RankEvalSpec extends SparkSpec {
     s.getAs[Long]("hit_rate_ppm") shouldBe 500000L
   }
 
+  private def ndcg(
+      run: Seq[(Long, String, Long)],
+      qrels: Seq[(Long, String, Long)],
+      k: Int = 5) =
+    RankEval
+      .ndcgPerQuery(
+        runDf(run), qrels.toDF("q", "d", "rel"), "q", "d", "rank", "rel", k)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+
+  test("ndcg: hand-checked against the frozen discount table") {
+    val D = RankEval.DiscountPpm
+    // rels a:3 (gain 7), b:1 (gain 1); run ranks b first — the penalized order
+    val out = ndcg(
+      run = Seq((1L, "b", 1L), (1L, "a", 2L)),
+      qrels = Seq((1L, "a", 3L), (1L, "b", 1L)))
+    val dcg = 1L * D(0) + 7L * D(1)
+    val idcg = 7L * D(0) + 1L * D(1)
+    out(1L) shouldBe ((2L, dcg, idcg, dcg * 1000000L / idcg))
+    // the ideal order scores exactly 1e6
+    val perfect = ndcg(
+      run = Seq((1L, "a", 1L), (1L, "b", 2L)),
+      qrels = Seq((1L, "a", 3L), (1L, "b", 1L)))
+    perfect(1L)._4 shouldBe 1000000L
+  }
+
+  test("ndcg: grades clamp at 16; duplicates keep best rank / max grade") {
+    val D = RankEval.DiscountPpm
+    val out = ndcg(
+      run = Seq((1L, "a", 3L), (1L, "a", 1L)), // duplicate doc: rank 1 wins
+      qrels = Seq((1L, "a", 50L), (1L, "a", 2L))) // grade clamps to 16
+    val g = (1L << 16) - 1L
+    out(1L) shouldBe ((1L, g * D(0), g * D(0), 1000000L))
+  }
+
+  test("ndcg rejects k beyond the frozen table") {
+    an[IllegalArgumentException] should be thrownBy
+      ndcg(Seq((1L, "a", 1L)), Seq((1L, "a", 1L)), k = 65)
+  }
+
   test("bad k is rejected") {
     an[IllegalArgumentException] should be thrownBy
       RankEval.perQuery(
