@@ -82,6 +82,53 @@ object Decontaminate {
         col("contaminated_frac"))
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * memorization/novelty signal reported for generated or newly-crawled
+    * data ("how much of this doc's n-gram mass already exists in what we
+    * trained on"): `novelty_ppm = ⌊(own − seen)·10⁶ / own⌋` over the
+    * doc's DISTINCT hashed n-grams. The transpose of [[ngramOverlap]]
+    * with total coverage: EVERY corpus doc gets a row (docs sharing
+    * nothing score 10⁶; gram-less docs score 0 — an empty doc contributes
+    * nothing novel), so the output joins back as a per-doc feature
+    * without an outer-join dance.
+    *
+    * Scale posture = [[ngramOverlap]]: the reference gram set broadcasts
+    * (or shuffle-joins when too large), the corpus is map-scanned with
+    * one gram-keyed join bounded by overlap volume plus one partial-agg'd
+    * per-doc count; the full-coverage left join is doc-keyed.
+    */
+  def noveltyReport(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: Column,
+      reference: DataFrame,
+      refTextCol: Column,
+      n: Int = 3,
+      broadcastReference: Boolean = true): DataFrame = {
+    val refGrams = reference
+      .select(explode(gramSet(refTextCol, n)).as("g"))
+      .distinct()
+    val ref = if (broadcastReference) broadcast(refGrams) else refGrams
+    val seen = Par.fan(corpus)
+      .select(col(idCol), explode(gramSet(textCol, n)).as("g"))
+      .join(ref, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__seen"))
+    Par.fan(corpus)
+      .select(col(idCol), size(gramSet(textCol, n)).cast("long").as("n_doc_ngrams"))
+      .join(seen, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_doc_ngrams"),
+        coalesce(col("__seen"), lit(0L)).as("n_seen_ngrams"),
+        when(col("n_doc_ngrams") === 0, lit(0L))
+          .otherwise(Sampling.divFloor(
+            (col("n_doc_ngrams") - coalesce(col("__seen"), lit(0L))) *
+              lit(1000000L),
+            col("n_doc_ngrams")))
+          .as("novelty_ppm"))
+  }
+
   /** One-call decontamination: drop corpus documents whose contaminated
     * fraction reaches `maxFrac` (or that share ANY benchmark gram, the
     * strict default). The corpus scan stays map-side; the anti-join's build

@@ -959,6 +959,22 @@ object PipelineQueries {
         k = 200)
     },
 
+    // ----- per-doc n-gram novelty (NEW r11): how much of each odd doc's
+    // distinct 3-gram mass already exists in the even half (the "seen"
+    // reference) — the memorization/novelty feature reported for
+    // generated or newly-crawled data; planted exact dups score 0 and
+    // genuinely-new docs 1e6, with partial overlap in between -----
+    "t_novelty" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.noveltyReport(
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id",
+        col("text"),
+        docs.filter(col("doc_id") % 2 === 0),
+        col("text"),
+        n = 3)
+    },
+
     // ----- redirect-chain resolution (NEW r11): pointer-doubling to each
     // src's terminal URL with exact hop counts — chains of length up to
     // 99 (docs link doc_id -> doc_id-1, heads at %100==0) against a
@@ -4401,6 +4417,26 @@ object PipelineQueries {
         |  CAST(coalesce(sum(v.ok), 0) AS BIGINT) AS n_luhn_valid
         |FROM d2 LEFT JOIN v ON d2.doc_id = v.doc_id
         |GROUP BY d2.doc_id""".stripMargin,
+    // novelty replay: even half's distinct grams vs each odd doc's set
+    "t_novelty" ->
+      s"""WITH rg AS (
+         |  SELECT DISTINCT g FROM (
+         |    SELECT unnest(${hashedShinglesSql(WsSql)}) AS g
+         |    FROM documents WHERE doc_id % 2 = 0)),
+         |d AS (
+         |  SELECT doc_id, ${hashedShinglesSql(WsSql)} AS gr
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |sh AS (
+         |  SELECT doc_id, count(*) AS seen
+         |  FROM (SELECT doc_id, unnest(gr) AS g FROM d) x
+         |  JOIN rg USING (g) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(len(gr) AS BIGINT) AS n_doc_ngrams,
+         |  CAST(coalesce(seen, 0) AS BIGINT) AS n_seen_ngrams,
+         |  CAST(CASE WHEN len(gr) = 0 THEN 0
+         |    ELSE ((len(gr) - coalesce(seen, 0)) * 1000000) // len(gr) END
+         |    AS BIGINT) AS novelty_ppm
+         |FROM d LEFT JOIN sh ON d.doc_id = sh.doc_id""".stripMargin,
     // redirect replay: recursive per-hop walk capped at 16, last row per
     // src = position after min(16, resolution) hops — the doubling's
     // exact semantics; resolved = terminal has no outgoing edge

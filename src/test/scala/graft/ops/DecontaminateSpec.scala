@@ -65,6 +65,27 @@ class DecontaminateSpec extends SparkSpec {
     out shouldBe Array((1L, 2L, 5L, 0.4))
   }
 
+  test("noveltyReport covers EVERY doc: dup 0, fresh 1e6, partial in between") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),          // exact dup of ref -> 0
+      (2L, "totally different words here now"), // nothing shared -> 1e6
+      (3L, "alpha beta gamma zzz yyy xxx"),     // 1 of 4 grams seen
+      (4L, "ab")                                // no 3-grams -> 0 (nothing novel)
+    ).toDF("doc_id", "text")
+    val ref = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Decontaminate
+      .noveltyReport(corpus, "doc_id", col("text"), ref, col("text"), n = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L) // total coverage
+    out(1L) shouldBe ((2L, 2L, 0L))
+    out(2L) shouldBe ((3L, 0L, 1000000L))
+    out(3L) shouldBe ((4L, 1L, 750000L))
+    out(4L) shouldBe ((0L, 0L, 0L))
+  }
+
   test("dropContaminated anti-joins flagged docs in one call") {
     val leaked = "e1 e2 e3 e4 e5 e6 e7 e8"
     val corpus = Seq(
