@@ -130,6 +130,22 @@ object HttpOptions {
   val SinkIdempotencySort = "http.sink.idempotency.sort"
   val AllowSelfSigned = "http.security.cert.server.allowSelfSigned"
 
+  /** Trust/key material from a keystore FILE (reference:
+    * `HttpConnectorConfigConstants.java:100-105`, loaded by
+    * `security/SecurityContext.createFromKeyStore` — the store backs BOTH
+    * the trust managers and the key managers, and any
+    * `http.security.cert.*` PEM/DER material is ADDED on top of it).
+    * `.password` is REQUIRED whenever `.path` is set (reference
+    * `JavaNetHttpClientFactory.createSecurityContext` fails fast on a
+    * missing password). `.type` defaults to JKS like the reference — the
+    * JDK's dual-format JKS implementation transparently reads PKCS12
+    * files too, so `.type` only matters for stores that need an explicit
+    * non-default provider format.
+    */
+  val KeyStorePath = "http.security.keystore.path"
+  val KeyStorePassword = "http.security.keystore.password"
+  val KeyStoreType = "http.security.keystore.type"
+
   /** `inner` (default) or `left`: LEFT keeps probe rows whose lookup found
     * no match (ignored status such as a 404, or a valid empty-array
     * response) with null enrichment columns — the lookup-join analog of

@@ -27,10 +27,14 @@ object Ssl {
       serverCertPaths: Seq[String] = Nil,
       clientCertPath: Option[String] = None,
       clientKeyPath: Option[String] = None,
-      allowSelfSigned: Boolean = false)
+      allowSelfSigned: Boolean = false,
+      keyStorePath: Option[String] = None,
+      keyStorePassword: String = "",
+      keyStoreType: Option[String] = None)
       extends Serializable {
     def isConfigured: Boolean =
-      serverCertPaths.nonEmpty || clientCertPath.isDefined || allowSelfSigned
+      serverCertPaths.nonEmpty || clientCertPath.isDefined ||
+        allowSelfSigned || keyStorePath.isDefined
   }
 
   object SslConfig {
@@ -43,15 +47,71 @@ object Ssl {
         .toSeq,
       clientCertPath = o.strOpt("http.security.cert.client"),
       clientKeyPath = o.strOpt("http.security.key.client"),
-      allowSelfSigned = o.bool(HttpOptions.AllowSelfSigned, default = false))
+      allowSelfSigned = o.bool(HttpOptions.AllowSelfSigned, default = false),
+      keyStorePath = o.strOpt(HttpOptions.KeyStorePath).map(_.trim).filter(_.nonEmpty),
+      keyStorePassword = o.str(HttpOptions.KeyStorePassword, ""),
+      keyStoreType = o.strOpt(HttpOptions.KeyStoreType).map(_.trim).filter(_.nonEmpty))
   }
 
-  /** Build an SSLContext for the config; None → use JDK defaults. */
+  /** Build an SSLContext for the config; None → use JDK defaults.
+    *
+    * Mirrors the reference's `SecurityContext` construction: ONE store —
+    * empty, or loaded from `http.security.keystore.path` — backs both the
+    * trust managers and the key managers, with any PEM/DER
+    * `http.security.cert.*` material added on top
+    * (`utils/JavaNetHttpClientFactory.getSslContext`). A keystore file may
+    * therefore supply trusted server certs (trusted-cert entries, or the
+    * self-signed cert chain of a key entry) and the mTLS client key in one
+    * artifact, exactly like a migrated Flink DDL expects.
+    */
   def contextFor(cfg: SslConfig): Option[SSLContext] = {
     if (!cfg.isConfigured) return None
     if (cfg.allowSelfSigned && cfg.serverCertPaths.isEmpty &&
-      cfg.clientCertPath.isEmpty)
+      cfg.clientCertPath.isEmpty && cfg.keyStorePath.isEmpty)
       return Some(HttpClientFactory.trustAllContext())
+
+    if (cfg.clientCertPath.isDefined != cfg.clientKeyPath.isDefined)
+      throw new HttpConfigException(
+        "mTLS requires both http.security.cert.client and http.security.key.client")
+
+    // base store: the configured keystore file, or a fresh empty store
+    val storePassword = cfg.keyStorePath match {
+      case Some(path) =>
+        if (cfg.keyStorePassword.isEmpty)
+          throw new HttpConfigException(
+            s"Missing ${HttpOptions.KeyStorePassword} for provided keystore '$path'")
+        cfg.keyStorePassword.toCharArray
+      case None => Array.emptyCharArray
+    }
+    val ks = KeyStore.getInstance(
+      cfg.keyStoreType.getOrElse(
+        // reference parity: SecurityContext hardcodes a JKS instance, whose
+        // JDK dual-format implementation also reads PKCS12 files
+        if (cfg.keyStorePath.isDefined) "JKS" else KeyStore.getDefaultType))
+    cfg.keyStorePath match {
+      case Some(path) =>
+        val in = Files.newInputStream(Paths.get(path))
+        try ks.load(in, storePassword)
+        catch {
+          case e: Exception =>
+            throw new HttpConfigException(
+              s"Unable to load keystore '$path': $e")
+        } finally in.close()
+      case None => ks.load(null, null)
+    }
+    cfg.serverCertPaths.zipWithIndex.foreach { case (path, i) =>
+      loadCertificates(path).zipWithIndex.foreach { case (cert, j) =>
+        ks.setCertificateEntry(s"graft-server-$i-$j", cert)
+      }
+    }
+    val hasKeyEntry = (cfg.clientCertPath, cfg.clientKeyPath) match {
+      case (Some(certPath), Some(keyPath)) =>
+        val certs = loadCertificates(certPath)
+        val key = loadPkcs8Key(keyPath)
+        ks.setKeyEntry("graft-client", key, storePassword, certs.toArray[Certificate])
+        true
+      case _ => cfg.keyStorePath.isDefined // the file may carry a client key
+    }
 
     val trustManagers =
       if (cfg.allowSelfSigned) {
@@ -61,40 +121,20 @@ object Ssl {
           override def getAcceptedIssuers: Array[X509Certificate] = Array.empty
         }
         Array[javax.net.ssl.TrustManager](tm)
-      } else if (cfg.serverCertPaths.nonEmpty) {
-        val ts = KeyStore.getInstance(KeyStore.getDefaultType)
-        ts.load(null, null)
-        cfg.serverCertPaths.zipWithIndex.foreach { case (path, i) =>
-          loadCertificates(path).zipWithIndex.foreach { case (cert, j) =>
-            ts.setCertificateEntry(s"graft-server-$i-$j", cert)
-          }
-        }
+      } else if (cfg.serverCertPaths.nonEmpty || cfg.keyStorePath.isDefined) {
         val tmf =
           TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
-        tmf.init(ts)
+        tmf.init(ks)
         tmf.getTrustManagers
       } else null
 
-    val keyManagers = (cfg.clientCertPath, cfg.clientKeyPath) match {
-      case (Some(certPath), Some(keyPath)) =>
-        val certs = loadCertificates(certPath)
-        val key = loadPkcs8Key(keyPath)
-        val ks = KeyStore.getInstance(KeyStore.getDefaultType)
-        ks.load(null, null)
-        ks.setKeyEntry(
-          "graft-client",
-          key,
-          Array.emptyCharArray,
-          certs.toArray[Certificate])
+    val keyManagers =
+      if (hasKeyEntry) {
         val kmf =
           KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
-        kmf.init(ks, Array.emptyCharArray)
+        kmf.init(ks, storePassword)
         kmf.getKeyManagers
-      case (None, None) => null
-      case _ =>
-        throw new HttpConfigException(
-          "mTLS requires both http.security.cert.client and http.security.key.client")
-    }
+      } else null
 
     val ctx = SSLContext.getInstance("TLS")
     ctx.init(keyManagers, trustManagers, new SecureRandom())

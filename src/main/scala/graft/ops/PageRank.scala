@@ -71,6 +71,14 @@ object PageRank {
       dampDen: Long = 100): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(dampNum > 0 && dampDen > dampNum, "damping must satisfy 0 < num < den")
+    // same bound style as Hits.ranks: caller-supplied scale/damping must
+    // keep scale*(dampDen-dampNum), rank*dampNum and dampDen*deg inside
+    // Long — unbounded values would overflow silently (or as an opaque
+    // ANSI error) and break the exact-integer contract
+    require(scale >= 1000L && scale <= 1000000000000L,
+      "scale must stay in [1e3, 1e12] so rank sums cannot overflow")
+    require(dampDen <= 1000L,
+      "dampDen must stay <= 1000 so damping products cannot overflow")
     val e = Par.cached(
       Par.fan(edges).select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
     val seedSet = Par.cached(

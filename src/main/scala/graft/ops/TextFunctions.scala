@@ -304,14 +304,27 @@ object TextFunctions {
     * [[redactPii]]'s class of rules): candidates that fail the checksum
     * are left untouched. Fold over the candidate list with `aggregate` —
     * still pure built-ins.
+    *
+    * The replacement is anchored on digit boundaries (`(?<!\d)…(?!\d)`):
+    * a valid candidate's digits appearing as a SUBSTRING of a longer
+    * digit run elsewhere in the text (e.g. a 20+-digit id that happens to
+    * contain a valid 16-digit number) are not a card occurrence and stay
+    * untouched — only standalone runs are redacted. Lookbehind keeps this
+    * Spark-side only (Java regex); it has no hash-gated DuckDB oracle by
+    * design (RE2 lacks lookbehind), unlike [[cardAudit]].
     */
   def redactValidCards(text: Column, marker: String = "<CC>"): Column =
     aggregate(
       cardCandidates(text),
       coalesce(text, lit("")),
       (acc, c) =>
-        // candidates are pure digits: literal replace, no regex quoting
-        when(luhnValid(c), replace(acc, c, lit(marker))).otherwise(acc))
+        // candidates are pure digits: no regex quoting needed in the pattern
+        when(
+          luhnValid(c),
+          regexp_replace(
+            acc,
+            concat(lit("(?<!\\d)"), c, lit("(?!\\d)")),
+            lit(marker))).otherwise(acc))
 
   /** Tokens of `text` with the given words removed (vocabulary pruning —
     * e.g. the corpus-frequency top-k from a histogram pass).

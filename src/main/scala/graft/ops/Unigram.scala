@@ -55,12 +55,14 @@ object Unigram {
   /** Viterbi path delimiter (shared with the oracle's chr(31)). */
   val PathDelim = "\u001f"
 
-  /** Learn a (piece → integer cost) vocabulary of at most `vocabSize`
+  /** Learn a (piece → integer cost) vocabulary of about `vocabSize`
     * pieces from the corpus text column. Deterministic for a fixed corpus:
     * the histogram is an exact aggregate with a total (count desc, word
     * asc) order, and every EM/pruning decision runs on exact longs with
     * lexicographic tie-breaks. Single characters seen in training are
-    * never pruned (char coverage — every word stays encodable).
+    * never pruned (char coverage — every word stays encodable), so a
+    * corpus whose distinct-character count exceeds `vocabSize` returns
+    * MORE than `vocabSize` pieces: char coverage wins over the target.
     */
   def train(
       corpus: DataFrame,

@@ -30,6 +30,16 @@ object HttpQueries {
   private val cachedRouteHits = new java.util.concurrent.atomic.AtomicLong()
   private val cacheAsserted =
     ConcurrentHashMap.newKeySet[String]()
+  // stub-side concurrency trackers: each instrumented route increments a
+  // live counter on entry, folds it into the observed max, and decrements
+  // on exit — the driver-run proof that bounded-async machinery is both
+  // CONCURRENT (max >= 2) and BOUNDED (max <= the configured in-flight cap)
+  private val sinkInflightCur = new java.util.concurrent.atomic.AtomicInteger()
+  private val sinkInflightMax = new java.util.concurrent.atomic.AtomicInteger()
+  private val lookupInflightCur = new java.util.concurrent.atomic.AtomicInteger()
+  private val lookupInflightMax = new java.util.concurrent.atomic.AtomicInteger()
+  private val asyncAsserted =
+    ConcurrentHashMap.newKeySet[String]()
   private val proxyServers =
     new ConcurrentHashMap[String, graft.http.testkit.ProxyServer]()
 
@@ -214,6 +224,21 @@ object HttpQueries {
                 case None => (404, """{"error":"not found"}""")
               }
           }
+          // async-concurrency twin (L2): byte-identical to /customer but
+          // tracks how many requests are being served at once; the small
+          // sleep sustains overlap so the async lookup's in-flight window
+          // is observable (thread-per-connection — sleeps don't serialize)
+          .route("/customer-async") { req =>
+            val c = lookupInflightCur.incrementAndGet()
+            lookupInflightMax.accumulateAndGet(c, Math.max(_, _))
+            try {
+              Thread.sleep(5)
+              StubServer.queryMap(req.query).get("c_custkey").flatMap(rows.get) match {
+                case Some(json) => (200, json)
+                case None => (404, """{"error":"not found"}""")
+              }
+            } finally lookupInflightCur.decrementAndGet()
+          }
           // flaky twin: the FIRST attempt for every key fails 503; the
           // retry policy must recover (per-JVM counters — later bench
           // iterations see a warm stub, which only makes retries moot)
@@ -326,6 +351,22 @@ object HttpQueries {
         val server = StubServer()
           .route("/ingest")(_ => (200, """{"ok":true}"""))
           .route("/ingest-table")(_ => (200, """{"ok":true}"""))
+          // idempotency-key twin (K13): plain 200s — the gate reads the
+          // captured Idempotency-Key headers back out of `requests`
+          .route("/ingest-idem")(_ => (200, """{"ok":true}"""))
+          // bounded-in-flight twin (K3): tracks concurrent handlers; the
+          // sleep makes the client's in-flight window observable
+          .route("/ingest-slow") { _ =>
+            val c = sinkInflightCur.incrementAndGet()
+            sinkInflightMax.accumulateAndGet(c, Math.max(_, _))
+            try {
+              Thread.sleep(50)
+              (200, """{"ok":true}""")
+            } finally sinkInflightCur.decrementAndGet()
+          }
+          // time-based-flush twin (K14): plain 200s — the gate counts how
+          // many separate partial-batch requests landed
+          .route("/ingest-flush")(_ => (200, """{"ok":true}"""))
         server.start()
         server
       })
@@ -1030,6 +1071,209 @@ object HttpQueries {
           col("rec.c_nationkey"),
           col("rec.n_customers"),
           col("rec.sum_acctbal"))
+    },
+
+    // ----- async lookup concurrency (L2): the stub's in-flight tracker
+    // must observe BOTH concurrency (>= 2 — a silently dropped thread pool
+    // serializes every request and fails this) and the configured bound
+    // (<= partitions x pool = 8 — a runaway unbounded pool fails that).
+    // Result stays the relational join, hash-gated. -----
+    "h_async_lookup" -> { (s, dir) =>
+      val probe = s.read
+        .parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+        .repartition(4)
+      val out = HttpLookup
+        .join(
+          probe,
+          keyCols = Seq("c_custkey"),
+          responseSchema = customerResponseSchema,
+          options = Map(
+            "url" -> lookupStub(s, dir).url("/customer-async"),
+            "lookup-method" -> "GET",
+            "asyncPolling" -> "true",
+            "http.source.lookup.request.thread-pool.size" -> "2",
+            // cache and key-dedup OFF: every probe row must hit the wire,
+            // so the concurrency window is sustained and measurable
+            "http.source.lookup.dedup-keys" -> "false",
+            "http.source.lookup.success-codes" -> "2XX",
+            "http.source.lookup.ignored-response-codes" -> "404"))
+        .select(
+          col("o_orderkey"),
+          col("c_custkey"),
+          col("c_name"),
+          col("c_acctbal"))
+      // quiet-window methodology (SURVEY par.5): assert on the FIRST
+      // evaluation in this JVM only — later bench iterations measure
+      // timing, and the physics (4 partitions x 2-deep pipelines over a
+      // 5 ms handler) don't change
+      if (asyncAsserted.add(dir)) {
+        lookupInflightCur.set(0)
+        lookupInflightMax.set(0)
+        out.count()
+        val maxSeen = lookupInflightMax.get()
+        require(
+          maxSeen >= 2,
+          s"h_async_lookup: max $maxSeen concurrent request(s) observed — " +
+            "the async lookup path is not actually concurrent")
+        require(
+          maxSeen <= 8,
+          s"h_async_lookup: max $maxSeen concurrent requests observed — " +
+            "exceeds the 4 partitions x 2 thread-pool in-flight bound")
+      }
+      out
+    },
+
+    // ----- sink idempotency keys (K13): single-mode sink with
+    // `http.sink.idempotency.header` on; the stub-captured key set must
+    // equal the DuckDB replay of (nonce, epoch, partition, sha256(body)
+    // prefix, occurrence), and a full re-run with the same nonce must
+    // reproduce the set bit-exact (the replay-dedup delivery contract of
+    // the reference's checkpointed AsyncSink buffer,
+    // sink/HttpSinkWriterStateSerializer.java:30-41). -----
+    "h_sink_idempotency" -> { (s, dir) =>
+      val agg = s.read
+        .parquet(s"$dir/customer.parquet")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          // integer cents: the body string must be byte-identical in the
+          // DuckDB replay, so no doubles anywhere near the payload
+          (sum(col("c_acctbal").cast(DecimalType(18, 2))) * 100)
+            .cast(LongType).as("cents"))
+      // every body occurs exactly TWICE in the one partition: occurrence
+      // keying (-0/-1 suffixes) is part of the gated relation, and
+      // repartition(1) pins the key's partition component to 0
+      val doubled = agg.union(agg).repartition(1)
+      val server = sinkServer(dir)
+      val opts = Map(
+        "url" -> server.url("/ingest-idem"),
+        "insert-method" -> "POST",
+        "http.sink.writer.request.mode" -> "single",
+        "http.sink.idempotency.header" -> "Idempotency-Key",
+        "http.sink.idempotency.nonce" -> "r12")
+      def keysOnce(): Seq[String] = {
+        server.clear()
+        HttpSink.write(doubled, opts)
+        server.requests
+          .filter(_.path == "/ingest-idem")
+          // StubServer normalizes header keys to First-upper-rest-lower
+          .flatMap(_.headers.getOrElse("Idempotency-key", Nil))
+      }
+      val run1 = keysOnce()
+      val run2 = keysOnce()
+      require(
+        run1.nonEmpty && run1.distinct.size == run1.size,
+        s"h_sink_idempotency: ${run1.size} keys, " +
+          s"${run1.distinct.size} distinct — occurrence keying broke")
+      require(
+        run1.sorted == run2.sorted,
+        "h_sink_idempotency: an identical re-run did not reproduce the " +
+          "idempotency key set bit-exact — replay would not deduplicate")
+      import s.implicits._
+      s.createDataset(run1).toDF("idem_key")
+    },
+
+    // ----- sink bounded in-flight (K3): single-mode requests against a
+    // 50 ms handler with max-inflight 2 — the stub tracker must see
+    // exactly-bounded concurrency. A dropped semaphore exceeds the bound;
+    // a synchronous submitter never reaches 2. -----
+    "h_sink_inflight" -> { (s, dir) =>
+      val agg = s.read
+        .parquet(s"$dir/customer.parquet")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal").cast(DecimalType(18, 2))), 2)
+            .cast(DoubleType).as("sum_acctbal"))
+      val server = sinkServer(dir)
+      server.clear()
+      sinkInflightCur.set(0)
+      sinkInflightMax.set(0)
+      HttpSink.write(
+        agg.repartition(1),
+        Map(
+          "url" -> server.url("/ingest-slow"),
+          "insert-method" -> "PUT",
+          "http.sink.writer.request.mode" -> "single",
+          "sink.requests.max-inflight" -> "2",
+          "http.sink.writer.thread-pool.size" -> "4"))
+      val maxSeen = sinkInflightMax.get()
+      require(
+        maxSeen <= 2,
+        s"h_sink_inflight: $maxSeen concurrent requests observed — the " +
+          "configured sink.requests.max-inflight bound (2) is not enforced")
+      require(
+        maxSeen >= 2,
+        s"h_sink_inflight: max $maxSeen concurrent request(s) — the " +
+          "bounded submitter is not actually asynchronous")
+      val bodies = server.requests.filter(_.path == "/ingest-slow").map(_.body)
+      val recSchema = StructType(Seq(
+        StructField("c_nationkey", IntegerType),
+        StructField("n_customers", LongType),
+        StructField("sum_acctbal", DoubleType)))
+      import s.implicits._
+      s.createDataset(bodies)
+        .toDF("body")
+        .select(from_json(col("body"), recSchema).as("rec"))
+        .select(
+          col("rec.c_nationkey"),
+          col("rec.n_customers"),
+          col("rec.sum_acctbal"))
+    },
+
+    // ----- sink time-based flush (K14): batch size 1000 never fills, the
+    // partition iterator is artificially slow (60 ms/row via a sleeping
+    // UDF), so ONLY the 150 ms flush-buffer timeout can emit more than the
+    // single end-of-partition request. The request count proves the timer
+    // fired; the reassembled bodies stay hash-gated. -----
+    "h_sink_flush" -> { (s, dir) =>
+      // nondeterministic: the optimizer must not move the sleeping
+      // projection below the repartition exchange — it has to run in the
+      // SAME task as the sink's partition iterator so each row pull
+      // really takes 60 ms at the buffer
+      val slowId = udf((k: Int) => { Thread.sleep(60L); k }).asNondeterministic()
+      val agg = s.read
+        .parquet(s"$dir/customer.parquet")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal").cast(DecimalType(18, 2))), 2)
+            .cast(DoubleType).as("sum_acctbal"))
+        .repartition(1)
+        .select(
+          slowId(col("c_nationkey")).as("c_nationkey"),
+          col("n_customers"),
+          col("sum_acctbal"))
+      val server = sinkServer(dir)
+      server.clear()
+      HttpSink.write(
+        agg,
+        Map(
+          "url" -> server.url("/ingest-flush"),
+          "insert-method" -> "POST",
+          "http.sink.writer.request.mode" -> "batch",
+          "http.sink.request.batch.size" -> "1000",
+          "sink.flush-buffer.timeout" -> "150"))
+      val reqs = server.requests.filter(_.path == "/ingest-flush")
+      require(
+        reqs.size >= 2,
+        s"h_sink_flush: ${reqs.size} request(s) for a ~1.5 s partition " +
+          "with a 150 ms flush-buffer.timeout — the time-based flush " +
+          "never fired")
+      val bodySchema = ArrayType(StructType(Seq(
+        StructField("c_nationkey", IntegerType),
+        StructField("n_customers", LongType),
+        StructField("sum_acctbal", DoubleType))))
+      import s.implicits._
+      s.createDataset(reqs.map(_.body))
+        .toDF("body")
+        .select(explode(from_json(col("body"), bodySchema)).as("rec"))
+        .select(
+          col("rec.c_nationkey"),
+          col("rec.n_customers"),
+          col("rec.sum_acctbal"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -1130,6 +1374,35 @@ object HttpQueries {
         |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
         |FROM customer GROUP BY c_nationkey""".stripMargin,
     "h_poll_source" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "h_async_lookup" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 97 = 0""".stripMargin,
+    // replays the key derivation exactly: nonce 'r12', epoch 0, partition 0
+    // (repartition(1)), first 16 hex chars of sha256 over the to_json body
+    // (integer fields only — byte-identical cross-engine), occurrences 0
+    // and 1 for the doubled aggregate
+    "h_sink_idempotency" ->
+      """WITH agg AS (
+        |  SELECT c_nationkey, count(*) AS n_customers,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM customer GROUP BY c_nationkey
+        |)
+        |SELECT 'r12-0-0-' ||
+        |    substr(sha256('{"c_nationkey":' || c_nationkey ||
+        |      ',"n_customers":' || n_customers ||
+        |      ',"cents":' || cents || '}'), 1, 16) ||
+        |    '-' || occ AS idem_key
+        |FROM agg CROSS JOIN (SELECT 0 AS occ UNION ALL SELECT 1) occs""".stripMargin,
+    "h_sink_inflight" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "h_sink_flush" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
+        |FROM customer GROUP BY c_nationkey""".stripMargin
   )
 }

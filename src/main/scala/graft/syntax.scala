@@ -410,7 +410,6 @@ object syntax {
         seed: String = "interleave"): DataFrame =
       Packing.interleaveBySource(df, idCol, sourceCol, seed)
 
-    /** Unigram-LM (SentencePiece-style) tokens for a frozen vocabulary. */
     /** Exact-total largest-remainder slot allocation per group
       * ([[Sampling.apportion]]).
       */
@@ -424,11 +423,13 @@ object syntax {
         outCol: String = "worker"): DataFrame =
       Packing.rendezvousAssign(df, idCol, workers, outCol)
 
+    /** WordPiece greedy longest-match-first tokens ([[WordPiece.tokens]]). */
     def wordpieceTokens(
         textCol: Column,
         vocab: Seq[String] = WordPiece.Frozen): Column =
       WordPiece.tokens(textCol, vocab)
 
+    /** Unigram-LM (SentencePiece-style) tokens for a frozen vocabulary. */
     def unigramTokens(
         textCol: Column,
         vocab: Seq[(String, Int)]): Column =

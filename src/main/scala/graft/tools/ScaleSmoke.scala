@@ -1010,6 +1010,14 @@ object ScaleSmoke {
         .filter(pmod(col("doc_id"), lit(1000L)) === 0L)
         .select(col("doc_id").as("node"))
       val nChains = nDocs / 1000L
+      // the 9-layers-per-chain expectation below only holds for complete
+      // chains; a truncated final chain would yield fewer layers PLUS a
+      // phantom node nDocs reachable through the last doc's edge — fail
+      // the fixture assumption loudly instead of false-failing the step
+      require(
+        nDocs % 1000L == 0L,
+        s"u_crawl_depth smoke needs nDocs ($nDocs) divisible by 1000 " +
+          "(complete chains); adjust copies or the chain length")
       measure(Step(
         s"u_crawl_depth(${copies}x chains of 1000, depth<=8)",
         () => graft.ops.Bfs.depths(

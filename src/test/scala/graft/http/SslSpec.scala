@@ -110,4 +110,54 @@ class SslSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     an[HttpConfigException] should be thrownBy Ssl.contextFor(
       Ssl.SslConfig(clientCertPath = Some("/x"), clientKeyPath = None))
   }
+
+  // ----- http.security.keystore.{path,password,type} (reference:
+  // HttpConnectorConfigConstants.java:100-105, SecurityContext
+  // .createFromKeyStore) — trust material loaded from a keystore FILE -----
+
+  test("https trusting via http.security.keystore.path completes the lookup") {
+    // the server's own PKCS12 (key entry whose chain head is the
+    // self-signed cert) read through the reference's hardcoded-JKS route:
+    // the JDK dual-format JKS store transparently loads PKCS12, and the
+    // trust managers pick up the key entry's certificate chain
+    val out = lookupClient(
+      Map(
+        "http.security.keystore.path" -> dir.resolve("server.p12").toString,
+        "http.security.keystore.password" -> "changeit"))
+      .execute("GET", s"https://127.0.0.1:$port/secure", None)
+    out.state shouldBe CompletionState.Success
+    out.body shouldBe """{"ok": true}"""
+  }
+
+  test("explicit http.security.keystore.type PKCS12 is honored") {
+    val trustP12 = dir.resolve("trust.p12")
+    if (!Files.exists(trustP12)) {
+      new ProcessBuilder(
+        "keytool", "-importcert", "-noprompt", "-alias", "server",
+        "-file", certPem.toString, "-keystore", trustP12.toString,
+        "-storetype", "PKCS12", "-storepass", "tsecret")
+        .redirectErrorStream(true).start().waitFor() shouldBe 0
+    }
+    val out = lookupClient(
+      Map(
+        "http.security.keystore.path" -> trustP12.toString,
+        "http.security.keystore.password" -> "tsecret",
+        "http.security.keystore.type" -> "PKCS12"))
+      .execute("GET", s"https://127.0.0.1:$port/secure", None)
+    out.state shouldBe CompletionState.Success
+  }
+
+  test("keystore path without password fails fast (reference parity)") {
+    val e = intercept[HttpConfigException](
+      Ssl.contextFor(Ssl.SslConfig(
+        keyStorePath = Some(dir.resolve("server.p12").toString))))
+    e.getMessage should include("http.security.keystore.password")
+  }
+
+  test("keystore with a wrong password fails loudly, not as silent no-trust") {
+    an[HttpConfigException] should be thrownBy Ssl.contextFor(
+      Ssl.SslConfig(
+        keyStorePath = Some(dir.resolve("server.p12").toString),
+        keyStorePassword = "wrong"))
+  }
 }

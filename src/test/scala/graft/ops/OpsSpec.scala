@@ -38,6 +38,16 @@ class TextFunctionsSpec extends SparkSpec {
       "id 4111111111111112 ok card <CC> ref 12345678"
   }
 
+  test("redactValidCards: digit-boundary anchoring protects longer runs") {
+    // the 20-digit id starts with the valid 16-digit Visa number; the
+    // candidate extracted from it is its 19-digit prefix (leftmost-greedy),
+    // which is not Luhn-valid — and the standalone valid card elsewhere
+    // must NOT trigger a substring replace inside the long id
+    val txt = "id 41111111111111111234 card 4111111111111111 end"
+    evalOne(TextFunctions.redactValidCards(col("text")), txt) shouldBe
+      "id 41111111111111111234 card <CC> end"
+  }
+
   test("script-mix ppm counts each Unicode script class exactly") {
     // 4 CJK + 6 Cyrillic + "ab12" latin/digits + 2 spaces = 16 chars
     val mixed = "\u4F60\u597D\u4E16\u754C \u043F\u0440\u0438\u0432\u0435\u0442 ab12"
