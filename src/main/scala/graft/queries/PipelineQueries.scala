@@ -1637,6 +1637,59 @@ object PipelineQueries {
         .rrf(Seq(sparse, dense), "doc_id", "rank", k0 = 60, topK = 100)
     },
 
+    // ----- retrieval-stack e2e composition (NEW r12): the full hybrid
+    // retrieval flow users actually run, chained against ONE oracle (the
+    // P36/P45/P91 pattern) — positional postings (P115) drive the query-
+    // term selection (3 lowest-df = most informative terms, ties by
+    // term), BM25 ranks them (P47), RRF fuses with the dense cosine
+    // ranking (P68), and the fused list is scored per query bucket by the
+    // rank-eval metrics (P124). Any drift in any stage shifts the final
+    // 5-row metric relation. The 3-term collect is driver-bounded model
+    // state (the IVF-centroid class). -----
+    "p_retrieval_e2e" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val terms = graft.ops.TfIdf
+        .postings(docs, "doc_id", "text")
+        .select(col("term"), col("df"))
+        .distinct()
+        .orderBy(col("df").asc, col("term").asc)
+        .limit(3)
+        .collect()
+        .map(_.getString(0))
+        .toSeq
+      val sparse = graft.ops.Bm25
+        .searchTopK(docs, "doc_id", "text", query = terms, k = 200)
+        .select(col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity
+        .bruteForceTopK(
+          emb,
+          "vec_id",
+          "embedding",
+          emb.filter(col("vec_id") === 0),
+          "vec_id",
+          "embedding",
+          k = 200)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      val fused = graft.ops.RankFusion
+        .rrf(Seq(sparse, dense), "doc_id", "rank", k0 = 60, topK = 100)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("__fr").asc)
+      val run = fused
+        .select(
+          (col("doc_id") % 5).as("query_id"),
+          col("doc_id").as("d"),
+          col("rank").as("__fr"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .drop("__fr")
+      val qrels = docs
+        .filter(
+          TextFunctions.hash61(
+            concat(lit("rel:"), col("doc_id").cast(StringType))) % 5 === 0)
+        .select((col("doc_id") % 5).as("query_id"), col("doc_id").as("d"))
+      graft.ops.RankEval.perQuery(run, qrels, "query_id", "d", "rank", k = 10)
+    },
+
     // ----- fastText-style hashed linear classifier inference: broadcast
     // frozen integer weights (deterministic pseudo-model), map-side
     // scoring, threshold decision -----
@@ -1711,6 +1764,39 @@ object PipelineQueries {
         defaultPerMille = MixPlanDefault,
         budget = MixPlanBudget,
         maxPerMille = MixPlanMax)
+    },
+
+    // ----- mixture e2e composition (NEW r12): plan -> sample ->
+    // interleave chained against ONE oracle (the P36/P45/P91 pattern).
+    // The P75 plan's derived per-lang rates feed P23's weightedMixCol
+    // through a broadcast join (fully distributed — no driver hop), the
+    // mixed copies get unique ids (doc_id*1000+copy), and P113 interleaves
+    // the physical training order by language. Any drift in the plan
+    // rates, the copy hash gate, or the interleave positions fails the
+    // chained hash. -----
+    "t_mixture_e2e" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val stats = graft.ops.CorpusStats.corpusReport(docs, "text", Seq("lang"))
+      val plan = Sampling.mixturePlan(
+        stats, "lang", "n_tokens",
+        targetsPerMille = MixPlanTargets,
+        defaultPerMille = MixPlanDefault,
+        budget = MixPlanBudget,
+        maxPerMille = MixPlanMax)
+      val mixed = Sampling.weightedMixCol(
+        docs
+          .select(col("doc_id"), col("lang"))
+          .join(
+            broadcast(plan.select(col("lang"), col("rate_per_mille"))),
+            Seq("lang")),
+        "doc_id",
+        col("rate_per_mille"))
+      val withId = mixed.select(
+        (col("doc_id") * 1000 + col("copy")).as("mixed_id"),
+        col("doc_id"),
+        col("copy"),
+        col("lang"))
+      graft.ops.Packing.interleaveBySource(withId, "mixed_id", "lang")
     },
 
     // ----- Gopher repetition rule bundle (Rae et al. 2021 Table A1):
@@ -5154,6 +5240,94 @@ object PipelineQueries {
          |SELECT doc_id, n_lists, rrf_micro, rank FROM fr
          |WHERE rank <= 100""".stripMargin
     },
+    // replays the full retrieval chain in one CTE pipeline: postings-df
+    // term pick -> BM25 (rational idf, ordered fold) -> RRF fusion with
+    // the dense cosine ranking -> per-bucket rank-eval metrics
+    "p_retrieval_e2e" -> {
+      val rel = hash61Sql("'rel:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH w AS (
+         |  SELECT doc_id, $WsSql AS w FROM documents),
+         |stats AS (SELECT count(*) AS d, sum(len(w)) AS t FROM w),
+         |post AS (
+         |  SELECT term, doc_id FROM (
+         |    SELECT doc_id, unnest(w) AS term FROM w) GROUP BY term, doc_id),
+         |dfall AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+         |picked AS (SELECT term FROM dfall ORDER BY df ASC, term ASC LIMIT 3),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+         |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w)
+         |  WHERE term IN (SELECT term FROM picked)
+         |  GROUP BY doc_id, dl, term),
+         |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    CAST(((SELECT d FROM stats) + 1) * 1000000 // (dfr.df + 1) AS DOUBLE) *
+         |    (tf.tf * (CAST(1.2 AS DOUBLE) + 1)) /
+         |    (tf.tf + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE)) +
+         |      CAST(1.2 AS DOUBLE) * CAST(0.75 AS DOUBLE) *
+         |      (tf.dl / ((SELECT CAST(t AS DOUBLE) FROM stats) /
+         |                (SELECT CAST(d AS DOUBLE) FROM stats)))) AS s
+         |  FROM tf JOIN dfr USING (term)),
+         |agg AS (
+         |  SELECT doc_id, list_reduce(list(s ORDER BY term), (a, b) -> a + b)
+         |    AS score
+         |  FROM sc GROUP BY doc_id),
+         |sparse AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM agg QUALIFY rank <= 200),
+         |dq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |dc AS (SELECT vec_id, embedding AS cv FROM embeddings
+         |       WHERE vec_id <> 0),
+         |ds AS (
+         |  SELECT vec_id,
+         |    ${embDotSql("qv", "cv")} /
+         |      (sqrt(${embDotSql("qv", "qv")}) * sqrt(${embDotSql("cv", "cv")})) AS cos
+         |  FROM dc, dq),
+         |dense AS (
+         |  SELECT vec_id AS doc_id,
+         |    row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM ds QUALIFY rank <= 200),
+         |contrib AS (
+         |  SELECT doc_id, 1000000 // (60 + rank) AS c FROM sparse
+         |  UNION ALL
+         |  SELECT doc_id, 1000000 // (60 + rank) AS c FROM dense),
+         |fused AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+         |  FROM contrib GROUP BY doc_id),
+         |fr AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+         |  FROM fused QUALIFY rank <= 100),
+         |run AS (
+         |  SELECT doc_id % 5 AS query_id, doc_id AS d,
+         |    row_number() OVER (PARTITION BY doc_id % 5 ORDER BY rank) AS r
+         |  FROM fr),
+         |rels AS (
+         |  SELECT doc_id % 5 AS query_id, doc_id AS d FROM documents
+         |  WHERE $rel % 5 = 0),
+         |nrel AS (
+         |  SELECT query_id, count(*) AS n_rel FROM rels GROUP BY query_id),
+         |hits AS (
+         |  SELECT run.query_id, run.r FROM run
+         |  JOIN rels ON run.query_id = rels.query_id AND run.d = rels.d
+         |  WHERE run.r <= 10),
+         |j AS (
+         |  SELECT query_id, r,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY r) AS j
+         |  FROM hits),
+         |per AS (
+         |  SELECT query_id, count(*) AS n_hits_at_k, min(r) AS first,
+         |    sum((1000000 * j) // r) AS apnum
+         |  FROM j GROUP BY query_id)
+         |SELECT nrel.query_id, n_rel,
+         |  CAST(coalesce(n_hits_at_k, 0) AS BIGINT) AS n_hits_at_k,
+         |  CAST(coalesce(first, 0) AS BIGINT) AS first_rank,
+         |  CAST(CASE WHEN first IS NULL THEN 0
+         |       ELSE 1000000 // first END AS BIGINT) AS rr_ppm,
+         |  CAST(coalesce(apnum, 0) // n_rel AS BIGINT) AS ap_ppm
+         |FROM nrel LEFT JOIN per ON nrel.query_id = per.query_id""".stripMargin
+    },
     // replays HashedClassifier over the deterministic pseudo-weight table:
     // slot = hash61(token) % 4096, weight = (hash61('w'||slot) % 2000001)
     // − 1e6, score = bias + exact integer sum
@@ -5284,6 +5458,58 @@ object PipelineQueries {
          |  CAST(rate AS BIGINT) AS rate_per_mille,
          |  CAST((tokens * rate) // 1000 AS BIGINT) AS planned_tokens
          |FROM r""".stripMargin
+    },
+    // replays the mixture chain in one CTE pipeline: the P75 plan rates
+    // (same CTEs as t_mixture_plan) drive the P23 copy explode (mix-salted
+    // fractional copy), mixed ids = doc_id*1000+copy, then the P113
+    // interleave order over the mixed corpus
+    "t_mixture_e2e" -> {
+      val shareCase = "CASE lang " + MixPlanTargets
+        .map { case (k, v) => s"WHEN '$k' THEN $v" }
+        .mkString(" ") + s" ELSE $MixPlanDefault END"
+      val mixHash = hash61Sql("'mix:' || CAST(doc_id AS VARCHAR)")
+      val ilHash = hash61Sql("'interleave:' || CAST(mixed_id AS VARCHAR)")
+      s"""WITH b AS (
+         |  SELECT lang, coalesce(len($WsSql), 0) AS toks FROM documents),
+         |g AS (
+         |  SELECT lang, CAST(sum(toks) AS BIGINT) AS tokens
+         |  FROM b GROUP BY lang),
+         |p AS (
+         |  SELECT lang, tokens, CAST($shareCase AS BIGINT) AS share FROM g),
+         |r AS (
+         |  SELECT lang,
+         |    least(
+         |      CASE WHEN tokens = 0 THEN 0
+         |        ELSE ((($MixPlanBudget * share) // 1000) * 1000) // tokens
+         |        END,
+         |      $MixPlanMax) AS rate
+         |  FROM p),
+         |m AS (
+         |  SELECT d.doc_id, d.lang,
+         |    (r.rate // 1000) +
+         |      (CASE WHEN $mixHash % 1000 < r.rate % 1000 THEN 1 ELSE 0 END)
+         |      AS n
+         |  FROM documents d JOIN r USING (lang)),
+         |mx AS (
+         |  SELECT doc_id, lang,
+         |    unnest(range(CAST(n AS BIGINT))) AS copy
+         |  FROM m WHERE n > 0),
+         |mi AS (
+         |  SELECT doc_id * 1000 + copy AS mixed_id, doc_id, copy, lang
+         |  FROM mx),
+         |src AS (
+         |  SELECT mixed_id, doc_id, copy, lang, $ilHash AS hk FROM mi),
+         |pp AS (
+         |  SELECT mixed_id, doc_id, copy, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hk, mixed_id)
+         |      AS ip,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM src)
+         |SELECT mixed_id, doc_id, copy, lang,
+         |  CAST(row_number() OVER (
+         |    ORDER BY CAST(ip AS DOUBLE) / CAST(n AS DOUBLE), lang, ip)
+         |    - 1 AS BIGINT) AS pos
+         |FROM pp""".stripMargin
     },
     "t_gopher_repetition" ->
       s"""WITH m AS (
