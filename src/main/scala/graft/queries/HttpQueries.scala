@@ -269,11 +269,13 @@ object HttpQueries {
   // allowSelfSigned), so a green result proves the PEM loader, the custom
   // trust store, the handshake, and the lookup decode compose end-to-end —
   // the reference's security/SecurityContext.java surface, driver-gated.
-  // Returns (base https URL, PEM path the connector must trust).
+  // Returns (base https URL, PEM path the connector must trust, PKCS12
+  // keystore path holding the same key+cert — the keystore-file trust
+  // route of h_tls_keystore).
   private val tlsServers =
-    new ConcurrentHashMap[String, (String, String)]()
+    new ConcurrentHashMap[String, (String, String, String)]()
 
-  private def tlsStub(spark: SparkSession, dir: String): (String, String) =
+  private def tlsStub(spark: SparkSession, dir: String): (String, String, String) =
     tlsServers.computeIfAbsent(
       dir,
       _ => {
@@ -341,7 +343,8 @@ object HttpQueries {
         server.start()
         (
           s"https://127.0.0.1:${server.getAddress.getPort}",
-          certPem.toString)
+          certPem.toString,
+          ksPath.toString)
       })
 
   private def sinkServer(dir: String): StubServer =
@@ -654,9 +657,43 @@ object HttpQueries {
       out
     },
 
+    // ----- TLS lookup via a keystore FILE (L17 keystore route, NEW r12):
+    // the same HTTPS fixture trusted through http.security.keystore.path
+    // (the PKCS12 holding the server key+cert, read through the
+    // reference's hardcoded-JKS dual-format route) — a migrated Flink DDL
+    // carrying a keystore works unchanged -----
+    "h_tls_keystore" -> { (s, dir) =>
+      val (base, _, ksPath) = tlsStub(s, dir)
+      val probe = s.read
+        .parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 53 === 0)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      HttpLookup
+        .join(
+          probe,
+          keyCols = Seq("c_custkey"),
+          responseSchema = customerResponseSchema,
+          options = Map(
+            "url" -> s"$base/customer",
+            "lookup-method" -> "GET",
+            "http.security.keystore.path" -> ksPath,
+            "http.security.keystore.password" -> "changeit",
+            "http.source.lookup.request.thread-pool.size" -> "2",
+            "http.source.lookup.dedup-keys" -> "true",
+            "lookup.cache" -> "PARTIAL",
+            "lookup.partial-cache.max-rows" -> "200000",
+            "http.source.lookup.success-codes" -> "2XX",
+            "http.source.lookup.ignored-response-codes" -> "404"))
+        .select(
+          col("o_orderkey"),
+          col("c_custkey"),
+          col("c_name"),
+          col("c_nationkey"))
+    },
+
     // ----- TLS lookup (L17): HTTPS + explicit server-cert trust store -----
     "h_tls_lookup" -> { (s, dir) =>
-      val (base, certPem) = tlsStub(s, dir)
+      val (base, certPem, _) = tlsStub(s, dir)
       val probe = s.read
         .parquet(s"$dir/orders.parquet")
         .filter(col("o_orderkey") % 29 === 0)
@@ -1314,6 +1351,10 @@ object HttpQueries {
       """SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey % 29 = 0""".stripMargin,
+    "h_tls_keystore" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_nationkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 53 = 0""".stripMargin,
     "h_header_lookup" ->
       """SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_nationkey
         |FROM orders JOIN customer ON o_custkey = c_custkey
