@@ -232,7 +232,7 @@ object HttpQueries {
             val c = lookupInflightCur.incrementAndGet()
             lookupInflightMax.accumulateAndGet(c, Math.max(_, _))
             try {
-              Thread.sleep(5)
+              Thread.sleep(3)
               StubServer.queryMap(req.query).get("c_custkey").flatMap(rows.get) match {
                 case Some(json) => (200, json)
                 case None => (404, """{"error":"not found"}""")
@@ -1261,16 +1261,16 @@ object HttpQueries {
     },
 
     // ----- sink time-based flush (K14): batch size 1000 never fills, the
-    // partition iterator is artificially slow (60 ms/row via a sleeping
-    // UDF), so ONLY the 150 ms flush-buffer timeout can emit more than the
+    // partition iterator is artificially slow (40 ms/row via a sleeping
+    // UDF), so ONLY the 100 ms flush-buffer timeout can emit more than the
     // single end-of-partition request. The request count proves the timer
     // fired; the reassembled bodies stay hash-gated. -----
     "h_sink_flush" -> { (s, dir) =>
       // nondeterministic: the optimizer must not move the sleeping
       // projection below the repartition exchange — it has to run in the
       // SAME task as the sink's partition iterator so each row pull
-      // really takes 60 ms at the buffer
-      val slowId = udf((k: Int) => { Thread.sleep(60L); k }).asNondeterministic()
+      // really takes 40 ms at the buffer
+      val slowId = udf((k: Int) => { Thread.sleep(40L); k }).asNondeterministic()
       val agg = s.read
         .parquet(s"$dir/customer.parquet")
         .groupBy(col("c_nationkey"))
@@ -1292,12 +1292,12 @@ object HttpQueries {
           "insert-method" -> "POST",
           "http.sink.writer.request.mode" -> "batch",
           "http.sink.request.batch.size" -> "1000",
-          "sink.flush-buffer.timeout" -> "150"))
+          "sink.flush-buffer.timeout" -> "100"))
       val reqs = server.requests.filter(_.path == "/ingest-flush")
       require(
         reqs.size >= 2,
-        s"h_sink_flush: ${reqs.size} request(s) for a ~1.5 s partition " +
-          "with a 150 ms flush-buffer.timeout — the time-based flush " +
+        s"h_sink_flush: ${reqs.size} request(s) for a ~1 s partition " +
+          "with a 100 ms flush-buffer.timeout — the time-based flush " +
           "never fired")
       val bodySchema = ArrayType(StructType(Seq(
         StructField("c_nationkey", IntegerType),

@@ -61,4 +61,12 @@ class RocksDbStateStoreSpec extends SparkSpec {
   test("stream-stream interval join state is provider-independent (RocksDB)") {
     crossProvider("q_stream_range_join")
   }
+
+  test("checkpoint RESTART recovers RocksDB dedup state (provider-independent)") {
+    // q_stream_restart internally stops mid-stream and restarts from its
+    // checkpoint — under RocksDB this exercises the provider's
+    // snapshot-upload + restore path, the machinery a 100 TB-state
+    // deployment actually leans on
+    crossProvider("q_stream_restart")
+  }
 }
