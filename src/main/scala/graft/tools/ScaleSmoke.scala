@@ -1085,6 +1085,121 @@ object ScaleSmoke {
         }))
     }
 
+    // ----- mixture e2e (P133, r12): plan -> weightedMixCol -> interleave
+    // over the 100x corpus with 5 synthetic langs. The chain's shuffles
+    // are the corpusReport lang agg + the interleave's source window and
+    // rangePrefix exchanges over the MIXED (up-sampled) corpus.
+    // Invariants: interleave positions are a 0..n-1 bijection and the
+    // interleave preserves exactly the mixed row set. -----
+    locally {
+      val langed = docs.withColumn(
+        "lang",
+        concat(lit("l"),
+          ((col("doc_id") / copies).cast("long") % 5).cast("string")))
+      measure(Step(
+        s"t_mixture_e2e(${copies}x, 5 langs, plan->mix->interleave)",
+        () => {
+          val stats =
+            graft.ops.CorpusStats.corpusReport(langed, "text", Seq("lang"))
+          val plan = graft.ops.Sampling.mixturePlan(
+            stats, "lang", "n_tokens",
+            targetsPerMille = Map("l0" -> 400, "l1" -> 300),
+            defaultPerMille = 100,
+            budget = 50000000L,
+            maxPerMille = 2000)
+          val mixed = graft.ops.Sampling.weightedMixCol(
+            langed
+              .select(col("doc_id"), col("lang"))
+              .join(
+                broadcast(plan.select(col("lang"), col("rate_per_mille"))),
+                Seq("lang")),
+            "doc_id",
+            col("rate_per_mille"))
+          val withId = mixed.select(
+            (col("doc_id") * 1000 + col("copy")).as("mixed_id"),
+            col("doc_id"),
+            col("lang"))
+          graft.ops.Packing.interleaveBySource(withId, "mixed_id", "lang")
+        },
+        ceilingGB = 1.5,
+        invariant = df => {
+          val stats = df.agg(
+            count(lit(1)).as("c"),
+            countDistinct(col("pos")).as("d"),
+            max(col("pos")).as("hi"),
+            countDistinct(col("mixed_id")).as("ids")).collect()(0)
+          val n = stats.getLong(0)
+          Seq(
+            if (n > 0) None else Some("empty mixed corpus"),
+            if (stats.getLong(1) == n && stats.getLong(2) == n - 1) None
+            else Some(s"positions are not a 0..${n - 1} bijection"),
+            if (stats.getLong(3) == n) None
+            else Some("interleave dropped or duplicated mixed rows")
+          ).flatten
+        }))
+    }
+
+    // ----- retrieval e2e (P134, r12): postings-driven term pick -> BM25
+    // -> RRF with the dense cosine ranking -> rank-eval, over the 100x
+    // corpus (20M-token postings explode is the dominant shuffle; the
+    // dense side broadcasts one query vector over 100x embeddings).
+    // Invariants: exactly 5 judged query buckets, every metric in range.
+    locally {
+      measure(Step(
+        s"p_retrieval_e2e(${copies}x, postings->bm25->rrf->eval)",
+        () => {
+          val terms = graft.ops.TfIdf
+            .postings(docs, "doc_id", "text")
+            .select(col("term"), col("df"))
+            .distinct()
+            .orderBy(col("df").asc, col("term").asc)
+            .limit(3)
+            .collect()
+            .map(_.getString(0))
+            .toSeq
+          val sparse = graft.ops.Bm25
+            .searchTopK(docs, "doc_id", "text", terms, k = 200)
+            .select(col("doc_id"), col("rank"))
+          val dense = graft.ops.Similarity
+            .bruteForceTopK(
+              embs, "vec_id", "embedding",
+              embs.filter(col("vec_id") === 0), "vec_id", "embedding",
+              k = 200)
+            .select(col("neighbor_id").as("doc_id"), col("rank"))
+          val fused = graft.ops.RankFusion
+            .rrf(Seq(sparse, dense), "doc_id", "rank", k0 = 60, topK = 100)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id")).orderBy(col("__fr").asc)
+          val run = fused
+            .select(
+              (col("doc_id") % 5).as("query_id"),
+              col("doc_id").as("d"),
+              col("rank").as("__fr"))
+            .withColumn("rank", row_number().over(w).cast("long"))
+            .drop("__fr")
+          val qrels = docs
+            .filter(
+              graft.ops.TextFunctions.hash61(
+                concat(lit("rel:"), col("doc_id").cast("string"))) % 5 === 0)
+            .select((col("doc_id") % 5).as("query_id"), col("doc_id").as("d"))
+          graft.ops.RankEval.perQuery(run, qrels, "query_id", "d", "rank", 10)
+        },
+        ceilingGB = 3.0,
+        invariant = df => {
+          val rows = df.collect()
+          Seq(
+            if (rows.length == 5) None
+            else Some(s"${rows.length} eval rows != 5 query buckets"),
+            if (rows.forall(r =>
+              r.getAs[Long]("rr_ppm") <= 1000000L &&
+                r.getAs[Long]("ap_ppm") <= 1000000L &&
+                r.getAs[Long]("n_hits_at_k") <= 10L &&
+                r.getAs[Long]("n_rel") > 0L)) None
+            else Some("an eval metric left its range")
+          ).flatten
+        }))
+    }
+
     graft.ops.Par.releaseCaches()
     spark.stop()
     sys.exit(if (failed) 1 else 0)
