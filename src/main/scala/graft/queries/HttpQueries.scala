@@ -1110,6 +1110,49 @@ object HttpQueries {
           col("rec.sum_acctbal"))
     },
 
+    // ----- STREAMING HTTP lookup join (L20, NEW r12): the reference's
+    // native context — a Structured Streaming probe side enriched
+    // through the HTTP lookup (stateless row-by-row enrichment, the
+    // `FOR SYSTEM_TIME AS OF` shape), AvailableNow over the event
+    // fixture, accumulated output gated hash-exact against the batch
+    // relational join -----
+    "h_stream_lookup" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val probe = s.readStream
+        .schema(schema)
+        .parquet(s"$dir/events*.parquet")
+        .filter(col("event_id") % 7 === 0)
+        .select(col("event_id"), col("user_id").as("c_custkey"))
+      val enriched = HttpLookup
+        .join(
+          probe,
+          keyCols = Seq("c_custkey"),
+          responseSchema = customerResponseSchema,
+          options = Map(
+            "url" -> customerServiceUrl(s, dir),
+            "lookup-method" -> "GET",
+            "http.source.lookup.request.thread-pool.size" -> "2",
+            "http.source.lookup.dedup-keys" -> "true",
+            "lookup.cache" -> "PARTIAL",
+            "lookup.partial-cache.max-rows" -> "200000",
+            "http.source.lookup.success-codes" -> "2XX",
+            "http.source.lookup.ignored-response-codes" -> "404"))
+        .select(
+          col("event_id"),
+          col("c_custkey"),
+          col("c_name"),
+          col("c_mktsegment"))
+      val sinkName = "h_stream_lookup_out"
+      val q = enriched.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+    },
+
     // ----- async lookup concurrency (L2): the stub's in-flight tracker
     // must observe BOTH concurrency (>= 2 — a silently dropped thread pool
     // serializes every request and fails this) and the configured bound
@@ -1420,6 +1463,10 @@ object HttpQueries {
       """SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey % 97 = 0""".stripMargin,
+    "h_stream_lookup" ->
+      """SELECT event_id, user_id AS c_custkey, c_name, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_id % 7 = 0""".stripMargin,
     // replays the key derivation exactly: nonce 'r12', epoch 0, partition 0
     // (repartition(1)), first 16 hex chars of sha256 over the to_json body
     // (integer fields only — byte-identical cross-engine), occurrences 0
