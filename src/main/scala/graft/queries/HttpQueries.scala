@@ -866,6 +866,34 @@ object HttpQueries {
           col(HttpLookup.MetaCompletionState))
     },
 
+    // ----- SQL TVF surface (L25, NEW r12): the http_lookup(...) table-
+    // valued function — pure spark.sql users running the full lookup
+    // pipeline with literal options, gated hash-exact vs the relational
+    // join (the h_table_lookup_join check through the TVF instead of the
+    // catalog-table route) -----
+    "h_tvf_lookup" -> { (s, dir) =>
+      val url = customerServiceUrl(s, dir)
+      val x = extensionsSession(s)
+      x.read
+        .parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 59 === 0)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+        .createOrReplaceTempView("orders_probe_tvf")
+      x.sql(
+        s"""SELECT o_orderkey, c_custkey, c_name, c_mktsegment
+           |FROM http_lookup(
+           |  'orders_probe_tvf',
+           |  'c_custkey',
+           |  'c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING',
+           |  'url', '$url',
+           |  'http.source.lookup.request.thread-pool.size', '2',
+           |  'http.source.lookup.dedup-keys', 'true',
+           |  'lookup.cache', 'PARTIAL',
+           |  'lookup.partial-cache.max-rows', '200000',
+           |  'http.source.lookup.success-codes', '2XX',
+           |  'http.source.lookup.ignored-response-codes', '404')""".stripMargin)
+    },
+
     // ----- DSv2 lookup TABLE: pure-SQL DDL + JOIN via HttpLookupJoinRule ---
     "h_table_lookup_join" -> { (s, dir) =>
       val url = customerServiceUrl(s, dir)
@@ -1467,6 +1495,10 @@ object HttpQueries {
       """SELECT event_id, user_id AS c_custkey, c_name, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey
         |WHERE event_id % 7 = 0""".stripMargin,
+    "h_tvf_lookup" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 59 = 0""".stripMargin,
     // replays the key derivation exactly: nonce 'r12', epoch 0, partition 0
     // (repartition(1)), first 16 hex chars of sha256 over the to_json body
     // (integer fields only — byte-identical cross-engine), occurrences 0
