@@ -40,6 +40,10 @@ object HttpQueries {
   private val lookupInflightMax = new java.util.concurrent.atomic.AtomicInteger()
   private val asyncAsserted =
     ConcurrentHashMap.newKeySet[String]()
+  // wire-call counter for the /customer-state route (L27 gate): the
+  // restart assertion counts fetches against the checkpoint-restored
+  // state cache
+  private val stateRouteHits = new java.util.concurrent.atomic.AtomicLong()
   private val proxyServers =
     new ConcurrentHashMap[String, graft.http.testkit.ProxyServer]()
 
@@ -192,6 +196,16 @@ object HttpQueries {
           // gate asserts FAR fewer wire calls than probe rows
           .route("/customer-cached") { req =>
             cachedRouteHits.incrementAndGet()
+            StubServer.queryMap(req.query).get("c_custkey").flatMap(rows.get) match {
+              case Some(json) => (200, json)
+              case None => (404, """{"error":"not found"}""")
+            }
+          }
+          // state-cache twin (L27): byte-identical to /customer but counts
+          // wire calls — the checkpoint-restart gate asserts restored
+          // state suppresses re-fetches of already-seen keys
+          .route("/customer-state") { req =>
+            stateRouteHits.incrementAndGet()
             StubServer.queryMap(req.query).get("c_custkey").flatMap(rows.get) match {
               case Some(json) => (200, json)
               case None => (404, """{"error":"not found"}""")
@@ -866,6 +880,111 @@ object HttpQueries {
           col(HttpLookup.MetaCompletionState))
     },
 
+    // ----- state-store-backed streaming lookup cache across RESTART
+    // (L27, NEW r12): the Flink operator-state semantics — the lookup
+    // cache lives in the streaming state store and survives WITH the job.
+    // Run 1 streams half the probe slice through joinStateCached (each
+    // distinct key = exactly ONE wire call); the FULL slice is then
+    // redelivered as new input files and run 2 restarts from the same
+    // checkpoint: the restored state must suppress every already-seen
+    // key, so run 2's wire calls must equal exactly the NEW distinct
+    // keys. Output gated hash-exact vs the batch relational join. -----
+    "h_state_lookup" -> { (s, dir) =>
+      graft.ops.Par.withShufflePartitions(s, 8) {
+        val probe = s.read
+          .parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 61 === 0)
+          .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-state-lookup-gate").toString
+        val (inDir, outDir, ckptDir) = (s"$root/in", s"$root/out", s"$root/ckpt")
+        val half = probe.filter(col("o_orderkey") % 2 === 0)
+        half.repartition(2).write.parquet(inDir)
+        val stagedSchema = s.read.parquet(inDir).schema
+
+        // NOT AvailableNow: the state cache's processing-time eviction
+        // timers keep AvailableNow servicing no-data batches until the TTL
+        // fires (measured: 1500+ empty batches). Poll the committed sink
+        // row count instead and stop once every input batch has committed
+        // — sink commit and state commit are the same batch transaction,
+        // so reaching the count means the cache state is durable too.
+        def runOnce(expectedRows: Long): Unit = {
+          val stream = s.readStream.schema(stagedSchema).parquet(inDir)
+          val q = HttpLookup
+            .joinStateCached(
+              stream,
+              keyCols = Seq("c_custkey"),
+              responseSchema = customerResponseSchema,
+              options = Map(
+                "url" -> lookupStub(s, dir).url("/customer-state"),
+                "lookup-method" -> "GET",
+                "lookup.partial-cache.expire-after-write" -> "10 min",
+                "http.source.lookup.success-codes" -> "2XX",
+                "http.source.lookup.ignored-response-codes" -> "404"))
+            .select(
+              col("o_orderkey"),
+              col("c_custkey"),
+              col("c_name"),
+              col("c_mktsegment"))
+            .writeStream
+            .format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ckptDir)
+            .outputMode("append")
+            // wide interval: batch 0 fires immediately and carries ALL
+            // available files; the interval only paces the empty batches
+            // we stop before (each empty batch would commit 8 state
+            // stores — the measured cost of a tight trigger here)
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.ProcessingTime(5000L))
+            .start()
+          try {
+            val deadline = System.currentTimeMillis() + 120000L
+            var committed = -1L
+            while (committed < expectedRows &&
+              System.currentTimeMillis() < deadline) {
+              Thread.sleep(100)
+              if (q.exception.isDefined) throw q.exception.get
+              committed =
+                try s.read.parquet(outDir).count()
+                catch { case _: Throwable => -1L }
+            }
+            require(
+              committed >= expectedRows,
+              s"h_state_lookup: sink committed $committed rows, expected " +
+                s"$expectedRows within 120s")
+          } finally q.stop()
+        }
+
+        val nHalf = half.count()
+        val nTotal = probe.count()
+        val keysHalf = half.select(col("c_custkey")).distinct().count()
+        val keysTotal = probe.select(col("c_custkey")).distinct().count()
+        val before1 = stateRouteHits.get()
+        runOnce(nHalf) // run #1: half the slice, one wire call per key
+        val wire1 = stateRouteHits.get() - before1
+        require(
+          wire1 == keysHalf,
+          s"h_state_lookup: run 1 made $wire1 wire calls for $keysHalf " +
+            "distinct keys — the state cache is not deduplicating fetches")
+
+        // redeliver EVERYTHING (run-1 keys included) as new input files
+        probe.repartition(2).write.mode("append").parquet(inDir)
+        val before2 = stateRouteHits.get()
+        runOnce(nHalf + nTotal) // run #2: restart from the same checkpoint
+        val wire2 = stateRouteHits.get() - before2
+        require(
+          wire2 == keysTotal - keysHalf,
+          s"h_state_lookup: run 2 made $wire2 wire calls but only " +
+            s"${keysTotal - keysHalf} keys are new — the checkpoint-" +
+            "restored state cache is not suppressing re-fetches")
+
+        // run-1 rows were redelivered and re-enriched: distinct() collapses
+        // the duplicate deliveries to the full-slice relation
+        s.read.parquet(outDir).distinct()
+      }
+    },
+
     // ----- SQL TVF surface (L25, NEW r12): the http_lookup(...) table-
     // valued function — pure spark.sql users running the full lookup
     // pipeline with literal options, gated hash-exact vs the relational
@@ -1499,6 +1618,10 @@ object HttpQueries {
       """SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey % 59 = 0""".stripMargin,
+    "h_state_lookup" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 61 = 0""".stripMargin,
     // replays the key derivation exactly: nonce 'r12', epoch 0, partition 0
     // (repartition(1)), first 16 hex chars of sha256 over the to_json body
     // (integer fields only — byte-identical cross-engine), occurrences 0
