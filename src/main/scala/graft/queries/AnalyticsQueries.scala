@@ -518,6 +518,45 @@ object AnalyticsQueries {
       s.table(sinkName)
     },
 
+    // ----- custom-state streaming sessionization (Q9b, NEW r12): the
+    // flatMapGroupsWithState sessionizer over the event fixture. Only
+    // sessions CLOSED by a later same-user event emit (append mode);
+    // each user's final open session stays in state BY DESIGN, so the
+    // oracle is the batch gaps-and-islands replay minus each user's
+    // last session. Determinism: the whole fixture is available at
+    // batch 0, the state handler's arithmetic is java.sql.Timestamp
+    // MILLIS (getTime truncates the micros) — so the oracle replays the
+    // boundaries in epoch_ms; equal-ms ties cannot split a session
+    // (diff 0 <= gap), so tie order is irrelevant on both sides. -----
+    "q_stream_sessions" -> { (s, dir) => withShufflePartitions(s, 8) {
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream
+        .schema(schema)
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("ts", Tables.normalizeEventTs(schema("ts").dataType))
+        .select(col("user_id").cast(LongType).as("user_id"), col("ts"))
+        .as[graft.streaming.StreamingSessions.Event]
+      val sessions = graft.streaming.StreamingSessions
+        .sessionize(stream, gapMillis = 1800000L)
+      val sinkName = "q_stream_sessions_out"
+      val q = sessions
+        .toDF()
+        .select(
+          col("user_id"),
+          unix_millis(col("session_start")).as("start_ms"),
+          unix_millis(col("session_end")).as("end_ms"),
+          col("n_events"))
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+    }},
+
     // ----- sessionization (gaps-and-islands, 30 min inactivity gap) -----
     "q_sessionize" -> { (s, dir) =>
       val byUser = Window
@@ -706,6 +745,34 @@ object AnalyticsQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM flagged)
         |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
-        |FROM sessions GROUP BY user_id""".stripMargin
+        |FROM sessions GROUP BY user_id""".stripMargin,
+    // gaps-and-islands in epoch_ms (the state handler's Timestamp.getTime
+    // domain), sessions aggregated per (user, island), each user's LAST
+    // (still-open) session excluded — the append-mode emission contract
+    "q_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ms,
+        |    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms ASC, event_id ASC)),
+        |sess AS (
+        |  SELECT user_id, ms,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms,
+        |    count(*) AS n_events
+        |  FROM sess GROUP BY user_id, sid),
+        |last AS (SELECT user_id, max(sid) AS maxsid FROM agg GROUP BY user_id)
+        |SELECT CAST(a.user_id AS BIGINT) AS user_id,
+        |  CAST(a.start_ms AS BIGINT) AS start_ms,
+        |  CAST(a.end_ms AS BIGINT) AS end_ms,
+        |  a.n_events
+        |FROM agg a JOIN last l
+        |  ON a.user_id = l.user_id AND a.sid < l.maxsid""".stripMargin
   )
 }
