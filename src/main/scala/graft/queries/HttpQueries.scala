@@ -384,6 +384,10 @@ object HttpQueries {
           // time-based-flush twin (K14): plain 200s — the gate counts how
           // many separate partial-batch requests landed
           .route("/ingest-flush")(_ => (200, """{"ok":true}"""))
+          // error-classification twin (K4): ALWAYS answers 500 — whether
+          // that fails the job is exactly what the error-code
+          // include/exclude grammar decides
+          .route("/ingest-err")(_ => (500, """{"error":"always"}"""))
         server.start()
         server
       })
@@ -1450,6 +1454,59 @@ object HttpQueries {
           col("rec.sum_acctbal"))
     },
 
+    // ----- sink error-code classification (K4, NEW r12): the stub always
+    // answers 500. Pass 1 (default error codes 4XX u 5XX) must FAIL the
+    // job — a silently-degraded classifier passes bad batches through and
+    // fails this require. Pass 2 excludes 500 (`http.sink.error.code
+    // .exclude`), so the same writes succeed; the bodies the stub captured
+    // in pass 2 decode back to the aggregate, hash-gated. -----
+    "h_sink_errcode" -> { (s, dir) =>
+      val agg = s.read
+        .parquet(s"$dir/customer.parquet")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal").cast(DecimalType(18, 2))), 2)
+            .cast(DoubleType).as("sum_acctbal"))
+      val server = sinkServer(dir)
+      val failed =
+        try {
+          HttpSink.write(
+            agg.repartition(1),
+            Map(
+              "url" -> server.url("/ingest-err"),
+              "insert-method" -> "POST",
+              "http.sink.writer.request.mode" -> "single"))
+          false
+        } catch { case _: Throwable => true }
+      require(
+        failed,
+        "h_sink_errcode: a 500-answering endpoint did NOT fail the job " +
+          "under the default error-code set (4XX,5XX) — the sink error " +
+          "classifier is not classifying")
+      server.clear()
+      HttpSink.write(
+        agg.repartition(1),
+        Map(
+          "url" -> server.url("/ingest-err"),
+          "insert-method" -> "POST",
+          "http.sink.writer.request.mode" -> "single",
+          "http.sink.error.code.exclude" -> "500"))
+      val bodies = server.requests.filter(_.path == "/ingest-err").map(_.body)
+      val recSchema = StructType(Seq(
+        StructField("c_nationkey", IntegerType),
+        StructField("n_customers", LongType),
+        StructField("sum_acctbal", DoubleType)))
+      import s.implicits._
+      s.createDataset(bodies)
+        .toDF("body")
+        .select(from_json(col("body"), recSchema).as("rec"))
+        .select(
+          col("rec.c_nationkey"),
+          col("rec.n_customers"),
+          col("rec.sum_acctbal"))
+    },
+
     // ----- sink time-based flush (K14): batch size 1000 never fills, the
     // partition iterator is artificially slow (40 ms/row via a sleeping
     // UDF), so ONLY the 100 ms flush-buffer timeout can emit more than the
@@ -1640,6 +1697,10 @@ object HttpQueries {
         |    '-' || occ AS idem_key
         |FROM agg CROSS JOIN (SELECT 0 AS occ UNION ALL SELECT 1) occs""".stripMargin,
     "h_sink_inflight" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "h_sink_errcode" ->
       """SELECT c_nationkey, count(*) AS n_customers,
         |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
         |FROM customer GROUP BY c_nationkey""".stripMargin,
