@@ -65,7 +65,67 @@ class SslSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     port = server.getAddress.getPort
   }
 
-  override def afterAll(): Unit = if (server != null) server.stop(0)
+  // ----- mTLS fixture (r12): a second HTTPS server that REQUIRES a client
+  // certificate — the connector's PEM clientCert/clientKey pair must
+  // complete the handshake, and omitting it must fail. Client material is
+  // an openssl self-signed pair (PKCS8 key via -nodes), trusted by the
+  // server's context. -----
+  private var mtlsServer: HttpsServer = _
+  private var mtlsPort = 0
+  private var clientCertPem: Path = _
+  private var clientKeyPem: Path = _
+
+  private def startMtlsServer(): Unit = {
+    clientCertPem = dir.resolve("client_cert.pem")
+    clientKeyPem = dir.resolve("client_key.pem")
+    new ProcessBuilder(
+      "openssl", "req", "-x509", "-newkey", "rsa:2048",
+      "-keyout", clientKeyPem.toString, "-out", clientCertPem.toString,
+      "-nodes", "-subj", "/CN=graft-client", "-days", "30")
+      .redirectErrorStream(true).start().waitFor() shouldBe 0
+
+    val ks = KeyStore.getInstance("PKCS12")
+    val in = Files.newInputStream(dir.resolve("server.p12"))
+    try ks.load(in, "changeit".toCharArray)
+    finally in.close()
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val trust = KeyStore.getInstance(KeyStore.getDefaultType)
+    trust.load(null, null)
+    Ssl.loadCertificates(clientCertPem.toString).zipWithIndex.foreach {
+      case (c, i) => trust.setCertificateEntry(s"client-$i", c)
+    }
+    val tmf = javax.net.ssl.TrustManagerFactory
+      .getInstance(javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(trust)
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, tmf.getTrustManagers, null)
+
+    mtlsServer = HttpsServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    mtlsServer.setHttpsConfigurator(new HttpsConfigurator(ctx) {
+      override def configure(
+          params: com.sun.net.httpserver.HttpsParameters): Unit = {
+        val ssl = ctx.getDefaultSSLParameters
+        ssl.setNeedClientAuth(true)
+        params.setSSLParameters(ssl)
+      }
+    })
+    mtlsServer.createContext(
+      "/secure",
+      (ex: HttpExchange) => {
+        val body = """{"mtls": true}""".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+    mtlsServer.start()
+    mtlsPort = mtlsServer.getAddress.getPort
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop(0)
+    if (mtlsServer != null) mtlsServer.stop(0)
+  }
 
   private def lookupClient(options: Map[String, String]): HttpLookupClient = {
     val o = HttpOptions(options)
@@ -159,5 +219,27 @@ class SslSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       Ssl.SslConfig(
         keyStorePath = Some(dir.resolve("server.p12").toString),
         keyStorePassword = "wrong"))
+  }
+
+  // ----- mTLS end-to-end (r12): server enforces client auth -----
+
+  test("mTLS: client cert + PKCS8 key complete an enforced handshake") {
+    if (mtlsServer == null) startMtlsServer()
+    val out = lookupClient(
+      Map(
+        "http.security.cert.server" -> certPem.toString,
+        "http.security.cert.client" -> clientCertPem.toString,
+        "http.security.key.client" -> clientKeyPem.toString))
+      .execute("GET", s"https://127.0.0.1:$mtlsPort/secure", None)
+    out.state shouldBe CompletionState.Success
+    out.body shouldBe """{"mtls": true}"""
+  }
+
+  test("mTLS: the same server rejects a client without a certificate") {
+    if (mtlsServer == null) startMtlsServer()
+    val out = lookupClient(
+      Map("http.security.cert.server" -> certPem.toString))
+      .execute("GET", s"https://127.0.0.1:$mtlsPort/secure", None)
+    out.state shouldBe CompletionState.Exception
   }
 }
