@@ -847,6 +847,18 @@ object HttpQueries {
           s"h_cached_lookup: $wire wire calls for $rows probe rows over " +
             s"$distinctKeys distinct keys — the partial cache is not " +
             "absorbing repeats")
+        // strict warm-pass bound (r12, closing the r11 verdict's tolerance
+        // nit): every key now sits in the per-executor cache (100 entries
+        // well under the 1000-row cap, no TTL configured), so a full
+        // re-evaluation must make ZERO wire calls — a cache that "mostly"
+        // works cannot pass this
+        val warmBefore = cachedRouteHits.get()
+        out.count()
+        val warmWire = cachedRouteHits.get() - warmBefore
+        require(
+          warmWire == 0,
+          s"h_cached_lookup: warm re-evaluation made $warmWire wire calls " +
+            "— the partial cache is not serving fully-cached keys")
       }
       out
     },
