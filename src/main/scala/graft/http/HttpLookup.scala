@@ -429,6 +429,44 @@ object HttpLookup {
         when(col(Undec), lit(null).cast(schemaWithCorrupt))
           .otherwise(col(RespParsed)))
 
+    // strict decode (`json.fail-on-missing-field`): a SUCCESS response
+    // that PARSED but lacks a declared top-level field fails the job at
+    // evaluation time (raise_error stays inside codegen). Undecodable
+    // bodies keep their UNABLE_TO_DESERIALIZE classification — strict
+    // mode tightens field presence, not body validity.
+    val strict =
+      o.bool(HttpOptions.JsonFailOnMissingField, default = false) ||
+        o.bool(
+          HttpOptions.LookupRequestJsonFailOnMissingField,
+          default = false)
+    if (strict) {
+      val keys =
+        (if (isArray) responseFormat.recordKeysArray(col(RespBody))
+         else responseFormat.recordKeys(col(RespBody)))
+          .getOrElse(throw new HttpConfigException(
+            s"${HttpOptions.JsonFailOnMissingField} is not supported by " +
+              s"format '${responseFormat.name}' (cannot enumerate record keys)"))
+      val declared = array(responseSchema.fieldNames.toSeq.map(lit): _*)
+      val missingOf: Column => Column =
+        ks => filter(declared, n => !array_contains(ks, n))
+      val missing =
+        if (isArray) array_distinct(flatten(transform(keys, missingOf)))
+        else missingOf(keys)
+      val violation = col(RespState) === CompletionState.Success &&
+        !col(Undec) && keys.isNotNull && size(missing) > 0
+      out = out.withColumn(
+        RespParsed,
+        when(
+          violation,
+          raise_error(concat(
+            lit(s"${HttpOptions.JsonFailOnMissingField}: response body " +
+              "is missing declared field(s) ["),
+            array_join(missing, ", "),
+            lit("] in body: "),
+            col(RespBody))))
+          .otherwise(col(RespParsed)))
+    }
+
     val leftOuter = o.str(HttpOptions.LookupJoinType, "inner")
       .toLowerCase match {
       case "inner" => false

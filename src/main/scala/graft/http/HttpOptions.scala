@@ -100,6 +100,24 @@ object HttpOptions {
   val SinkRequestCallback = "http.sink.request-callback"
   val LookupRequestFormat = "lookup-request.format"
   val Format = "format"
+
+  /** Strict response decode (reference: the json format's
+    * `fail-on-missing-field` option, discovered per nested format by
+    * `HttpLookupTableSourceFactory.discoverDecodingFormat`,
+    * HttpLookupTableSourceFactory.java:103-112, and spelled
+    * `lookup-request.format.json.fail-on-missing-field` in the reference
+    * option table, `docs/.../table/http.md`): when true, a SUCCESS
+    * response whose decoded record lacks a DECLARED top-level field fails
+    * the job loudly instead of PERMISSIVE-nulling the column — the
+    * schema-drift tripwire a Flink DDL migration expects. Fields present
+    * with a null VALUE do not fire (missing ≠ null, same as Flink). Both
+    * the reference's nested spelling and the bare `json.` alias are
+    * accepted; formats that cannot enumerate record keys (csv) reject the
+    * option.
+    */
+  val JsonFailOnMissingField = "json.fail-on-missing-field"
+  val LookupRequestJsonFailOnMissingField =
+    "lookup-request.format.json.fail-on-missing-field"
   val OidcTokenRequest = "http.security.oidc.token.request"
   val OidcTokenEndpoint = "http.security.oidc.token.endpoint.url"
   val OidcExpiryReduction = "http.security.oidc.token.expiry.reduction"

@@ -50,6 +50,18 @@ trait PayloadFormat extends Serializable {
 
   /** Frame rendered payloads into one sink-batch request body. */
   def frameBatch(payloads: Seq[String]): String
+
+  /** Column of the TOP-LEVEL key names present in one record body (null
+    * when the body is undecodable), or None when the wire format cannot
+    * enumerate keys — strict missing-field decode
+    * (`json.fail-on-missing-field`) is then unsupported for this format.
+    */
+  def recordKeys(body: Column): Option[Column] = None
+
+  /** Per-element key names for an array-of-records body (array of arrays,
+    * null when undecodable); None when unsupported.
+    */
+  def recordKeysArray(body: Column): Option[Column] = None
 }
 
 /** JSON wire format (the reference's only bundled format). */
@@ -80,6 +92,18 @@ case object JsonPayloadFormat extends PayloadFormat {
 
   def frameBatch(payloads: Seq[String]): String =
     payloads.mkString("[", ",", "]")
+
+  // strict-decode support: a MapType re-parse keeps EVERY top-level key
+  // (nested values render as their raw json), so `map_keys` enumerates the
+  // body's fields regardless of the declared schema — all inside codegen
+  override def recordKeys(body: Column): Option[Column] =
+    Some(map_keys(from_json(body, MapType(StringType, StringType))))
+
+  override def recordKeysArray(body: Column): Option[Column] =
+    Some(
+      transform(
+        from_json(body, ArrayType(MapType(StringType, StringType))),
+        e => map_keys(e)))
 }
 
 /** CSV wire format: one record per line, RFC-4180-style quoting via Spark's

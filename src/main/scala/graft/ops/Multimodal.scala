@@ -1,5 +1,8 @@
 package graft.ops
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,12 +10,16 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video travel as opaque `binary`
   * columns with typed metadata extracted by batched partition-wise decoders.
   *
-  * The Spark-side machinery is real and tested — schema, partition-wise
-  * batching, column pruning before the decode (only the blob + id columns
-  * reach the decoder) — while the actual media decode is STUBBED with a
-  * deterministic byte-derived fake (`???`-equivalent), because no media
-  * libraries exist in this container. Swapping `StubDecoder` for a real
-  * JNI/FFmpeg decoder changes nothing upstream.
+  * Image formats the JDK ships codecs for (PNG, GIF, BMP, JPEG via
+  * `javax.imageio`) are decoded FOR REAL — magic-byte sniff, then
+  * `ImageIO.read` for dimensions and per-channel pixel statistics; the
+  * `m_media_meta` / `m_image_stats` driver gates hash-check real decoded
+  * values against closed-form oracles over generated PNG fixtures. Formats
+  * the JDK lacks (video containers, audio) fall back to [[StubDecoder]],
+  * a deterministic byte-derived fake — swapping it for a JNI/FFmpeg
+  * decoder changes nothing upstream: schema, partition-wise batching and
+  * column pruning (only blob + id reach the decoder) are the real,
+  * format-independent machinery.
   */
 object Multimodal {
 
@@ -23,8 +30,22 @@ object Multimodal {
       n_frames: Int,
       format: String)
 
-  /** The decode stub: deterministic metadata derived from the raw bytes.
-    * A real implementation would parse the container header here.
+  /** Magic-byte container sniff for the formats `javax.imageio` decodes.
+    * (A real pipeline would extend this table per codec library.)
+    */
+  def sniffImageFormat(bytes: Array[Byte]): Option[String] = {
+    def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G')
+      Some("png")
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8')
+      Some("gif")
+    else if (at(0) == 'B' && at(1) == 'M') Some("bmp")
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) Some("jpeg")
+    else None
+  }
+
+  /** The non-image decode stub: deterministic metadata derived from the
+    * raw bytes. A real implementation would parse the container here.
     */
   object StubDecoder {
     def decode(bytes: Array[Byte]): MediaMeta = {
@@ -38,6 +59,43 @@ object Multimodal {
     }
   }
 
+  /** Real JDK decode: dimensions from `ImageIO.read`; GIF frame count from
+    * the format reader (the one JDK still format with multi-frame
+    * support). Undecodable bytes that sniffed as an image classify as
+    * `<fmt>-corrupt` rather than silently falling back — corrupt media
+    * must be visible to curation filters downstream.
+    */
+  private def decodeImage(bytes: Array[Byte], fmt: String): MediaMeta = {
+    try {
+      if (fmt == "gif") {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return MediaMeta(bytes.length.toLong, 0, 0, 0, "gif-corrupt")
+          val reader = readers.next()
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          val meta = MediaMeta(
+            bytes.length.toLong, reader.getWidth(0), reader.getHeight(0), n, fmt)
+          reader.dispose()
+          meta
+        } finally iis.close()
+      } else {
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        if (img == null) MediaMeta(bytes.length.toLong, 0, 0, 0, s"$fmt-corrupt")
+        else MediaMeta(bytes.length.toLong, img.getWidth, img.getHeight, 1, fmt)
+      }
+    } catch {
+      case _: Exception => MediaMeta(bytes.length.toLong, 0, 0, 0, s"$fmt-corrupt")
+    }
+  }
+
+  private def decodeAny(bytes: Array[Byte]): MediaMeta =
+    sniffImageFormat(bytes) match {
+      case Some(fmt) => decodeImage(bytes, fmt)
+      case None => StubDecoder.decode(bytes)
+    }
+
   private val metaSchema = StructType(Seq(
     StructField("n_bytes", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
@@ -48,15 +106,17 @@ object Multimodal {
   /** Decode metadata for each row's blob column, partition-wise (the Scala
     * analog of a `mapInPandas` batch UDF: one decoder instance per
     * partition, rows streamed through it). Output = `idCol` + metadata
-    * columns.
+    * columns. Sniffed image formats decode through `javax.imageio`
+    * (REAL dimensions/frames); anything else takes the stub path.
     */
   def extractMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val pruned = df.select(col(idCol), col(blobCol))
     val outSchema = StructType(pruned.schema.fields.take(1) ++ metaSchema.fields)
     pruned.mapPartitions { rows =>
-      // per-partition decoder init happens here (stub has no state)
+      // per-partition decoder init happens here (ImageIO readers are
+      // looked up per call; the registry scan is JVM-wide and warm)
       rows.map { r =>
-        val meta = StubDecoder.decode(r.getAs[Array[Byte]](1))
+        val meta = decodeAny(r.getAs[Array[Byte]](1))
         Row(
           r.get(0),
           meta.n_bytes,
@@ -68,10 +128,120 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** Frame sampling: one output row per sampled frame (`every`-th frame of
-    * the stubbed decode), each carrying a deterministic frame fingerprint —
-    * the video-curation plumbing shape (explode-by-frame, partition-wise
-    * decode, no shuffle). A real decoder would emit frame blobs here.
+  private val statsSchema = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  /** Per-channel integer pixel statistics from a REAL `ImageIO` decode —
+    * the all-integers projection that lets a relational oracle replay the
+    * decode of a generated fixture in closed form (the `m_image_stats`
+    * gate). Non-image or corrupt blobs emit zero dims/sums with the
+    * sniffed-or-`raw` format tag; lossless formats (png/bmp/gif) carry
+    * exact sums, jpeg is lossy so only its dimensions are oracle-stable.
+    */
+  def imageStats(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val pruned = df.select(col(idCol), col(blobCol))
+    val outSchema = StructType(pruned.schema.fields.take(1) ++ statsSchema.fields)
+    pruned.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val fmt = sniffImageFormat(bytes)
+        val img = fmt.flatMap { _ =>
+          try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+          catch { case _: Exception => None }
+        }
+        img match {
+          case Some(im) =>
+            val (w, h) = (im.getWidth, im.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = im.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.get(0), fmt.get, w, h, w.toLong * h, sr, sg, sb)
+          case None =>
+            Row(r.get(0), fmt.getOrElse("raw"), 0, 0, 0L, 0L, 0L, 0L)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic PNG fixture: a `w`x`h` RGB image whose pixel `(x, y)`
+    * is `((r0+x)%256, (g0+y)%256, b0)` — a gradient, so a passing gate
+    * proves PER-PIXEL decode, not just header parsing. Channel sums have
+    * the closed form the DuckDB oracle replays:
+    * `sum_r = h*(w*r0 + w*(w-1)/2 - 256*GREATEST(0, r0+w-256))` (and
+    * symmetrically for g over y; `sum_b = w*h*b0`).
+    */
+  def pngFixture(w: Int, h: Int, r0: Int, g0: Int, b0: Int): Array[Byte] = {
+    require(w > 0 && h > 0, "fixture needs positive dimensions")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((r0 + x) % 256) << 16) | (((g0 + y) % 256) << 8) | b0)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Stage a deterministic PNG blob per row from integer columns — the
+    * fixture generator the media gates run DISTRIBUTED (partition-wise
+    * encode; no driver materialization), mirroring how a real corpus
+    * arrives with its blobs already in the rows.
+    */
+  def withPngBlob(
+      df: DataFrame,
+      idCol: String,
+      w: org.apache.spark.sql.Column,
+      h: org.apache.spark.sql.Column,
+      r0: org.apache.spark.sql.Column,
+      g0: org.apache.spark.sql.Column,
+      b0: org.apache.spark.sql.Column): DataFrame = {
+    val staged = df.select(
+      col(idCol),
+      w.cast(IntegerType).as("__w"),
+      h.cast(IntegerType).as("__h"),
+      r0.cast(IntegerType).as("__r0"),
+      g0.cast(IntegerType).as("__g0"),
+      b0.cast(IntegerType).as("__b0"))
+    val outSchema = StructType(staged.schema.fields.take(1) :+
+      StructField("blob", BinaryType, nullable = false))
+    staged.mapPartitions { rows =>
+      rows.map { r =>
+        Row(
+          r.get(0),
+          pngFixture(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Frame sampling: one output row per sampled frame (`every`-th frame),
+    * each carrying a deterministic frame fingerprint — the video-curation
+    * plumbing shape (explode-by-frame, partition-wise decode, no shuffle).
+    * Frame COUNT comes from the real decode for JDK-decodable formats
+    * (GIF is the multi-frame one) and the stub elsewhere; frame CONTENT
+    * fingerprints stay byte-derived — the JDK has no video codecs, and a
+    * real FFmpeg decoder would emit frame blobs here.
     */
   def frameSample(
       df: DataFrame,
@@ -85,7 +255,7 @@ object Multimodal {
     pruned.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        val meta = StubDecoder.decode(bytes)
+        val meta = decodeAny(bytes)
         (0 until meta.n_frames by every).iterator.map { f =>
           // deterministic per-frame fingerprint from the byte prefix
           val fp = bytes.iterator.take(64).foldLeft(1125899906842597L) {

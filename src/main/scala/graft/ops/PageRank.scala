@@ -142,6 +142,13 @@ object PageRank {
       redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(dampNum > 0 && dampDen > dampNum, "damping must satisfy 0 < num < den")
+    // same Long-overflow bounds as personalizedRanks: rank sums stay ≤
+    // scale·dampNum and the dangling path computes lit(dampDen · n)
+    // driver-side — unbounded scale/dampDen would overflow silently
+    require(scale >= 1000L && scale <= 1000000000000L,
+      "scale must stay in [1e3, 1e12] so rank sums cannot overflow")
+    require(dampDen <= 1000L,
+      "dampDen must stay <= 1000 so damping products cannot overflow")
     // edges and the node set are read EVERY iteration — cache them, and
     // localCheckpoint each iteration's ranks (the nearDupClusters
     // iterative-state pattern: without it the lineage re-derives the whole

@@ -363,8 +363,7 @@ object AnalyticsQueries {
     "q_stream_restart" -> { (s, dir) => withShufflePartitions(s, 8) {
       val ev = events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-stream-restart").toString
+      val root = GateTemp.dir("graft-stream-restart").toString
       val (inDir, outDir, ckptDir) =
         (s"$root/in", s"$root/out", s"$root/ckpt")
       val half = ev.filter(col("event_id") % 2 === 0)
@@ -428,8 +427,7 @@ object AnalyticsQueries {
     "q_stream_outer_join" -> { (s, dir) => withShufflePartitions(s, 8) {
       val ev = events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-stream-outer").toString
+      val root = GateTemp.dir("graft-stream-outer").toString
       val (inDir, outDir, ckptDir) =
         (s"$root/in", s"$root/out", s"$root/ckpt")
       ev.repartition(2).write.parquet(inDir)

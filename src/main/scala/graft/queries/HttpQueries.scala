@@ -294,7 +294,7 @@ object HttpQueries {
       dir,
       _ => {
         val rows = customerRowsMap(spark, dir)
-        val tmp = java.nio.file.Files.createTempDirectory("graft-tls-gate")
+        val tmp = GateTemp.dir("graft-tls-gate")
         val ksPath = tmp.resolve("server.p12")
         val certPem = tmp.resolve("server.pem")
         def run(cmd: String*): Unit = {
@@ -911,8 +911,7 @@ object HttpQueries {
           .parquet(s"$dir/orders.parquet")
           .filter(col("o_orderkey") % 61 === 0)
           .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-state-lookup-gate").toString
+        val root = GateTemp.dir("graft-state-lookup-gate").toString
         val (inDir, outDir, ckptDir) = (s"$root/in", s"$root/out", s"$root/ckpt")
         val half = probe.filter(col("o_orderkey") % 2 === 0)
         half.repartition(2).write.parquet(inDir)
@@ -1352,18 +1351,26 @@ object HttpQueries {
       // timing, and the physics (4 partitions x 2-deep pipelines over a
       // 5 ms handler) don't change
       if (asyncAsserted.add(dir)) {
-        lookupInflightCur.set(0)
-        lookupInflightMax.set(0)
-        out.count()
-        val maxSeen = lookupInflightMax.get()
+        // the >= 2 lower bound is wall-clock-sensitive (5 ms handlers on a
+        // possibly CPU-starved runner): observe once, and re-observe a
+        // single time before failing — the <= 8 bound is checked on every
+        // observation (an unbounded pool must never pass)
+        def observe(): Int = {
+          lookupInflightCur.set(0)
+          lookupInflightMax.set(0)
+          out.count()
+          val maxSeen = lookupInflightMax.get()
+          require(
+            maxSeen <= 8,
+            s"h_async_lookup: max $maxSeen concurrent requests observed — " +
+              "exceeds the 4 partitions x 2 thread-pool in-flight bound")
+          maxSeen
+        }
+        val maxSeen = { val first = observe(); if (first >= 2) first else observe() }
         require(
           maxSeen >= 2,
           s"h_async_lookup: max $maxSeen concurrent request(s) observed — " +
             "the async lookup path is not actually concurrent")
-        require(
-          maxSeen <= 8,
-          s"h_async_lookup: max $maxSeen concurrent requests observed — " +
-            "exceeds the 4 partitions x 2 thread-pool in-flight bound")
       }
       out
     },
@@ -1431,22 +1438,30 @@ object HttpQueries {
           round(sum(col("c_acctbal").cast(DecimalType(18, 2))), 2)
             .cast(DoubleType).as("sum_acctbal"))
       val server = sinkServer(dir)
-      server.clear()
-      sinkInflightCur.set(0)
-      sinkInflightMax.set(0)
-      HttpSink.write(
-        agg.repartition(1),
-        Map(
-          "url" -> server.url("/ingest-slow"),
-          "insert-method" -> "PUT",
-          "http.sink.writer.request.mode" -> "single",
-          "sink.requests.max-inflight" -> "2",
-          "http.sink.writer.thread-pool.size" -> "4"))
-      val maxSeen = sinkInflightMax.get()
-      require(
-        maxSeen <= 2,
-        s"h_sink_inflight: $maxSeen concurrent requests observed — the " +
-          "configured sink.requests.max-inflight bound (2) is not enforced")
+      // the >= 2 lower bound is wall-clock-sensitive (50 ms handlers on a
+      // possibly CPU-starved runner): re-run the write once before failing
+      // it; the <= 2 bound is checked on EVERY run (a dropped semaphore
+      // must never pass)
+      def observe(): Int = {
+        server.clear()
+        sinkInflightCur.set(0)
+        sinkInflightMax.set(0)
+        HttpSink.write(
+          agg.repartition(1),
+          Map(
+            "url" -> server.url("/ingest-slow"),
+            "insert-method" -> "PUT",
+            "http.sink.writer.request.mode" -> "single",
+            "sink.requests.max-inflight" -> "2",
+            "http.sink.writer.thread-pool.size" -> "4"))
+        val maxSeen = sinkInflightMax.get()
+        require(
+          maxSeen <= 2,
+          s"h_sink_inflight: $maxSeen concurrent requests observed — the " +
+            "configured sink.requests.max-inflight bound (2) is not enforced")
+        maxSeen
+      }
+      val maxSeen = { val first = observe(); if (first >= 2) first else observe() }
       require(
         maxSeen >= 2,
         s"h_sink_inflight: max $maxSeen concurrent request(s) — the " +
@@ -1481,6 +1496,10 @@ object HttpQueries {
           round(sum(col("c_acctbal").cast(DecimalType(18, 2))), 2)
             .cast(DoubleType).as("sum_acctbal"))
       val server = sinkServer(dir)
+      // the failure must be the CLASSIFIER's (HttpStatusCodeValidation-
+      // FailedException naming the 500 somewhere in the Spark-wrapped
+      // cause chain) — an unrelated Throwable (bind error, analysis
+      // exception, OOM) must NOT satisfy this gate
       val failed =
         try {
           HttpSink.write(
@@ -1490,7 +1509,25 @@ object HttpQueries {
               "insert-method" -> "POST",
               "http.sink.writer.request.mode" -> "single"))
           false
-        } catch { case _: Throwable => true }
+        } catch {
+          case t: Throwable =>
+            val chain = Iterator
+              .iterate[Throwable](t)(_.getCause)
+              .takeWhile(_ != null)
+              .take(16)
+              .toSeq
+            val classifierFailure = chain.exists {
+              case e: graft.http.HttpStatusCodeValidationFailedException =>
+                e.getMessage != null && e.getMessage.contains("status 500")
+              // Spark can surface task failures with the original class
+              // flattened into the message (e.g. after deserialization)
+              case e =>
+                String.valueOf(e.getMessage)
+                  .contains("HTTP sink got error status 500")
+            }
+            if (!classifierFailure) throw t
+            true
+        }
       require(
         failed,
         "h_sink_errcode: a 500-answering endpoint did NOT fail the job " +
@@ -1520,16 +1557,19 @@ object HttpQueries {
     },
 
     // ----- sink time-based flush (K14): batch size 1000 never fills, the
-    // partition iterator is artificially slow (40 ms/row via a sleeping
-    // UDF), so ONLY the 100 ms flush-buffer timeout can emit more than the
-    // single end-of-partition request. The request count proves the timer
-    // fired; the reassembled bodies stay hash-gated. -----
+    // partition iterator is artificially slow (60 ms/row via a sleeping
+    // UDF), so ONLY the 150 ms flush-buffer timeout can emit more than the
+    // single end-of-partition request. Requiring >= 3 requests proves the
+    // timer KEEPS firing (a fired-once-then-dead timer yields exactly 2:
+    // one flush + the end-of-partition submit); ~25 rows x 60 ms against a
+    // 150 ms timer expects ~8, so the bound holds even under heavy CPU
+    // starvation. The reassembled bodies stay hash-gated. -----
     "h_sink_flush" -> { (s, dir) =>
       // nondeterministic: the optimizer must not move the sleeping
       // projection below the repartition exchange — it has to run in the
       // SAME task as the sink's partition iterator so each row pull
-      // really takes 40 ms at the buffer
-      val slowId = udf((k: Int) => { Thread.sleep(40L); k }).asNondeterministic()
+      // really takes 60 ms at the buffer
+      val slowId = udf((k: Int) => { Thread.sleep(60L); k }).asNondeterministic()
       val agg = s.read
         .parquet(s"$dir/customer.parquet")
         .groupBy(col("c_nationkey"))
@@ -1551,13 +1591,13 @@ object HttpQueries {
           "insert-method" -> "POST",
           "http.sink.writer.request.mode" -> "batch",
           "http.sink.request.batch.size" -> "1000",
-          "sink.flush-buffer.timeout" -> "100"))
+          "sink.flush-buffer.timeout" -> "150"))
       val reqs = server.requests.filter(_.path == "/ingest-flush")
       require(
-        reqs.size >= 2,
-        s"h_sink_flush: ${reqs.size} request(s) for a ~1 s partition " +
-          "with a 100 ms flush-buffer.timeout — the time-based flush " +
-          "never fired")
+        reqs.size >= 3,
+        s"h_sink_flush: ${reqs.size} request(s) for a ~1.5 s partition " +
+          "with a 150 ms flush-buffer.timeout — the time-based flush " +
+          "did not keep firing (2 = one flush then a dead timer)")
       val bodySchema = ArrayType(StructType(Seq(
         StructField("c_nationkey", IntegerType),
         StructField("n_customers", LongType),

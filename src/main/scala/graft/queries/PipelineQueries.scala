@@ -2324,11 +2324,47 @@ object PipelineQueries {
         "c_custkey")
     },
 
-    // ----- multimodal metadata extraction (stub decoder over binary) -----
+    // ----- multimodal metadata extraction — REAL ImageIO decode (r13):
+    // each doc stages a deterministic gradient PNG (w = 8 + doc_id%5,
+    // h = 8 + doc_id%3), encoded partition-wise by the JDK PNG writer;
+    // extractMeta must recover the true dimensions through a real
+    // ImageIO.read, hash-gated against the generator's closed form.
+    // (n_bytes is the encoder's output size — real but not relationally
+    // replayable, so the gate projects the decoded fields.) The stub
+    // fallback path stays gated by m_media_report. -----
     "m_media_meta" -> { (s, dir) =>
-      val staged = t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
+      val staged = Multimodal.withPngBlob(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id",
+        lit(8) + col("doc_id") % 5,
+        lit(8) + col("doc_id") % 3,
+        (col("doc_id") * 7) % 256,
+        (col("doc_id") * 11) % 256,
+        (col("doc_id") * 13) % 256)
       Multimodal.extractMeta(staged, "doc_id", "blob")
+        .select(
+          col("doc_id"),
+          col("width"),
+          col("height"),
+          col("n_frames"),
+          col("format"))
+    },
+
+    // ----- per-pixel channel statistics — REAL ImageIO decode (r13):
+    // the same gradient fixture, but the gate sums every decoded pixel's
+    // R/G/B — a passing hash proves per-pixel decode (gradient + modular
+    // wrap), not just header parsing; the oracle replays the closed-form
+    // channel sums -----
+    "m_image_stats" -> { (s, dir) =>
+      val staged = Multimodal.withPngBlob(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id",
+        lit(8) + col("doc_id") % 5,
+        lit(8) + col("doc_id") % 3,
+        (col("doc_id") * 7) % 256,
+        (col("doc_id") * 11) % 256,
+        (col("doc_id") * 13) % 256)
+      Multimodal.imageStats(staged, "doc_id", "blob")
     },
 
     // ----- multimodal corpus report (NEW r10): the per-format "media
@@ -6231,13 +6267,28 @@ object PipelineQueries {
         |FROM documents""".stripMargin,
     "m_media_meta" ->
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
-        |  CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INT) AS height,
-        |  CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames,
-        |  CASE WHEN octet_length(encode(text)) % 2 = 0
-        |       THEN 'even' ELSE 'odd' END AS format
+        |  CAST(8 + doc_id % 5 AS INT) AS width,
+        |  CAST(8 + doc_id % 3 AS INT) AS height,
+        |  CAST(1 AS INT) AS n_frames,
+        |  'png' AS format
         |FROM documents""".stripMargin,
+    "m_image_stats" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+        |    (doc_id * 7) % 256 AS r0,
+        |    (doc_id * 11) % 256 AS g0,
+        |    (doc_id * 13) % 256 AS b0
+        |  FROM documents)
+        |SELECT doc_id, 'png' AS format,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(h * (w*r0 + (w*(w-1))//2 - 256*GREATEST(0, r0+w-256))
+        |    AS BIGINT) AS sum_r,
+        |  CAST(w * (h*g0 + (h*(h-1))//2 - 256*GREATEST(0, g0+h-256))
+        |    AS BIGINT) AS sum_g,
+        |  CAST(w * h * b0 AS BIGINT) AS sum_b
+        |FROM g""".stripMargin,
     "m_media_report" ->
       """WITH m AS (
         |  SELECT doc_id,

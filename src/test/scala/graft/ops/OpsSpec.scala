@@ -611,6 +611,70 @@ class MultimodalSpec extends SparkSpec {
     out.map(_.schema.fieldNames.toSeq).head shouldBe
       Seq("id", "n_bytes", "width", "height", "n_frames", "format")
   }
+
+  test("extractMeta decodes a REAL PNG through ImageIO (dimensions + format)") {
+    val bytes = Multimodal.pngFixture(11, 9, 250, 3, 77)
+    val df = Seq((1L, bytes)).toDF("id", "blob")
+    val out = Multimodal.extractMeta(df, "id", "blob").collect()
+    out.head.getAs[Int]("width") shouldBe 11
+    out.head.getAs[Int]("height") shouldBe 9
+    out.head.getAs[Int]("n_frames") shouldBe 1
+    out.head.getAs[String]("format") shouldBe "png"
+    out.head.getAs[Long]("n_bytes") shouldBe bytes.length.toLong
+  }
+
+  test("imageStats channel sums match the gradient fixture's closed form") {
+    // r0=250, w=11 exercises the %256 wraparound (250+10 = 260 wraps to 4)
+    val (w, h, r0, g0, b0) = (11, 9, 250, 3, 77)
+    val df = Seq((1L, Multimodal.pngFixture(w, h, r0, g0, b0))).toDF("id", "blob")
+    val out = Multimodal.imageStats(df, "id", "blob").collect()
+    def wrapSum(c0: Int, n: Int): Long =
+      (n.toLong * c0 + n.toLong * (n - 1) / 2
+        - 256L * math.max(0, c0 + n - 256))
+    out.head.getAs[Long]("sum_r") shouldBe h * wrapSum(r0, w)
+    out.head.getAs[Long]("sum_g") shouldBe w * wrapSum(g0, h)
+    out.head.getAs[Long]("sum_b") shouldBe w.toLong * h * b0
+    out.head.getAs[Long]("n_pixels") shouldBe w.toLong * h
+  }
+
+  test("BMP and GIF decode through the JDK codecs too") {
+    def encode(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        5, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, encode("bmp")), (2L, encode("gif"))).toDF("id", "blob")
+    val out = Multimodal.extractMeta(df, "id", "blob").orderBy("id").collect()
+    out.map(_.getAs[String]("format")).toSeq shouldBe Seq("bmp", "gif")
+    out.map(_.getAs[Int]("width")).toSeq shouldBe Seq(5, 5)
+    out.map(_.getAs[Int]("n_frames")).toSeq shouldBe Seq(1, 1)
+  }
+
+  test("bytes that sniff as PNG but do not decode classify as png-corrupt") {
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)
+    val df = Seq((1L, corrupt)).toDF("id", "blob")
+    val out = Multimodal.extractMeta(df, "id", "blob").collect()
+    out.head.getAs[String]("format") shouldBe "png-corrupt"
+    out.head.getAs[Int]("width") shouldBe 0
+  }
+
+  test("withPngBlob stages decodable fixtures distributed (no driver encode)") {
+    val docs = spark.range(1, 6).toDF("doc_id")
+    val staged = Multimodal.withPngBlob(
+      docs, "doc_id",
+      lit(8) + col("doc_id") % 5,
+      lit(8) + col("doc_id") % 3,
+      (col("doc_id") * 7) % 256,
+      (col("doc_id") * 11) % 256,
+      (col("doc_id") * 13) % 256)
+    val out = Multimodal.extractMeta(staged, "doc_id", "blob")
+      .orderBy("doc_id").collect()
+    out.map(_.getAs[Int]("width")).toSeq shouldBe
+      (1L to 5L).map(i => 8 + (i % 5).toInt)
+    out.foreach(_.getAs[String]("format") shouldBe "png")
+  }
 }
 
 class ParSpec extends SparkSpec {

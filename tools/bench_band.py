@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Compute the per-query bench variance band from BENCH_LOCAL.json history.
+
+Every committed revision of BENCH_LOCAL.json is a full 32-CPU sf0.1 bench
+run on this machine. Consecutive-revision ratios for the SAME query are
+dominated by environment noise (JIT, scheduling, warm fixtures) — r12's
+t_tfidf swung x1.62 with zero code change — so the per-query band is the
+observed distribution of those run-to-run increases:
+
+    band(q) = clamp(p95 of h[i+1]/h[i] over history, 1.3, 3.0)
+
+`bench_diff.py` flags a regression only past this measured band (plus an
+absolute floor), which separates real plan regressions from wobble
+mechanically instead of by eyeball.
+
+Usage:
+    python3 tools/bench_band.py            # writes tools/bench_band.json
+    python3 tools/bench_band.py --print    # band summary for SURVEY §5
+"""
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+OUT = REPO / "tools/bench_band.json"
+
+
+def histories():
+    """query -> [seconds...] oldest->newest from git BENCH_LOCAL.json."""
+    revs = subprocess.run(
+        ["git", "rev-list", "--reverse", "HEAD", "--", "BENCH_LOCAL.json"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    hist = {}
+    kept = 0
+    for rev in revs:
+        show = subprocess.run(
+            ["git", "show", f"{rev}:BENCH_LOCAL.json"],
+            cwd=REPO, capture_output=True, text=True)
+        if show.returncode != 0:
+            continue
+        try:
+            queries = json.loads(show.stdout).get("queries", {})
+        except json.JSONDecodeError:
+            continue
+        if not queries:
+            continue
+        kept += 1
+        for q, s in queries.items():
+            hist.setdefault(q, []).append(float(s))
+    return hist, kept
+
+
+def quantile(xs, p):
+    xs = sorted(xs)
+    if not xs:
+        return None
+    i = min(len(xs) - 1, int(round(p * (len(xs) - 1))))
+    return xs[i]
+
+
+def main():
+    hist, n_runs = histories()
+    bands = {}
+    all_ratios = []
+    for q, h in hist.items():
+        ratios = [b / a for a, b in zip(h, h[1:]) if a > 0.01]
+        if len(ratios) < 2:
+            continue  # too little history: bench_diff falls back to default
+        all_ratios.extend(ratios)
+        band = max(1.3, min(3.0, quantile(ratios, 0.95)))
+        bands[q] = {
+            "n": len(h),
+            "median": round(sorted(h)[len(h) // 2], 3),
+            "band": round(band, 3),
+            "max_ratio_seen": round(max(ratios), 3),
+        }
+    out = {
+        "runs": n_runs,
+        "global_p50_ratio": round(quantile(all_ratios, 0.5), 3),
+        "global_p95_ratio": round(quantile(all_ratios, 0.95), 3),
+        "global_max_ratio": round(max(all_ratios), 3),
+        "queries": bands,
+    }
+    if "--print" in sys.argv:
+        wide = sorted(
+            ((q, b["band"]) for q, b in bands.items() if b["band"] >= 2.0),
+            key=lambda kv: -kv[1])
+        print(f"{n_runs} historical runs; {len(bands)} queries banded")
+        print(f"run-to-run ratio: p50 x{out['global_p50_ratio']}, "
+              f"p95 x{out['global_p95_ratio']}, max x{out['global_max_ratio']}")
+        print(f"{len(wide)} queries with band >= x2.0: "
+              + ", ".join(f"{q} (x{b})" for q, b in wide[:15]))
+    else:
+        OUT.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
+        print(f"wrote {OUT} ({len(bands)} queries, {n_runs} runs)")
+
+
+if __name__ == "__main__":
+    main()

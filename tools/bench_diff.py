@@ -3,14 +3,28 @@
 
 Usage: python3 tools/bench_diff.py OLD.json NEW.json [ratio]
 
-A query is flagged when new/old exceeds `ratio` (default 2.0) AND the
-absolute delta exceeds 1 s (sub-second queries swing 2-3x on JIT/scheduling noise alone). HTTP gates (`h_*`) get a wider band: their
-quiet-window medians (SURVEY §5) show ±0.8 s of stub/scheduling jitter,
-so they flag only past old+0.8 s AND the ratio. Queries present on one
-side only are listed separately (new/removed, not regressions).
+When tools/bench_band.json exists (computed from the 29-run
+BENCH_LOCAL.json git history by tools/bench_band.py), each query's
+regression threshold is its MEASURED per-query noise band: flag when
+new/old exceeds 1.25x the query's historical p95 run-to-run ratio AND
+the absolute delta exceeds 1 s. This distinguishes environment wobble
+(r12: t_tfidf x1.62 with zero code change) from real plan regressions
+mechanically. Re-run bench_band.py after committing new BENCH_LOCAL
+revisions to keep the band current.
+
+Without a band file the legacy rule applies: flagged when new/old
+exceeds `ratio` (default 2.0) AND the absolute delta exceeds 1 s
+(sub-second queries swing 2-3x on JIT/scheduling noise alone). HTTP
+gates (`h_*`) get a wider band either way: their quiet-window medians
+(SURVEY §5) show ±0.8 s of stub/scheduling jitter, so they flag only
+past old+0.8 s AND the ratio. Queries present on one side only are
+listed separately (new/removed, not regressions).
 """
 import json
 import sys
+from pathlib import Path
+
+BAND_FILE = Path(__file__).resolve().parent / "bench_band.json"
 
 
 def load(path):
@@ -20,14 +34,21 @@ def load(path):
 def main():
     old, new = load(sys.argv[1]), load(sys.argv[2])
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    bands = {}
+    if BAND_FILE.exists():
+        bands = json.loads(BAND_FILE.read_text()).get("queries", {})
     oq, nq = old["queries"], new["queries"]
     flags, improved = [], []
     for name in sorted(set(oq) & set(nq)):
         a, b = oq[name], nq[name]
+        # measured per-query band when available (x1.25 headroom over the
+        # historical p95 so the band's own tail doesn't flag), legacy
+        # ratio otherwise
+        r = bands[name]["band"] * 1.25 if name in bands else ratio
         if name.startswith("h_"):
-            bad = b > a + 0.8 and b > a * ratio
+            bad = b > a + 0.8 and b > a * r
         else:
-            bad = b > a * ratio and b - a > 1.0
+            bad = b > a * r and b - a > 1.0
         if bad:
             flags.append((name, a, b))
         elif a > b * ratio and a - b > 1.0:

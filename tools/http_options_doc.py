@@ -120,10 +120,18 @@ def specs_for(specs, const, key):
     # generic short keys ("url", "format") would hit unrelated string
     # literals — only distinctive keys match by literal
     distinctive = "." in key or len(key) > 12
+    # prefix-map keys end with "." and appear in specs with a concrete
+    # header name appended ("http.sink.header.Content-Type")
+    literal = f'"{key}' if key.endswith(".") else f'"{key}"'
+    # specs may exercise the option through the mechanism's named
+    # parameter rather than the key (FoundationSpec's
+    # `useRawAuthHeader = true`): match the const in lowerCamelCase too
+    camel = const[0].lower() + const[1:]
     hits = [
         name for name, text in specs.items()
-        if (distinctive and f'"{key}"' in text)
+        if (distinctive and literal in text)
         or (f"HttpOptions.{const}" in text)
+        or re.search(r"\b" + re.escape(camel) + r"\b", text)
     ]
     return sorted(hits)
 
@@ -150,7 +158,12 @@ def main():
     n_gated = 0
     for const, key, doc in opts:
         d = find_defaults(const, key)
-        gs = sorted(gates.get(key, []))
+        gset = set(gates.get(key, []))
+        if key.endswith("."):  # prefix-map keys: any concrete header counts
+            for k, v in gates.items():
+                if k.startswith(key):
+                    gset |= v
+        gs = sorted(gset)
         ss = specs_for(specs, const, key)
         pinned = ", ".join([f"`{g}`" for g in gs] + ss) or "—"
         if gs:
