@@ -201,6 +201,18 @@ object HttpQueries {
               case None => (404, """{"error":"not found"}""")
             }
           }
+          // drifted-schema twin (L23 strict decode): the SAME customer
+          // rows with c_mktsegment REMOVED from every payload — the
+          // endpoint "drifted" out of the declared schema. Default decode
+          // PERMISSIVE-nulls the column; json.fail-on-missing-field must
+          // fail the job on it.
+          .route("/customer-drift") { req =>
+            StubServer.queryMap(req.query).get("c_custkey").flatMap(rows.get) match {
+              case Some(json) =>
+                (200, json.replaceAll(",?\"c_mktsegment\":\"[^\"]*\"", ""))
+              case None => (404, """{"error":"not found"}""")
+            }
+          }
           // state-cache twin (L27): byte-identical to /customer but counts
           // wire calls — the checkpoint-restart gate asserts restored
           // state suppresses re-fetches of already-seen keys
@@ -475,6 +487,68 @@ object HttpQueries {
           col("c_name"),
           col("c_nationkey"),
           col("c_acctbal"),
+          col("c_mktsegment"))
+    },
+
+    // ----- strict decode (L23, NEW r13): json.fail-on-missing-field.
+    // Pass 1 points the SAME probe slice at the drifted twin endpoint
+    // (c_mktsegment removed from every payload) under strict decode and
+    // MUST fail naming the missing field — a strict mode that silently
+    // PERMISSIVE-nulls passes bad data through and fails this require.
+    // Pass 2 runs strict against the complete endpoint: same writes
+    // succeed, result hash-gated vs the relational join. -----
+    "h_strict_lookup" -> { (s, dir) =>
+      val probe = s.read
+        .parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 31 === 0)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      def opts(url: String) = Map(
+        "url" -> url,
+        "lookup-method" -> "GET",
+        "json.fail-on-missing-field" -> "true",
+        "http.source.lookup.request.thread-pool.size" -> "2",
+        "http.source.lookup.dedup-keys" -> "true",
+        "http.source.lookup.success-codes" -> "2XX",
+        "http.source.lookup.ignored-response-codes" -> "404")
+      val failed =
+        try {
+          // noop write: count() would prune the projection and the
+          // raise_error column under test would never evaluate
+          HttpLookup
+            .join(
+              probe,
+              keyCols = Seq("c_custkey"),
+              responseSchema = customerResponseSchema,
+              options = opts(lookupStub(s, dir).url("/customer-drift")))
+            .write.format("noop").mode("overwrite").save()
+          false
+        } catch {
+          case t: Throwable =>
+            val msgs = Iterator
+              .iterate(t)(_.getCause)
+              .takeWhile(_ != null)
+              .take(16)
+              .map(e => String.valueOf(e.getMessage))
+              .mkString("\n")
+            if (!(msgs.contains("missing declared field") &&
+                msgs.contains("c_mktsegment"))) throw t
+            true
+        }
+      require(
+        failed,
+        "h_strict_lookup: a drifted endpoint (c_mktsegment removed) did " +
+          "NOT fail the job under json.fail-on-missing-field — strict " +
+          "decode is silently tolerating schema drift")
+      HttpLookup
+        .join(
+          probe,
+          keyCols = Seq("c_custkey"),
+          responseSchema = customerResponseSchema,
+          options = opts(customerServiceUrl(s, dir)))
+        .select(
+          col("o_orderkey"),
+          col("c_custkey"),
+          col("c_name"),
           col("c_mktsegment"))
     },
 
@@ -1618,6 +1692,10 @@ object HttpQueries {
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice_r,
         |  c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "h_strict_lookup" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 31 = 0""".stripMargin,
     "h_post_lookup" ->
       """SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey

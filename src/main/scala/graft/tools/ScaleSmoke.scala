@@ -1200,6 +1200,40 @@ object ScaleSmoke {
         }))
     }
 
+    // real ImageIO decode at corpus scale (r13): encode + decode one PNG
+    // per doc partition-wise — the whole chain is mapPartitions-only, so
+    // the shuffle bill must stay ~zero regardless of corpus size (the
+    // multimodal 100-TB posture: decode is embarrassingly parallel)
+    measure(Step(
+      s"m_image_stats(${copies}x, png encode+ImageIO decode)",
+      () => {
+        val staged = graft.ops.Multimodal.withPngBlob(
+          docs.select(col("doc_id")),
+          "doc_id",
+          lit(8) + col("doc_id") % 5,
+          lit(8) + col("doc_id") % 3,
+          (col("doc_id") * 7) % 256,
+          (col("doc_id") * 11) % 256,
+          (col("doc_id") * 13) % 256)
+        graft.ops.Multimodal.imageStats(staged, "doc_id", "blob")
+      },
+      ceilingGB = 0.1,
+      invariant = df => {
+        val bad = df
+          .filter(
+            col("format") =!= "png" ||
+              col("n_pixels") =!= col("width").cast("long") * col("height") ||
+              col("sum_b") =!= col("n_pixels") *
+                ((col("doc_id") * 13) % 256))
+          .count()
+        val n = df.count()
+        Seq(
+          if (bad == 0L) None
+          else Some(s"$bad rows with wrong decode stats"),
+          if (n == nDocs) None
+          else Some(s"$n rows != $nDocs docs")).flatten
+      }))
+
     graft.ops.Par.releaseCaches()
     spark.stop()
     sys.exit(if (failed) 1 else 0)

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.tools.PlanShapeProbe
+
+/** Plan-shape regression guard (r13, per the r12 verdict): the X6 census
+  * is prose — this spec pins the MEASURED physical-plan shape of the [B]
+  * headline batch gates so a Spark upgrade, AQE change, or refactor that
+  * silently degrades a plan (a new shuffle, an unplanned
+  * BroadcastNestedLoopJoin, a cartesian product, a global sort) fails CI
+  * instead of only showing up as a bench regression.
+  *
+  * Bounds are the values measured at pin time (sf0.001, shuffle
+  * partitions 8): exchanges/BNLJ are UPPER bounds (an optimizer
+  * improvement may remove one; a degradation that adds one fails),
+  * cartesian products and global sorts are flatly banned. BNLJ
+  * allowances are the audited bounded-broadcast sites only (X6): the
+  * 1-row corpus-stat crosses in t_tfidf/t_bm25_topk and the intentional
+  * bounded query-side broadcasts in s_cosine_topk/s_mips_topk.
+  */
+class PlanGuardSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = SparkSpec.session
+  private val dir = "/root/testdata/sf0.001"
+
+  /** gate -> (max exchanges, max BroadcastNestedLoopJoins) */
+  private val pinned: Seq[(String, Int, Int)] = Seq(
+    ("q01_pricing_summary", 1, 0),
+    ("q03_shipping_priority", 1, 0),
+    ("q06_forecast_revenue", 0, 0),
+    ("t_tfidf", 11, 4), // 4 = the audited 1-row corpus-stat broadcasts
+    ("t_bm25_topk", 4, 1), // 1 = the 1-row corpus-stats crossJoin
+    ("s_mips_topk", 1, 1), // 1 = the bounded query-side broadcast
+    ("s_cosine_topk", 1, 1), // 1 = the bounded query-side broadcast
+    ("t_cms_counts", 2, 0),
+    ("q_range_join", 0, 0), // the BETWEEN rides an equi-join, NOT a BNLJ
+    ("p_minhash_lsh", 7, 0), // band join is an equi-join, no all-pairs
+    ("p_exact_dedup", 1, 0),
+    ("p_dup_spans_fast", 7, 0),
+    ("p_dedup_survivors_fast", 1, 0),
+    ("t_contig_windows", 3, 0), // rangePrefix: no global sort
+    ("q_skew_salted_join", 1, 0),
+    ("t_balanced_shards", 3, 0),
+    ("s_centroid_outliers", 2, 0), // corpus never shuffles its vectors
+    ("t_quality_classifier", 1, 0), // weight table broadcasts
+    ("t_dsir_select", 3, 0), // both histograms broadcast
+    ("m_image_stats", 0, 0)) // partition-wise decode, shuffle-free
+
+  test("headline [B] gates keep their audited plan shapes") {
+    assume(
+      new java.io.File(dir).isDirectory,
+      s"needs the driver-generated testdata at $dir")
+    val failures = Seq.newBuilder[String]
+    pinned.foreach { case (name, maxExchanges, maxBnlj) =>
+      val plan = SparkEntry
+        .queries(name)(spark, dir)
+        .queryExecution
+        .executedPlan
+        .toString
+      val s = PlanShapeProbe.shape(plan)
+      if (s("exchange") > maxExchanges)
+        failures += s"$name: ${s("exchange")} exchanges (pinned <= $maxExchanges)"
+      if (s("bnlj") > maxBnlj)
+        failures += s"$name: ${s("bnlj")} BroadcastNestedLoopJoins " +
+          s"(pinned <= $maxBnlj — only audited bounded broadcasts allowed)"
+      if (s("cartesian") > 0)
+        failures += s"$name: ${s("cartesian")} CartesianProduct(s) — banned"
+      if (s("sort_global") > 0)
+        failures += s"$name: ${s("sort_global")} global Sort(s) — banned " +
+          "in the pinned set (TakeOrdered / per-bucket windows instead)"
+    }
+    withClue("plan-shape regressions (re-audit X6 before re-pinning): ") {
+      failures.result() shouldBe empty
+    }
+  }
+}

@@ -30,7 +30,8 @@ def parse_options():
     """(constName, key, docFirstSentence) in declaration order."""
     text = OPTIONS.read_text()
     out = []
-    for m in re.finditer(r"val ([A-Z]\w*) = \"([^\"]+)\"", text):
+    # \s+ tolerates the value wrapping to the next line (long option keys)
+    for m in re.finditer(r"val ([A-Z]\w*) =\s+\"([^\"]+)\"", text):
         if "^" in m.group(2):  # regex constants (DurationRe), not options
             continue
         # scaladoc attaches only when it ends IMMEDIATELY above the val
