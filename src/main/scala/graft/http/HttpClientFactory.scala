@@ -31,7 +31,7 @@ object HttpClientFactory {
     def fromOptions(o: HttpOptions): ClientConfig = ClientConfig(
       connectTimeoutMs =
         o.strOpt(HttpOptions.ConnectionTimeout).map(HttpOptions.parseDurationMs),
-      httpVersion = o.strOpt("http.source.lookup.http-version"),
+      httpVersion = o.strOpt(HttpOptions.HttpVersion),
       proxyHost = o.strOpt(HttpOptions.ProxyHost),
       proxyPort = o.strOpt(HttpOptions.ProxyPort).map(_.toInt),
       proxyUsername = o.strOpt(HttpOptions.ProxyUsername),

@@ -117,7 +117,7 @@ object HttpLookup {
           o.durationMs(HttpOptions.OidcExpiryReduction, 1000L))
       },
       useRawAuthHeader = o.bool(HttpOptions.UseRawAuthHeader, default = false),
-      loggingLevel = o.str("http.logging.level", "MIN"),
+      loggingLevel = o.str(HttpOptions.LoggingLevel, "MIN"),
       callbackName =
         o.str(HttpOptions.SourceRequestCallback, "slf4j-lookup-logger"),
       preprocessors = headerPreprocessors)
@@ -160,14 +160,14 @@ object HttpLookup {
     // shuffles. Batch-only (distinct isn't available on streams); the
     // per-executor cache covers the streaming case instead.
     val dedupKeys =
-      o.bool("http.source.lookup.dedup-keys", default = false) && !probe.isStreaming
+      o.bool(HttpOptions.DedupKeys, default = false) && !probe.isStreaming
 
     // AQE coalesces the (byte-tiny) distinct-keys shuffle down to one
     // partition, which would serialize all the I/O onto a single task —
     // spread the requests explicitly: latency-bound work wants parallelism
     // by request count, not by data size.
     val ioPartitions = o.int(
-      "http.source.lookup.partitions",
+      HttpOptions.LookupPartitions,
       probe.sparkSession.sparkContext.defaultParallelism)
     val ioInput =
       if (dedupKeys)

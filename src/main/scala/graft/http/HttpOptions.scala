@@ -125,6 +125,55 @@ object HttpOptions {
   val ProxyPort = "http.source.lookup.proxy.port"
   val ProxyUsername = "http.source.lookup.proxy.username"
   val ProxyPassword = "http.source.lookup.proxy.password"
+  /** Request/response logging level for the named request callback:
+    * `MIN` (default, method+uri+status), `REQ_RESP` (+ bodies), `MAX`
+    * (+ headers) (reference: the slf4j logger callbacks in
+    * `table/lookup/Slf4JHttpLookupPostRequestCallback.java`).
+    */
+  val LoggingLevel = "http.logging.level"
+
+  /** Force the JDK client's HTTP version (`HTTP_1_1` | `HTTP_2`); unset =
+    * the JDK default (HTTP/2 with 1.1 fallback).
+    */
+  val HttpVersion = "http.source.lookup.http-version"
+
+  /** Batch-only lookup optimization (graft extension): call the service
+    * once per DISTINCT rendered request and join responses back — request
+    * volume drops from |rows| to |unique keys| and AQE broadcasts the
+    * (small) response relation.
+    */
+  val DedupKeys = "http.source.lookup.dedup-keys"
+
+  /** Task parallelism for the deduped I/O stage (default: the session's
+    * defaultParallelism). Latency-bound lookups want parallelism by
+    * request count, not by data size — AQE would coalesce the byte-tiny
+    * distinct-keys shuffle to one task otherwise.
+    */
+  val LookupPartitions = "http.source.lookup.partitions"
+
+  /** PEM/DER trust material (comma-separated paths) added on top of the
+    * keystore/defaults (reference: `HttpConnectorConfigConstants`
+    * SERVER_TRUSTED_CERT / CLIENT_CERT / CLIENT_PRIVATE_KEY).
+    */
+  val CertServer = "http.security.cert.server"
+  val CertClient = "http.security.cert.client"
+  val KeyClient = "http.security.key.client"
+
+  /** Lookup retry strategy (reference `retry-strategy.type` options):
+    * `fixed-delay` (default) with `.fixed-delay.delay`, or
+    * `exponential-delay` with its `.initial-backoff` / `.max-backoff` /
+    * `.backoff-multiplier` sub-options.
+    */
+  val RetryStrategyType = "http.source.lookup.retry-strategy.type"
+  val RetryFixedDelay =
+    "http.source.lookup.retry-strategy.fixed-delay.delay"
+  val RetryExpInitialBackoff =
+    "http.source.lookup.retry-strategy.exponential-delay.initial-backoff"
+  val RetryExpMaxBackoff =
+    "http.source.lookup.retry-strategy.exponential-delay.max-backoff"
+  val RetryExpMultiplier =
+    "http.source.lookup.retry-strategy.exponential-delay.backoff-multiplier"
+
   val InsertMethod = "insert-method"
   val SinkRequestMode = "http.sink.writer.request.mode"
   val SinkBatchSize = "http.sink.request.batch.size"

@@ -353,7 +353,7 @@ private[graft] object SinkRuntime {
       },
       clientCfg = HttpClientFactory.ClientConfig.fromOptions(o),
       callbackName = o.str(HttpOptions.SinkRequestCallback, "slf4j-logger"),
-      loggingLevel = o.str("http.logging.level", "MIN"),
+      loggingLevel = o.str(HttpOptions.LoggingLevel, "MIN"),
       headerPreprocessors = headerPreprocessors,
       idempotencyHeader = o.strOpt(HttpOptions.SinkIdempotencyHeader),
       idempotencyNonce = o.str(HttpOptions.SinkIdempotencyNonce, ""),

@@ -38,24 +38,18 @@ object RetryPolicy {
   val ExponentialDelayName = "exponential-delay"
 
   def fromOptions(o: HttpOptions): RetryPolicy = {
-    val maxRetries = o.int("lookup.max-retries", 3)
-    o.str("http.source.lookup.retry-strategy.type", FixedDelayName) match {
+    val maxRetries = o.int(HttpOptions.MaxRetries, 3)
+    o.str(HttpOptions.RetryStrategyType, FixedDelayName) match {
       case FixedDelayName =>
         FixedDelayRetry(
           maxRetries,
-          o.durationMs("http.source.lookup.retry-strategy.fixed-delay.delay", 1000L))
+          o.durationMs(HttpOptions.RetryFixedDelay, 1000L))
       case ExponentialDelayName =>
         ExponentialDelayRetry(
           maxRetries,
-          o.durationMs(
-            "http.source.lookup.retry-strategy.exponential-delay.initial-backoff",
-            1000L),
-          o.durationMs(
-            "http.source.lookup.retry-strategy.exponential-delay.max-backoff",
-            60000L),
-          o.double(
-            "http.source.lookup.retry-strategy.exponential-delay.backoff-multiplier",
-            1.5))
+          o.durationMs(HttpOptions.RetryExpInitialBackoff, 1000L),
+          o.durationMs(HttpOptions.RetryExpMaxBackoff, 60000L),
+          o.double(HttpOptions.RetryExpMultiplier, 1.5))
       case other =>
         throw new HttpConfigException(s"Unknown retry strategy type: '$other'")
     }

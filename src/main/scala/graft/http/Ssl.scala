@@ -40,13 +40,13 @@ object Ssl {
   object SslConfig {
     def fromOptions(o: HttpOptions): SslConfig = SslConfig(
       serverCertPaths = o
-        .str("http.security.cert.server", "")
+        .str(HttpOptions.CertServer, "")
         .split(",")
         .map(_.trim)
         .filter(_.nonEmpty)
         .toSeq,
-      clientCertPath = o.strOpt("http.security.cert.client"),
-      clientKeyPath = o.strOpt("http.security.key.client"),
+      clientCertPath = o.strOpt(HttpOptions.CertClient),
+      clientKeyPath = o.strOpt(HttpOptions.KeyClient),
       allowSelfSigned = o.bool(HttpOptions.AllowSelfSigned, default = false),
       keyStorePath = o.strOpt(HttpOptions.KeyStorePath).map(_.trim).filter(_.nonEmpty),
       keyStorePassword = o.str(HttpOptions.KeyStorePassword, ""),

@@ -255,6 +255,74 @@ class OptionPinSpec extends SparkSpec with BeforeAndAfterAll {
   }
 
   // ---------------------------------------------------------------------
+  // http.source.lookup.http-version / http.logging.level /
+  // dedup-keys / partitions
+  // ---------------------------------------------------------------------
+
+  test("http-version parses through ClientConfig and HTTP_1_1 lookups work") {
+    HttpClientFactory.ClientConfig
+      .fromOptions(HttpOptions(
+        "http.source.lookup.http-version" -> "HTTP_1_1"))
+      .httpVersion shouldBe Some("HTTP_1_1")
+    val server = okUsers(StubServer(), "/u").start()
+    try {
+      HttpLookup
+        .join(
+          oneRowProbe,
+          Seq("id"),
+          userSchema,
+          Map(
+            "url" -> server.url("/u"),
+            "http.source.lookup.http-version" -> "HTTP_1_1"))
+        .count() shouldBe 1L
+    } finally server.stop()
+  }
+
+  test("http.logging.level validates on the driver (fail-fast on bad levels)") {
+    val server = okUsers(StubServer(), "/u").start()
+    try {
+      an[HttpConfigException] should be thrownBy HttpLookup.join(
+        oneRowProbe,
+        Seq("id"),
+        userSchema,
+        Map("url" -> server.url("/u"), "http.logging.level" -> "WAT"))
+      // every documented level runs
+      Seq("MIN", "REQ_RESP", "MAX").foreach { lvl =>
+        HttpLookup
+          .join(
+            oneRowProbe,
+            Seq("id"),
+            userSchema,
+            Map("url" -> server.url("/u"), "http.logging.level" -> lvl))
+          .count() shouldBe 1L
+      }
+    } finally server.stop()
+  }
+
+  test("dedup-keys collapses wire calls to distinct rendered requests") {
+    import spark.implicits._
+    LookupCache.clearAll()
+    val server = okUsers(StubServer(), "/u").start()
+    try {
+      // 12 probe rows over 2 distinct keys, cache OFF: without dedup-keys
+      // every row hits the wire; with it exactly the 2 distinct requests do
+      val probe = (1 to 12).map(i => (i.toLong, (i % 2).toString))
+        .toDF("event", "id").repartition(2)
+      HttpLookup
+        .join(
+          probe,
+          Seq("id"),
+          userSchema,
+          Map(
+            "url" -> server.url("/u"),
+            "http.source.lookup.dedup-keys" -> "true",
+            "http.source.lookup.partitions" -> "2"))
+        .count() shouldBe 12L
+      server.requests.count(_.path == "/u") shouldBe 2
+    } finally server.stop()
+  }
+
+  // ---------------------------------------------------------------------
   // http.security.oidc.token.expiry.reduction
   // ---------------------------------------------------------------------
 
