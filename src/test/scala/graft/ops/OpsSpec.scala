@@ -637,6 +637,46 @@ class MultimodalSpec extends SparkSpec {
     out.head.getAs[Long]("n_pixels") shouldBe w.toLong * h
   }
 
+  test("imageStats matches the closed form over 60 seeded random fixtures") {
+    // seeded, not random-random: reproducible; dims/colors span the %256
+    // wrap boundary and the 1-pixel degenerate cases
+    val rnd = new scala.util.Random(13)
+    val cases = (1 to 60).map { _ =>
+      (1 + rnd.nextInt(24), 1 + rnd.nextInt(24),
+        rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256))
+    }
+    import spark.implicits._
+    val df = cases.zipWithIndex.map { case ((w, h, r0, g0, b0), i) =>
+      (i.toLong, Multimodal.pngFixture(w, h, r0, g0, b0))
+    }.toDF("id", "blob")
+    val out = Multimodal.imageStats(df, "id", "blob")
+      .orderBy("id").collect()
+    def wrapSum(c0: Int, n: Int): Long =
+      n.toLong * c0 + n.toLong * (n - 1) / 2 - 256L * math.max(0, c0 + n - 256)
+    cases.zip(out).foreach { case ((w, h, r0, g0, b0), row) =>
+      withClue(s"w=$w h=$h r0=$r0 g0=$g0 b0=$b0: ") {
+        row.getAs[Int]("width") shouldBe w
+        row.getAs[Int]("height") shouldBe h
+        row.getAs[Long]("sum_r") shouldBe h * wrapSum(r0, w)
+        row.getAs[Long]("sum_g") shouldBe w * wrapSum(g0, h)
+        row.getAs[Long]("sum_b") shouldBe w.toLong * h * b0
+      }
+    }
+  }
+
+  test("JPEG sniffs and decodes dimensions (lossy: stats not gated)") {
+    val img = new java.awt.image.BufferedImage(
+      7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    import spark.implicits._
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "blob")
+    val out = Multimodal.extractMeta(df, "id", "blob").collect()
+    out.head.getAs[String]("format") shouldBe "jpeg"
+    out.head.getAs[Int]("width") shouldBe 7
+    out.head.getAs[Int]("height") shouldBe 5
+  }
+
   test("BMP and GIF decode through the JDK codecs too") {
     def encode(fmt: String): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
