@@ -235,6 +235,42 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Stage a deterministic ANIMATED GIF per row (`nFrames` 6x4 frames,
+    * frame i carrying pixel value i) — the multi-frame fixture the
+    * m_frame_sample gate decodes back through the real JDK GIF reader.
+    * Encode is partition-wise like [[withPngBlob]].
+    */
+  def withGifBlob(
+      df: DataFrame,
+      idCol: String,
+      nFrames: org.apache.spark.sql.Column): DataFrame = {
+    val staged = df.select(col(idCol), nFrames.cast(IntegerType).as("__n"))
+    val outSchema = StructType(staged.schema.fields.take(1) :+
+      StructField("blob", BinaryType, nullable = false))
+    staged.mapPartitions { rows =>
+      rows.map { r =>
+        val n = math.max(1, r.getInt(1))
+        val writer = ImageIO.getImageWritersByFormatName("gif").next()
+        val bos = new ByteArrayOutputStream()
+        val ios = ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var i = 0
+        while (i < n) {
+          val f = new java.awt.image.BufferedImage(
+            6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          f.setRGB(0, 0, i)
+          writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+          i += 1
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        ios.close()
+        Row(r.get(0), bos.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling: one output row per sampled frame (`every`-th frame),
     * each carrying a deterministic frame fingerprint — the video-curation
     * plumbing shape (explode-by-frame, partition-wise decode, no shuffle).

@@ -2384,14 +2384,19 @@ object PipelineQueries {
           sum(col("n_frames").cast(LongType)).as("total_frames"))
     },
 
-    // ----- multimodal frame sampling (explode-by-frame plumbing) -----
-    // gates the partition-wise explode shape (every-4th frame of the stub
-    // decode); the wraparound frame fingerprint is spec-covered — 64-bit
-    // overflow wraps in the JVM but errors in DuckDB, so it cannot gate
+    // ----- multimodal frame sampling — REAL multi-frame decode (r13):
+    // each doc stages an ANIMATED GIF with 1 + doc_id%6 frames (encoded
+    // partition-wise by the JDK GIF writer); frameSample must recover the
+    // true frame count through the real GIF reader and explode every 2nd
+    // frame, hash-gated against the generator's range. The byte-derived
+    // frame fingerprint stays spec-only — 64-bit overflow wraps on the
+    // JVM, errors in DuckDB -----
     "m_frame_sample" -> { (s, dir) =>
-      val staged = t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
-      Multimodal.frameSample(staged, "doc_id", "blob", every = 4)
+      val staged = Multimodal.withGifBlob(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id",
+        lit(1) + col("doc_id") % 6)
+      Multimodal.frameSample(staged, "doc_id", "blob", every = 2)
         .select(col("doc_id"), col("frame_idx"))
     },
 
@@ -6262,8 +6267,7 @@ object PipelineQueries {
         |  WHERE c.c_acctbal < 0 AND c.c_custkey = o.o_custkey)""".stripMargin,
     "m_frame_sample" ->
       """SELECT doc_id,
-        |  CAST(unnest(range(0, octet_length(encode(text)) % 24 + 1, 4)) AS INT)
-        |    AS frame_idx
+        |  CAST(unnest(range(0, 1 + doc_id % 6, 2)) AS INT) AS frame_idx
         |FROM documents""".stripMargin,
     "m_media_meta" ->
       """SELECT doc_id,

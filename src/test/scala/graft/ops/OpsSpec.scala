@@ -692,6 +692,37 @@ class MultimodalSpec extends SparkSpec {
     out.map(_.getAs[Int]("n_frames")).toSeq shouldBe Seq(1, 1)
   }
 
+  test("animated GIF: real frame count flows into extractMeta and frameSample") {
+    def animatedGif(nFrames: Int): Array[Byte] = {
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { i =>
+        val f = new java.awt.image.BufferedImage(
+          6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        f.setRGB(0, 0, i) // distinct frames
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      bos.toByteArray
+    }
+    import spark.implicits._
+    val df = Seq((1L, animatedGif(5))).toDF("id", "blob")
+    val meta = Multimodal.extractMeta(df, "id", "blob").collect().head
+    meta.getAs[String]("format") shouldBe "gif"
+    meta.getAs[Int]("n_frames") shouldBe 5
+    meta.getAs[Int]("width") shouldBe 6
+    // frameSample walks the REAL frame count for JDK-decodable formats
+    val frames = Multimodal.frameSample(df, "id", "blob", every = 2)
+      .orderBy("frame_idx").collect()
+    frames.map(_.getAs[Int]("frame_idx")).toSeq shouldBe Seq(0, 2, 4)
+  }
+
   test("bytes that sniff as PNG but do not decode classify as png-corrupt") {
     val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)
     val df = Seq((1L, corrupt)).toDF("id", "blob")
