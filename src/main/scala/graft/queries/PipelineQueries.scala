@@ -2367,18 +2367,32 @@ object PipelineQueries {
       Multimodal.imageStats(staged, "doc_id", "blob")
     },
 
-    // ----- multimodal corpus report (NEW r10): the per-format "media
-    // card" — counts, byte volume, dimension extremes, frame totals —
-    // i.e. the datasheet a multimodal shard ships with. One partial-agg'd
-    // shuffle over the extractMeta projection; |formats| output rows -----
+    // ----- multimodal corpus report (r13: MIXED formats): the per-format
+    // "media card" a multimodal shard ships with — and the gate for the
+    // format DISPATCH itself: even doc_ids carry a REAL PNG (ImageIO
+    // decode), odd doc_ids carry raw text bytes (the documented stub
+    // fallback for JDK-less formats), one relation exercising both
+    // decoder paths. One partial-agg'd shuffle over the extractMeta
+    // projection; |formats| output rows. (total_bytes is dropped from
+    // the gated projection: a real encoder's output size is true but
+    // not relationally replayable.) -----
     "m_media_report" -> { (s, dir) =>
-      val staged = t(s, dir, "documents")
+      val base = t(s, dir, "documents")
+      val pngs = Multimodal.withPngBlob(
+        base.filter(col("doc_id") % 2 === 0).select(col("doc_id")),
+        "doc_id",
+        lit(8) + col("doc_id") % 5,
+        lit(8) + col("doc_id") % 3,
+        (col("doc_id") * 7) % 256,
+        (col("doc_id") * 11) % 256,
+        (col("doc_id") * 13) % 256)
+      val raws = base
+        .filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
-      Multimodal.extractMeta(staged, "doc_id", "blob")
+      Multimodal.extractMeta(pngs.unionByName(raws), "doc_id", "blob")
         .groupBy(col("format"))
         .agg(
           count(lit(1)).as("n_items"),
-          sum(col("n_bytes")).as("total_bytes"),
           max(col("width")).as("max_width"),
           max(col("height")).as("max_height"),
           sum(col("n_frames").cast(LongType)).as("total_frames"))
@@ -6296,16 +6310,23 @@ object PipelineQueries {
     "m_media_report" ->
       """WITH m AS (
         |  SELECT doc_id,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |    CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
-        |    CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INT)
-        |      AS height,
-        |    CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames,
-        |    CASE WHEN octet_length(encode(text)) % 2 = 0
-        |         THEN 'even' ELSE 'odd' END AS format
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN CAST(8 + doc_id % 5 AS INT)
+        |         ELSE CAST(octet_length(encode(text)) % 640 + 16 AS INT)
+        |    END AS width,
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN CAST(8 + doc_id % 3 AS INT)
+        |         ELSE CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INT)
+        |    END AS height,
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN 1
+        |         ELSE CAST(octet_length(encode(text)) % 24 + 1 AS INT)
+        |    END AS n_frames,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'png'
+        |         WHEN octet_length(encode(text)) % 2 = 0 THEN 'even'
+        |         ELSE 'odd' END AS format
         |  FROM documents)
         |SELECT format, CAST(count(*) AS BIGINT) AS n_items,
-        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  max(width) AS max_width, max(height) AS max_height,
         |  CAST(sum(n_frames) AS BIGINT) AS total_frames
         |FROM m GROUP BY format""".stripMargin,
