@@ -177,6 +177,30 @@ object HttpOptions {
   val InsertMethod = "insert-method"
   val SinkRequestMode = "http.sink.writer.request.mode"
   val SinkBatchSize = "http.sink.request.batch.size"
+
+  /** Reference parity (the AsyncSinkBase two-stage batching knobs,
+    * `HttpSinkBuilder.java:70-76`): `sink.batch.max-size` (default 500)
+    * is the STAGE-1 flush count — a framing boundary every N rows that
+    * truncates the current partial request, exactly as a Flink runtime
+    * flush of N records would before stage-2 regroups them into
+    * `http.sink.request.batch.size`-row requests; `sink.flush-buffer.size`
+    * (default 5 MiB) flushes the buffered partial batch once its UTF-8
+    * payload bytes reach the threshold. Both change batch FRAMING —
+    * combine with `http.sink.idempotency.sort` if replay-stable batch
+    * bodies matter.
+    */
+  val SinkBatchMaxSize = "sink.batch.max-size"
+  val SinkFlushBufferSize = "sink.flush-buffer.size"
+
+  /** Reference parity (`maxBufferedRequests`, default 10000): the cap on
+    * records buffered before backpressure. Spark's pull-based partition
+    * writer never buffers more than one request's rows by construction,
+    * so the option is VALIDATED rather than scheduled: configuring it
+    * below `http.sink.request.batch.size` is a config error (the buffer
+    * necessarily holds up to one full batch); any larger value is already
+    * honored.
+    */
+  val SinkMaxBuffered = "sink.requests.max-buffered"
   val SinkErrorCodes = "http.sink.error.code"
   val SinkErrorCodesExclude = "http.sink.error.code.exclude"
   val SinkRequestTimeout = "http.sink.request.timeout"

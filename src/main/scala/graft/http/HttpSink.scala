@@ -264,7 +264,9 @@ private[graft] final case class SinkRuntime(
     idempotencyHeader: Option[String] = None,
     idempotencyNonce: String = "",
     idempotencySort: Boolean = false,
-    flushTimeoutMs: Long = 0L)
+    flushTimeoutMs: Long = 0L,
+    stage1MaxRows: Int = 500,
+    flushBufferBytes: Long = 5L * 1024 * 1024)
     extends Serializable {
 
   /** Executor-side: a buffering writer over a bounded-in-flight submitter.
@@ -302,7 +304,7 @@ private[graft] final case class SinkRuntime(
       submitter, batchSize, mode, format,
       idempotencyHeader.map(h =>
         (h, new IdempotencyKeys.Keyer(idempotencyNonce, epochId, partitionId))),
-      flushTimeoutMs)
+      flushTimeoutMs, stage1MaxRows, flushBufferBytes)
   }
 }
 
@@ -328,6 +330,7 @@ private[graft] object SinkRuntime {
       case other =>
         throw new HttpConfigException(s"Unknown sink request mode '$other'")
     }
+    validateMaxBuffered(o, batchSize)
     SinkRuntime(
       url = url,
       format = format,
@@ -358,7 +361,23 @@ private[graft] object SinkRuntime {
       idempotencyHeader = o.strOpt(HttpOptions.SinkIdempotencyHeader),
       idempotencyNonce = o.str(HttpOptions.SinkIdempotencyNonce, ""),
       idempotencySort = o.bool(HttpOptions.SinkIdempotencySort, default = false),
-      flushTimeoutMs = o.durationMs(HttpOptions.SinkFlushTimeout, 0L))
+      flushTimeoutMs = o.durationMs(HttpOptions.SinkFlushTimeout, 0L),
+      stage1MaxRows = o.int(HttpOptions.SinkBatchMaxSize, 500),
+      flushBufferBytes = o.long(HttpOptions.SinkFlushBufferSize, 5L * 1024 * 1024))
+  }
+
+  /** `sink.requests.max-buffered` (reference maxBufferedRequests, default
+    * 10000): the pull-based partition writer buffers at most one request's
+    * rows, so any value >= the request batch size is honored by
+    * construction — and anything smaller is impossible, a config error.
+    */
+  private[graft] def validateMaxBuffered(o: HttpOptions, batchSize: Int): Unit = {
+    val maxBuffered = o.int(HttpOptions.SinkMaxBuffered, 10000)
+    if (maxBuffered < batchSize)
+      throw new HttpConfigException(
+        s"${HttpOptions.SinkMaxBuffered}=$maxBuffered is below " +
+          s"${HttpOptions.SinkBatchSize}=$batchSize — the writer must " +
+          "buffer up to one full batch")
   }
 
   /** Shared daemon scheduler for time-based partial-batch flushes: one
@@ -378,9 +397,13 @@ private[graft] object SinkRuntime {
       mode: String,
       format: PayloadFormat,
       keying: Option[(String, IdempotencyKeys.Keyer)] = None,
-      flushTimeoutMs: Long = 0L) {
+      flushTimeoutMs: Long = 0L,
+      stage1MaxRows: Int = 500,
+      flushBufferBytes: Long = 5L * 1024 * 1024) {
     private val batch = new scala.collection.mutable.ArrayBuffer[String](batchSize)
     private var oldestAddNanos = 0L
+    private var bytesInBatch = 0L
+    private var rowsSinceStage1 = 0
 
     // `sink.flush-buffer.timeout`: bound how long a partially-filled batch
     // can sit while the partition iterator is slow (long streaming
@@ -411,7 +434,7 @@ private[graft] object SinkRuntime {
             case Some((h, keyer)) => Seq(h -> keyer.keyFor(body))
             case None => Nil
           }
-          if (submitter.trySubmit(body, extra)) batch.clear()
+          if (submitter.trySubmit(body, extra)) { batch.clear(); bytesInBatch = 0L }
         }
       } catch { case _: Throwable => () }
 
@@ -426,9 +449,22 @@ private[graft] object SinkRuntime {
     def add(payload: String): Unit = synchronized {
       if (batch.isEmpty) oldestAddNanos = System.nanoTime()
       batch += payload
-      if (batch.size >= batchSize) {
+      bytesInBatch += payload.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8).length.toLong
+      rowsSinceStage1 += 1
+      // three flush triggers, mirroring the reference's two-stage
+      // batching: stage-2 request full; stage-1 runtime-flush boundary
+      // every `sink.batch.max-size` rows (truncates the partial request,
+      // exactly as Flink's buffered flush would); byte threshold
+      // `sink.flush-buffer.size` over the buffered UTF-8 payload
+      val stage2Full = batch.size >= batchSize
+      val stage1Boundary = stage1MaxRows > 0 && rowsSinceStage1 >= stage1MaxRows
+      val bytesFull = flushBufferBytes > 0 && bytesInBatch >= flushBufferBytes
+      if (stage2Full || stage1Boundary || bytesFull) {
         submit(frame(batch.toSeq))
         batch.clear()
+        bytesInBatch = 0L
+        if (stage1Boundary) rowsSinceStage1 = 0
       }
     }
 
@@ -438,6 +474,7 @@ private[graft] object SinkRuntime {
         if (batch.nonEmpty) {
           submit(frame(batch.toSeq))
           batch.clear()
+          bytesInBatch = 0L
         }
       }
       submitter.awaitAll()
@@ -452,7 +489,7 @@ private[graft] object SinkRuntime {
       */
     def abort(): Unit = {
       timer.foreach(_.cancel(false))
-      synchronized(batch.clear())
+      synchronized { batch.clear(); bytesInBatch = 0L }
     }
 
     /** Batch bodies are framed by the format (JSON arrays `[e1,e2,…]` for

@@ -248,9 +248,12 @@ object Multimodal {
     val outSchema = StructType(staged.schema.fields.take(1) :+
       StructField("blob", BinaryType, nullable = false))
     staged.mapPartitions { rows =>
+      // one writer per PARTITION (the registry scan in
+      // getImageWritersByFormatName is per-call overhead worth hoisting
+      // at corpus scale); output is re-bound per row
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
       rows.map { r =>
         val n = math.max(1, r.getInt(1))
-        val writer = ImageIO.getImageWritersByFormatName("gif").next()
         val bos = new ByteArrayOutputStream()
         val ios = ImageIO.createImageOutputStream(bos)
         writer.setOutput(ios)
@@ -264,7 +267,6 @@ object Multimodal {
           i += 1
         }
         writer.endWriteSequence()
-        writer.dispose()
         ios.close()
         Row(r.get(0), bos.toByteArray)
       }

@@ -202,6 +202,82 @@ class OptionPinSpec extends SparkSpec with BeforeAndAfterAll {
   }
 
   // ---------------------------------------------------------------------
+  // sink.batch.max-size / sink.flush-buffer.size / sink.requests.max-buffered
+  // (the AsyncSinkBase two-stage batching knobs, HttpSinkBuilder.java:70-76)
+  // ---------------------------------------------------------------------
+
+  private def batchSizes(server: StubServer, path: String): Seq[Int] =
+    server.requests.filter(_.path == path).map { r =>
+      // json array framing: count top-level elements
+      Json.mapper.readTree(r.body).size()
+    }
+
+  test("sink.batch.max-size truncates request framing at the stage-1 boundary") {
+    import spark.implicits._
+    val server = StubServer().route("/b") { _ => (200, "ok") }.start()
+    try {
+      val df = (1 to 12).map(i => (i, s"v$i")).toDF("k", "v").repartition(1)
+      // stage-2 requests of 4, stage-1 flush every 6 rows: framing 4,2,4,2
+      HttpSink.write(
+        df,
+        Map(
+          "url" -> server.url("/b"),
+          "http.sink.request.batch.size" -> "4",
+          "sink.batch.max-size" -> "6"))
+      batchSizes(server, "/b").sorted shouldBe Seq(2, 2, 4, 4)
+      // control: without the stage-1 boundary the same rows frame as 4,4,4
+      server.clear()
+      HttpSink.write(
+        df,
+        Map(
+          "url" -> server.url("/b"),
+          "http.sink.request.batch.size" -> "4"))
+      batchSizes(server, "/b") shouldBe Seq(4, 4, 4)
+    } finally server.stop()
+  }
+
+  test("sink.flush-buffer.size flushes the partial batch at the byte threshold") {
+    import spark.implicits._
+    val server = StubServer().route("/bytes") { _ => (200, "ok") }.start()
+    try {
+      // ~20-byte payloads against a 64-byte buffer: requests must flush
+      // every ~3 rows even though the 1000-row batch never fills
+      val df = (1 to 9).map(i => (i, "x" * 8)).toDF("k", "v").repartition(1)
+      HttpSink.write(
+        df,
+        Map(
+          "url" -> server.url("/bytes"),
+          "http.sink.request.batch.size" -> "1000",
+          "sink.flush-buffer.size" -> "64"))
+      val sizes = batchSizes(server, "/bytes")
+      sizes.size should be >= 3
+      sizes.sum shouldBe 9 // nothing lost, nothing duplicated
+      all(sizes) should be <= 4
+    } finally server.stop()
+  }
+
+  test("sink.requests.max-buffered below the batch size is a config error") {
+    import spark.implicits._
+    val server = StubServer().route("/mb") { _ => (200, "ok") }.start()
+    try {
+      val df = Seq((1, "a")).toDF("k", "v")
+      an[HttpConfigException] should be thrownBy HttpSink.write(
+        df,
+        Map(
+          "url" -> server.url("/mb"),
+          "http.sink.request.batch.size" -> "100",
+          "sink.requests.max-buffered" -> "10"))
+      // at or above the batch size it is honored by construction
+      HttpSink.write(
+        df,
+        Map(
+          "url" -> server.url("/mb"),
+          "http.sink.request.batch.size" -> "100",
+          "sink.requests.max-buffered" -> "100"))
+    } finally server.stop()
+  }
+
+  // ---------------------------------------------------------------------
   // http.sink.error.code (the non-exclude form REPLACES the default set)
   // ---------------------------------------------------------------------
 
