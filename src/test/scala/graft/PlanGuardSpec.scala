@@ -46,7 +46,10 @@ class PlanGuardSpec extends AnyFunSuite with Matchers {
     ("s_centroid_outliers", 2, 0), // corpus never shuffles its vectors
     ("t_quality_classifier", 1, 0), // weight table broadcasts
     ("t_dsir_select", 3, 0), // both histograms broadcast
-    ("m_image_stats", 0, 0)) // partition-wise decode, shuffle-free
+    ("m_image_stats", 0, 0), // partition-wise decode, shuffle-free
+    ("m_media_meta", 0, 0), // encode+decode both mapPartitions
+    ("m_frame_sample", 0, 0), // explode-by-frame stays narrow
+    ("m_media_report", 1, 0)) // one partial-agg'd format exchange
 
   test("headline [B] gates keep their audited plan shapes") {
     assume(
