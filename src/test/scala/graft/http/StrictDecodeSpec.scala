@@ -117,6 +117,29 @@ class StrictDecodeSpec extends SparkSpec with BeforeAndAfterAll {
     } finally broken.stop()
   }
 
+  test("strict decode reaches the SQL TVF surface (option plumbing)") {
+    graft.plans.GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, "42")).toDF("event", "id").createOrReplaceTempView("strict_probe")
+    def tvf(path: String, strict: Boolean): String =
+      s"""SELECT event, name, balance FROM http_lookup(
+         |  'strict_probe', 'id', 'name STRING, balance DOUBLE',
+         |  'url', '${server.url(path)}'${
+           if (strict) ", 'json.fail-on-missing-field', 'true'" else ""}
+         |)""".stripMargin
+    // default: drift tolerated with a null column
+    spark.sql(tvf("/drift", strict = false)).collect() should have size 1
+    // strict: the same SQL fails loudly
+    val t = intercept[Throwable] {
+      spark.sql(tvf("/drift", strict = true)).collect()
+    }
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
+      .map(e => String.valueOf(e.getMessage)).mkString("\n") should
+      include("missing declared field")
+    // strict over the complete endpoint still works
+    spark.sql(tvf("/full", strict = true)).collect() should have size 1
+  }
+
   test("csv format rejects the option (cannot enumerate record keys)") {
     an[HttpConfigException] should be thrownBy run(
       "/full",
