@@ -446,11 +446,26 @@ private[graft] object SinkRuntime {
       submitter.submit(body, extra)
     }
 
+    // UTF-8 length without materializing a byte[] copy per row (the
+    // payload is only encoded once, at submit time)
+    private def utf8Length(s: String): Long = {
+      var n = 0L
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        n += (if (c < 0x80) 1
+              else if (c < 0x800) 2
+              else if (Character.isHighSurrogate(c)) { i += 1; 4 }
+              else 3)
+        i += 1
+      }
+      n
+    }
+
     def add(payload: String): Unit = synchronized {
       if (batch.isEmpty) oldestAddNanos = System.nanoTime()
       batch += payload
-      bytesInBatch += payload.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8).length.toLong
+      bytesInBatch += utf8Length(payload)
       rowsSinceStage1 += 1
       // three flush triggers, mirroring the reference's two-stage
       // batching: stage-2 request full; stage-1 runtime-flush boundary
