@@ -282,6 +282,24 @@ object HttpQueries {
                 }
             }
           }
+          // twice-failing twin (exponential-retry gate): the first TWO
+          // attempts per key 503 — recovery requires attempt 3, i.e. a
+          // retry schedule that actually advances through its backoff
+          // sequence (distinct counter namespace from /customer-flaky)
+          .route("/customer-flaky2") { req =>
+            StubServer.queryMap(req.query).get("c_custkey") match {
+              case None => (404, """{"error":"no key"}""")
+              case Some(k) =>
+                val n = flakyAttempts
+                  .computeIfAbsent("exp:" + k, _ => new java.util.concurrent.atomic.AtomicInteger())
+                  .incrementAndGet()
+                if (n <= 2) (503, """{"error":"warming up"}""")
+                else rows.get(k) match {
+                  case Some(json) => (200, json)
+                  case None => (404, """{"error":"not found"}""")
+                }
+            }
+          }
         server.start()
         server
       })
@@ -680,6 +698,40 @@ object HttpQueries {
             "http.source.lookup.success-codes" -> "2XX",
             "http.source.lookup.ignored-response-codes" -> "404"))
         .select(col("o_orderkey"), col("c_custkey"), col("c_nationkey"))
+    },
+
+    // ----- exponential-delay retry strategy e2e (L7 exponential path,
+    // NEW r13): the stub fails the first TWO attempts per key, so
+    // recovery happens only on attempt 3 — an exponential schedule that
+    // stalls after one retry (or a broken multiplier loop) never reaches
+    // it and the gate's relational result goes empty/fails. Tiny
+    // backoffs: the gate exercises the SCHEDULE, not the wait. -----
+    "h_retry_exp" -> { (s, dir) =>
+      val probe = s.read
+        .parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 47 === 0)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      HttpLookup
+        .join(
+          probe,
+          keyCols = Seq("c_custkey"),
+          responseSchema = customerResponseSchema,
+          options = Map(
+            "url" -> lookupStub(s, dir).url("/customer-flaky2"),
+            "lookup-method" -> "GET",
+            "lookup.max-retries" -> "3",
+            "http.source.lookup.retry-codes" -> "503",
+            "http.source.lookup.retry-strategy.type" -> "exponential-delay",
+            "http.source.lookup.retry-strategy.exponential-delay.initial-backoff" -> "1ms",
+            "http.source.lookup.retry-strategy.exponential-delay.max-backoff" -> "8ms",
+            "http.source.lookup.retry-strategy.exponential-delay.backoff-multiplier" -> "2.0",
+            "http.source.lookup.request.thread-pool.size" -> "2",
+            "http.source.lookup.dedup-keys" -> "true",
+            "lookup.cache" -> "PARTIAL",
+            "lookup.partial-cache.max-rows" -> "200000",
+            "http.source.lookup.success-codes" -> "2XX",
+            "http.source.lookup.ignored-response-codes" -> "404"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_acctbal"))
     },
 
     // ----- OIDC bearer lookup (L14): token endpoint + Bearer gate -----
@@ -1712,6 +1764,10 @@ object HttpQueries {
       """SELECT o_orderkey, o_custkey AS c_custkey, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey % 13 = 0""".stripMargin,
+    "h_retry_exp" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 47 = 0""".stripMargin,
     "h_retry_lookup" ->
       """SELECT o_orderkey, o_custkey AS c_custkey, c_nationkey
         |FROM orders JOIN customer ON o_custkey = c_custkey
