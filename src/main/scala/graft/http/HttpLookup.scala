@@ -449,6 +449,10 @@ object HttpLookup {
       val declared = array(responseSchema.fieldNames.toSeq.map(lit): _*)
       val missingOf: Column => Column =
         ks => filter(declared, n => !array_contains(ks, n))
+      // array edge: an element that is not a JSON object parses to a null
+      // key map, flatten then yields null and the violation stays false —
+      // strict mode polices FIELD PRESENCE on object records; non-object
+      // elements are the schema parse's (corrupt-record) concern
       val missing =
         if (isArray) array_distinct(flatten(transform(keys, missingOf)))
         else missingOf(keys)
