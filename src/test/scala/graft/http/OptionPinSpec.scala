@@ -156,9 +156,9 @@ class OptionPinSpec extends SparkSpec with BeforeAndAfterAll {
       out.head.getAs[String](HttpLookup.MetaErrorString).toLowerCase should
         include("timed out")
       // without connectTimeout the JDK client would hang in SYN retransmit
-      // for minutes; the configured 400 ms (plus plan overhead) must come
-      // back well inside this bound
-      elapsed should be < 10000L
+      // for minutes; the configured 400 ms (plus plan/scheduling overhead,
+      // generous for CPU-starved runners) must come back well inside this
+      elapsed should be < 30000L
     } finally {
       held.result().foreach(s => try s.close() catch { case _: Throwable => () })
       listener.close()
