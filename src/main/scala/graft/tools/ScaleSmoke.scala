@@ -1234,6 +1234,100 @@ object ScaleSmoke {
           else Some(s"$n rows != $nDocs docs")).flatten
       }))
 
+    // HTTP connector at corpus scale (r13): the smoke's first connector
+    // steps — measure the two claims the lookup/sink scaladocs make.
+    locally {
+      val wireHits = new java.util.concurrent.atomic.AtomicLong()
+      val stub = graft.http.testkit.StubServer.serveOnly()
+        .route("/k") { req =>
+          wireHits.incrementAndGet()
+          val k = graft.http.testkit.StubServer
+            .queryMap(req.query).getOrElse("k", "0")
+          (200, s"""{"v": $k}""")
+        }
+        .route("/ingest") { _ => (200, "ok") }
+        .start()
+      try {
+        // dedup-keys: 500k probe rows over 5 000 distinct keys must reach
+        // the wire exactly 5 000 times — request volume is |unique keys|,
+        // not |rows| (the claim that keeps 1000 executors from hammering
+        // an endpoint with corpus-sized traffic); shuffle = the byte-tiny
+        // distinct-keys exchange plus the AQE-broadcast join-back
+        measure(Step(
+          s"h_lookup_dedup(${copies}x probes, 5k distinct keys)",
+          () => {
+            wireHits.set(0)
+            graft.http.HttpLookup.join(
+              docs.select(
+                col("doc_id"),
+                (col("doc_id") % 5000).cast("string").as("k")),
+              keyCols = Seq("k"),
+              responseSchema = org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField(
+                  "v", org.apache.spark.sql.types.LongType))),
+              options = Map(
+                "url" -> stub.url("/k"),
+                "http.source.lookup.dedup-keys" -> "true"))
+          },
+          ceilingGB = 0.5,
+          invariant = df => {
+            val n = df.count()
+            // the harness fully evaluates the frame several times (noop
+            // write, row count, this count) and nothing caches between
+            // evaluations — each one must reach the wire EXACTLY once per
+            // distinct key (without dedup-keys a single evaluation makes
+            // 500 000 calls, x100 the allowance)
+            val hits = wireHits.get()
+            Seq(
+              if (hits > 0 && hits % 5000L == 0L && hits <= 5000L * 4) None
+              else Some(
+                s"$hits wire calls — not an exact per-evaluation multiple " +
+                  "of the 5000 distinct keys"),
+              if (n == nDocs) None
+              else Some(s"$n enriched rows != $nDocs probes")).flatten
+          }))
+
+        // sink batch mode: 500k rows submit as exactly ceil(rows/500)
+        // bounded-size requests with ZERO shuffle — delivery cost scales
+        // with row count, never with a reshuffle of the corpus
+        val sinkReqs = new java.util.concurrent.atomic.AtomicLong()
+        val sinkRows = new java.util.concurrent.atomic.AtomicLong()
+        stub.route("/ingest-count") { req =>
+          sinkReqs.incrementAndGet()
+          sinkRows.addAndGet(
+            graft.http.Json.mapper.readTree(req.body).size().toLong)
+          (200, "ok")
+        }
+        measure(Step(
+          s"h_sink_batch(${copies}x rows, batch 500)",
+          () => {
+            sinkReqs.set(0); sinkRows.set(0)
+            val payload = docs.select(
+              col("doc_id"),
+              (col("doc_id") % 97).as("bucket"))
+            graft.http.HttpSink.write(
+              payload,
+              Map(
+                "url" -> stub.url("/ingest-count"),
+                "http.sink.request.batch.size" -> "500"))
+            payload.limit(1) // the metric is the write above
+          },
+          ceilingGB = 0.05,
+          invariant = _ => {
+            val r = sinkReqs.get()
+            val n = sinkRows.get()
+            Seq(
+              if (n == nDocs) None
+              else Some(s"sink delivered $n rows != $nDocs"),
+              // per-partition tails make the count a range: every request
+              // is <= 500 rows and the count is bounded by
+              // ceil(n/500) + partitions partial tails
+              if (r >= nDocs / 500 && r <= nDocs / 500 + 64) None
+              else Some(s"$r requests for $nDocs rows at batch 500")).flatten
+          }))
+      } finally stub.stop()
+    }
+
     graft.ops.Par.releaseCaches()
     spark.stop()
     sys.exit(if (failed) 1 else 0)
