@@ -1737,6 +1737,35 @@ object PipelineQueries {
         StructType.fromDDL("id long, lang string, nc long"))
     },
 
+    // ----- interchange-format round-trip (NEW r13): ORC / CSV / JSON
+    // write→read with pinned options must be byte-faithful. The corpus
+    // text carries no CSV metacharacters, so an adversarial derived
+    // column injects a quote, comma, newline and backslash into EVERY row
+    // — the CSV quoting/multiLine and JSON escaping paths are genuinely
+    // exercised; per-lang fingerprint aggregates of the read-back compare
+    // against DuckDB over the UNTOUCHED parquet source -----
+    "t_format_roundtrip" -> { (s, dir) =>
+      val adv = concat(
+        lit("\""), substring(col("text"), 1, 40),
+        lit("\",\n\\"), col("lang"))
+      val base = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("source"),
+        col("text"), col("n_chars"), adv.as("adv"))
+      val root = GateTemp.dir("graft-format-roundtrip")
+      graft.ops.Formats.supported.map { f =>
+        graft.ops.Formats.roundTrip(base, f, s"$root/$f")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("doc_id")).as("sum_id"),
+            sum(TextFunctions.hashMod(col("text"))).as("text_fp"),
+            sum(TextFunctions.hashMod(col("adv"))).as("adv_fp"),
+            sum(TextFunctions.hashMod(col("source"))).as("source_fp"))
+          .withColumn("format", lit(f))
+      }.reduce(_ unionByName _)
+    },
+
     // ----- corpus composition report ("corpus card"): one-pass per
     // (lang, source) doc/token/char/distinct-content stats -----
     // ----- power-of-two length histogram (NEW r10): packing/window design
@@ -5460,6 +5489,28 @@ object PipelineQueries {
          |  bad AS is_corrupt,
          |  CASE WHEN bad THEN substr(line, 1, 24) END AS raw
          |FROM j""".stripMargin,
+    // replays t_format_roundtrip from the untouched parquet: if any of the
+    // three write→read paths corrupts a byte, a fingerprint sum diverges.
+    // The adv expression mirrors the Spark-side adversarial column exactly
+    // (quote + 40-char prefix + quote,comma,newline,backslash + lang).
+    "t_format_roundtrip" -> {
+      val advSql =
+        """'"' || substr(text, 1, 40) || '",' || chr(10) || '\' || lang"""
+      s"""WITH a AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |    CAST(sum(doc_id) AS BIGINT) AS sum_id,
+         |    CAST(sum(${hash61Sql("text")} % 1000000007) AS BIGINT)
+         |      AS text_fp,
+         |    CAST(sum(${hash61Sql(advSql)} % 1000000007) AS BIGINT)
+         |      AS adv_fp,
+         |    CAST(sum(${hash61Sql("source")} % 1000000007) AS BIGINT)
+         |      AS source_fp
+         |  FROM documents GROUP BY lang)
+         |SELECT a.*, f.format
+         |FROM a CROSS JOIN (VALUES ('orc'), ('csv'), ('json')) f(format)"""
+        .stripMargin
+    },
     // replays corpusReport: exact integer aggregates + the portable
     // hash61 distinct-content count; mean = one double division
     "t_length_histogram" ->
