@@ -486,6 +486,56 @@ object Dedup {
         }: _*)).as(Seq("band", "band_key")))
   }
 
+  /** Per-document banded LSH keys: `(id, band, band_key)` — one row per
+    * (document, band); documents whose shingle set is empty (text shorter
+    * than one n-gram) produce NO rows, mirroring the batch pipeline.
+    *
+    * Every stage is stateless per-row (shingle → hash → signature →
+    * band slice), so this works on BATCH AND STREAMING frames alike —
+    * it is the projection a streaming dedup front runs on ingest before
+    * consulting the bucket registry ([[streamingLshRegistry]]).
+    */
+  def lshBandKeys(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 4): DataFrame = {
+    val k = MinhashA.length
+    require(k % bands == 0, "bands must divide k")
+    val sh = df.select(
+      col(idCol).as("id"),
+      array_distinct(
+        transform(
+          TextFunctions.shingleSet(col(textCol), n),
+          s => TextFunctions.hash61(s))).as("sh"))
+    bandedOf(sh, bands, k / bands)
+  }
+
+  /** Streaming LSH dedup registry: the band-bucket state a dedup-on-ingest
+    * service maintains. Each arriving document registers its band keys;
+    * per bucket the registry keeps the minimum id seen and the member
+    * count. A document is a near-dup CANDIDATE exactly when some bucket
+    * of its holds a smaller id — the same candidate relation the batch
+    * [[minhashLshPairs]] builds pairwise, kept incrementally.
+    *
+    * Both aggregates are commutative, so the registry is order-independent
+    * (safe in complete OR update output mode) and its state is one row per
+    * bucket — proportional to corpus distinctness, never to pairs. At
+    * scale, run update-mode into a KV sink; the gate uses complete-mode
+    * into a memory sink and replays the whole relation in DuckDB from the
+    * shared minhash constants.
+    */
+  def streamingLshRegistry(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 4): DataFrame =
+    lshBandKeys(stream, idCol, textCol, n, bands)
+      .groupBy(col("band"), col("band_key"))
+      .agg(min(col("id")).as("min_id"), count(lit(1)).as("n_docs"))
+
   private def jaccardVerify(pairs: DataFrame, threshold: Double): DataFrame = {
     val i = size(array_intersect(col("sh_a"), col("sh_b")))
     val ss = size(col("sh_a")) + size(col("sh_b"))

@@ -2997,6 +2997,43 @@ object PipelineQueries {
       s.table(sinkName)
     }},
 
+    // ----- streaming LSH near-dup dedup (NEW r13): the STREAM builds the
+    // band-bucket registry (min doc id + member count per bucket — state
+    // proportional to corpus distinctness, never to pairs), then a batch
+    // join-back flags each banded document: survived ⇔ it is the minimum
+    // id in EVERY bucket it belongs to. Same minhash constants as
+    // p_minhash_lsh, so the oracle replays registry AND verdicts exactly
+    // (dedup-on-ingest, the streaming sibling of the batch LSH pipeline)
+    "p_stream_lsh_dedup" -> { (s, dir) =>
+      graft.ops.Par.withShufflePartitions(s, 8) {
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream
+          .schema(schema)
+          .parquet(s"$dir/documents*.parquet")
+        val sinkName = "p_stream_lsh_registry_out"
+        val q = Dedup.streamingLshRegistry(stream, "doc_id", "text")
+          .writeStream
+          .format("memory")
+          .queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val registry = s.table(sinkName)
+        Dedup.lshBandKeys(t(s, dir, "documents"), "doc_id", "text")
+          .join(registry, Seq("band", "band_key"))
+          .groupBy(col("id"))
+          .agg(
+            count(lit(1)).as("n_bands"),
+            min(col("min_id")).as("smallest_neighbor"))
+          .select(
+            col("id").as("doc_id"),
+            col("n_bands"),
+            col("smallest_neighbor"),
+            (col("smallest_neighbor") === col("id")).as("survived"))
+      }
+    },
+
     "t_line_filter" -> { (s, dir) =>
       val d = col("doc_id")
       val multiline = concat(
@@ -6563,6 +6600,19 @@ object PipelineQueries {
       """SELECT md5(text) AS content_md5, min(doc_id) AS doc_id_kept,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // replays the streamed band-bucket registry, then the batch join-back
+    // verdict, from the SAME minhash constants as the Spark side
+    "p_stream_lsh_dedup" ->
+      s"""WITH $minhashPairCtes,
+         |reg AS (
+         |  SELECT band, band_key, min(doc_id) AS min_id
+         |  FROM banded GROUP BY 1, 2)
+         |SELECT b.doc_id, count(*) AS n_bands,
+         |  min(r.min_id) AS smallest_neighbor,
+         |  min(r.min_id) = b.doc_id AS survived
+         |FROM banded b JOIN reg r
+         |  ON b.band = r.band AND b.band_key = r.band_key
+         |GROUP BY b.doc_id""".stripMargin,
     "t_line_filter" ->
       s"""WITH m AS (
          |  SELECT doc_id,

@@ -1234,6 +1234,38 @@ object ScaleSmoke {
           else Some(s"$n rows != $nDocs docs")).flatten
       }))
 
+    // streaming-LSH dedup registry at 100x duplication (r13): the batch
+    // formulation of p_stream_lsh_dedup's plan (micro-batch execution
+    // shuffles the same relations). The registry NEVER materializes pairs
+    // — state is one row per band bucket — so 100x duplication, which
+    // explodes pairwise LSH (p_dedup_survivors above: 5.7 GB + spill),
+    // must leave the shuffle bill at band-key volume: 4 tiny rows per doc.
+    measure(Step(
+      s"p_stream_lsh_registry(${copies}x, bucket state, no pairs)",
+      () => {
+        val banded = graft.ops.Dedup.lshBandKeys(docs, "doc_id", "text")
+        val registry = banded
+          .groupBy(col("band"), col("band_key"))
+          .agg(min(col("id")).as("min_id"), count(lit(1)).as("n_docs"))
+        banded.join(registry, Seq("band", "band_key"))
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_bands"), min(col("min_id")).as("m"))
+          .select(col("id"), (col("m") === col("id")).as("survived"))
+      },
+      ceilingGB = 0.5,
+      invariant = df => {
+        val n = df.count()
+        val survivors = df.filter(col("survived")).count()
+        Seq(
+          // copies of a doc share EVERY bucket, so at most one member of
+          // each of the nDocs/copies copy-groups can be min-everywhere
+          if (survivors > 0L && survivors <= nDocs / copies) None
+          else Some(
+            s"$survivors survivors for ${nDocs / copies} copy-groups"),
+          if (n <= nDocs && n >= nDocs * 9 / 10) None
+          else Some(s"$n banded docs out of $nDocs")).flatten
+      }))
+
     // HTTP connector at corpus scale (r13): the smoke's first connector
     // steps — measure the two claims the lookup/sink scaladocs make.
     locally {
