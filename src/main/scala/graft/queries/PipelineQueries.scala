@@ -1766,6 +1766,47 @@ object PipelineQueries {
       }.reduce(_ unionByName _)
     },
 
+    // ----- parquet codec round-trip (NEW r13): the storage-codec choice
+    // is a real 100 TB lever (zstd vs snappy is a ~2x footprint swing) —
+    // each codec must be a pure space/CPU trade with ZERO effect on
+    // bytes read back; per-lang fingerprints vs DuckDB over the source -----
+    "t_codec_roundtrip" -> { (s, dir) =>
+      val base = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      val root = GateTemp.dir("graft-codec-roundtrip")
+      Seq("uncompressed", "snappy", "gzip", "zstd").map { c =>
+        base.write.mode("overwrite")
+          .option("compression", c)
+          .parquet(s"$root/$c")
+        s.read.parquet(s"$root/$c")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(TextFunctions.hashMod(col("text"))).as("text_fp"))
+          .withColumn("codec", lit(c))
+      }.reduce(_ unionByName _)
+    },
+
+    // ----- hive-partitioned layout + partition pruning (NEW r13): write
+    // partitionBy(lang), read back through a deterministic partition-column
+    // predicate — the scan must PRUNE to matching directories (the spec
+    // asserts inputFiles; here the verdict is value-fidelity through the
+    // partition-encode/decode round trip plus the pruned-read path) -----
+    "t_partitioned_layout" -> { (s, dir) =>
+      val root = GateTemp.dir("graft-partitioned-layout") + "/p"
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+        .write.mode("overwrite").partitionBy("lang").parquet(root)
+      s.read.parquet(root)
+        .filter(pmod(TextFunctions.hash61(col("lang")), lit(3L)) < 2)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextFunctions.hashMod(col("text"))).as("text_fp"))
+    },
+
     // ----- corpus composition report ("corpus card"): one-pass per
     // (lang, source) doc/token/char/distinct-content stats -----
     // ----- power-of-two length histogram (NEW r10): packing/window design
@@ -5548,6 +5589,25 @@ object PipelineQueries {
          |FROM a CROSS JOIN (VALUES ('orc'), ('csv'), ('json')) f(format)"""
         .stripMargin
     },
+    // same replay shape as t_format_roundtrip, over the four codecs
+    "t_codec_roundtrip" ->
+      s"""WITH a AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |    CAST(sum(${hash61Sql("text")} % 1000000007) AS BIGINT)
+         |      AS text_fp
+         |  FROM documents GROUP BY lang)
+         |SELECT a.*, c.codec
+         |FROM a CROSS JOIN (VALUES ('uncompressed'), ('snappy'), ('gzip'),
+         |  ('zstd')) c(codec)""".stripMargin,
+    // the pruned-read replay: same deterministic partition predicate
+    "t_partitioned_layout" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(${hash61Sql("text")} % 1000000007) AS BIGINT) AS text_fp
+         |FROM documents
+         |WHERE ${hash61Sql("lang")} % 3 < 2
+         |GROUP BY lang""".stripMargin,
     // replays corpusReport: exact integer aggregates + the portable
     // hash61 distinct-content count; mean = one double division
     "t_length_histogram" ->
