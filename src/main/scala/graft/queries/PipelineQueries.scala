@@ -1788,6 +1788,41 @@ object PipelineQueries {
       }.reduce(_ unionByName _)
     },
 
+    // ----- schema evolution across file generations (NEW r13): a live
+    // corpus accretes columns — generation 1 lacks n_chars, generation 2
+    // has it; a mergeSchema read must surface the union schema with nulls
+    // for pre-evolution rows and the generation as a partition column -----
+    "t_schema_evolution" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val root = GateTemp.dir("graft-schema-evolution") + "/t"
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"))
+        .write.parquet(s"$root/gen=1")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.parquet(s"$root/gen=2")
+      s.read.option("mergeSchema", "true").parquet(root)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("gen"))
+    },
+
+    // ----- approx-distinct audit (NEW r13): HLL++ is the 100 TB way to
+    // count distincts without a shuffle of the values; the gate REQUIRES
+    // in-gate that the estimate lands within the configured rsd against
+    // the exact count per lang (loud failure if the sketch degrades), and
+    // hash-gates the exact ground truth the audit ran against -----
+    "t_approx_distinct" -> { (s, dir) =>
+      val perLang = t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          countDistinct(col("text")).as("n_exact"),
+          approx_count_distinct(col("text"), rsd = 0.05).as("n_approx"))
+      val bad = perLang.filter(
+        abs(col("n_approx") - col("n_exact")) >
+          col("n_exact") * 0.15).count()
+      require(bad == 0L, s"$bad langs with approx-distinct off by >15%")
+      perLang.select(col("lang"), col("n_exact"))
+    },
+
     // ----- hive-partitioned layout + partition pruning (NEW r13): write
     // partitionBy(lang), read back through a deterministic partition-column
     // predicate — the scan must PRUNE to matching directories (the spec
@@ -5600,6 +5635,16 @@ object PipelineQueries {
          |SELECT a.*, c.codec
          |FROM a CROSS JOIN (VALUES ('uncompressed'), ('snappy'), ('gzip'),
          |  ('zstd')) c(codec)""".stripMargin,
+    // replays the union schema: nulls where generation 1 lacked the column
+    "t_schema_evolution" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 = 0 THEN n_chars END AS n_chars,
+        |  CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS gen
+        |FROM documents""".stripMargin,
+    // the exact ground truth the in-gate HLL bound was audited against
+    "t_approx_distinct" ->
+      """SELECT lang, count(DISTINCT text) AS n_exact
+        |FROM documents GROUP BY lang""".stripMargin,
     // the pruned-read replay: same deterministic partition predicate
     "t_partitioned_layout" ->
       s"""SELECT lang, count(*) AS n_docs,

@@ -85,6 +85,21 @@ class StorageLayoutSpec extends SparkSpec {
     pruned.count() shouldBe 100L
   }
 
+  test("mergeSchema surfaces the union schema with nulls for old rows") {
+    import spark.implicits._
+    val root = GateTemp.dir("graft-layout-evolve") + "/t"
+    Seq((1L, "a"), (3L, "b")).toDF("id", "lang")
+      .write.parquet(s"$root/gen=1")
+    Seq((2L, "a", 10L), (4L, "b", 20L)).toDF("id", "lang", "extra")
+      .write.parquet(s"$root/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(root)
+    merged.columns.toSet shouldBe Set("id", "lang", "extra", "gen")
+    merged.filter(col("gen") === 1 && col("extra").isNotNull)
+      .count() shouldBe 0L
+    merged.filter(col("gen") === 2).agg(sum("extra")).head().getLong(0) shouldBe 30L
+    merged.count() shouldBe 4L
+  }
+
   test("deterministic hash predicate on the partition column also prunes") {
     val root = GateTemp.dir("graft-layout-prune-hash") + "/p"
     corpus.write.mode("overwrite").partitionBy("lang").parquet(root)
