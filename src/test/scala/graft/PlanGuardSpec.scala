@@ -49,7 +49,15 @@ class PlanGuardSpec extends AnyFunSuite with Matchers {
     ("m_image_stats", 0, 0), // partition-wise decode, shuffle-free
     ("m_media_meta", 0, 0), // encode+decode both mapPartitions
     ("m_frame_sample", 0, 0), // explode-by-frame stays narrow
-    ("m_media_report", 1, 0)) // one partial-agg'd format exchange
+    ("m_media_report", 1, 0), // one partial-agg'd format exchange
+    // r13 storage/format/dedup additions (invoking these runs their
+    // side-effect writes / streaming registry at sf0.001 — cheap)
+    ("t_format_roundtrip", 3, 0), // one partial-agg exchange per format
+    ("t_codec_roundtrip", 4, 0), // one per codec
+    ("t_partitioned_layout", 1, 0), // pruned scan + one agg exchange
+    ("t_schema_evolution", 0, 0), // merged scan is projection-only
+    ("t_approx_distinct", 2, 0), // exact + HLL share the lang exchange
+    ("p_stream_lsh_dedup", 1, 0)) // registry join-back stays equi-join
 
   test("headline [B] gates keep their audited plan shapes") {
     assume(
