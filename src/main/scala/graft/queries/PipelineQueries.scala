@@ -1788,6 +1788,51 @@ object PipelineQueries {
       }.reduce(_ unionByName _)
     },
 
+    // ----- Misra-Gries heavy hitters, AUDITED (NEW r13, upgrades P41
+    // from spec-only): raw estimates are merge-order-dependent so they
+    // can't hash-gate, but the GUARANTEES are order-independent — the
+    // gate REQUIRES in-gate that (a) every key with true count > n/(k+1)
+    // is in the sketch, (b) every estimate satisfies est ≤ true ≤
+    // est + err, (c) err ≤ n/(k+1) — then hash-gates the exact counts of
+    // the guaranteed set (integral compare: cnt·(k+1) > n, no division).
+    // The sketch is the 100 TB path (O(k) per task, no key shuffle); the
+    // exact histogram here is the test-scale audit, and the collects are
+    // O(k) driver-bounded -----
+    "t_heavy_hitters" -> { (s, dir) =>
+      val k = 32
+      val words = t(s, dir, "documents")
+        .select(explode(TextFunctions.words(col("text"))).as("word"))
+      val summary = graft.ops.HeavyHitters.sketch(words, col("word"), k)
+      val exact = graft.ops.Par.cached(
+        words.groupBy(col("word")).agg(count(lit(1)).as("n_exact")))
+      val n = exact.agg(sum(col("n_exact"))).head().getLong(0)
+      require(
+        summary.n == n,
+        s"sketch saw ${summary.n} items, corpus holds $n")
+      require(
+        summary.err <= n / (k + 1),
+        s"summary err ${summary.err} exceeds n/(k+1) = ${n / (k + 1)}")
+      val guaranteed = exact
+        .filter(col("n_exact") * (k + 1) > lit(n))
+      guaranteed.collect().foreach { r => // ≤ k+1 rows by the guarantee
+        val w = r.getString(0)
+        require(
+          summary.counts.contains(w),
+          s"true heavy hitter '$w' (count ${r.getLong(1)}) missing " +
+            s"from the sketch")
+      }
+      val trueOfSketch = exact
+        .filter(col("word").isin(summary.counts.keys.toSeq: _*))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      summary.counts.foreach { case (w, est) =>
+        val tc = trueOfSketch.getOrElse(w, 0L)
+        require(
+          est <= tc && tc <= est + summary.err,
+          s"estimate $est for '$w' violates [est, est+err] around $tc")
+      }
+      guaranteed
+    },
+
     // ----- schema evolution across file generations (NEW r13): a live
     // corpus accretes columns — generation 1 lacks n_chars, generation 2
     // has it; a mergeSchema read must surface the union schema with nulls
@@ -5635,6 +5680,15 @@ object PipelineQueries {
          |SELECT a.*, c.codec
          |FROM a CROSS JOIN (VALUES ('uncompressed'), ('snappy'), ('gzip'),
          |  ('zstd')) c(codec)""".stripMargin,
+    // the guaranteed heavy-hitter set with exact counts — integral
+    // threshold compare (cnt·33 > n), no division
+    "t_heavy_hitters" ->
+      s"""WITH w AS (
+         |  SELECT unnest($WsSql) AS word FROM documents),
+         |c AS (SELECT word, count(*) AS n_exact FROM w GROUP BY word),
+         |t AS (SELECT CAST(sum(n_exact) AS BIGINT) AS n FROM c)
+         |SELECT c.word, c.n_exact FROM c, t WHERE c.n_exact * 33 > t.n"""
+        .stripMargin,
     // replays the union schema: nulls where generation 1 lacked the column
     "t_schema_evolution" ->
       """SELECT doc_id, lang,
