@@ -1234,6 +1234,52 @@ object ScaleSmoke {
           else Some(s"$n rows != $nDocs docs")).flatten
       }))
 
+    // Misra-Gries sketch at 100x (r13): heavy hitters are SCALE-INVARIANT
+    // under duplication (every count scales by `copies`, so the
+    // cnt·(k+1) > n set is unchanged) — the sketch over the 100x corpus
+    // must contain every base-corpus guaranteed hitter and bound its
+    // 100x-scaled exact count, with the key stream never shuffling
+    // (treeAggregate: O(k) per task, sketch-sized merges only)
+    locally {
+      val k = 32
+      val baseWords = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      val baseExact = baseWords
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val baseN = baseExact.agg(sum(col("cnt"))).head().getLong(0)
+      val baseGuaranteed = baseExact
+        .filter(col("cnt") * (k + 1) > lit(baseN))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      measure(Step(
+        s"t_heavy_hitters(${copies}x, k=$k sketch, scale-invariant set)",
+        () => {
+          val words = docs.select(
+            explode(split(trim(col("text")), "\\s+")).as("word"))
+          val s100 = graft.ops.HeavyHitters.sketch(words, col("word"), k)
+          val n100 = baseN * copies
+          require(s100.n == n100, s"sketch n ${s100.n} != $n100")
+          require(
+            s100.err <= n100 / (k + 1),
+            s"err ${s100.err} > n/(k+1) ${n100 / (k + 1)}")
+          baseGuaranteed.foreach { case (w, c) =>
+            val est = s100.counts.getOrElse(
+              w,
+              sys.error(s"guaranteed hitter '$w' missing at ${copies}x"))
+            require(
+              est <= c * copies && c * copies <= est + s100.err,
+              s"'$w': est $est violates bounds around ${c * copies}")
+          }
+          import spark.implicits._
+          s100.counts.toSeq.toDF("word", "est")
+        },
+        ceilingGB = 0.05,
+        invariant = df => {
+          val m = df.count()
+          if (m >= baseGuaranteed.size && m <= k) None.toSeq
+          else Seq(s"sketch kept $m keys (guaranteed ${baseGuaranteed.size}, k=$k)")
+        }))
+    }
+
     // streaming-LSH dedup registry at 100x duplication (r13): the batch
     // formulation of p_stream_lsh_dedup's plan (micro-batch execution
     // shuffles the same relations). The registry NEVER materializes pairs
