@@ -1788,6 +1788,45 @@ object PipelineQueries {
       }.reduce(_ unionByName _)
     },
 
+    // ----- ingest e2e composition (NEW r13): the storage ops as ONE
+    // chained flow — slice A arrives as CSV, slice B as JSONL carrying
+    // re-ingested duplicates of A (same text, new ids), union → exact
+    // dedup (keep-min collapses the re-ingests back to their originals)
+    // → partitioned write → pruned read. The oracle replays the dedup
+    // and pruning from the untouched parquet; the two format legs are
+    // identity by the t_format_roundtrip contract, so ANY ingest
+    // corruption, dedup drift, or partition-encode bug diverges the
+    // per-lang fingerprints -----
+    "p_ingest_e2e" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val root = GateTemp.dir("graft-ingest-e2e")
+      val cols = Seq("doc_id", "lang", "text", "n_chars").map(col)
+      val a = graft.ops.Formats.roundTrip(
+        docs.filter(col("doc_id") % 2 === 1).select(cols: _*),
+        "csv", s"$root/a")
+      val reingested = docs
+        .filter(col("doc_id") % 2 === 1 && col("doc_id") % 10 === 1)
+        .select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          col("lang"), col("text"), col("n_chars"))
+      val b = graft.ops.Formats.roundTrip(
+        docs.filter(col("doc_id") % 2 === 0).select(cols: _*)
+          .unionByName(reingested),
+        "json", s"$root/b")
+      val all = a.unionByName(b)
+      val keep = Dedup.exact(all, "doc_id", "text")
+        .select(col("doc_id_kept").as("doc_id"))
+      all.join(keep, Seq("doc_id"), "left_semi")
+        .write.partitionBy("lang").parquet(s"$root/out")
+      s.read.parquet(s"$root/out")
+        .filter(pmod(TextFunctions.hash61(col("lang")), lit(3L)) < 2)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextFunctions.hashMod(col("text"))).as("text_fp"))
+    },
+
     // ----- Misra-Gries heavy hitters, AUDITED (NEW r13, upgrades P41
     // from spec-only): raw estimates are merge-order-dependent so they
     // can't hash-gate, but the GUARANTEES are order-independent — the
@@ -5680,6 +5719,23 @@ object PipelineQueries {
          |SELECT a.*, c.codec
          |FROM a CROSS JOIN (VALUES ('uncompressed'), ('snappy'), ('gzip'),
          |  ('zstd')) c(codec)""".stripMargin,
+    // ONE chained replay: union + re-ingests → keep-min exact dedup →
+    // the pruned-lang aggregate (format legs are identity by contract)
+    "p_ingest_e2e" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, lang, text, n_chars FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, text, n_chars FROM documents
+         |  WHERE doc_id % 2 = 1 AND doc_id % 10 = 1),
+         |keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM all_docs GROUP BY md5(text)),
+         |dedup AS (
+         |  SELECT a.* FROM all_docs a JOIN keep k ON a.doc_id = k.doc_id)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(${hash61Sql("text")} % 1000000007) AS BIGINT) AS text_fp
+         |FROM dedup WHERE ${hash61Sql("lang")} % 3 < 2
+         |GROUP BY lang""".stripMargin,
     // the guaranteed heavy-hitter set with exact counts — integral
     // threshold compare (cnt·33 > n), no division
     "t_heavy_hitters" ->

@@ -1234,6 +1234,67 @@ object ScaleSmoke {
           else Some(s"$n rows != $nDocs docs")).flatten
       }))
 
+    // ingest e2e composition at 100x (r13): CSV slice + JSONL slice with
+    // re-ingested duplicates -> union -> keep-min exact dedup ->
+    // partitionBy(lang) write -> pruned read. Result-invariance is exact:
+    // fan() keeps id order (doc_id*copies+copy is monotone), so keep-min
+    // elects the SAME original document at any copy factor and the 100x
+    // per-lang aggregates must equal the 1x base run's bit-for-bit.
+    locally {
+      def chain(d: DataFrame, root: String): DataFrame = {
+        val cols = Seq("doc_id", "lang", "text", "n_chars").map(col)
+        val a = graft.ops.Formats.roundTrip(
+          d.filter(col("doc_id") % 2 === 1).select(cols: _*),
+          "csv", s"$root/a")
+        val rein = d
+          .filter(col("doc_id") % 2 === 1 && col("doc_id") % 10 === 1)
+          .select(
+            (col("doc_id") + lit(1000000000L)).as("doc_id"),
+            col("lang"), col("text"), col("n_chars"))
+        val b = graft.ops.Formats.roundTrip(
+          d.filter(col("doc_id") % 2 === 0).select(cols: _*)
+            .unionByName(rein),
+          "json", s"$root/b")
+        val all = a.unionByName(b)
+        val keep = graft.ops.Dedup.exact(all, "doc_id", "text")
+          .select(col("doc_id_kept").as("doc_id"))
+        all.join(keep, Seq("doc_id"), "left_semi")
+          .write.partitionBy("lang").parquet(s"$root/out")
+        spark.read.parquet(s"$root/out")
+          .filter(pmod(
+            graft.ops.TextFunctions.hash61(col("lang")), lit(3L)) < 2)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(graft.ops.TextFunctions.hashMod(col("text")))
+              .as("text_fp"))
+      }
+      val docsFull = fan(
+        "doc_id",
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("text"), col("n_chars")))
+      val baseRows = chain(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("text"), col("n_chars")),
+        graft.queries.GateTemp.dir("smoke-ingest-base").toString)
+        .collect().map(_.toSeq).toSet
+      println(s"[smoke] ingest-e2e base run: ${baseRows.size} lang rows")
+      measure(Step(
+        s"p_ingest_e2e(${copies}x, csv+jsonl->dedup->partitioned, result-invariant)",
+        () => chain(
+          docsFull,
+          graft.queries.GateTemp.dir("smoke-ingest-100x").toString),
+        ceilingGB = 0.5,
+        invariant = df => {
+          val got = df.collect().map(_.toSeq).toSet
+          if (got == baseRows) None.toSeq
+          else Seq(
+            s"100x ingest-e2e diverged from base: got ${got.size} rows, " +
+              s"base ${baseRows.size}")
+        }))
+    }
+
     // Misra-Gries sketch at 100x (r13): heavy hitters are SCALE-INVARIANT
     // under duplication (every count scales by `copies`, so the
     // cnt·(k+1) > n set is unchanged) — the sketch over the 100x corpus

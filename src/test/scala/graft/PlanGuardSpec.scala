@@ -57,7 +57,9 @@ class PlanGuardSpec extends AnyFunSuite with Matchers {
     ("t_partitioned_layout", 1, 0), // pruned scan + one agg exchange
     ("t_schema_evolution", 0, 0), // merged scan is projection-only
     ("t_approx_distinct", 2, 0), // exact + HLL share the lang exchange
-    ("p_stream_lsh_dedup", 1, 0)) // registry join-back stays equi-join
+    ("p_stream_lsh_dedup", 1, 0), // registry join-back stays equi-join
+    ("t_heavy_hitters", 4, 0), // exact-audit aggs; sketch is RDD-side
+    ("p_ingest_e2e", 1, 0)) // dedup agg; keep side AQE-broadcasts back
 
   test("headline [B] gates keep their audited plan shapes") {
     assume(
