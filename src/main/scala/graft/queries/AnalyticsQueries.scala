@@ -201,6 +201,45 @@ object AnalyticsQueries {
     },
 
     // ----- rollup over nation -> region -----
+    // ----- bucketed co-located join (NEW r13, driver-gates X7): pay the
+    // shuffle ONCE at write (bucketBy on the join key, both sides, same
+    // bucket count), then every subsequent join on that key plans ZERO
+    // exchanges — REQUIRED in-gate on the planned join with broadcast
+    // disabled, then the joined aggregate is hash-gated. The 100 TB
+    // pattern for fact tables joined repeatedly on one key -----
+    "q_bucketed_join" -> { (s, dir) =>
+      val root = GateTemp.dir("graft-bucketed-join")
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.sql("DROP TABLE IF EXISTS g_gate_orders_bucketed")
+        s.sql("DROP TABLE IF EXISTS g_gate_customer_bucketed")
+        t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+          .write.format("parquet")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$root/orders").mode("overwrite")
+          .saveAsTable("g_gate_orders_bucketed")
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+          .write.format("parquet")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$root/customer").mode("overwrite")
+          .saveAsTable("g_gate_customer_bucketed")
+        val joined = s.table("g_gate_orders_bucketed").join(
+          s.table("g_gate_customer_bucketed"),
+          col("o_custkey") === col("c_custkey"))
+        val exchanges = graft.tools.PlanShapeProbe
+          .shape(joined.queryExecution.executedPlan.toString)("exchange")
+        require(
+          exchanges == 0,
+          s"bucketed join planned $exchanges exchanges — co-location broken")
+        joined
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sumDec2R(col("o_totalprice")).as("total_price"))
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    },
+
     "q_rollup_nation" -> { (s, dir) =>
       val cust = t(s, dir, "customer")
       val nation = t(s, dir, "nation")
@@ -657,6 +696,14 @@ object AnalyticsQueries {
         |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
         |    AS trailing_30d
         |FROM orders""".stripMargin,
+    // the co-location claim lives in the in-gate zero-exchange require;
+    // the oracle replays the join's values
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "q_rollup_nation" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
