@@ -286,4 +286,38 @@ object Quantize {
       .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
     topA.join(topB, Seq("id_a", "id_b"))
   }
+  /** Sign (1-bit) quantization: dim sign bits packed 32 per 64-bit word —
+    * a 32× compression of the vector column, the memory-scale extreme of
+    * the quantization ladder (float → int8 → sign). Bit j of word w is
+    * `vec[w·32+j] >= 0`; packing multiplies-and-adds from the high bit
+    * down, so no shift ever reaches 32 and both engines' signed-64
+    * arithmetic is exact (the DuckDB oracle replays with `1::BIGINT << j`,
+    * j ≤ 31). Sign bits are exact properties of the floats — no rounding
+    * mode can diverge — so sign-quantized search hash-gates where
+    * float-trained structures cannot.
+    */
+  def signPack(vec: Column, dim: Int): Column = {
+    require(dim > 0 && dim % 32 == 0, "dim must be a positive multiple of 32")
+    array((0 until dim / 32).map { w =>
+      aggregate(
+        sequence(lit(31), lit(0), lit(-1)),
+        lit(0L),
+        (acc, j) =>
+          acc * 2 + when(
+            element_at(vec, (j + lit(w * 32 + 1)).cast(IntegerType)) >=
+              lit(0.0f),
+            1L).otherwise(0L))
+    }: _*)
+  }
+
+  /** Hamming distance between two [[signPack]]ed signatures (exact integer;
+    * popcount of the per-word XORs). Map-side codegen — the standard
+    * distance for sign-quantized ANN (≈ angular distance up to the
+    * arccos(1 - 2h/d) monotone map).
+    */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0L),
+      (acc, v) => acc + v.cast(LongType))
 }

@@ -3308,6 +3308,32 @@ object PipelineQueries {
           aggregate(col("q"), lit(0L), (a, x) => a + abs(x.cast(LongType)))
             .as("sum_abs_q"))
     },
+    // ----- sign-quantized (1-bit) Hamming top-k (NEW r13): the 32×
+    // memory-scale extreme of the quantization ladder. Sign bits are
+    // exact float properties (no rounding mode), so unlike float-trained
+    // ANN this hash-gates bit-for-bit. Shape: s_quant_topk's — queries
+    // broadcast, corpus scores map-side, WindowGroupLimit bounds the
+    // per-query exchange -----
+    "s_sign_hamming" -> { (s, dir) =>
+      val packed = graft.ops.Par.cached(
+        t(s, dir, "embeddings").select(
+          col("vec_id"),
+          Quantize.signPack(col("embedding"), 64).as("sig")))
+      val queries = packed.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+      val scored = packed
+        .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("vec_id"),
+          Quantize.hamming(col("sig"), col("qsig")).as("dist"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("dist"))
+    },
+
     "s_quant_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Quantize.quantizedTopK(
@@ -6973,6 +6999,30 @@ object PipelineQueries {
          |    AS sum_abs_q
          |FROM q8""".stripMargin,
     "s_quant_topk" -> quantTopkSql(nQueries = 100, k = 5),
+    // sign bits replayed with 1::BIGINT << j (j ≤ 31 — the 32-dims-per-
+    // word split keeps both engines' signed-64 arithmetic exact)
+    "s_sign_hamming" -> {
+      def word(w: Int) =
+        s"""CAST(list_sum(list_transform(range(0, 32), j ->
+           |      CASE WHEN embedding[${w * 32} + j + 1] >= 0
+           |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)"""
+          .stripMargin
+      s"""WITH p AS (
+         |  SELECT vec_id, ${word(0)} AS w0, ${word(1)} AS w1
+         |  FROM embeddings),
+         |q AS (SELECT * FROM p WHERE vec_id < 20),
+         |d AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    CAST(bit_count(xor(q.w0, c.w0)) +
+         |         bit_count(xor(q.w1, c.w1)) AS BIGINT) AS dist
+         |  FROM q JOIN p c ON c.vec_id <> q.vec_id),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dist, vec_id) AS INT) AS rank
+         |  FROM d)
+         |SELECT query_id, rank, vec_id, dist FROM r WHERE rank <= 10"""
+        .stripMargin
+    },
 
     // MIPS: same quantized pair dots, ranked by the de-quantized inner
     // product (qdot·s_q)·s_c — association order mirrors the Spark gate

@@ -217,6 +217,36 @@ object ScaleSmoke {
         k = 5),
       ceilingGB = 2.0))
 
+    // sign-quantized Hamming top-k (r13): the 32x-compressed extreme of
+    // the quantization ladder at 100x corpus — signatures computed
+    // map-side, 100 queries broadcast, per-query exchange bounded by the
+    // WindowGroupLimit; the corpus never shuffles its vectors
+    measure(Step(
+      s"s_sign_hamming(100 queries vs ${copies}x corpus)",
+      () => {
+        val packed = embs.select(
+          col("vec_id"),
+          graft.ops.Quantize.signPack(col("embedding"), 64).as("sig"))
+        val qs = packed.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("dist"), col("vec_id"))
+        packed.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+          .select(
+            col("query_id"), col("vec_id"),
+            graft.ops.Quantize.hamming(col("sig"), col("qsig"))
+              .as("dist"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+      },
+      ceilingGB = 2.0,
+      invariant = df => {
+        val n = df.count()
+        if (n == 500L) Nil
+        else Seq(s"$n top-k rows (expected 100 queries x 5)")
+      }))
+
     // Lee-style span dedup (r9): under `copies`x duplication EVERY k-word
     // window is cross-doc duplicated, so the whole occurrence stream
     // survives the semi-join and every >=k-word doc collapses to one

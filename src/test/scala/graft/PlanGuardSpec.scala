@@ -59,7 +59,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers {
     ("t_approx_distinct", 2, 0), // exact + HLL share the lang exchange
     ("p_stream_lsh_dedup", 1, 0), // registry join-back stays equi-join
     ("t_heavy_hitters", 4, 0), // exact-audit aggs; sketch is RDD-side
-    ("p_ingest_e2e", 1, 0)) // dedup agg; keep side AQE-broadcasts back
+    ("p_ingest_e2e", 1, 0), // dedup agg; keep side AQE-broadcasts back
+    ("s_sign_hamming", 1, 1)) // 1 = the bounded query-side broadcast
 
   test("headline [B] gates keep their audited plan shapes") {
     assume(

@@ -149,4 +149,32 @@ class QuantizeSpec extends SparkSpec {
     df.quantizedTopK("id", "vec", df, "id", "vec", k = 1)
       .count() shouldBe 2L
   }
+
+  test("signPack packs sign bits 32 per word, high-to-low exact") {
+    // dims 0..63: positive where dim % 3 == 0 -> bit j of word w set iff
+    // (w*32 + j) % 3 == 0; expected words computed independently here
+    val vec = (0 until 64).map(d => if (d % 3 == 0) 0.5f else -0.5f)
+    def expectedWord(w: Int): Long =
+      (0 until 32).map(j => if ((w * 32 + j) % 3 == 0) 1L << j else 0L).sum
+    val df = Seq(Tuple1(vec)).toDF("v")
+    val got = df.select(Quantize.signPack($"v", 64).as("sig"))
+      .as[Seq[Long]].head()
+    got shouldBe Seq(expectedWord(0), expectedWord(1))
+  }
+
+  test("signPack treats +0.0 as set and negatives as clear") {
+    val df = Seq(Tuple1(Seq(0.0f, -0.0001f, 1e-30f, -1e30f) ++
+      Seq.fill(28)(-1f))).toDF("v")
+    val sig = df.select(Quantize.signPack($"v", 32).as("s"))
+      .as[Seq[Long]].head()
+    sig.head shouldBe (1L | (1L << 2))
+  }
+
+  test("hamming is the popcount of the word XORs") {
+    val df = Seq((Seq(0L, -1L), Seq(0L, -1L), Seq(1L, 0L)))
+      .toDF("a", "same", "other")
+    df.select(Quantize.hamming($"a", $"same")).head().getLong(0) shouldBe 0L
+    // a=(0, all-ones), other=(bit0, 0): differs in 1 + 64 bits
+    df.select(Quantize.hamming($"a", $"other")).head().getLong(0) shouldBe 65L
+  }
 }
