@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.StructType
 
 import graft.http.{HttpLookup, HttpSink}
-import graft.ops.{AnnEval, AsOfJoin, Bfs, BloomJoin, Bm25, Chunking, ConnectedComponents, CountMin, Dedup, HeavyHitters, Multimodal, Packing, Pca, Quantize, RankEval, Sampling, Similarity, TfIdf, Unigram, Urls, WordPiece, Vocab, ZOrder}
+import graft.ops.{AnnEval, AsOfJoin, Bfs, BloomJoin, Bm25, Chunking, ConnectedComponents, CountMin, Dedup, Formats, HeavyHitters, Multimodal, Packing, Pca, Quantize, RankEval, Sampling, Similarity, TfIdf, Unigram, Urls, WordPiece, Vocab, ZOrder}
 
 /** Fluent entry points: `import graft.syntax._` and every operator hangs off
   * DataFrame — the one-line switch path for users of the reference connector
@@ -465,5 +465,39 @@ object syntax {
 
     /** Per-domain anchor-text mention counts feed from [[Urls.anchors]]. */
     def anchorsOf(htmlCol: Column): Column = Urls.anchors(htmlCol)
+
+    /** Round-trip through an interchange format (orc/csv/json) with the
+      * pinned byte-fidelity options ([[Formats.roundTrip]]).
+      */
+    def formatRoundTrip(format: String, dir: String): DataFrame =
+      Formats.roundTrip(df, format, dir)
+
+    /** Banded minhash LSH keys, batch or streaming
+      * ([[Dedup.lshBandKeys]]).
+      */
+    def lshBandKeys(
+        idCol: String,
+        textCol: String,
+        n: Int = 3,
+        bands: Int = 4): DataFrame =
+      Dedup.lshBandKeys(df, idCol, textCol, n, bands)
+
+    /** Streaming dedup-on-ingest band-bucket registry
+      * ([[Dedup.streamingLshRegistry]]).
+      */
+    def lshRegistry(
+        idCol: String,
+        textCol: String,
+        n: Int = 3,
+        bands: Int = 4): DataFrame =
+      Dedup.streamingLshRegistry(df, idCol, textCol, n, bands)
+  }
+
+  /** Column-level sugar for the sign-quantization ladder end
+    * ([[Quantize.signPack]] / [[Quantize.hamming]]).
+    */
+  implicit final class GraftSignOps(private val c: Column) extends AnyVal {
+    def signPacked(dim: Int): Column = Quantize.signPack(c, dim)
+    def hammingTo(other: Column): Column = Quantize.hamming(c, other)
   }
 }

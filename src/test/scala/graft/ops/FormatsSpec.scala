@@ -93,4 +93,19 @@ class FormatsSpec extends SparkSpec {
       withClue(s"format=$f: ") { got shouldBe expected }
     }
   }
+
+  test("graft.syntax exposes the r13 ops") {
+    import graft.syntax._
+    import spark.implicits._
+    val df = Seq((1L, "hello world")).toDF("id", "text")
+    val dir = GateTemp.dir("graft-syntax-rt").toString + "/rt"
+    df.formatRoundTrip("json", dir).count() shouldBe 1L
+    df.lshBandKeys("id", "text", n = 1).columns.toSeq shouldBe
+      Seq("id", "band", "band_key")
+    df.lshRegistry("id", "text", n = 1).columns.toSeq shouldBe
+      Seq("band", "band_key", "min_id", "n_docs")
+    val sig = Seq(Tuple1(Seq.fill(32)(1f))).toDF("v")
+      .select($"v".signPacked(32).as("s"))
+    sig.select($"s".hammingTo($"s")).head().getLong(0) shouldBe 0L
+  }
 }
