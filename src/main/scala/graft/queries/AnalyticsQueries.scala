@@ -240,6 +240,35 @@ object AnalyticsQueries {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     },
 
+    // ----- scan pushdown + column pruning, driver-gated (NEW r13): the
+    // X6 posture claims "filters reach the scan, scans read only the
+    // projection" — this gate REQUIRES both on the planned scan (the
+    // shipdate predicate must appear in PushedFilters; the required
+    // schema must be exactly the 3 referenced columns of the 16-column
+    // table), then hash-gates the filtered aggregate. At 100 TB this IS
+    // the difference between reading a slice and reading the corpus -----
+    "q_scan_pruning" -> { (s, dir) =>
+      val df = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-06-01").cast(TimestampType))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sumDec2R(col("l_quantity")).as("sum_qty"))
+      val scans = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scans.nonEmpty, "no file scan in the plan")
+      val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+      require(
+        pushed.contains("l_shipdate"),
+        s"shipdate predicate NOT pushed to the scan (PushedFilters=$pushed)")
+      val read = scans.flatMap(_.requiredSchema.fieldNames).toSet
+      require(
+        read == Set("l_returnflag", "l_quantity", "l_shipdate"),
+        s"scan reads $read — column pruning broken")
+      df
+    },
+
     "q_rollup_nation" -> { (s, dir) =>
       val cust = t(s, dir, "customer")
       val nation = t(s, dir, "nation")
@@ -696,6 +725,15 @@ object AnalyticsQueries {
         |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
         |    AS trailing_30d
         |FROM orders""".stripMargin,
+    // the pushdown/pruning claims live in the in-gate requires; the
+    // oracle replays the filtered aggregate's values
+    "q_scan_pruning" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-06-01'
+        |GROUP BY l_returnflag""".stripMargin,
     // the co-location claim lives in the in-gate zero-exchange require;
     // the oracle replays the join's values
     "q_bucketed_join" ->

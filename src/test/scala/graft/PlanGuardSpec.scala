@@ -60,7 +60,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers {
     ("p_stream_lsh_dedup", 1, 0), // registry join-back stays equi-join
     ("t_heavy_hitters", 4, 0), // exact-audit aggs; sketch is RDD-side
     ("p_ingest_e2e", 1, 0), // dedup agg; keep side AQE-broadcasts back
-    ("s_sign_hamming", 1, 1)) // 1 = the bounded query-side broadcast
+    ("s_sign_hamming", 1, 1), // 1 = the bounded query-side broadcast
+    ("q_scan_pruning", 1, 0)) // pushdown/pruning gated in-gate too
 
   test("headline [B] gates keep their audited plan shapes") {
     assume(
