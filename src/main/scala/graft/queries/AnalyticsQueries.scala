@@ -644,6 +644,96 @@ object AnalyticsQueries {
         .agg(
           max(col("session_id")).as("n_sessions"),
           count(lit(1)).as("n_events"))
+    },
+
+    // ----- streaming SCD-2 (NEW r13, Q33 streaming twin): the dimension
+    // history builds INCREMENTALLY via flatMapGroupsWithState; append-mode
+    // emission contract = closed versions only (the oracle is the batch
+    // history minus each user's open run) -----
+    "q_stream_scd2" -> { (s, dir) => withShufflePartitions(s, 8) {
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream
+        .schema(schema)
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("ts", Tables.normalizeEventTs(schema("ts").dataType))
+        .select(
+          col("user_id").cast(LongType).as("key"),
+          unix_micros(col("ts")).as("us"),
+          col("event_id").cast(LongType).as("tie"),
+          col("event_type").as("attr"))
+        .as[graft.streaming.StreamingScd.Obs]
+      val sinkName = "q_stream_scd2_out"
+      val q = graft.streaming.StreamingScd.history(stream)
+        .toDF()
+        .select(
+          col("key").as("user_id"),
+          col("version"),
+          col("attr").as("event_type"),
+          col("eff_from_us").as("from_us"),
+          col("eff_to_us").as("to_us"))
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+    }},
+
+    // ----- CDC latest-wins snapshot (NEW r13): materialize the current
+    // table from a keyed changelog — argmax by (ts, event_id) combines
+    // map-side (one exchange, no window), tombstones ('error') erase the
+    // key -----
+    "q_cdc_snapshot" -> { (s, dir) =>
+      graft.ops.Scd.latestSnapshot(
+        events(s, dir).select(
+          col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value")),
+        Seq("user_id"),
+        "ts",
+        "event_id",
+        col("event_type") === "error")
+        .select(
+          col("user_id"),
+          unix_micros(col("ts")).as("last_us"),
+          col("event_id"),
+          col("event_type"),
+          col("value"))
+    },
+
+    // ----- SCD-2 history compaction (NEW r13, Q32): per-user event_type
+    // changelog -> versioned validity intervals (half-open, null eff_to on
+    // the open row). One key exchange feeds all three window passes; the
+    // gate emits epoch micros so both engines hash the same integers -----
+    "q_scd2_history" -> { (s, dir) =>
+      graft.ops.Scd.scd2History(
+        events(s, dir), Seq("user_id"), "event_type", "ts", "event_id")
+        .select(
+          col("user_id"),
+          col("version"),
+          col("event_type"),
+          unix_micros(col("eff_from")).as("from_us"),
+          unix_micros(col("eff_to")).as("to_us"),
+          col("is_current"))
+    },
+
+    // ----- interval-union coverage (NEW r13, Q33): per-supplier in-transit
+    // day coverage over deterministic half-open shipment windows
+    // [shipdate, shipdate + 2*linenumber + 1) — the gaps-and-islands
+    // aggregation naive sum(end-start) double-counts. One key exchange +
+    // two windows + a partial-agg'd island rollup -----
+    "q_interval_coverage" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").withColumn(
+        "__day",
+        datediff(col("l_shipdate"), lit("1992-01-01").cast(DateType)).cast(LongType))
+      graft.ops.Intervals.coverage(
+        li,
+        Seq("l_suppkey"),
+        col("__day"),
+        col("__day") + col("l_linenumber") * 2L + 1L,
+        col("l_orderkey") * 10L + col("l_linenumber"))
     })
 
   /** DuckDB oracles — must stay column-name-aligned with the Spark queries. */
@@ -856,6 +946,104 @@ object AnalyticsQueries {
         |  CAST(a.end_ms AS BIGINT) AS end_ms,
         |  a.n_events
         |FROM agg a JOIN last l
-        |  ON a.user_id = l.user_id AND a.sid < l.maxsid""".stripMargin
+        |  ON a.user_id = l.user_id AND a.sid < l.maxsid""".stripMargin,
+
+    // the batch history MINUS each user's open run — the append-mode
+    // closed-version emission contract, encoded in the oracle itself
+    // (the q_stream_sessions pattern)
+    "q_stream_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+        |c AS (SELECT user_id, event_id, event_type, us FROM runs WHERE opens = 1),
+        |v AS (
+        |  SELECT user_id, event_type, us,
+        |    CAST(row_number() OVER w2 AS INT) AS version,
+        |    lead(us) OVER w2 AS to_us
+        |  FROM c
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC))
+        |SELECT user_id, version, event_type,
+        |  CAST(us AS BIGINT) AS from_us,
+        |  CAST(to_us AS BIGINT) AS to_us
+        |FROM v WHERE to_us IS NOT NULL""".stripMargin,
+
+    // latest row per key by (us, event_id), tombstoned keys erased
+    "q_cdc_snapshot" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST(us AS BIGINT) AS last_us, event_id,
+        |  event_type, value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // run-collapse via null-safe lag-change detection, then versions +
+    // half-open validity from lead() over the change rows — all in
+    // epoch_us (the events fixture is microsecond-grained)
+    "q_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+        |c AS (SELECT user_id, event_id, event_type, us FROM runs WHERE opens = 1),
+        |v AS (
+        |  SELECT user_id, event_type, us,
+        |    CAST(row_number() OVER w2 AS INT) AS version,
+        |    lead(us) OVER w2 AS to_us
+        |  FROM c
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC))
+        |SELECT user_id, version, event_type,
+        |  CAST(us AS BIGINT) AS from_us,
+        |  CAST(to_us AS BIGINT) AS to_us,
+        |  CASE WHEN to_us IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM v""".stripMargin,
+
+    // identical gaps-and-islands machinery: running max(end) over
+    // strictly-preceding rows marks island openers, running sum numbers
+    // the islands, coverage = per-island max(end)-min(start)
+    "q_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey,
+        |    CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS s,
+        |    CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(l_shipdate AS DATE)) + 2 * l_linenumber + 1 AS BIGINT) AS e,
+        |    l_orderkey * 10 + l_linenumber AS tie
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_suppkey, s, e,
+        |    max(e) OVER (PARTITION BY l_suppkey ORDER BY s ASC, e ASC, tie ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max,
+        |    tie
+        |  FROM iv WHERE e > s),
+        |fl AS (
+        |  SELECT l_suppkey, s, e, tie,
+        |    CASE WHEN prev_max IS NULL OR s >= prev_max THEN 1 ELSE 0 END AS opens
+        |  FROM m),
+        |isl AS (
+        |  SELECT l_suppkey, s, e,
+        |    sum(opens) OVER (PARTITION BY l_suppkey ORDER BY s ASC, e ASC, tie ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM fl),
+        |g AS (
+        |  SELECT l_suppkey, island, count(*) AS n, min(s) AS i_s, max(e) AS i_e
+        |  FROM isl GROUP BY l_suppkey, island)
+        |SELECT l_suppkey,
+        |  CAST(sum(n) AS BIGINT) AS n_intervals,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(i_e - i_s) AS BIGINT) AS covered
+        |FROM g GROUP BY l_suppkey""".stripMargin
   )
 }

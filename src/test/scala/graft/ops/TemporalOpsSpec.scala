@@ -1,0 +1,334 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hist(rows: Seq[(Long, Long, String)]) =
+    Scd.scd2History(
+      rows.toDF("k", "ts", "attr"), Seq("k"), "attr", "ts", "ts")
+
+  test("consecutive identical values collapse into one versioned run") {
+    // key 1: a a b a  -> runs a(1..3), b(3..4), a(4..open)
+    val out = hist(Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "b"), (1L, 4L, "a")))
+      .orderBy("version").collect()
+    out.map(r => (r.getAs[Int]("version"), r.getAs[String]("attr"),
+      r.getAs[Long]("eff_from"))).toSeq shouldBe
+      Seq((1, "a", 1L), (2, "b", 3L), (3, "a", 4L))
+  }
+
+  test("eff_to chains to the next run's eff_from; only the last row is open") {
+    val out = hist(Seq(
+      (1L, 10L, "x"), (1L, 20L, "y"), (1L, 30L, "z")))
+      .orderBy("version").collect()
+    out.map(_.getAs[Any]("eff_to")).toSeq shouldBe Seq(20L, 30L, null)
+    out.map(_.getAs[Int]("is_current")).toSeq shouldBe Seq(0, 0, 1)
+    // half-open chaining: version v's eff_to == version v+1's eff_from
+    out.sliding(2).foreach { w =>
+      w(0).getAs[Long]("eff_to") shouldBe w(1).getAs[Long]("eff_from")
+    }
+  }
+
+  test("single observation yields one open version") {
+    val out = hist(Seq((7L, 5L, "only"))).collect()
+    out should have length 1
+    out.head.getAs[Int]("version") shouldBe 1
+    assert(out.head.isNullAt(out.head.fieldIndex("eff_to")))
+    out.head.getAs[Int]("is_current") shouldBe 1
+  }
+
+  test("null attribute states are tracked null-safely") {
+    // null -> a -> null: three runs, not a crash or a collapse
+    val df = Seq[(Long, Long, Option[String])](
+      (1L, 1L, None), (1L, 2L, None), (1L, 3L, Some("a")), (1L, 4L, None))
+      .toDF("k", "ts", "attr")
+    val out = Scd.scd2History(df, Seq("k"), "attr", "ts", "ts")
+      .orderBy("version").collect()
+    out.map(_.getAs[String]("attr")).toSeq shouldBe Seq(null, "a", null)
+    out.map(_.getAs[Int]("version")).toSeq shouldBe Seq(1, 2, 3)
+  }
+
+  test("keys are independent and exactly one row per key is current") {
+    val out = Scd.scd2History(
+      Seq((1L, 1L, "a"), (2L, 1L, "a"), (1L, 2L, "b"), (2L, 2L, "a"))
+        .toDF("k", "ts", "attr"),
+      Seq("k"), "attr", "ts", "ts")
+    out.filter(col("is_current") === 1).groupBy("k").count()
+      .collect().map(_.getLong(1)).toSeq shouldBe Seq(1L, 1L)
+    out.filter(col("k") === 2L).count() shouldBe 1L // no-change key: one run
+  }
+
+  test("equal timestamps order by the tie column") {
+    val df = Seq((1L, 5L, 10L, "first"), (1L, 5L, 20L, "second"))
+      .toDF("k", "ts", "tie", "attr")
+    val out = Scd.scd2History(df, Seq("k"), "attr", "ts", "tie")
+      .orderBy("version").collect()
+    out.map(_.getAs[String]("attr")).toSeq shouldBe Seq("first", "second")
+  }
+}
+
+class LatestSnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val log = Seq(
+    // (key, ts, tie, status, score)
+    (1L, 10L, 1L, "a", 5.0),
+    (1L, 20L, 2L, "b", 1.0), // latest for key 1 — whole row must win
+    (2L, 10L, 3L, "a", 2.0),
+    (2L, 30L, 4L, "del", 9.0), // tombstone: key 2 erased
+    (3L, 10L, 5L, "c", 7.0))
+    .toDF("k", "ts", "tie", "status", "score")
+
+  private def snap = Scd.latestSnapshot(
+    log, Seq("k"), "ts", "tie", col("status") === "del")
+
+  test("latest observation wins atomically; tombstoned keys are erased") {
+    val rows = snap.orderBy("k").collect()
+    rows.map(_.getAs[Long]("k")).toSeq shouldBe Seq(1L, 3L)
+    val r1 = rows.head
+    r1.getAs[String]("status") shouldBe "b"
+    r1.getAs[Double]("score") shouldBe 1.0 // from the winning row, not max
+    r1.getAs[Long]("ts") shouldBe 20L
+  }
+
+  test("equal timestamps resolve by the tie column") {
+    val df = Seq((1L, 5L, 1L, "x", 0.0), (1L, 5L, 2L, "y", 0.0))
+      .toDF("k", "ts", "tie", "status", "score")
+    Scd.latestSnapshot(df, Seq("k"), "ts", "tie", lit(false))
+      .collect().head.getAs[String]("status") shouldBe "y"
+  }
+
+  test("a tombstone that is NOT the latest does not erase the key") {
+    val df = Seq((1L, 10L, 1L, "del", 0.0), (1L, 20L, 2L, "alive", 0.0))
+      .toDF("k", "ts", "tie", "status", "score")
+    Scd.latestSnapshot(df, Seq("k"), "ts", "tie", col("status") === "del")
+      .collect().head.getAs[String]("status") shouldBe "alive"
+  }
+}
+
+class StreamingScdSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.StreamingScd
+  import graft.streaming.StreamingScd.Obs
+
+  test("closed versions emit with batch-equivalent numbering across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Obs]
+    val q = StreamingScd.history(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("scd_stream")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: key 1 runs a(10..30), b(30..open); key 2 stays open
+      input.addData(
+        Obs(1L, 10L, 1L, "a"),
+        Obs(1L, 20L, 2L, "a"),
+        Obs(1L, 30L, 3L, "b"),
+        Obs(2L, 10L, 4L, "z"))
+      q.processAllAvailable()
+      val r1 = spark.sql(
+        "SELECT key, version, attr, eff_from_us, eff_to_us FROM scd_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getLong(3), r.getLong(4)))
+      r1.toSeq shouldBe Seq((1L, 1, "a", 10L, 30L))
+      // batch 2: key 1's open b-run closes at 50 (version 2, eff_from from
+      // batch-1 STATE); key 2's z-run closes at 40
+      input.addData(Obs(1L, 50L, 5L, "c"), Obs(2L, 40L, 6L, "y"))
+      q.processAllAvailable()
+      val r2 = spark.sql(
+        "SELECT key, version, attr, eff_from_us, eff_to_us FROM scd_stream " +
+          "ORDER BY key, version")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getLong(3), r.getLong(4)))
+      r2.toSeq shouldBe Seq(
+        (1L, 1, "a", 10L, 30L),
+        (1L, 2, "b", 30L, 50L),
+        (2L, 1, "z", 10L, 40L))
+    } finally q.stop()
+  }
+
+  test("streaming emission equals the batch history minus open runs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(29)
+    val obs = (1 to 400).map { i =>
+      Obs(1L + rnd.nextInt(5), 10L * i, i.toLong,
+        "s" + rnd.nextInt(3))
+    }
+    val input = MemoryStream[Obs]
+    val q = StreamingScd.history(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("scd_stream_parity")
+      .outputMode("append")
+      .start()
+    try {
+      obs.grouped(97).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("scd_stream_parity")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val batch = Scd.scd2History(
+        obs.toDF("key", "us", "tie", "attr"), Seq("key"), "attr", "us", "tie")
+        .filter(col("eff_to").isNotNull)
+        .collect().map(r => (r.getAs[Long]("key"), r.getAs[Int]("version"),
+          r.getAs[String]("attr"), r.getAs[Long]("eff_from"),
+          r.getAs[Long]("eff_to"))).toSet
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+}
+
+class IntervalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cov(rows: Seq[(Long, Long, Long)]) =
+    Intervals.coverage(
+      rows.zipWithIndex.map { case ((k, s, e), i) => (k, s, e, i.toLong) }
+        .toDF("k", "s", "e", "tie"),
+      Seq("k"), col("s"), col("e"), col("tie"))
+
+  test("overlapping intervals merge; coverage counts each unit once") {
+    // [0,10) + [5,15) overlap -> one island, covered 15 (not 20)
+    val out = cov(Seq((1L, 0L, 10L), (1L, 5L, 15L))).collect()
+    out.head.getAs[Long]("n_intervals") shouldBe 2L
+    out.head.getAs[Long]("n_islands") shouldBe 1L
+    out.head.getAs[Long]("covered") shouldBe 15L
+  }
+
+  test("half-open adjacency: touching intervals do not overlap") {
+    // [0,3) + [3,5): two islands, covered 5, no double count at 3
+    val out = cov(Seq((1L, 0L, 3L), (1L, 3L, 5L))).collect()
+    out.head.getAs[Long]("n_islands") shouldBe 2L
+    out.head.getAs[Long]("covered") shouldBe 5L
+  }
+
+  test("nested and duplicate intervals stay inside their island") {
+    val out = cov(Seq(
+      (1L, 0L, 100L), (1L, 10L, 20L), (1L, 10L, 20L), (1L, 200L, 210L)))
+      .collect()
+    out.head.getAs[Long]("n_intervals") shouldBe 4L
+    out.head.getAs[Long]("n_islands") shouldBe 2L
+    out.head.getAs[Long]("covered") shouldBe 110L
+  }
+
+  test("degenerate intervals (end <= start) are dropped") {
+    val out = cov(Seq((1L, 5L, 5L), (1L, 9L, 3L), (1L, 0L, 2L))).collect()
+    out.head.getAs[Long]("n_intervals") shouldBe 1L
+    out.head.getAs[Long]("covered") shouldBe 2L
+  }
+
+  test("matches a brute-force point-set union on a seeded random fixture") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 200).map { _ =>
+      val k = 1L + rnd.nextInt(3)
+      val s = rnd.nextInt(50).toLong
+      (k, s, s + 1L + rnd.nextInt(12))
+    }
+    val expected = rows.groupBy(_._1).map { case (k, iv) =>
+      val pts = iv.flatMap { case (_, s, e) => s until e }.toSet
+      // islands via an independent sweep: a new island opens when the next
+      // interval shares NO point with the running one (half-open: s >= max)
+      val islands = iv.map { case (_, s, e) => (s, e) }.sorted
+        .foldLeft(0 -> Long.MinValue) { case ((n, mx), (s, e)) =>
+          (if (s >= mx) n + 1 else n, math.max(mx, e))
+        }._1
+      k -> ((iv.size.toLong, islands.toLong, pts.size.toLong))
+    }
+    val got = cov(rows).collect().map { r =>
+      r.getAs[Long]("k") -> ((r.getAs[Long]("n_intervals"),
+        r.getAs[Long]("n_islands"), r.getAs[Long]("covered")))
+    }.toMap
+    got shouldBe expected
+  }
+}
+
+class AudioSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sawtoothStats(n: Int, k: Long): (Long, Int) = {
+    var (sum, mx) = (0L, 0)
+    var i = 0
+    while (i < n) {
+      val a = math.abs((((i.toLong * k + 7L) % 65536L) - 32768L).toInt)
+      sum += a; if (a > mx) mx = a
+      i += 1
+    }
+    (sum, mx)
+  }
+
+  test("audioStats recovers header AND per-sample stats from a real WAV") {
+    val (n, k) = (300, 12345L)
+    val df = Seq((1L, Multimodal.wavFixture(n, k))).toDF("id", "blob")
+    val out = Multimodal.audioStats(df, "id", "blob").collect().head
+    val (sum, mx) = sawtoothStats(n, k)
+    out.getAs[String]("format") shouldBe "wav"
+    out.getAs[Int]("sample_rate") shouldBe 8000
+    out.getAs[Int]("channels") shouldBe 1
+    out.getAs[Int]("bits") shouldBe 16
+    out.getAs[Long]("n_samples") shouldBe n.toLong
+    out.getAs[Long]("sum_abs") shouldBe sum
+    out.getAs[Int]("max_amp") shouldBe mx
+  }
+
+  test("per-sample stats match over 40 seeded fixtures (wrap boundaries)") {
+    val rnd = new scala.util.Random(17)
+    val cases = (1 to 40).map(_ => (8 + rnd.nextInt(600), 1L + rnd.nextInt(99999)))
+    val df = cases.zipWithIndex.map { case ((n, k), i) =>
+      (i.toLong, Multimodal.wavFixture(n, k))
+    }.toDF("id", "blob")
+    val out = Multimodal.audioStats(df, "id", "blob").orderBy("id").collect()
+    cases.zip(out).foreach { case ((n, k), row) =>
+      val (sum, mx) = sawtoothStats(n, k)
+      withClue(s"n=$n k=$k: ") {
+        row.getAs[Long]("n_samples") shouldBe n.toLong
+        row.getAs[Long]("sum_abs") shouldBe sum
+        row.getAs[Int]("max_amp") shouldBe mx
+      }
+    }
+  }
+
+  test("AIFF (big-endian PCM) decodes through the same path") {
+    // re-encode the sawtooth PCM as AIFF via the JDK writer; the decoder's
+    // isBigEndian branch must produce identical stats
+    val (n, k) = (200, 777L)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, true)
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val v = (((i.toLong * k + 7L) % 65536L) - 32768L).toInt
+      pcm(2 * i) = ((v >> 8) & 0xff).toByte
+      pcm(2 * i + 1) = (v & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "blob")
+    val out = Multimodal.audioStats(df, "id", "blob").collect().head
+    val (sum, mx) = sawtoothStats(n, k)
+    out.getAs[String]("format") shouldBe "aiff"
+    out.getAs[Long]("sum_abs") shouldBe sum
+    out.getAs[Int]("max_amp") shouldBe mx
+  }
+
+  test("non-audio bytes classify as raw; truncated WAV as wav-corrupt") {
+    val wav = Multimodal.wavFixture(100, 3L)
+    val df = Seq(
+      (1L, "not audio at all".getBytes("UTF-8")),
+      (2L, wav.take(16))) // RIFF/WAVE magic intact, body gone
+      .toDF("id", "blob")
+    val out = Multimodal.audioStats(df, "id", "blob").orderBy("id").collect()
+    out(0).getAs[String]("format") shouldBe "raw"
+    out(1).getAs[String]("format") shouldBe "wav-corrupt"
+    out.foreach(_.getAs[Long]("n_samples") shouldBe 0L)
+  }
+}
