@@ -14,12 +14,17 @@ import org.apache.spark.sql.types._
   * `javax.imageio`) are decoded FOR REAL — magic-byte sniff, then
   * `ImageIO.read` for dimensions and per-channel pixel statistics; the
   * `m_media_meta` / `m_image_stats` driver gates hash-check real decoded
-  * values against closed-form oracles over generated PNG fixtures. Formats
-  * the JDK lacks (video containers, audio) fall back to [[StubDecoder]],
-  * a deterministic byte-derived fake — swapping it for a JNI/FFmpeg
-  * decoder changes nothing upstream: schema, partition-wise batching and
-  * column pruning (only blob + id reach the decoder) are the real,
-  * format-independent machinery.
+  * values against closed-form oracles over generated PNG fixtures. Audio
+  * formats the JDK ships parsers for (WAV/AIFF/AU via
+  * `javax.sound.sampled`) are ALSO decoded for real — [[audioStats]]
+  * reads the container header and every PCM sample through
+  * `AudioSystem`, hash-gated (`m_audio_stats`) against a sawtooth
+  * fixture's per-sample oracle. Formats the JDK lacks (video containers,
+  * compressed audio) fall back to [[StubDecoder]], a deterministic
+  * byte-derived fake — swapping it for a JNI/FFmpeg decoder changes
+  * nothing upstream: schema, partition-wise batching and column pruning
+  * (only blob + id reach the decoder) are the real, format-independent
+  * machinery.
   */
 object Multimodal {
 
@@ -301,6 +306,135 @@ object Multimodal {
           } + f
           Row(r.get(0), f, fp)
         }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Magic-byte sniff for the audio containers `javax.sound.sampled`
+    * parses: RIFF/WAVE, AIFF (FORM/AIFF), AU (.snd).
+    */
+  def sniffAudioFormat(bytes: Array[Byte]): Option[String] = {
+    def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    def tag(i: Int): String =
+      if (i + 4 <= bytes.length) new String(bytes, i, 4, "US-ASCII") else ""
+    if (tag(0) == "RIFF" && tag(8) == "WAVE") Some("wav")
+    else if (tag(0) == "FORM" && (tag(8) == "AIFF" || tag(8) == "AIFC"))
+      Some("aiff")
+    else if (at(0) == '.' && at(1) == 's' && at(2) == 'n' && at(3) == 'd')
+      Some("au")
+    else None
+  }
+
+  /** Deterministic WAV fixture: `n` PCM16 mono samples at `sampleRate` Hz
+    * where sample `i = ((i·k + 7) mod 65536) − 32768` — an integer
+    * sawtooth, so a passing stats gate proves PER-SAMPLE decode (header
+    * parsing alone cannot reproduce the absolute-amplitude sum). Encoded
+    * through the real JDK WAV writer (`AudioSystem.write`, RIFF/WAVE
+    * PCM_SIGNED little-endian).
+    */
+  def wavFixture(n: Int, k: Long, sampleRate: Int = 8000): Array[Byte] = {
+    require(n > 0, "fixture needs at least one sample")
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (((i.toLong * k + 7L) % 65536L) - 32768L).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Stage a deterministic WAV blob per row from integer columns —
+    * partition-wise encode like [[withPngBlob]] (the real JDK WAV writer
+    * runs inside the task; no driver materialization).
+    */
+  def withWavBlob(
+      df: DataFrame,
+      idCol: String,
+      n: org.apache.spark.sql.Column,
+      k: org.apache.spark.sql.Column): DataFrame = {
+    val staged = df.select(
+      col(idCol),
+      n.cast(IntegerType).as("__n"),
+      k.cast(LongType).as("__k"))
+    val outSchema = StructType(staged.schema.fields.take(1) :+
+      StructField("blob", BinaryType, nullable = false))
+    staged.mapPartitions { rows =>
+      rows.map(r => Row(r.get(0), wavFixture(r.getInt(1), r.getLong(2))))
+    }(Encoders.row(outSchema))
+  }
+
+  private val audioStatsSchema = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("max_amp", IntegerType, nullable = false)))
+
+  /** Real JDK audio decode: container header (sample rate / channels /
+    * bit depth / frame count) AND every PCM sample through
+    * `javax.sound.sampled.AudioSystem` — integer amplitude statistics
+    * (Σ|sample|, max |sample|) so a relational oracle can replay the
+    * decode of a generated fixture exactly (the `m_audio_stats` gate).
+    * Supports the PCM16 paths the JDK parses (WAV/AIFF/AU); non-audio or
+    * corrupt blobs emit zero stats with the sniffed-or-`raw` tag —
+    * corrupt media stays visible to curation filters, as in
+    * [[decodeImage]]. Partition-wise, shuffle-free: the 100 TB posture
+    * is identical to [[imageStats]].
+    */
+  def audioStats(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val pruned = df.select(col(idCol), col(blobCol))
+    val outSchema = StructType(pruned.schema.fields.take(1) ++ audioStatsSchema.fields)
+    pruned.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val fmt = sniffAudioFormat(bytes)
+        val decoded = fmt.flatMap { tag =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(bytes))
+            try {
+              val af = ais.getFormat
+              if (af.getSampleSizeInBits != 16 ||
+                af.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+              else {
+                val pcm = ais.readAllBytes()
+                val nS = pcm.length / 2
+                var (sumAbs, maxAmp) = (0L, 0)
+                var i = 0
+                while (i < nS) {
+                  val lo = pcm(2 * i) & 0xff
+                  val hi = pcm(2 * i + 1)
+                  val v =
+                    if (af.isBigEndian) ((pcm(2 * i) << 8) | (pcm(2 * i + 1) & 0xff))
+                    else ((hi << 8) | lo)
+                  val a = math.abs(v)
+                  sumAbs += a
+                  if (a > maxAmp) maxAmp = a
+                  i += 1
+                }
+                Some(Row(
+                  r.get(0), tag, af.getSampleRate.toInt, af.getChannels.toInt,
+                  16, nS.toLong / af.getChannels, sumAbs, maxAmp))
+              }
+            } finally ais.close()
+          } catch { case _: Exception => None }
+        }
+        decoded.getOrElse(
+          Row(r.get(0), fmt.map(_ + "-corrupt").getOrElse("raw"),
+            0, 0, 0, 0L, 0L, 0))
       }
     }(Encoders.row(outSchema))
   }
