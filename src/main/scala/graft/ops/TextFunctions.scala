@@ -147,6 +147,59 @@ object TextFunctions {
   def canonicalizeText(text: Column): Column =
     cleanText(nfcNormalize(text))
 
+  /** Homoglyph-confusable mapping (UTS #39 skeleton, the high-frequency
+    * subset): Cyrillic and Greek letters visually identical to Latin,
+    * fullwidth ASCII forms, and the invisible zero-width class. Exposed
+    * as parallel from/to strings so a relational oracle can replay the
+    * identical `translate` (the extra trailing from-chars with no to
+    * counterpart are DELETED — the zero-width strip — same contract in
+    * Spark and DuckDB).
+    */
+  private val confusablePairs: Seq[(Char, Char)] =
+    // Cyrillic lowercase lookalikes
+    Seq(
+      '\u0430' -> 'a', '\u0435' -> 'e', '\u043E' -> 'o', '\u0440' -> 'p',
+      '\u0441' -> 'c', '\u0443' -> 'y', '\u0445' -> 'x', '\u0456' -> 'i',
+      '\u0455' -> 's', '\u0458' -> 'j',
+      // Cyrillic uppercase
+      '\u0410' -> 'A', '\u0412' -> 'B', '\u0415' -> 'E', '\u041A' -> 'K',
+      '\u041C' -> 'M', '\u041D' -> 'H', '\u041E' -> 'O', '\u0420' -> 'P',
+      '\u0421' -> 'C', '\u0422' -> 'T', '\u0425' -> 'X',
+      // Greek lowercase
+      '\u03B1' -> 'a', '\u03B5' -> 'e', '\u03B9' -> 'i', '\u03BA' -> 'k',
+      '\u03BD' -> 'v', '\u03BF' -> 'o', '\u03C1' -> 'p', '\u03C4' -> 't',
+      '\u03C5' -> 'u',
+      // Greek uppercase
+      '\u0391' -> 'A', '\u0392' -> 'B', '\u0395' -> 'E', '\u0396' -> 'Z',
+      '\u0397' -> 'H', '\u0399' -> 'I', '\u039A' -> 'K', '\u039C' -> 'M',
+      '\u039D' -> 'N', '\u039F' -> 'O', '\u03A1' -> 'P', '\u03A4' -> 'T',
+      '\u03A5' -> 'Y', '\u03A7' -> 'X') ++
+      // fullwidth digits / letters -> ASCII
+      (0 to 9).map(d => (('\uFF10' + d).toChar, ('0' + d).toChar)) ++
+      (0 until 26).flatMap(i => Seq(
+        (('\uFF21' + i).toChar, ('A' + i).toChar),
+        (('\uFF41' + i).toChar, ('a' + i).toChar)))
+
+  /** Invisible characters the skeleton DELETES (zero-width space/joiners,
+    * word joiner, BOM) \u2014 appended to the from-string past the to-string's
+    * end, which both engines' `translate` treat as removal.
+    */
+  private val invisibles = "\u200B\u200C\u200D\u2060\uFEFF"
+
+  val ConfusableFrom: String = confusablePairs.map(_._1).mkString + invisibles
+  val ConfusableTo: String = confusablePairs.map(_._2).mkString
+
+  /** Confusable skeleton: fold homoglyphs to their Latin targets and strip
+    * invisibles — the dedup-evasion countermeasure. A doc obfuscated by
+    * swapping Latin letters for Cyrillic/Greek lookalikes (or padding with
+    * zero-width chars) defeats exact AND shingle dedup; its skeleton is
+    * byte-identical to the original's, so hashing THIS column catches the
+    * evasion. Pure `translate` projection: map-side, codegen, replayable
+    * in any engine with the shared from/to constants.
+    */
+  def confusableSkeleton(text: Column): Column =
+    translate(text, ConfusableFrom, ConfusableTo)
+
   /** SQuAD-style answer normalization (the `normalize_answer` used by
     * extractive-QA exact-match scoring and QA decontamination): lowercase
     * → strip ASCII punctuation → drop English articles (a / an / the) →

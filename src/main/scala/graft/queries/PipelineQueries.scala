@@ -1907,6 +1907,37 @@ object PipelineQueries {
       perLang.select(col("lang"), col("n_exact"))
     },
 
+    // ----- data-quality constraint report (NEW r13): the Deequ-style
+    // expectations gate every ingest runs before publishing. A dirty
+    // slice (every 101st orderkey re-ingested with negated price, alien
+    // status, null date, duplicated key, orphaned custkey) is injected so
+    // every constraint type counts REAL violations — all row predicates
+    // fold into ONE aggregate pass, uniqueness is one key exchange, FK
+    // distincts the child keys before the anti-join -----
+    "t_data_quality" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val dirty = orders
+        .filter(col("o_orderkey") % 101 === 0)
+        .select(
+          col("o_orderkey"),
+          (col("o_custkey") + 1000000L).as("o_custkey"),
+          lit("X").as("o_orderstatus"),
+          (col("o_totalprice") * -1.0).as("o_totalprice"),
+          lit(null).cast(TimestampType).as("o_orderdate"),
+          col("o_orderpriority"))
+      val all = orders.unionByName(dirty)
+      graft.ops.DataQuality.combine(
+        graft.ops.DataQuality.predicateReport(all, Seq(
+          "totalprice_positive" -> (col("o_totalprice") > 0.0),
+          "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+          "orderdate_not_null" -> col("o_orderdate").isNotNull)),
+        graft.ops.DataQuality.uniqueReport(
+          all, Seq("o_orderkey"), "orderkey_unique"),
+        graft.ops.DataQuality.fkReport(
+          all, "o_custkey", customer, "c_custkey", "custkey_fk"))
+    },
+
     // ----- hive-partitioned layout + partition pruning (NEW r13): write
     // partitionBy(lang), read back through a deterministic partition-column
     // predicate — the scan must PRUNE to matching directories (the spec
@@ -2277,8 +2308,55 @@ object PipelineQueries {
           col("n_replacement") + col("n_c1") + col("n_moji") === 0L)
     },
 
+    // ----- confusable-skeleton dedup (NEW r13): homoglyph obfuscation
+    // (Latin -> Cyrillic lookalikes + zero-width padding) defeats exact
+    // AND shingle dedup — the skeleton (UTS #39 subset via one translate)
+    // folds it back. Every 37th doc gets an obfuscated twin; the gate
+    // REQUIRES in-gate that every twin is invisible to raw hashing yet
+    // caught by its skeleton, then hash-gates per-doc dup counts under
+    // both hashings -----
+    "t_confusables" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val twins = docs
+        .filter(col("doc_id") % 37 === 0)
+        .select(
+          (col("doc_id") + 10000000L).as("doc_id"),
+          concat(
+            translate(
+              col("text"),
+              "aeopcyx",
+              "\u0430\u0435\u043E\u0440\u0441\u0443\u0445"),
+            lit("\u200B")).as("text"))
+      val corpus = docs.unionByName(twins)
+      val skel = corpus.select(
+        col("doc_id"),
+        TextFunctions.hashMod(col("text")).as("raw_fp"),
+        TextFunctions.hashMod(
+          TextFunctions.confusableSkeleton(col("text"))).as("skel_fp"))
+      val out = skel
+        .join(
+          skel.groupBy("skel_fp").agg(count(lit(1)).as("__ns")), "skel_fp")
+        .join(
+          skel.groupBy("raw_fp").agg(count(lit(1)).as("__nr")), "raw_fp")
+        .select(
+          col("doc_id"),
+          (col("__ns") - 1L).as("skel_dups"),
+          (col("__nr") - 1L).as("raw_dups"))
+      val missedTwins = out
+        .filter(col("doc_id") >= 10000000L && col("skel_dups") < 1).count()
+      require(missedTwins == 0L,
+        s"t_confusables: $missedTwins obfuscated twins NOT caught by the " +
+          "skeleton \u2014 the confusable fold is broken")
+      val evasions = out
+        .filter(col("skel_dups") > col("raw_dups")).count()
+      require(evasions > 0L,
+        "t_confusables: no doc shows skeleton-only duplication \u2014 the " +
+          "fixture injected nothing")
+      out
+    },
+
     // ----- systematic PPS sampling (NEW r10): EXACTLY k = 100 selection
-    // points over the cumulative token axis in keyed-hash order — fixed
+    // points over the cumulative token axis in keyed-hash order \u2014 fixed
     // sample size (no binomial jitter), weight-proportional inclusion,
     // pure integer grid-crossing arithmetic -----
     "t_systematic_sample" -> { (s, dir) =>
@@ -2291,8 +2369,8 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_hits"))
     },
 
-    // ----- SemDeDup-style semantic dedup (bucketed pairs → clusters →
-    // keep-one) — survivors of the embedding corpus -----
+    // ----- SemDeDup-style semantic dedup (bucketed pairs \u2192 clusters \u2192
+    // keep-one) \u2014 survivors of the embedding corpus -----
     "s_semantic_dedup" -> { (s, dir) =>
       Similarity.semanticDedup(
         t(s, dir, "embeddings"),
@@ -2333,7 +2411,7 @@ object PipelineQueries {
     },
 
     // ----- per-SOURCE boilerplate removal (NEW r10): the document-
-    // frequency rule scoped by `source` — a window is dropped only when
+    // frequency rule scoped by `source` \u2014 a window is dropped only when
     // >= 2 docs of the SAME source share it, so site templates vanish but
     // cross-site common phrases survive (the RefinedWeb per-site variant)
     "p_source_boilerplate" -> { (s, dir) =>
@@ -2346,7 +2424,7 @@ object PipelineQueries {
     },
 
     // ----- SENTENCE-level boilerplate removal (NEW r10): P89 sentences +
-    // P46 dropFrequentSegments composed — the RefinedWeb line-level rule
+    // P46 dropFrequentSegments composed \u2014 the RefinedWeb line-level rule
     // at sentence granularity. Fixture: every doc wrapped in newsletter/
     // rights/cookie boilerplate sentences that must all vanish while the
     // doc's own sentence survives -----
@@ -2364,7 +2442,7 @@ object PipelineQueries {
 
     // Lee-et-al-style exact substring dedup: maximal cross-doc duplicated
     // spans at 20-word window granularity (747 distinct duplicated windows
-    // in this corpus — the exact-duplicate doc clusters merge into
+    // in this corpus \u2014 the exact-duplicate doc clusters merge into
     // whole-document spans)
     "p_dup_spans" -> { (s, dir) =>
       Dedup.duplicatedSpans(
@@ -2394,7 +2472,7 @@ object PipelineQueries {
     },
 
     // the skew-safe two-phase plan (the default): same oracle, different
-    // physical shape — hot segments collapse map-side instead of landing on
+    // physical shape \u2014 hot segments collapse map-side instead of landing on
     // one window task
     "p_segment_dedup_skewsafe" -> { (s, dir) =>
       Dedup.dedupSegments(
@@ -2422,6 +2500,40 @@ object PipelineQueries {
         Seq(0.25, 0.5, 0.75, 0.875, 1.0))
     },
 
+    // ----- approx-quantile audit (NEW r13): percentile_approx (Greenwald-
+    // Khanna summaries \u2014 the mergeable one-pass sketch that replaces the
+    // rangePrefix machinery when rank error is tolerable at 100 TB) is
+    // REQUIRED in-gate to land inside the exact \u00B11/32 rank band around
+    // each target; the hash-gated output is the exact ground truth the
+    // audit ran against (the t_approx_distinct pattern) -----
+    "t_approx_quantiles" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val qs = Seq(0.125, 0.5, 0.9375)
+      val eps = 0.03125 // 1/32: binary-exact, ceil(q\u00B7n) integer-stable
+      val bandQs = qs.map(_ - eps) ++ qs.map(_ + eps)
+      val bands = Sampling
+        .exactQuantiles(docs, "doc_id", col("n_chars"), bandQs)
+        .collect()
+        .map(r => r.getDouble(0) -> r.getAs[Number](1).longValue())
+        .toMap
+      val approx = docs
+        .agg(percentile_approx(
+          col("n_chars"),
+          array(qs.map(lit): _*),
+          lit(10000)).as("ap"))
+        .head()
+        .getSeq[Long](0)
+      qs.zipWithIndex.foreach { case (q, i) =>
+        val (lo, hi) = (bands(q - eps), bands(q + eps))
+        require(
+          approx(i) >= lo && approx(i) <= hi,
+          s"t_approx_quantiles: sketch value ${approx(i)} for q=$q outside " +
+            s"the exact \u00B1$eps rank band [$lo, $hi] \u2014 the quantile summary " +
+            "degraded past its configured accuracy")
+      }
+      Sampling.exactQuantiles(docs, "doc_id", col("n_chars"), qs)
+    },
+
     // per-group variant: one shuffle on the group key, no driver pass
     "t_group_quantiles" -> { (s, dir) =>
       Sampling.groupQuantiles(
@@ -2434,8 +2546,8 @@ object PipelineQueries {
 
     // ----- per-group winsorization (NEW r10): clamp the score into its
     // group's exact [12.5%, 87.5%] quantile band (binary-exact fractions:
-    // 0.1·n is not exactly representable and ceil() could cross an
-    // integer differently per engine) — outlier robustification before
+    // 0.1\u00B7n is not exactly representable and ceil() could cross an
+    // integer differently per engine) \u2014 outlier robustification before
     // mixture weighting -----
     "t_winsorize" -> { (s, dir) =>
       Sampling.winsorize(
@@ -2513,12 +2625,12 @@ object PipelineQueries {
         "c_custkey")
     },
 
-    // ----- multimodal metadata extraction — REAL ImageIO decode (r13):
+    // ----- multimodal metadata extraction \u2014 REAL ImageIO decode (r13):
     // each doc stages a deterministic gradient PNG (w = 8 + doc_id%5,
     // h = 8 + doc_id%3), encoded partition-wise by the JDK PNG writer;
     // extractMeta must recover the true dimensions through a real
     // ImageIO.read, hash-gated against the generator's closed form.
-    // (n_bytes is the encoder's output size — real but not relationally
+    // (n_bytes is the encoder's output size \u2014 real but not relationally
     // replayable, so the gate projects the decoded fields.) The stub
     // fallback path stays gated by m_media_report. -----
     "m_media_meta" -> { (s, dir) =>
@@ -2539,9 +2651,9 @@ object PipelineQueries {
           col("format"))
     },
 
-    // ----- per-pixel channel statistics — REAL ImageIO decode (r13):
+    // ----- per-pixel channel statistics \u2014 REAL ImageIO decode (r13):
     // the same gradient fixture, but the gate sums every decoded pixel's
-    // R/G/B — a passing hash proves per-pixel decode (gradient + modular
+    // R/G/B \u2014 a passing hash proves per-pixel decode (gradient + modular
     // wrap), not just header parsing; the oracle replays the closed-form
     // channel sums -----
     "m_image_stats" -> { (s, dir) =>
@@ -2557,7 +2669,7 @@ object PipelineQueries {
     },
 
     // ----- multimodal corpus report (r13: MIXED formats): the per-format
-    // "media card" a multimodal shard ships with — and the gate for the
+    // "media card" a multimodal shard ships with \u2014 and the gate for the
     // format DISPATCH itself: even doc_ids carry a REAL PNG (ImageIO
     // decode), odd doc_ids carry raw text bytes (the documented stub
     // fallback for JDK-less formats), one relation exercising both
@@ -2587,12 +2699,12 @@ object PipelineQueries {
           sum(col("n_frames").cast(LongType)).as("total_frames"))
     },
 
-    // ----- multimodal frame sampling — REAL multi-frame decode (r13):
+    // ----- multimodal frame sampling \u2014 REAL multi-frame decode (r13):
     // each doc stages an ANIMATED GIF with 1 + doc_id%6 frames (encoded
     // partition-wise by the JDK GIF writer); frameSample must recover the
     // true frame count through the real GIF reader and explode every 2nd
     // frame, hash-gated against the generator's range. The byte-derived
-    // frame fingerprint stays spec-only — 64-bit overflow wraps on the
+    // frame fingerprint stays spec-only \u2014 64-bit overflow wraps on the
     // JVM, errors in DuckDB -----
     "m_frame_sample" -> { (s, dir) =>
       val staged = Multimodal.withGifBlob(
@@ -2601,6 +2713,24 @@ object PipelineQueries {
         lit(1) + col("doc_id") % 6)
       Multimodal.frameSample(staged, "doc_id", "blob", every = 2)
         .select(col("doc_id"), col("frame_idx"))
+    },
+
+    // ----- audio statistics \u2014 REAL javax.sound.sampled decode (NEW r13):
+    // each doc stages a deterministic PCM16 sawtooth WAV (n = 256 +
+    // doc_id%17\u00B732 samples, slope k = 1 + doc_id%9973), encoded
+    // partition-wise by the real JDK WAV writer; audioStats must recover
+    // the container header AND every sample through a real AudioSystem
+    // decode \u2014 \u03A3|sample| cannot be reproduced from header parsing alone.
+    // The oracle replays the sawtooth per-sample. Shuffle-free
+    // (mapPartitions encode\u2192decode back to back, the m_image_stats
+    // posture) -----
+    "m_audio_stats" -> { (s, dir) =>
+      val staged = Multimodal.withWavBlob(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id",
+        lit(256) + (col("doc_id") % 17) * 32,
+        lit(1) + col("doc_id") % 9973)
+      Multimodal.audioStats(staged, "doc_id", "blob")
     },
 
     // ----- URL curation (P39) -----
@@ -2620,7 +2750,7 @@ object PipelineQueries {
     },
 
     // ----- outlink extraction (NEW r10): href harvesting from HTML
-    // payloads → registered-domain link report. Fixture wraps each doc's
+    // payloads \u2192 registered-domain link report. Fixture wraps each doc's
     // text in markup with two deterministic anchors (a co.uk PSL case and
     // a subdomained .com); the report is the inlink-count table a crawl
     // scheduler / host-authority pipeline starts from -----
@@ -2664,7 +2794,7 @@ object PipelineQueries {
     },
 
     // ----- robots.txt DECISION engine (NEW r11): RFC 9309 longest-match
-    // precedence — agent-specific groups REPLACE the '*' group entirely
+    // precedence \u2014 agent-specific groups REPLACE the '*' group entirely
     // (d0-d4 for graftbot), a longer allow overrides a shorter disallow
     // (/admin/tools under disallow /admin), and an exact-length tie goes
     // to allow (d6's allow+disallow /admin) -----
@@ -2685,7 +2815,7 @@ object PipelineQueries {
 
     // ----- politeness fetch partitioning (NEW r10): each domain's urls
     // spread round-robin over 4 fetch slots in a deterministic hash
-    // order — balance per (domain, slot) is asserted in the spec -----
+    // order \u2014 balance per (domain, slot) is asserted in the spec -----
     "u_fetch_slots" -> { (s, dir) =>
       Urls.fetchSlots(
         t(s, dir, "documents").select(
@@ -2732,8 +2862,8 @@ object PipelineQueries {
         trainIters = 2)
     },
 
-    // ----- integer-exact IVF (P73): the WHOLE pipeline — quantization,
-    // seeded k-means training, assignment, probe, ranking — in exact
+    // ----- integer-exact IVF (P73): the WHOLE pipeline \u2014 quantization,
+    // seeded k-means training, assignment, probe, ranking \u2014 in exact
     // integer / correctly-rounded-double arithmetic, so unlike s_ivf_topk
     // the training itself hash-matches a DuckDB replay of the unrolled
     // iterations -----
@@ -2761,8 +2891,8 @@ object PipelineQueries {
     },
 
     // ----- product quantization (P74): per-subspace integer k-means
-    // codebooks + ADC search — NO floating point anywhere (assignment is
-    // exact-long `2·dot − ‖c‖²`), so training AND search hash-match the
+    // codebooks + ADC search \u2014 NO floating point anywhere (assignment is
+    // exact-long `2\u00B7dot \u2212 \u2016c\u2016\u00B2`), so training AND search hash-match the
     // unrolled DuckDB replay -----
     "s_pq_codebooks" -> { (s, dir) =>
       Pq.trainedCodebooks(
@@ -2789,8 +2919,8 @@ object PipelineQueries {
     },
 
     // ----- web-curation composition gate (P45): the URL-level pipeline
-    // chained end-to-end — canonical-url dedup → per-domain cap → token
-    // quality gate → token-budget cut — against ONE chained oracle (the
+    // chained end-to-end \u2014 canonical-url dedup \u2192 per-domain cap \u2192 token
+    // quality gate \u2192 token-budget cut \u2014 against ONE chained oracle (the
     // P36 pattern for the r8 URL operators)
     "p_web_curation_e2e" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
@@ -2812,7 +2942,7 @@ object PipelineQueries {
       graft.ops.CountMin.estimates(sk, probe, "w", width = 1024, depth = 3)
     },
 
-    // ----- LSH bucket assignment (P6 — the blocking step of lshTopK) -----
+    // ----- LSH bucket assignment (P6 \u2014 the blocking step of lshTopK) -----
     // the fixed-dim (hoisted-signs) variant: the production path since r9;
     // bit-identical to the runtime variant (spec'd), oracle unchanged
     "s_lsh_bucket" -> { (s, dir) =>
@@ -2866,9 +2996,9 @@ object PipelineQueries {
     },
 
     // ----- Unicode NFC canonicalization (NEW r10): synthetic docs are
-    // ASCII, so the gate DECOMPOSES them first (each 'e' → 'e'+U+0301, a
+    // ASCII, so the gate DECOMPOSES them first (each 'e' \u2192 'e'+U+0301, a
     // combining acute) and normalization must recompose to the single
-    // code point 'é' — length shrinks by exactly the injection count.
+    // code point '\u00E9' \u2014 length shrinks by exactly the injection count.
     // Both sides inject identically; DuckDB's nfc_normalize is the oracle
     // for the native codegen NfcNormalizeF -----
     "t_nfc_norm" -> { (s, dir) =>
@@ -2882,7 +3012,7 @@ object PipelineQueries {
     },
 
     // ----- frequency-ranked vocabulary with coverage accounting (NEW
-    // r10): the tokenizer-design precursor — what OOV rate does a V-word
+    // r10): the tokenizer-design precursor \u2014 what OOV rate does a V-word
     // vocab buy on this corpus? -----
     "t_vocab_topk" -> { (s, dir) =>
       graft.ops.Vocab.vocabulary(
@@ -2910,7 +3040,7 @@ object PipelineQueries {
     },
 
     // ----- HTML boilerplate stripping (NEW r10): script/style blocks
-    // dropped with content, tags stripped, entities decoded (&amp; last —
+    // dropped with content, tags stripped, entities decoded (&amp; last \u2014
     // double-escape rule), whitespace collapsed; fixture wraps each doc
     // in a synthetic page with entity traps -----
     "t_strip_html" -> { (s, dir) =>
@@ -2946,12 +3076,12 @@ object PipelineQueries {
 
     // ----- unigram-LM tokenizer (NEW r11): SentencePiece-style trainer +
     // Viterbi encoder with integer-scaled costs. Three gates:
-    //   t_unigram_vocab   — LIVE distributed training must reproduce the
+    //   t_unigram_vocab   \u2014 LIVE distributed training must reproduce the
     //                       frozen constant (end-to-end training
     //                       determinism, driver-gated);
-    //   t_unigram_encode  — frozen-vocab Viterbi segmentation vs the
+    //   t_unigram_encode  \u2014 frozen-vocab Viterbi segmentation vs the
     //                       unrolled DuckDB DP replay (the P73 pattern);
-    //   t_unigram_fertility — tokens-per-word vs the frozen BPE on the
+    //   t_unigram_fertility \u2014 tokens-per-word vs the frozen BPE on the
     //                       same words, per language (the comparison that
     //                       picks a tokenizer family for a corpus). -----
     "t_unigram_vocab" -> { (s, dir) =>
@@ -2974,7 +3104,7 @@ object PipelineQueries {
 
     // ----- WordPiece greedy encode (NEW r11): the third production
     // subword family (BERT longest-match-first, ## continuations,
-    // all-or-nothing [UNK]) next to BPE merges and unigram Viterbi —
+    // all-or-nothing [UNK]) next to BPE merges and unigram Viterbi \u2014
     // frozen a-z+planted-pieces vocab. The corpus words are pure alpha,
     // so one digit-bearing word per doc (word_idx -1, 'x'||doc_id) is
     // injected on BOTH sides: its head matches but the first digit
@@ -3017,7 +3147,7 @@ object PipelineQueries {
     },
 
     // ----- WordPiece fertility (NEW r11): the triad-completing
-    // tokens-per-word comparison — greedy WordPiece vs the frozen BPE on
+    // tokens-per-word comparison \u2014 greedy WordPiece vs the frozen BPE on
     // the same words, per language ([UNK] counts as 1 token: the
     // all-or-nothing collapse UNDER-counts vs its char spell-out, which
     // is exactly the coverage-gap signal this report surfaces) -----
@@ -3045,7 +3175,7 @@ object PipelineQueries {
 
     // ----- adversarial regex-subset fuzz (NEW r11): the same two ops over
     // the generated 1000-doc adversarial corpus (see HtmlFuzzFrags /
-    // SentenceFuzzFrags) — Java regex and RE2 must agree byte-for-byte on
+    // SentenceFuzzFrags) \u2014 Java regex and RE2 must agree byte-for-byte on
     // nested/unterminated/attribute-trap markup and on decimal-period /
     // quote-bracket sentence traps, or the hash fails -----
     "t_strip_html_fuzz" -> { (s, dir) =>
@@ -3062,7 +3192,7 @@ object PipelineQueries {
 
     // ----- r11 second fuzz pass: the remaining three regex-subset text
     // ops (normalizeAnswer, scripts, mojibake) over their own generated
-    // adversarial corpora — completing the discipline sweep the verdict
+    // adversarial corpora \u2014 completing the discipline sweep the verdict
     // named (stripHtml, sentences, normalizeAnswer, scripts, mojibake) -----
     "t_norm_answer_fuzz" -> { (s, dir) =>
       fuzzDocsDf(s, NormFuzzFrags).select(
@@ -3125,8 +3255,8 @@ object PipelineQueries {
 
     // ----- PMI collocations, exact-integer ranked (NEW r10): bigram
     // phrase mining for tokenizer merges / boilerplate spotting; the PMI
-    // ordering is replayed as the exact rational c_xy·N·10⁶/(c_x·c_y) in
-    // DECIMAL(38,0) — no float log anywhere -----
+    // ordering is replayed as the exact rational c_xy\u00B7N\u00B710\u2076/(c_x\u00B7c_y) in
+    // DECIMAL(38,0) \u2014 no float log anywhere -----
     "t_pmi_bigrams" -> { (s, dir) =>
       graft.ops.Vocab.pmiBigrams(
         t(s, dir, "documents"), "text", minCount = 5L, topP = 100)
@@ -3134,7 +3264,7 @@ object PipelineQueries {
 
     // streaming twin of exact dedup: the same keep-min-per-content
     // aggregation as a Structured Streaming query (file source, complete
-    // mode, AvailableNow) — the q_stream_events_hourly pattern applied to
+    // mode, AvailableNow) \u2014 the q_stream_events_hourly pattern applied to
     // the dedup family, gated by the batch relational oracle
     "p_stream_exact_dedup" -> { (s, dir) =>
       graft.ops.Par.withShufflePartitions(s, 8) {
@@ -3158,9 +3288,9 @@ object PipelineQueries {
     }},
 
     // ----- streaming LSH near-dup dedup (NEW r13): the STREAM builds the
-    // band-bucket registry (min doc id + member count per bucket — state
+    // band-bucket registry (min doc id + member count per bucket \u2014 state
     // proportional to corpus distinctness, never to pairs), then a batch
-    // join-back flags each banded document: survived ⇔ it is the minimum
+    // join-back flags each banded document: survived \u21D4 it is the minimum
     // id in EVERY bucket it belongs to. Same minhash constants as
     // p_minhash_lsh, so the oracle replays registry AND verdicts exactly
     // (dedup-on-ingest, the streaming sibling of the batch LSH pipeline)
@@ -3218,7 +3348,7 @@ object PipelineQueries {
     },
 
     // ----- balanced output sharding (P42) -----
-    // ----- shard manifest (NEW r10): per-shard write-audit — count, total
+    // ----- shard manifest (NEW r10): per-shard write-audit \u2014 count, total
     // weight, and a membership fingerprint that changes iff the shard's
     // id set changes (diff two manifests after a corpus refresh) -----
     "t_shard_manifest" -> { (s, dir) =>
@@ -3238,7 +3368,7 @@ object PipelineQueries {
         .select(col("doc_id"), col("shard"))
     },
 
-    // ----- cluster-balanced subset selection: IVF cell assignment →
+    // ----- cluster-balanced subset selection: IVF cell assignment \u2192
     // exact per-cell quota (diversity-preserving downsampling: every
     // region of embedding space keeps k representatives, instead of the
     // dominant cluster swamping a uniform sample) -----
@@ -3308,10 +3438,10 @@ object PipelineQueries {
           aggregate(col("q"), lit(0L), (a, x) => a + abs(x.cast(LongType)))
             .as("sum_abs_q"))
     },
-    // ----- sign-quantized (1-bit) Hamming top-k (NEW r13): the 32×
+    // ----- sign-quantized (1-bit) Hamming top-k (NEW r13): the 32\u00D7
     // memory-scale extreme of the quantization ladder. Sign bits are
     // exact float properties (no rounding mode), so unlike float-trained
-    // ANN this hash-gates bit-for-bit. Shape: s_quant_topk's — queries
+    // ANN this hash-gates bit-for-bit. Shape: s_quant_topk's \u2014 queries
     // broadcast, corpus scores map-side, WindowGroupLimit bounds the
     // per-query exchange -----
     "s_sign_hamming" -> { (s, dir) =>
@@ -3348,7 +3478,7 @@ object PipelineQueries {
 
     // ----- mutual nearest-neighbor mining (NEW r11): bitext-style pair
     // alignment between the even- and odd-id halves of the embedding
-    // corpus — (a, b) survives only when each is the other's quantized-
+    // corpus \u2014 (a, b) survives only when each is the other's quantized-
     // cosine top-1 (the LASER/CCMatrix mutuality precision filter) -----
     "s_mutual_nn" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -3361,9 +3491,9 @@ object PipelineQueries {
         "embedding")
     },
 
-    // ----- MIPS top-k (NEW r10): maximum-inner-product ranking — the
+    // ----- MIPS top-k (NEW r10): maximum-inner-product ranking \u2014 the
     // recommender semantics where magnitude matters and cosine's length
-    // normalization is exactly wrong; de-quantized score = qdot·s_q·s_c
+    // normalization is exactly wrong; de-quantized score = qdot\u00B7s_q\u00B7s_c
     // in a fixed association order, bit-reproducible -----
     "s_mips_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -3430,7 +3560,7 @@ object PipelineQueries {
 
   /** Url fixture with deliberate cross-doc collisions AFTER
     * canonicalization (doc_id appears only in tracking params / fragments,
-    * which canonicalization strips) — the `u_url_dedup` fixture; mirrors
+    * which canonicalization strips) \u2014 the `u_url_dedup` fixture; mirrors
     * [[DupUrlSql]].
     */
   private def withDupUrl(docs: DataFrame): DataFrame = {
@@ -3448,7 +3578,7 @@ object PipelineQueries {
         when(d % 2 === 1, lit("#f")).otherwise(lit(""))).as("url"))
   }
 
-  /** The full dedup pipeline: minhash pairs → transitive closure → drop
+  /** The full dedup pipeline: minhash pairs \u2192 transitive closure \u2192 drop
     * non-representatives; survivors = docs that are their own cluster
     * label (or unclustered). Shared verbatim by `p_dedup_survivors` and
     * `p_dedup_survivors_fast` (the latter must be result-identical).
@@ -3472,7 +3602,7 @@ object PipelineQueries {
       .stripMargin
 
   /** DuckDB: the shared 10-word-window segmentation prefix (CTEs `d`, `c`,
-    * `x`, `s`) — one owner for every corpus-level segment oracle so a fix
+    * `x`, `s`) \u2014 one owner for every corpus-level segment oracle so a fix
     * to the window construction cannot leave two oracles disagreeing.
     */
   private val SegmentWindowCtes: String =
@@ -3503,7 +3633,7 @@ object PipelineQueries {
        |  c.nc - coalesce(k.n_kept, 0) AS n_dropped
        |FROM c LEFT JOIN k ON c.doc_id = k.doc_id""".stripMargin
 
-  /** DuckDB: the derived url column — mirrors [[withUrl]] bit-for-bit. */
+  /** DuckDB: the derived url column \u2014 mirrors [[withUrl]] bit-for-bit. */
   private val UrlSql =
     """CASE WHEN doc_id % 5 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END ||
       |    'WWW.' || upper(source) || 'X.' ||
@@ -3521,7 +3651,7 @@ object PipelineQueries {
 
   /** DuckDB: url with deliberate CROSS-DOC collisions after
     * canonicalization (no doc_id in the canonical part; tracking params /
-    * fragments differ per row and are canonicalized away) — the
+    * fragments differ per row and are canonicalized away) \u2014 the
     * `u_url_dedup` fixture. Mirrors [[withDupUrl]] bit-for-bit.
     */
   private val DupUrlSql =
@@ -3530,12 +3660,12 @@ object PipelineQueries {
       |    CASE WHEN doc_id % 2 = 0 THEN '&utm_s=1' ELSE '' END ||
       |    CASE WHEN doc_id % 2 = 1 THEN '#f' ELSE '' END""".stripMargin
 
-  /** DuckDB CTE chain `u` → `p` → `dm` over the given url expression:
+  /** DuckDB CTE chain `u` \u2192 `p` \u2192 `dm` over the given url expression:
     * url, parsed fields, registered domain (same regexes and suffix
     * heuristic as [[graft.ops.Urls]]).
     */
   // URL parse + PSL-lite registered-domain CTEs over an existing CTE
-  // `u(doc_id, url)` — factored out so multi-url-per-doc relations
+  // `u(doc_id, url)` \u2014 factored out so multi-url-per-doc relations
   // (outlink extraction) replay the exact same domain logic
   private def urlDomainCtes(urlSql: String): String =
     s"""u AS (SELECT doc_id, $urlSql AS url FROM documents),
@@ -3571,7 +3701,7 @@ object PipelineQueries {
       .stripMargin
 
   /** DuckDB CTE `f` (over `dm`): the filtered+sorted surviving query
-    * string `sq` (tracking params dropped, byte-sorted; [] → '').
+    * string `sq` (tracking params dropped, byte-sorted; [] \u2192 '').
     */
   private val CanonQueryCte =
     """f AS (
@@ -3596,7 +3726,7 @@ object PipelineQueries {
       |  CASE WHEN sq = '' THEN '' ELSE '?' || sq END""".stripMargin
 
   /** DuckDB: the Morton interleave as the same shift/mask sum
-    * [[graft.ops.ZOrder.zValue]] computes — generated from the identical
+    * [[graft.ops.ZOrder.zValue]] computes \u2014 generated from the identical
     * (bit position, weight) constants so the two sides cannot drift.
     */
   private def zorderSql(cols: Seq[String], bits: Int): String =
@@ -3612,7 +3742,7 @@ object PipelineQueries {
   // Shared P73 gate parameters (Spark query and generated oracle read the
   // same constants so they cannot drift).
   /** DuckDB replay of [[graft.ops.PageRank.ranks]] over an arbitrary edge
-    * CTE body (`SELECT … src, … dst`) — generated from the SAME constants
+    * CTE body (`SELECT \u2026 src, \u2026 dst`) \u2014 generated from the SAME constants
     * as the Scala side so the two cannot drift; `//` = exact floor
     * division on positive longs. Shared by `u_pagerank` (doc graph) and
     * `u_host_rank` (registered-domain multigraph).
@@ -3627,7 +3757,7 @@ object PipelineQueries {
       preCtes: String = ""): String = {
     val iterCtes = (1 to iters).map { i =>
       // with redistribution, each iteration folds the PREVIOUS ranks'
-      // dangling mass (out-degree-0 nodes) back uniformly — same exact
+      // dangling mass (out-degree-0 nodes) back uniformly \u2014 same exact
       // floor-division share as PageRank.ranks
       val dangCte =
         if (!redistributeDangling) ""
@@ -3666,7 +3796,7 @@ object PipelineQueries {
 
   /** DuckDB replay of [[graft.ops.PageRank.personalizedRanks]] (TrustRank):
     * the [[pagerankSql]] chain with the teleport term and initial mass
-    * restricted to the seed predicate — exact integer arithmetic, no
+    * restricted to the seed predicate \u2014 exact integer arithmetic, no
     * dangling redistribution (the simplified variant).
     */
   private def trustrankSql(
@@ -3708,8 +3838,8 @@ object PipelineQueries {
 
   /** DuckDB replay of [[graft.ops.Hits.ranks]]: per iteration one
     * authority half-step (sum hub scores over in-edges, floor-div rescale
-    * by `max(1, ⌊max/scale⌋)`) and one hub half-step (sum authority
-    * scores over out-edges, same rescale) — exact integer arithmetic, so
+    * by `max(1, \u230Amax/scale\u230B)`) and one hub half-step (sum authority
+    * scores over out-edges, same rescale) \u2014 exact integer arithmetic, so
     * the unrolled CTE chain reproduces the Spark scores bit-for-bit.
     */
   private def hitsSql(
@@ -3753,7 +3883,7 @@ object PipelineQueries {
   private val IvfIntNQueries = 50
 
   /** DuckDB: exact integer dot of two BIGINT-list columns, as DOUBLE (the
-    * Spark side computes the long [[graft.ops.Quantize.intDot]] and casts —
+    * Spark side computes the long [[graft.ops.Quantize.intDot]] and casts \u2014
     * integer products are exact in both, the cast is one rounding).
     */
   private def intDotSql(x: String, y: String): String =
@@ -3763,7 +3893,7 @@ object PipelineQueries {
   /** DuckDB replay of [[graft.ops.IvfInt]] training: codes + norms (`n`),
     * exploded codes (`x`), dimension index (`idx`), hash-seeded centroids
     * (`c0`), then `iters` UNROLLED k-means rounds (assignment = cosine
-    * argmax with lowest-cell ties; update = floor(Σq/n) per dim with
+    * argmax with lowest-cell ties; update = floor(\u03A3q/n) per dim with
     * empty-cell carry) ending at the trained long table `c$iters`.
     * Expects the `q8` quantization CTE in scope.
     */
@@ -3815,7 +3945,7 @@ object PipelineQueries {
     s.map(c => s"chr(${c.toInt})").mkString(" || ")
 
   // Shared P75 mixture-plan gate parameters (upsampling permitted: zh is
-  // under-represented against its 300‰ target at this budget).
+  // under-represented against its 300\u2030 target at this budget).
   private val MixPlanTargets: scala.collection.immutable.ListMap[String, Int] =
     scala.collection.immutable.ListMap("en" -> 400, "zh" -> 300)
   private val MixPlanDefault = 100
@@ -3829,7 +3959,7 @@ object PipelineQueries {
   private val PqK = 5
   private val PqNQueries = 25
 
-  /** DuckDB: exact integer dot of two BIGINT-list columns (stays BIGINT —
+  /** DuckDB: exact integer dot of two BIGINT-list columns (stays BIGINT \u2014
     * the PQ replay never touches floating point).
     */
   private def intDotLongSql(x: String, y: String): String =
@@ -3839,7 +3969,7 @@ object PipelineQueries {
   /** DuckDB replay of [[graft.ops.Pq]] training: per-subspace slices
     * (`ns$s`/`x$s`), shared hash-seeded rows (`psd`), and `iters`
     * UNROLLED integer k-means rounds per subspace (assignment = exact-long
-    * `2·dot − ‖c‖²` argmax with lowest-cell ties; update = floor(Σq/n);
+    * `2\u00B7dot \u2212 \u2016c\u2016\u00B2` argmax with lowest-cell ties; update = floor(\u03A3q/n);
     * empty-cell carry) ending at `b${s}_$iters` long tables plus their
     * list forms `pm${s}_$iters`. Expects `q8` in scope.
     */
@@ -4011,7 +4141,7 @@ object PipelineQueries {
          |SELECT id_a, id_b, i * 1.0 / u AS jaccard
          |FROM verified WHERE i * 1.0 / u >= 0.5""".stripMargin
     },
-    // char-shingle replay over the space-stripped fixture — the SAME
+    // char-shingle replay over the space-stripped fixture \u2014 the SAME
     // generated banded-minhash machinery as p_minhash_lsh
     "p_char_minhash" -> {
       val txt = "regexp_replace(text, '\\s+', '', 'g')"
@@ -4067,7 +4197,7 @@ object PipelineQueries {
          |       ELSE (n_hit * 1000000) // n_true END AS recall_ppm
          |FROM c""".stripMargin
     },
-    // NAIVE all-pairs levenshtein — the losslessness proof for the FastSS
+    // NAIVE all-pairs levenshtein \u2014 the losslessness proof for the FastSS
     // deletion-neighborhood candidates in Dedup.editDistancePairs
     "p_edit_pairs" -> {
       """WITH titled AS (
@@ -4081,7 +4211,7 @@ object PipelineQueries {
         |FROM reps a JOIN reps b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.title, b.title) <= 1""".stripMargin
     },
-    // the oracle is the NAIVE all-pairs join the prefix filter replaces —
+    // the oracle is the NAIVE all-pairs join the prefix filter replaces \u2014
     // hash-matching it is the losslessness proof (no blocking, no bands)
     "p_prefix_jaccard" -> {
       s"""WITH d AS (
@@ -4095,7 +4225,7 @@ object PipelineQueries {
          |SELECT id_a, id_b, i * 1.0 / u AS jaccard
          |FROM pairs WHERE i * 1.0 / u >= 0.5""".stripMargin
     },
-    // NAIVE all-pairs directional containment — the lossless-candidate
+    // NAIVE all-pairs directional containment \u2014 the lossless-candidate
     // proof for Dedup.containmentPairs (same role the all-pairs jaccard
     // oracle plays for p_prefix_jaccard). inter >= ceil(len_a * t) is
     // compared cross-multiplied so no float division enters the predicate.
@@ -4113,7 +4243,7 @@ object PipelineQueries {
          |FROM pairs WHERE inter * 1000000 >= 500000 * len_a""".stripMargin
     },
     // priority dedup: replayed as a per-fp window (the oracle need not be
-    // partial-agg'able — only the Spark side carries the scale constraint)
+    // partial-agg'able \u2014 only the Spark side carries the scale constraint)
     "p_dedup_keep_best" -> {
       s"""WITH p AS (
          |  SELECT doc_id, md5(text) AS fp,
@@ -4651,7 +4781,7 @@ object PipelineQueries {
     },
     "p_dedup_survivors" -> dedupSurvivorsOracle,
     // the exact-collapse-prefiltered variant is result-IDENTICAL by
-    // construction — gated against the very same recursive oracle
+    // construction \u2014 gated against the very same recursive oracle
     "p_dedup_survivors_fast" -> dedupSurvivorsOracle,
     "t_bigram_fluency" -> {
       // replays NgramLm.bigramFluency: integer-scaled conditional
@@ -4712,7 +4842,7 @@ object PipelineQueries {
          |FROM post JOIN d ON post.term = d.term""".stripMargin,
     "t_tfidf" -> {
       // replays TfIdf.scoreDocs: integer-scaled rational idf
-      // floor((n_docs*1e6)/df) — no logarithm, so no libm variance — with
+      // floor((n_docs*1e6)/df) \u2014 no logarithm, so no libm variance \u2014 with
       // exact long tf*idf weights and one double division at the end. df
       // counts rows of the (doc, term) table, i.e. documents per term.
       s"""WITH tok AS (
@@ -4746,7 +4876,7 @@ object PipelineQueries {
     },
     // BM25 with rational idf: every score is exact integers flowing through
     // the IDENTICAL double expression tree on both engines (constants as
-    // CAST(... AS DOUBLE) — a bare 1.2 literal is DECIMAL in DuckDB);
+    // CAST(... AS DOUBLE) \u2014 a bare 1.2 literal is DECIMAL in DuckDB);
     // the per-doc sum folds in sorted term order on both sides
     "t_bm25_topk" -> {
       s"""WITH w AS (
@@ -4780,7 +4910,7 @@ object PipelineQueries {
     },
     // Luhn replay: same planted fixture; checksum via a 1-based range
     // transform over the reversed candidate (Spark's 0-based transform
-    // doubles odd indices; 1-based here doubles even — same digits)
+    // doubles odd indices; 1-based here doubles even \u2014 same digits)
     "t_card_audit" ->
       """WITH d2 AS (
         |  SELECT doc_id,
@@ -4831,7 +4961,7 @@ object PipelineQueries {
          |    AS BIGINT) AS novelty_ppm
          |FROM d LEFT JOIN sh ON d.doc_id = sh.doc_id""".stripMargin,
     // redirect replay: recursive per-hop walk capped at 16, last row per
-    // src = position after min(16, resolution) hops — the doubling's
+    // src = position after min(16, resolution) hops \u2014 the doubling's
     // exact semantics; resolved = terminal has no outgoing edge
     "u_redirects" ->
       """WITH RECURSIVE raw AS (
@@ -4885,7 +5015,7 @@ object PipelineQueries {
          |  THEN 1 ELSE 0 END AS BIGINT) AS luhn_ok
          |FROM c""".stripMargin
     },
-    // largest-remainder replay: floors + remainder ranking, Σ = total
+    // largest-remainder replay: floors + remainder ranking, \u03A3 = total
     "t_apportion" ->
       """WITH g AS (
         |  SELECT lang,
@@ -4911,7 +5041,7 @@ object PipelineQueries {
         |    AS BIGINT) AS n_alloc
         |FROM r""".stripMargin,
     // rendezvous replay: per-(doc, worker) hash scores, argmax by
-    // (score DESC, worker DESC) — the op's documented tie order
+    // (score DESC, worker DESC) \u2014 the op's documented tie order
     "t_rendezvous" -> {
       val ws = Seq("w0", "w1", "w2", "w3", "w4")
         .map(w => s"('$w')").mkString(", ")
@@ -5181,7 +5311,7 @@ object PipelineQueries {
         |  AND CAST(metric AS DOUBLE) <=
         |    CAST(q3 AS DOUBLE) + 1.5 * CAST(q3 - q1 AS DOUBLE)""".stripMargin,
     // fractional-progress interleave replay: per-source hashed rank and
-    // size, global order by (p/n double, source, p) — the same two exact
+    // size, global order by (p/n double, source, p) \u2014 the same two exact
     // longs divide on both engines
     "t_interleave" ->
       s"""WITH src AS (
@@ -5350,8 +5480,8 @@ object PipelineQueries {
          |SELECT domain, term, count(*) AS n_mentions
          |FROM terms WHERE term <> '' GROUP BY domain, term""".stripMargin,
 
-    // real-anchor authority: html fixture → href unnest → UrlParseCtes
-    // registered domains → the same generated pagerank replay
+    // real-anchor authority: html fixture \u2192 href unnest \u2192 UrlParseCtes
+    // registered domains \u2192 the same generated pagerank replay
     "u_link_authority" -> pagerankSql(
       """SELECT 'd' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS src,
         |    domain AS dst
@@ -5637,7 +5767,7 @@ object PipelineQueries {
     },
     // replays HashedClassifier over the deterministic pseudo-weight table:
     // slot = hash61(token) % 4096, weight = (hash61('w'||slot) % 2000001)
-    // − 1e6, score = bias + exact integer sum
+    // \u2212 1e6, score = bias + exact integer sum
     "t_quality_classifier" -> {
       s"""WITH wt AS (
          |  SELECT CAST(b AS BIGINT) AS bucket,
@@ -5659,7 +5789,7 @@ object PipelineQueries {
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
     },
     // replays bigramFluency then the integer within-language third-slice:
-    // bucket = ((rank−1)·3) // n_lang over (fluency desc, id) ranks
+    // bucket = ((rank\u22121)\u00B73) // n_lang over (fluency desc, id) ranks
     "t_ccnet_buckets" ->
       s"""WITH d AS (SELECT doc_id, $WsSql AS ws FROM documents),
          |bg AS (
@@ -5693,9 +5823,9 @@ object PipelineQueries {
          |    ELSE 'tail' END AS bucket_name
          |FROM r""".stripMargin,
     // ground-truth replay of the jsonl ingest: the oracle does not parse
-    // JSON — it computes what a correct PERMISSIVE parser must produce
-    // from the source fields (good line → fields + null raw; truncated
-    // line → null fields + the raw 24-char prefix). The string build
+    // JSON \u2014 it computes what a correct PERMISSIVE parser must produce
+    // from the source fields (good line \u2192 fields + null raw; truncated
+    // line \u2192 null fields + the raw 24-char prefix). The string build
     // replicates Spark's to_json byte-for-byte (no spaces, struct field
     // order, plain integers, unescaped short lang codes).
     "t_jsonl_ingest" ->
@@ -5713,7 +5843,7 @@ object PipelineQueries {
          |  CASE WHEN bad THEN substr(line, 1, 24) END AS raw
          |FROM j""".stripMargin,
     // replays t_format_roundtrip from the untouched parquet: if any of the
-    // three write→read paths corrupts a byte, a fingerprint sum diverges.
+    // three write\u2192read paths corrupts a byte, a fingerprint sum diverges.
     // The adv expression mirrors the Spark-side adversarial column exactly
     // (quote + 40-char prefix + quote,comma,newline,backslash + lang).
     "t_format_roundtrip" -> {
@@ -5745,7 +5875,7 @@ object PipelineQueries {
          |SELECT a.*, c.codec
          |FROM a CROSS JOIN (VALUES ('uncompressed'), ('snappy'), ('gzip'),
          |  ('zstd')) c(codec)""".stripMargin,
-    // ONE chained replay: union + re-ingests → keep-min exact dedup →
+    // ONE chained replay: union + re-ingests \u2192 keep-min exact dedup \u2192
     // the pruned-lang aggregate (format legs are identity by contract)
     "p_ingest_e2e" ->
       s"""WITH all_docs AS (
@@ -5762,8 +5892,8 @@ object PipelineQueries {
          |  CAST(sum(${hash61Sql("text")} % 1000000007) AS BIGINT) AS text_fp
          |FROM dedup WHERE ${hash61Sql("lang")} % 3 < 2
          |GROUP BY lang""".stripMargin,
-    // the guaranteed heavy-hitter set with exact counts — integral
-    // threshold compare (cnt·33 > n), no division
+    // the guaranteed heavy-hitter set with exact counts \u2014 integral
+    // threshold compare (cnt\u00B733 > n), no division
     "t_heavy_hitters" ->
       s"""WITH w AS (
          |  SELECT unnest($WsSql) AS word FROM documents),
@@ -5977,7 +6107,7 @@ object PipelineQueries {
     },
     // replays Dsir.selectTopK: bucketed bigram histograms, integer-scaled
     // smoothed target/raw ratio weights, per-doc sum, top-100 by
-    // (score desc, doc_id) — `//` and Spark `div` agree on positive longs
+    // (score desc, doc_id) \u2014 `//` and Spark `div` agree on positive longs
     "t_dsir_select" -> {
       s"""WITH rg AS (
          |  SELECT doc_id, ${hash61Sql("g")} % 8192 AS bucket FROM (
@@ -6125,12 +6255,12 @@ object PipelineQueries {
     // s_ivf_topk / s_pca_ann are ROWS+SCHEMA gates by design: k-means
     // training and PCA eigenvectors compose float sums that cannot
     // hash-match cross-engine (reassociation), but the pipeline SHAPE is
-    // exactly replayable — every one of the 50 queries must surface
+    // exactly replayable \u2014 every one of the 50 queries must surface
     // exactly k=5 ranked neighbors drawn from the corpus minus self, and
     // every vector must land in exactly one coarse cell. The oracles
     // reproduce that shape (row count + column names/types) so the driver's
     // rows_match/schema_match flip true; value columns carry 0 placeholders
-    // (not NULL — an all-NULL int column decays to float64 in pandas and
+    // (not NULL \u2014 an all-NULL int column decays to float64 in pandas and
     // would false-fail schema), so hash_match is expected FALSE and carries
     // no signal
     // (the value-level math is hash-gated separately: s_ivf_assign,
@@ -6167,7 +6297,7 @@ object PipelineQueries {
          |SELECT query_id, neighbor_id, rank, cos AS cos_sim
          |FROM ranked WHERE rank <= 5""".stripMargin
     },
-    // s_cosine_topk with the label-mismatch predicate — identical cosine
+    // s_cosine_topk with the label-mismatch predicate \u2014 identical cosine
     // arithmetic (same fold order), so raw doubles hash-match
     "s_hard_negatives" -> {
       def dotSql(x: String, y: String) =
@@ -6192,11 +6322,11 @@ object PipelineQueries {
          |SELECT query_id, neighbor_id, rank, cos AS cos_sim
          |FROM ranked WHERE rank <= 5""".stripMargin
     },
-    // replays the ORDERED per-dimension fold: list(… ORDER BY vec_id) then
-    // left-to-right list_reduce — the same association order as the Spark
+    // replays the ORDERED per-dimension fold: list(\u2026 ORDER BY vec_id) then
+    // left-to-right list_reduce \u2014 the same association order as the Spark
     // sort_array + aggregate, so raw doubles hash-match. Unnested to one
     // scalar row per dimension (zipped unnests) to mirror the gate's
-    // posexplode — the harness cannot sort array-typed columns.
+    // posexplode \u2014 the harness cannot sort array-typed columns.
     "s_mean_pool" -> {
       s"""WITH g AS (
          |  SELECT vec_id % 100 AS g_id, list(embedding ORDER BY vec_id) AS vs
@@ -6221,8 +6351,8 @@ object PipelineQueries {
          |WHERE ${embDotSql("a.embedding", "b.embedding")} / (a.n * b.n) >= 0.45""".stripMargin
     },
     "s_semantic_dedup" -> {
-      // pairs (same bucket-blocked cosine as s_embed_neardup) → transitive
-      // closure (as p_dup_clusters) → drop non-representatives → survivors
+      // pairs (same bucket-blocked cosine as s_embed_neardup) \u2192 transitive
+      // closure (as p_dup_clusters) \u2192 drop non-representatives \u2192 survivors
       s"""WITH RECURSIVE $embedNearDupCte,
          |p AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -6358,6 +6488,74 @@ object PipelineQueries {
          |  (n_replacement + n_c1 + n_moji) = 0 AS clean
          |FROM c""".stripMargin
     },
+    // the identical translate replayed from the SHARED from/to constants
+    // (trailing from-chars past the to-string's end delete \u2014 the
+    // zero-width strip; same contract both engines)
+    "t_confusables" -> {
+      val from = graft.ops.TextFunctions.ConfusableFrom
+      val to = graft.ops.TextFunctions.ConfusableTo
+      s"""WITH twins AS (
+         |  SELECT doc_id + 10000000 AS doc_id,
+         |    translate(text, 'aeopcyx',
+         |      '\u0430\u0435\u043E\u0440\u0441\u0443\u0445')
+         |      || '\u200B' AS text
+         |  FROM documents WHERE doc_id % 37 = 0),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM twins),
+         |skel AS (
+         |  SELECT doc_id,
+         |    ${hash61Sql("text")} % 1000000007 AS raw_fp,
+         |    ${hash61Sql(s"translate(text, '$from', '$to')")}
+         |      % 1000000007 AS skel_fp
+         |  FROM corpus),
+         |ns AS (SELECT skel_fp, count(*) AS n FROM skel GROUP BY skel_fp),
+         |nr AS (SELECT raw_fp, count(*) AS n FROM skel GROUP BY raw_fp)
+         |SELECT s.doc_id,
+         |  CAST(ns.n - 1 AS BIGINT) AS skel_dups,
+         |  CAST(nr.n - 1 AS BIGINT) AS raw_dups
+         |FROM skel s
+         |JOIN ns USING (skel_fp)
+         |JOIN nr USING (raw_fp)""".stripMargin
+    },
+    // the dirty slice + all five constraint families replayed relationally
+    "t_data_quality" ->
+      """WITH dirty AS (
+        |  SELECT o_orderkey, o_custkey + 1000000 AS o_custkey,
+        |    'X' AS o_orderstatus, -o_totalprice AS o_totalprice,
+        |    CAST(NULL AS TIMESTAMP) AS o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |a AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority FROM orders
+        |  UNION ALL SELECT * FROM dirty),
+        |p AS (
+        |  SELECT 'totalprice_positive' AS check_name,
+        |    CAST(sum(CASE WHEN coalesce(o_totalprice > 0, false)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+        |    count(*) AS n_rows FROM a
+        |  UNION ALL
+        |  SELECT 'status_in_domain',
+        |    CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+        |      THEN 0 ELSE 1 END) AS BIGINT), count(*) FROM a
+        |  UNION ALL
+        |  SELECT 'orderdate_not_null',
+        |    CAST(sum(CASE WHEN o_orderdate IS NOT NULL
+        |      THEN 0 ELSE 1 END) AS BIGINT), count(*) FROM a
+        |  UNION ALL
+        |  SELECT 'orderkey_unique',
+        |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT),
+        |    CAST(sum(c) AS BIGINT)
+        |  FROM (SELECT count(*) AS c FROM a GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'custkey_fk',
+        |    CAST((SELECT count(*) FROM a x WHERE NOT EXISTS (
+        |      SELECT 1 FROM customer c WHERE c.c_custkey = x.o_custkey))
+        |      AS BIGINT),
+        |    count(*) FROM a)
+        |SELECT check_name, n_violations, n_rows,
+        |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass
+        |FROM p""".stripMargin,
     "t_systematic_sample" ->
       s"""WITH b AS (
          |  SELECT doc_id, CAST(len($WsSql) AS BIGINT) AS w,
@@ -6532,6 +6730,15 @@ object PipelineQueries {
         |  CAST(unnest([0.25, 0.5, 0.75, 0.875, 1.0]) AS DOUBLE) AS q,
         |  unnest(vs) AS value
         |FROM a""".stripMargin,
+    // the exact ground truth the in-gate GK-sketch band audit ran against
+    "t_approx_quantiles" ->
+      """WITH a AS (
+        |  SELECT quantile_disc(n_chars, [0.125, 0.5, 0.9375]) AS vs
+        |  FROM documents)
+        |SELECT
+        |  CAST(unnest([0.125, 0.5, 0.9375]) AS DOUBLE) AS q,
+        |  unnest(vs) AS value
+        |FROM a""".stripMargin,
     "t_group_quantiles" ->
       """WITH a AS (
         |  SELECT lang, quantile_disc(n_chars, [0.25, 0.5, 0.875]) AS vs
@@ -6636,6 +6843,26 @@ object PipelineQueries {
         |    AS BIGINT) AS sum_g,
         |  CAST(w * h * b0 AS BIGINT) AS sum_b
         |FROM g""".stripMargin,
+    // per-sample sawtooth replay: sample i = ((i·k + 7) mod 65536) − 32768
+    "m_audio_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    256 + (doc_id % 17) * 32 AS n,
+        |    1 + doc_id % 9973 AS k
+        |  FROM documents),
+        |sm AS (
+        |  SELECT doc_id, n,
+        |    abs(((CAST(unnest(range(0, n)) AS BIGINT) * k + 7) % 65536)
+        |      - 32768) AS a
+        |  FROM p)
+        |SELECT doc_id, 'wav' AS format,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits,
+        |  CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(sum(a) AS BIGINT) AS sum_abs,
+        |  CAST(max(a) AS INT) AS max_amp
+        |FROM sm GROUP BY doc_id""".stripMargin,
     "m_media_report" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.StructType
 
 import graft.http.{HttpLookup, HttpSink}
-import graft.ops.{AnnEval, AsOfJoin, Bfs, BloomJoin, Bm25, Chunking, ConnectedComponents, CountMin, Dedup, Formats, HeavyHitters, Multimodal, Packing, Pca, Quantize, RankEval, Sampling, Similarity, TfIdf, Unigram, Urls, WordPiece, Vocab, ZOrder}
+import graft.ops.{AnnEval, AsOfJoin, Bfs, BloomJoin, Bm25, Chunking, ConnectedComponents, CountMin, DataQuality, Dedup, Formats, HeavyHitters, Intervals, Multimodal, Packing, Pca, Quantize, RankEval, Sampling, Scd, Similarity, TfIdf, Unigram, Urls, WordPiece, Vocab, ZOrder}
 
 /** Fluent entry points: `import graft.syntax._` and every operator hangs off
   * DataFrame — the one-line switch path for users of the reference connector
@@ -491,6 +491,48 @@ object syntax {
         n: Int = 3,
         bands: Int = 4): DataFrame =
       Dedup.streamingLshRegistry(df, idCol, textCol, n, bands)
+
+    /** SCD-2 dimension history from a per-key observation log
+      * ([[Scd.scd2History]]).
+      */
+    def scd2History(
+        keyCols: Seq[String],
+        attrCol: String,
+        tsCol: String,
+        tieCol: String): DataFrame =
+      Scd.scd2History(df, keyCols, attrCol, tsCol, tieCol)
+
+    /** CDC latest-wins snapshot from a keyed changelog with tombstones
+      * ([[Scd.latestSnapshot]]).
+      */
+    def latestSnapshot(
+        keyCols: Seq[String],
+        tsCol: String,
+        tieCol: String,
+        isDelete: Column): DataFrame =
+      Scd.latestSnapshot(df, keyCols, tsCol, tieCol, isDelete)
+
+    /** Per-key interval-union coverage (gaps and islands)
+      * ([[Intervals.coverage]]).
+      */
+    def intervalCoverage(
+        keyCols: Seq[String],
+        start: Column,
+        end: Column,
+        tie: Column): DataFrame =
+      Intervals.coverage(df, keyCols, start, end, tie)
+
+    /** Real JDK audio decode: per-sample integer amplitude statistics
+      * ([[Multimodal.audioStats]]).
+      */
+    def audioStats(idCol: String, blobCol: String): DataFrame =
+      Multimodal.audioStats(df, idCol, blobCol)
+
+    /** Data-quality expectations: all row predicates in one aggregate
+      * pass ([[DataQuality.predicateReport]]).
+      */
+    def qualityChecks(checks: Seq[(String, Column)]): DataFrame =
+      DataQuality.predicateReport(df, checks)
   }
 
   /** Column-level sugar for the sign-quantization ladder end

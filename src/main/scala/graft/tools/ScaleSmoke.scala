@@ -1497,6 +1497,286 @@ object ScaleSmoke {
       } finally stub.stop()
     }
 
+    // ----- late-r13 temporal/media/sketch additions -----
+
+    // SCD-2 at 100x duplication: fanned copies of an observation carry
+    // distinct event_ids but identical (user, ts, type) — they sort
+    // consecutively and MUST collapse into the base run structure. The
+    // invariant is EXACT result-invariance (count + eff_from checksum):
+    // duplicated observations may not inflate the history. One exchange
+    // on user_id for copies x |events| rows.
+    locally {
+      // Tables.events normalizes ts to session-zone TIMESTAMP (the raw
+      // parquet decodes TIMESTAMP_NTZ, which unix_micros rejects)
+      val baseEvents = graft.queries.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      def runs(df: DataFrame): DataFrame = graft.ops.Scd.scd2History(
+        df, Seq("user_id"), "event_type", "ts", "event_id")
+      val base = runs(baseEvents)
+        .agg(
+          count(lit(1)).as("n"),
+          // modular checksum: raw epoch-micro sums overflow Long at
+          // corpus row counts (ANSI mode faults the overflow)
+          sum(unix_micros(col("eff_from")) % 1000000007L).as("ck"))
+        .collect()(0)
+      val (baseRuns, baseCk) = (base.getLong(0), base.getLong(1))
+      val fanned = fan("event_id", baseEvents)
+      measure(Step(
+        s"q_scd2_history(${copies}x events, run-collapse invariance)",
+        () => runs(fanned),
+        ceilingGB = 2.0,
+        invariant = df => {
+          val a = df.agg(
+            count(lit(1)).as("n"),
+            sum(unix_micros(col("eff_from")) % 1000000007L).as("ck"),
+            sum(col("is_current")).as("open"),
+            countDistinct(col("user_id")).as("users")).collect()(0)
+          Seq(
+            if (a.getLong(0) == baseRuns && a.getLong(1) == baseCk) None
+            else Some(s"${a.getLong(0)} runs (ck ${a.getLong(1)}) != base " +
+              s"$baseRuns (ck $baseCk) — duplicates inflated the history"),
+            if (a.getLong(2) == a.getLong(3)) None
+            else Some(s"${a.getLong(2)} open rows for ${a.getLong(3)} users"))
+            .flatten
+        }))
+    }
+
+    // CDC latest-wins snapshot at 100x duplication: copies of the per-user
+    // winning observation share (ts, type, value) and differ only in the
+    // fanned event_id, so the snapshot must be result-invariant modulo
+    // the winner's id — per-user (last_us, event_type, value) exactly
+    // equal to the base snapshot. One map-side-combined argmax exchange.
+    locally {
+      val baseEvents = graft.queries.Tables.events(spark, sfDir)
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+      def snap(df: DataFrame): DataFrame = graft.ops.Scd.latestSnapshot(
+        df, Seq("user_id"), "ts", "event_id",
+        col("event_type") === "error")
+        .select(
+          col("user_id"), unix_micros(col("ts")).as("last_us"),
+          col("event_type"), col("value"))
+      val base = snap(baseEvents).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      val fanned = fan("event_id", baseEvents)
+      measure(Step(
+        s"q_cdc_snapshot(${copies}x changelog, winner invariance)",
+        () => snap(fanned),
+        ceilingGB = 1.0,
+        invariant = df => {
+          val got = df.collect()
+            .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+          val bad = base.collect {
+            case (k, v) if got.get(k) != Some(v) =>
+              s"user $k: ${got.get(k)} != $v"
+          }
+          (if (got.size == base.size) None
+           else Some(s"${got.size} snapshot keys != ${base.size}")).toSeq ++
+            bad.take(3)
+        }))
+    }
+
+    // interval-union coverage at 100x duplication: every shipment window
+    // appears in `copies` identical copies (distinct tie keys) — coverage
+    // and island structure are UNION-invariant, so per-supplier
+    // (covered, n_islands) must equal the base run exactly while
+    // n_intervals scales by `copies`. One exchange of copies x |lineitem|
+    // interval tuples + windowed sweep per supplier.
+    locally {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_suppkey"), col("l_shipdate"))
+        .withColumn(
+          "__day",
+          datediff(col("l_shipdate"), lit("1992-01-01").cast("date"))
+            .cast("long"))
+      def covOf(df: DataFrame): DataFrame = graft.ops.Intervals.coverage(
+        df,
+        Seq("l_suppkey"),
+        col("__day"),
+        col("__day") + col("l_linenumber") * 2L + 1L,
+        col("l_orderkey") * 10L + col("l_linenumber"))
+      val base = covOf(li).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val fanned = fan("l_orderkey", li)
+      measure(Step(
+        s"q_interval_coverage(${copies}x intervals, union invariance)",
+        () => covOf(fanned),
+        ceilingGB = 4.0,
+        invariant = df => {
+          val got = df.collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+          val bad = base.flatMap { case (k, (nIv, nIsl, cov)) =>
+            got.get(k) match {
+              case Some((gIv, gIsl, gCov))
+                if gIv == nIv * copies && gIsl == nIsl && gCov == cov => None
+              case other =>
+                Some(s"supplier $k: $other != (${nIv * copies}, $nIsl, $cov)")
+            }
+          }
+          (if (got.size == base.size) None
+           else Some(s"${got.size} suppliers != ${base.size}")).toSeq ++
+            bad.take(3)
+        }))
+    }
+
+    // real WAV encode -> decode at corpus scale: one JDK AudioSystem
+    // round-trip per doc, mapPartitions-only — the m_image_stats posture
+    // (embarrassingly parallel, shuffle-free at any corpus size). The
+    // invariant re-derives each row's expected frame count from its
+    // doc_id and requires per-sample stats to be present.
+    measure(Step(
+      s"m_audio_stats(${copies}x, real WAV encode+decode)",
+      () => {
+        val staged = graft.ops.Multimodal.withWavBlob(
+          docs.select(col("doc_id")),
+          "doc_id",
+          lit(64) + (col("doc_id") % 17) * 8,
+          lit(1) + col("doc_id") % 9973)
+        graft.ops.Multimodal.audioStats(staged, "doc_id", "blob")
+      },
+      ceilingGB = 0.1,
+      invariant = df => {
+        val bad = df.filter(
+          col("format") =!= "wav" ||
+            col("n_samples") =!= lit(64) + (col("doc_id") % 17) * 8 ||
+            col("sum_abs") <= 0L).count()
+        val n = df.count()
+        Seq(
+          if (bad == 0L) None
+          else Some(s"$bad rows decoded wrong format/frames/stats"),
+          if (n == nDocs) None
+          else Some(s"$n decoded rows != $nDocs")).flatten
+      }))
+
+    // data-quality constraint report at 100x: all row predicates in ONE
+    // 1-row aggregate over copies x |orders| rows, uniqueness one key
+    // exchange, FK a distinct + anti-join. The dirty slice is injected on
+    // the REMAPPED keys, so expected violation counts are closed-form
+    // from the slice size — the report must count them exactly.
+    locally {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val fanned = fan("o_orderkey", orders)
+      val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+      val nDirty = fanned.filter(col("o_orderkey") % 101 === 0).count()
+      measure(Step(
+        s"t_data_quality(${copies}x orders, closed-form violations)",
+        () => {
+          val dirty = fanned
+            .filter(col("o_orderkey") % 101 === 0)
+            .select(
+              col("o_orderkey"),
+              (col("o_custkey") + 1000000L).as("o_custkey"),
+              lit("X").as("o_orderstatus"),
+              (col("o_totalprice") * -1.0).as("o_totalprice"),
+              lit(null).cast("timestamp").as("o_orderdate"),
+              col("o_orderpriority"))
+          val all = fanned.unionByName(dirty)
+          graft.ops.DataQuality.combine(
+            graft.ops.DataQuality.predicateReport(all, Seq(
+              "totalprice_positive" -> (col("o_totalprice") > 0.0),
+              "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+              "orderdate_not_null" -> col("o_orderdate").isNotNull)),
+            graft.ops.DataQuality.uniqueReport(
+              all, Seq("o_orderkey"), "orderkey_unique"),
+            graft.ops.DataQuality.fkReport(
+              all, "o_custkey", customer, "c_custkey", "custkey_fk"))
+        },
+        ceilingGB = 1.5,
+        invariant = df => {
+          val got = df.collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val want = Map(
+            "totalprice_positive" -> nDirty,
+            "status_in_domain" -> nDirty,
+            "orderdate_not_null" -> nDirty,
+            "orderkey_unique" -> 2 * nDirty,
+            "custkey_fk" -> nDirty)
+          want.collect {
+            case (k, v) if got.get(k) != Some(v) =>
+              s"$k: ${got.get(k)} violations != closed-form $v"
+          }.toSeq
+        }))
+    }
+
+    // confusable-skeleton dedup at 100x duplication: the skeleton stays a
+    // map-side translate; dup counting is two partial-agg'd fingerprint
+    // exchanges + broadcast-able join-backs. Copies make every raw group
+    // >= copies members; twins must STILL show skeleton-only duplication
+    // (skel_dups > raw_dups \u2014 the evasion-caught property at any scale).
+    measure(Step(
+      s"t_confusables(${copies}x corpus, evasion caught)",
+      () => {
+        val twins = docs
+          .filter(col("doc_id") % 37 === 0)
+          .select(
+            (col("doc_id") + 1000000000L).as("doc_id"),
+            concat(
+              translate(
+                col("text"), "aeopcyx",
+                "\u0430\u0435\u043E\u0440\u0441\u0443\u0445"),
+              lit("\u200B")).as("text"))
+        val corpus = docs.unionByName(twins)
+        val skel = corpus.select(
+          col("doc_id"),
+          graft.ops.TextFunctions.hashMod(col("text")).as("raw_fp"),
+          graft.ops.TextFunctions.hashMod(
+            graft.ops.TextFunctions.confusableSkeleton(col("text")))
+            .as("skel_fp"))
+        skel
+          .join(
+            skel.groupBy("skel_fp").agg(count(lit(1)).as("__ns")), "skel_fp")
+          .join(
+            skel.groupBy("raw_fp").agg(count(lit(1)).as("__nr")), "raw_fp")
+          .select(
+            col("doc_id"),
+            (col("__ns") - 1L).as("skel_dups"),
+            (col("__nr") - 1L).as("raw_dups"))
+      },
+      ceilingGB = 1.0,
+      invariant = df => {
+        val twinRows = df.filter(col("doc_id") >= 1000000000L)
+        val missed = twinRows
+          .filter(col("skel_dups") <= col("raw_dups")).count()
+        val n = df.count()
+        Seq(
+          if (missed == 0L) None
+          else Some(s"$missed twins without skeleton-only duplication"),
+          if (n > nDocs) None
+          else Some(s"$n rows \u2014 twins missing from the corpus")).flatten
+      }))
+
+    // GK quantile sketch (percentile_approx) at 50M DISTINCT values: the
+    // mergeable-summary path that replaces exact rangePrefix quantiles
+    // when rank error is tolerable at 100 TB. The input is a closed-form
+    // permutation of 0..n-1, so the exact quantile is arithmetic and the
+    // sketch is band-checked with ZERO exact-pass shuffle; the step's own
+    // shuffle is one partial-agg of per-partition summaries (byte-tiny).
+    locally {
+      val n = 50000000L
+      measure(Step(
+        "t_approx_quantiles(50M distinct values, GK band)",
+        () => spark.range(n)
+          .select(((col("id") * 2654435761L) % n).as("v"))
+          .agg(percentile_approx(
+            col("v"),
+            array(lit(0.125), lit(0.5), lit(0.9375)),
+            lit(10000)).as("ap")),
+        ceilingGB = 0.05,
+        invariant = df => {
+          val ap = df.collect()(0).getSeq[Long](0)
+          Seq(0.125, 0.5, 0.9375).zip(ap).flatMap { case (q, v) =>
+            val exact = math.ceil(q * n).toLong - 1
+            val band = n / 32
+            if (v >= exact - band && v <= exact + band) None
+            else Some(s"q=$q: sketch $v outside +-$band around $exact")
+          }
+        }))
+    }
+
     graft.ops.Par.releaseCaches()
     spark.stop()
     sys.exit(if (failed) 1 else 0)

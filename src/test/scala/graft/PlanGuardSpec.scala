@@ -61,7 +61,15 @@ class PlanGuardSpec extends AnyFunSuite with Matchers {
     ("t_heavy_hitters", 4, 0), // exact-audit aggs; sketch is RDD-side
     ("p_ingest_e2e", 1, 0), // dedup agg; keep side AQE-broadcasts back
     ("s_sign_hamming", 1, 1), // 1 = the bounded query-side broadcast
-    ("q_scan_pruning", 1, 0)) // pushdown/pruning gated in-gate too
+    ("q_scan_pruning", 1, 0), // pushdown/pruning gated in-gate too
+    // late-r13 temporal/media additions
+    ("q_scd2_history", 1, 0), // one key exchange feeds all window passes
+    ("q_interval_coverage", 1, 0), // key exchange; island rollups reuse it
+    ("t_approx_quantiles", 3, 0), // the audited rangePrefix machinery
+    ("m_audio_stats", 0, 0), // encode+decode both mapPartitions
+    ("q_cdc_snapshot", 1, 0), // map-side-combined argmax, no window
+    ("t_data_quality", 4, 0), // 1-row predicate agg + unique + fk pieces
+    ("t_confusables", 2, 0)) // two fingerprint exchanges, bcast join-backs
 
   test("headline [B] gates keep their audited plan shapes") {
     assume(

@@ -55,7 +55,11 @@ GROUPS = {
     "Urls": "URL canonicalization, domains, outlinks, robots filters, fetch slots",
     "CorpusStats": "Corpus composition, drift, and length-histogram reports",
     "JsonIngest": "JSONL ingest with quarantine contract",
-    "Multimodal": "Opaque-binary media columns: metadata, frame sampling (stub decode)",
+    "Multimodal": "Opaque-binary media columns: real JDK image (ImageIO) and audio (javax.sound) decode, frame sampling; video containers stubbed",
+    "Formats": "Interchange-format (ORC/CSV/JSON) round-trips with pinned fidelity options",
+    "Scd": "SCD-2 dimension history and CDC latest-wins snapshots from per-key changelogs",
+    "DataQuality": "Deequ-style constraint reports: predicates, uniqueness, referential integrity",
+    "Intervals": "Interval-union coverage (gaps and islands) per key",
     "ZOrder": "Z-order (Morton) layout for multi-column locality",
     "Par": "Cache bookkeeping for iterative operators (fan-in helper, tracked persists)",
 }
