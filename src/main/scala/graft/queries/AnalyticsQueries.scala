@@ -682,6 +682,36 @@ object AnalyticsQueries {
       s.table(sinkName)
     }},
 
+    // ----- temporal (point-in-time) join (NEW r13): enrich facts with
+    // the dimension VERSION valid at fact time — FOR SYSTEM_TIME AS OF
+    // against the SCD-2 history (the reference's temporal-table join,
+    // table-versioned instead of HTTP-backed). Composition: Q33's
+    // history + the as-of union-and-window (ONE key exchange, no range
+    // join; at equal timestamps the version applies AT its eff_from —
+    // half-open semantics) -----
+    "q_temporal_join" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val hist = graft.ops.Scd.scd2History(
+        ev, Seq("user_id"), "event_type", "ts", "event_id")
+      val facts = ev
+        .filter(col("event_id") % 3 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.AsOfJoin.leftAsOf(
+        facts,
+        "ts",
+        hist,
+        "eff_from",
+        keys = Seq(("user_id", "user_id")),
+        payload = Seq("version", "event_type"),
+        tieBreak = Some("version"))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          unix_micros(col("ts")).as("fact_us"),
+          col("version"),
+          col("event_type"))
+    },
+
     // ----- CDC latest-wins snapshot (NEW r13): materialize the current
     // table from a keyed changelog — argmax by (ts, event_id) combines
     // map-side (one exchange, no window), tombstones ('error') erase the
@@ -972,6 +1002,33 @@ object AnalyticsQueries {
         |  CAST(us AS BIGINT) AS from_us,
         |  CAST(to_us AS BIGINT) AS to_us
         |FROM v WHERE to_us IS NOT NULL""".stripMargin,
+
+    // the point-in-time replay: facts join the history version whose
+    // half-open validity interval contains the fact timestamp
+    "q_temporal_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+        |c AS (SELECT user_id, event_id, event_type, us FROM runs WHERE opens = 1),
+        |v AS (
+        |  SELECT user_id, event_type, us AS from_us,
+        |    CAST(row_number() OVER w2 AS INT) AS version,
+        |    lead(us) OVER w2 AS to_us
+        |  FROM c
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+        |facts AS (
+        |  SELECT user_id, event_id, us FROM e WHERE event_id % 3 = 0)
+        |SELECT f.event_id, f.user_id, CAST(f.us AS BIGINT) AS fact_us,
+        |  v.version, v.event_type
+        |FROM facts f JOIN v ON f.user_id = v.user_id
+        |  AND v.from_us <= f.us AND (v.to_us IS NULL OR f.us < v.to_us)"""
+        .stripMargin,
 
     // latest row per key by (us, event_id), tombstoned keys erased
     "q_cdc_snapshot" ->

@@ -449,6 +449,30 @@ object PipelineQueries {
     "run \u00C3\u00A9\u00C3\u00A9\u00C3\u00A9 thrice ",
     "normal words again ")
 
+  /** Confusable-skeleton fuzz fragments: homoglyph shapes that stress
+    * the translate agreement between engines — Cyrillic/Greek lookalike
+    * runs, fullwidth ASCII, zero-width members sitting INSIDE words and
+    * at fragment boundaries, non-confusable Unicode that must pass
+    * through untouched (accented Latin, CJK), and chars adjacent to the
+    * mapped ranges that must NOT map.
+    */
+  private[graft] val ConfusableFuzzFrags: Seq[String] = Seq(
+    "plain ascii stays ",
+    "\u0440\u0430y\u0440\u0430l \u0430l\u0435rt ",
+    "\u0397\u0435ll\u03BF w\u03BFrld ",
+    "\uFF30\uFF21\uFF39 \uFF4E\uFF4F\uFF57 \uFF19\uFF19 ",
+    "free\u200Bmoney\u200Chere ",
+    "x\u2060y\uFEFFz\u200D ",
+    "caf\u00E9 \u00FCmlaut stays ",
+    "\u4E2D\u6587 passes through ",
+    "\u0455\u0441\u0430m \u0455\u0456t\u0435 ",
+    "\u0391\u0392\u0395\u0396\u0397\u0399\u039A\u039C upper greek ",
+    "\u0410\u0412\u0415\u041A\u041C\u041D\u041E upper cyrillic ",
+    "\u0436\u0449 unmapped cyrillic stays ",
+    "\u03C9\u03C6 unmapped greek stays ",
+    "\uFF0A\uFF5F fullwidth NON-alnum stays ",
+    "\u200B\u200B double zero-width ")
+
   /** Robots-decision gate rule set — shared between the Spark gate and
     * the generated oracle VALUES so they cannot drift. d0-d9 carry the
     * '*' group (disallow /admin overridden by the longer allow
@@ -3245,6 +3269,20 @@ object PipelineQueries {
           col("n_replacement") + col("n_c1") + col("n_moji") === 0L)
     },
 
+    // ----- confusable-skeleton fuzz (NEW r13): 1000 adversarial docs
+    // mixing homoglyph runs, fullwidth forms, in-word zero-widths, and
+    // non-confusable Unicode that must pass through untouched — the
+    // skeleton hash and the stripped-char count must agree with DuckDB
+    // replaying the identical translate from the shared constants -----
+    "t_confusables_fuzz" -> { (s, dir) =>
+      val skel = TextFunctions.confusableSkeleton(col("txt"))
+      fuzzDocsDf(s, ConfusableFuzzFrags)
+        .select(
+          col("doc_id"),
+          TextFunctions.hashMod(skel).as("skel_fp"),
+          (length(col("txt")) - length(skel)).as("n_stripped"))
+    },
+
     // ----- per-language OOV accounting against the top-100 corpus vocab
     // (NEW r10): the report that sizes a tokenizer vocab and flags
     // underserved languages -----
@@ -4609,6 +4647,18 @@ object PipelineQueries {
          |    AS artifact_ppm,
          |  (n_replacement + n_c1 + n_moji) = 0 AS clean
          |FROM c""".stripMargin
+    },
+    "t_confusables_fuzz" -> {
+      val from = graft.ops.TextFunctions.ConfusableFrom
+      val to = graft.ops.TextFunctions.ConfusableTo
+      s"""WITH ${fuzzDocsSql(ConfusableFuzzFrags)},
+         |sk AS (
+         |  SELECT doc_id, txt, translate(txt, '$from', '$to') AS skel
+         |  FROM docs)
+         |SELECT doc_id,
+         |  ${hash61Sql("skel")} % 1000000007 AS skel_fp,
+         |  CAST(length(txt) - length(skel) AS INT) AS n_stripped
+         |FROM sk""".stripMargin
     },
     "t_oov_report" ->
       s"""WITH t AS (

@@ -69,7 +69,9 @@ class PlanGuardSpec extends AnyFunSuite with Matchers {
     ("m_audio_stats", 0, 0), // encode+decode both mapPartitions
     ("q_cdc_snapshot", 1, 0), // map-side-combined argmax, no window
     ("t_data_quality", 4, 0), // 1-row predicate agg + unique + fk pieces
-    ("t_confusables", 2, 0)) // two fingerprint exchanges, bcast join-backs
+    ("t_confusables", 2, 0), // two fingerprint exchanges, bcast join-backs
+    ("q_temporal_join", 2, 0), // history + as-of union-window; NO range join
+    ("t_confusables_fuzz", 0, 0)) // pure projection over the fixture
 
   test("headline [B] gates keep their audited plan shapes") {
     assume(

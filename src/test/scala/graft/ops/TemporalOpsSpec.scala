@@ -185,6 +185,30 @@ class StreamingScdSpec extends SparkSpec {
   }
 }
 
+class TemporalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("facts join the version whose half-open interval contains them") {
+    // history for key 1: a@[10,30), b@[30,open)
+    val obs = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), (1L, 30L, 3L, "b"))
+      .toDF("k", "ts", "tie", "attr")
+    val hist = Scd.scd2History(obs, Seq("k"), "attr", "ts", "tie")
+    val facts = Seq((101L, 1L, 15L), (102L, 1L, 30L), (103L, 1L, 99L),
+      (104L, 1L, 5L)) // before any version: null enrichment
+      .toDF("fact_id", "k", "ts")
+    val out = AsOfJoin.leftAsOf(
+      facts, "ts", hist, "eff_from",
+      keys = Seq(("k", "k")),
+      payload = Seq("version", "attr"),
+      tieBreak = Some("version"))
+      .orderBy("fact_id").collect()
+    // 15 -> a(v1); 30 -> b(v2) AT its eff_from (half-open); 99 -> open b
+    out.map(r => Option(r.getAs[Any]("attr")).orNull).toSeq shouldBe
+      Seq("a", "b", "b", null)
+    out.take(3).map(_.getAs[Int]("version")).toSeq shouldBe Seq(1, 2, 2)
+  }
+}
+
 class IntervalsSpec extends SparkSpec {
   import spark.implicits._
 
