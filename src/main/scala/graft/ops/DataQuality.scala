@@ -77,20 +77,25 @@ object DataQuality {
       parent: DataFrame,
       parentKey: String,
       name: String): DataFrame = {
-    val n = child.count()
-    val orphanKeys = child
+    // one pass over the child (the groupBy), one distinct-key outer join,
+    // one 1-row agg: orphan rows AND the total come from the same grouped
+    // relation — no second child scan, no driver-side count
+    val grouped = child
       .groupBy(col(childKey).as("__k"))
       .agg(count(lit(1)).as("__c"))
+    grouped
       .join(
-        parent.select(col(parentKey).as("__k")).distinct(),
+        parent.select(col(parentKey).as("__k"), lit(1).as("__p")).distinct(),
         Seq("__k"),
-        "left_anti")
-    orphanKeys
-      .agg(coalesce(sum(col("__c")), lit(0L)).as("n_violations"))
+        "left_outer")
+      .agg(
+        coalesce(sum(when(col("__p").isNull, col("__c"))), lit(0L))
+          .as("n_violations"),
+        coalesce(sum(col("__c")), lit(0L)).as("n_rows"))
       .select(
         lit(name).as("check_name"),
         col("n_violations"),
-        lit(n).as("n_rows"),
+        col("n_rows"),
         (col("n_violations") === 0L).cast("int").as("pass"))
   }
 
