@@ -1472,6 +1472,23 @@ object PipelineQueries {
         e1.union(e2).union(e3), "src", "dst")
     },
 
+    // ----- per-node triangle counts (NEW r13): the local-clustering
+    // signal for link-farm/community analysis, over the SAME derived
+    // link graph as u_pagerank. Canonical-edge wedges close against the
+    // edge set — pure equi-joins, no cartesian -----
+    "u_triangles" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e1 = docs.select(
+        col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
+      val e2 = docs.select(
+        col("doc_id").as("src"), ((col("doc_id") * 13 + 5) % n).as("dst"))
+      val e3 = docs.filter(col("doc_id") % 5 === 0).select(
+        col("doc_id").as("src"), (col("doc_id") % 37).as("dst"))
+      graft.ops.GraphStats.triangles(
+        e1.union(e2).union(e3), "src", "dst")
+    },
+
     // ----- textbook PageRank with dangling-mass redistribution (NEW r10,
     // the r9 verdict's optional item 7): docs divisible by 3 emit NO
     // out-links but are linked to, so a third of the graph is dangling —
@@ -5433,6 +5450,32 @@ object PipelineQueries {
         |  WHERE doc_id % 5 = 0""".stripMargin,
       seedPred = "node % 50 = 0",
       iters = 5),
+    // canonical a<b wedges closed against the canonical edge set; each
+    // triangle credits its three corners once
+    "u_triangles" ->
+      """WITH raw AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    (doc_id * 13 + 5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, doc_id % 37 FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src <> dst),
+        |tr AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (
+        |  SELECT x AS node FROM tr
+        |  UNION ALL SELECT y FROM tr
+        |  UNION ALL SELECT z FROM tr)
+        |GROUP BY node""".stripMargin,
     "u_degree_dist" ->
       """WITH e AS (
         |  SELECT doc_id AS src,

@@ -533,6 +533,12 @@ object syntax {
       */
     def qualityChecks(checks: Seq[(String, Column)]): DataFrame =
       DataQuality.predicateReport(df, checks)
+
+    /** Per-node triangle counts over this edge list
+      * ([[graft.ops.GraphStats.triangles]]).
+      */
+    def triangleCounts(srcCol: String, dstCol: String): DataFrame =
+      graft.ops.GraphStats.triangles(df, srcCol, dstCol)
   }
 
   /** Column-level sugar for the sign-quantization ladder end

@@ -1749,6 +1749,40 @@ object ScaleSmoke {
           else Some(s"$n rows \u2014 twins missing from the corpus")).flatten
       }))
 
+    // triangle counting on a 10M-node ring-with-chords (20M edges):
+    // edges (i, i+1 mod n) + (i, i+2 mod n) make EXACTLY n triangles
+    // (the consecutive triples), 3 per node — a closed-form invariant at
+    // any n. Wedge volume stays degree-bounded (deg 4), so the two
+    // equi-joins shuffle edge-sized relations, never pairs.
+    locally {
+      val n = 10000000L
+      measure(Step(
+        "u_triangles(10M-node ring+chords, exact count)",
+        () => {
+          val ids = spark.range(n).select(col("id"))
+          val edges = ids
+            .select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+            .union(ids.select(
+              col("id").as("src"), ((col("id") + 2) % n).as("dst")))
+          graft.ops.GraphStats.triangles(edges, "src", "dst")
+        },
+        ceilingGB = 5.0,
+        invariant = df => {
+          val a = df.agg(
+            count(lit(1)).as("nodes"),
+            sum(col("n_triangles")).as("corners"),
+            min(col("n_triangles")).as("lo"),
+            max(col("n_triangles")).as("hi")).collect()(0)
+          Seq(
+            if (a.getLong(0) == n && a.getLong(1) == 3 * n) None
+            else Some(s"${a.getLong(0)} nodes / ${a.getLong(1)} corners " +
+              s"!= ($n, ${3 * n})"),
+            if (a.getLong(2) == 3L && a.getLong(3) == 3L) None
+            else Some(s"per-node counts [${a.getLong(2)}, ${a.getLong(3)}]" +
+              " != exactly 3")).flatten
+        }))
+    }
+
     // GK quantile sketch (percentile_approx) at 50M DISTINCT values: the
     // mergeable-summary path that replaces exact rangePrefix quantiles
     // when rank error is tolerable at 100 TB. The input is a closed-form

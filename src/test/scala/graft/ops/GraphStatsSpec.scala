@@ -40,4 +40,38 @@ class GraphStatsSpec extends SparkSpec {
     }
     report(edges, parts = 1) shouldBe report(edges, parts = 13)
   }
+
+  private def tris(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    GraphStats.triangles(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("ring-with-chords has exactly n triangles, 3 per node") {
+    // nodes 0..n-1; edges (i, i+1) and (i, i+2) mod n -> triangles are
+    // exactly the consecutive triples {i, i+1, i+2}
+    val n = 24L
+    val edges = (0L until n).flatMap(i => Seq(i -> ((i + 1) % n), i -> ((i + 2) % n)))
+    val t = tris(edges)
+    t.values.sum shouldBe 3 * n // each triangle credits 3 corners
+    t.size shouldBe n
+    all(t.values) shouldBe 3L
+  }
+
+  test("triangle-free graphs report nothing; direction and dups ignored") {
+    // a 4-cycle has no triangle
+    tris(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)) shouldBe empty
+    // one triangle however oriented/duplicated/self-looped
+    val messy = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 1L -> 1L, 2L -> 3L)
+    tris(messy) shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+  }
+
+  test("K4: every node sits in 3 of the 4 triangles") {
+    val k4 = for {
+      a <- 0L to 3L; b <- 0L to 3L if a < b
+    } yield a -> b
+    val t = tris(k4)
+    t.values.sum shouldBe 12L // 4 triangles x 3 corners
+    all(t.values) shouldBe 3L
+  }
 }
