@@ -84,14 +84,25 @@ object GraphStats {
   def triangles(
       edges: DataFrame,
       srcCol: String,
-      dstCol: String): DataFrame = {
-    val canon = Par.cached(
+      dstCol: String): DataFrame =
+    trianglesOf(canonicalEdges(edges, srcCol, dstCol))
+
+  /** Cached simple undirected edge set: canonical `a < b` pairs with
+    * direction, multiplicity and self-loops dropped.
+    */
+  private def canonicalEdges(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame =
+    Par.cached(
       Par.fan(edges)
         .filter(col(srcCol) =!= col(dstCol))
         .select(
           least(col(srcCol), col(dstCol)).as("a"),
           greatest(col(srcCol), col(dstCol)).as("b"))
         .distinct())
+
+  private def trianglesOf(canon: DataFrame): DataFrame = {
     val wedges = canon.as("e1")
       .join(canon.as("e2"), col("e1.b") === col("e2.a"))
       .select(
@@ -107,5 +118,46 @@ object GraphStats {
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Local clustering coefficient per node — `2·T(v) / (d(v)·(d(v)−1))`
+    * over the simple undirected graph, as EXACT integer ppm
+    * (`2·T·10⁶ intdiv d(d−1)`; no float division, hash-gateable). The
+    * per-node closure number link-farm detection actually thresholds:
+    * organic neighborhoods close (high cc), manufactured link stars
+    * don't (hub cc ≈ 0 while degree is huge). Nodes with degree < 2
+    * have no defined coefficient and report 0 over their 0 triangles.
+    *
+    * Scale posture: [[triangles]]' audited wedge/closure joins plus one
+    * degree aggregation over the SAME cached canonical edge set and a
+    * node-sized left join — no new corpus-shaped shuffle.
+    */
+  def clusteringReport(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val canon = canonicalEdges(edges, srcCol, dstCol)
+    val deg = canon
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("degree"))
+    val tris = trianglesOf(canon)
+    deg
+      .join(tris, Seq("node"), "left_outer")
+      .select(
+        col("node"),
+        col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(
+          col("degree") >= 2L,
+          // IntegralDivide, NOT `/` (which is DOUBLE division on longs):
+          // exact floor quotient keeps the ppm hash-gateable
+          org.apache.spark.sql.graft.ColumnShim.column(
+            org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+              org.apache.spark.sql.graft.ColumnShim.expression(
+                coalesce(col("n_triangles"), lit(0L)) * 2000000L),
+              org.apache.spark.sql.graft.ColumnShim.expression(
+                col("degree") * (col("degree") - 1L)))))
+          .otherwise(lit(0L)).as("cc_ppm"))
   }
 }

@@ -1489,6 +1489,23 @@ object PipelineQueries {
         e1.union(e2).union(e3), "src", "dst")
     },
 
+    // ----- local clustering coefficients (NEW r13): exact integer ppm
+    // (2·T·10⁶ intdiv d(d−1)) per node over the same link graph — the
+    // closure metric link-farm thresholds read. Triangles + one degree
+    // agg over the SAME cached canonical edges -----
+    "u_clustering" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e1 = docs.select(
+        col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
+      val e2 = docs.select(
+        col("doc_id").as("src"), ((col("doc_id") * 13 + 5) % n).as("dst"))
+      val e3 = docs.filter(col("doc_id") % 5 === 0).select(
+        col("doc_id").as("src"), (col("doc_id") % 37).as("dst"))
+      graft.ops.GraphStats.clusteringReport(
+        e1.union(e2).union(e3), "src", "dst")
+    },
+
     // ----- textbook PageRank with dangling-mass redistribution (NEW r10,
     // the r9 verdict's optional item 7): docs divisible by 3 emit NO
     // out-links but are linked to, so a third of the graph is dangling —
@@ -5476,6 +5493,43 @@ object PipelineQueries {
         |  UNION ALL SELECT y FROM tr
         |  UNION ALL SELECT z FROM tr)
         |GROUP BY node""".stripMargin,
+    // degrees + triangles over the same canonical edges; cc = exact
+    // integer-ppm floor quotient (both engines' integral division)
+    "u_clustering" ->
+      """WITH raw AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    (doc_id * 13 + 5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, doc_id % 37 FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src <> dst),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node),
+        |tr AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tc AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |    SELECT x AS node FROM tr
+        |    UNION ALL SELECT y FROM tr
+        |    UNION ALL SELECT z FROM tr)
+        |  GROUP BY node)
+        |SELECT d.node, d.degree,
+        |  CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN d.degree >= 2
+        |    THEN (coalesce(tc.n_triangles, 0) * 2000000)
+        |      // (d.degree * (d.degree - 1))
+        |    ELSE 0 END AS BIGINT) AS cc_ppm
+        |FROM deg d LEFT JOIN tc ON d.node = tc.node""".stripMargin,
     "u_degree_dist" ->
       """WITH e AS (
         |  SELECT doc_id AS src,

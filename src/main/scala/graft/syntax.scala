@@ -539,6 +539,12 @@ object syntax {
       */
     def triangleCounts(srcCol: String, dstCol: String): DataFrame =
       graft.ops.GraphStats.triangles(df, srcCol, dstCol)
+
+    /** Local clustering coefficients (exact integer ppm) over this edge
+      * list ([[graft.ops.GraphStats.clusteringReport]]).
+      */
+    def clusteringCoefficients(srcCol: String, dstCol: String): DataFrame =
+      graft.ops.GraphStats.clusteringReport(df, srcCol, dstCol)
   }
 
   /** Column-level sugar for the sign-quantization ladder end

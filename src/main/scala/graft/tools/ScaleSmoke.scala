@@ -1757,29 +1757,33 @@ object ScaleSmoke {
     locally {
       val n = 10000000L
       measure(Step(
-        "u_triangles(10M-node ring+chords, exact count)",
+        "u_triangles+cc(10M-node ring+chords, exact closed form)",
         () => {
           val ids = spark.range(n).select(col("id"))
           val edges = ids
             .select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
             .union(ids.select(
               col("id").as("src"), ((col("id") + 2) % n).as("dst")))
-          graft.ops.GraphStats.triangles(edges, "src", "dst")
+          graft.ops.GraphStats.clusteringReport(edges, "src", "dst")
         },
-        ceilingGB = 5.0,
+        ceilingGB = 6.0,
         invariant = df => {
+          // closed form: every node has degree 4, sits in exactly 3
+          // triangles, cc = 2*3*1e6/(4*3) = 500000 ppm
           val a = df.agg(
             count(lit(1)).as("nodes"),
             sum(col("n_triangles")).as("corners"),
-            min(col("n_triangles")).as("lo"),
-            max(col("n_triangles")).as("hi")).collect()(0)
+            countDistinct(
+              col("degree"), col("n_triangles"), col("cc_ppm")).as("shapes"),
+            min(col("cc_ppm")).as("cc")).collect()(0)
           Seq(
             if (a.getLong(0) == n && a.getLong(1) == 3 * n) None
             else Some(s"${a.getLong(0)} nodes / ${a.getLong(1)} corners " +
               s"!= ($n, ${3 * n})"),
-            if (a.getLong(2) == 3L && a.getLong(3) == 3L) None
-            else Some(s"per-node counts [${a.getLong(2)}, ${a.getLong(3)}]" +
-              " != exactly 3")).flatten
+            if (a.getLong(2) == 1L && a.getLong(3) == 500000L) None
+            else Some(s"${a.getLong(2)} distinct (degree, tri, cc) shapes, " +
+              s"cc=${a.getLong(3)} — expected exactly (4, 3, 500000)"))
+            .flatten
         }))
     }
 

@@ -72,7 +72,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers {
     ("t_confusables", 2, 0), // two fingerprint exchanges, bcast join-backs
     ("q_temporal_join", 2, 0), // history + as-of union-window; NO range join
     ("t_confusables_fuzz", 0, 0), // pure projection over the fixture
-    ("u_triangles", 4, 0)) // canonical edges + 2 equi-joins, no cartesian
+    ("u_triangles", 4, 0), // canonical edges + 2 equi-joins, no cartesian
+    ("u_clustering", 6, 0)) // + degree agg and node join, still no cartesian
 
   test("headline [B] gates keep their audited plan shapes") {
     assume(

@@ -74,4 +74,33 @@ class GraphStatsSpec extends SparkSpec {
     t.values.sum shouldBe 12L // 4 triangles x 3 corners
     all(t.values) shouldBe 3L
   }
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] = {
+    import spark.implicits._
+    GraphStats.clusteringReport(edges.toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("clustering: K4 fully closed (cc = 1e6), path open (cc = 0)") {
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield a -> b
+    val ck4 = cc(k4)
+    all(ck4.values.map(_._3)) shouldBe 1000000L
+    // path 1-2-3: middle node has degree 2, zero triangles -> cc 0;
+    // endpoints have degree 1 -> undefined, reported 0
+    val cp = cc(Seq(1L -> 2L, 2L -> 3L))
+    cp(2L) shouldBe ((2L, 0L, 0L))
+    cp(1L) shouldBe ((1L, 0L, 0L))
+  }
+
+  test("clustering: ring-with-chords nodes close half their wedges") {
+    // degree 4, 3 triangles each: cc = 2*3*1e6 / (4*3) = 500000 exactly
+    val n = 12L
+    val edges = (0L until n).flatMap(i =>
+      Seq(i -> ((i + 1) % n), i -> ((i + 2) % n)))
+    val out = cc(edges)
+    out.size shouldBe n
+    all(out.values) shouldBe ((4L, 3L, 500000L))
+  }
 }
