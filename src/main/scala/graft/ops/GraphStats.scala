@@ -71,21 +71,28 @@ object GraphStats {
     * in at least one triangle; each triangle contributes once to each
     * of its three corners (global count = Σ/3).
     *
-    * Scale posture: pure equi-joins, NO cartesian — wedges enumerate
-    * each ordered triple `a<b<c` exactly once (canonical edges joined
-    * on the shared middle vertex), then close against the canonical
-    * edge set on `(a, c)`. Wedge volume is the Σ deg(b)² term every
-    * distributed triangle algorithm pays; the canonical orientation
-    * halves each degree, the standard mitigation short of full
-    * degree-ordering (swap in when the graph has super-hubs — the
-    * closure join is unchanged). The edge set is cached once and reused
-    * by both wedge sides and the closure.
+    * Scale posture: pure equi-joins, NO cartesian — and DEGREE-ORDERED
+    * wedge enumeration (r14): every edge is oriented from its
+    * lower-(degree, id) endpoint to its higher one, so the wedge pivot
+    * of a triangle is always its degree-minimum corner. Out-degree
+    * under this orientation is bounded by O(√m) on ANY graph (a node
+    * can only point at neighbors of ≥ its own degree), so wedge volume
+    * is Σ outdeg² = O(m^1.5) worst-case — a degree-10⁶ super-hub
+    * contributes ~zero wedges as a pivot instead of the ~deg²/4 the
+    * plain id-canonical orientation pays when the hub's id sorts low.
+    * Each triangle {u,v,w} (u<v<w in degree-order) is emitted exactly
+    * once: the wedge (v←u→w) closes against the oriented edge v→w.
+    * Costs vs id-canonical: one node-sized degree aggregation and one
+    * edge-sized degree join-back (both partial-agg'd / equi-joins) — a
+    * constant factor that buys the skew bound.
     */
   def triangles(
       edges: DataFrame,
       srcCol: String,
-      dstCol: String): DataFrame =
-    trianglesOf(canonicalEdges(edges, srcCol, dstCol))
+      dstCol: String): DataFrame = {
+    val canon = canonicalEdges(edges, srcCol, dstCol)
+    trianglesOf(orientedEdges(canon, degreesOf(canon)))
+  }
 
   /** Cached simple undirected edge set: canonical `a < b` pairs with
     * direction, multiplicity and self-loops dropped.
@@ -102,17 +109,57 @@ object GraphStats {
           greatest(col(srcCol), col(dstCol)).as("b"))
         .distinct())
 
-  private def trianglesOf(canon: DataFrame): DataFrame = {
-    val wedges = canon.as("e1")
-      .join(canon.as("e2"), col("e1.b") === col("e2.a"))
+  /** Cached per-node degree of the simple undirected graph (column
+    * `degree`) — shared by the orientation and [[clusteringReport]].
+    */
+  private def degreesOf(canon: DataFrame): DataFrame =
+    Par.cached(
+      canon
+        .select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("degree")))
+
+  /** Degree-ordered orientation of the canonical edge set: each edge
+    * points from its lower-(degree, id) endpoint `u` to its higher one
+    * `v`; `dv` carries deg(v) so wedge endpoints can be ordered without
+    * another join. The struct comparison never ties — ids are distinct
+    * within an edge. Cached: reused by both wedge sides AND the closure.
+    */
+  private def orientedEdges(canon: DataFrame, deg: DataFrame): DataFrame = {
+    val keyed = canon
+      .join(
+        deg.select(col("node").as("a"), col("degree").as("__da")), Seq("a"))
+      .join(
+        deg.select(col("node").as("b"), col("degree").as("__db")), Seq("b"))
+    val aFirst = struct(col("__da"), col("a")) < struct(col("__db"), col("b"))
+    Par.cached(
+      keyed.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("__db")).otherwise(col("__da")).as("dv")))
+  }
+
+  /** Wedge-enumerate + close over the degree-oriented edge set. The
+    * pivot `u` of every emitted wedge is the degree-minimum corner;
+    * endpoints are emitted in degree-order (`(dv,v) < (dw,w)`), so a
+    * closing edge — if it exists — is oriented exactly `v → w` and one
+    * equi-join on `(v, w)` finds it. Each triangle appears once.
+    */
+  private def trianglesOf(oriented: DataFrame): DataFrame = {
+    val wedges = oriented.as("e1")
+      .join(
+        oriented.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          struct(col("e1.dv"), col("e1.v")) <
+            struct(col("e2.dv"), col("e2.v")))
       .select(
-        col("e1.a").as("x"),
-        col("e1.b").as("y"),
-        col("e2.b").as("z"))
+        col("e1.u").as("x"),
+        col("e1.v").as("y"),
+        col("e2.v").as("z"))
     val tris = wedges
       .join(
-        canon,
-        wedges("x") === canon("a") && wedges("z") === canon("b"))
+        oriented,
+        wedges("y") === oriented("u") && wedges("z") === oriented("v"))
       .select(col("x"), col("y"), col("z"))
     tris
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
@@ -128,20 +175,18 @@ object GraphStats {
     * don't (hub cc ≈ 0 while degree is huge). Nodes with degree < 2
     * have no defined coefficient and report 0 over their 0 triangles.
     *
-    * Scale posture: [[triangles]]' audited wedge/closure joins plus one
-    * degree aggregation over the SAME cached canonical edge set and a
-    * node-sized left join — no new corpus-shaped shuffle.
+    * Scale posture: [[triangles]]' audited degree-ordered wedge/closure
+    * joins; the degree aggregation is computed ONCE (cached) and shared
+    * by the orientation and the coefficient — no new corpus-shaped
+    * shuffle beyond a node-sized left join.
     */
   def clusteringReport(
       edges: DataFrame,
       srcCol: String,
       dstCol: String): DataFrame = {
     val canon = canonicalEdges(edges, srcCol, dstCol)
-    val deg = canon
-      .select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("degree"))
-    val tris = trianglesOf(canon)
+    val deg = degreesOf(canon)
+    val tris = trianglesOf(orientedEdges(canon, deg))
     deg
       .join(tris, Seq("node"), "left_outer")
       .select(

@@ -6,10 +6,20 @@ import org.apache.spark.sql.SparkSession
   * named gates at sf0.001 — the numbers PlanGuardSpec pins.
   */
 object PlanShapeProbe {
+  /** Exchanges are counted as DISTINCT operator lines (leading tree-art
+    * stripped): a `Par.cached` subtree prints its child plan verbatim at
+    * every InMemoryRelation occurrence — same plan object, same
+    * expression ids — but runs ONCE, so identical lines are one runtime
+    * exchange. Genuinely separate exchanges always carry distinct
+    * expression ids and survive the dedup.
+    */
   def shape(plan: String): Map[String, Int] =
     Map(
-      "exchange" -> "(?m)^.*Exchange (hash|range|single)".r
-        .findAllIn(plan).size,
+      "exchange" -> "(?m)^.*Exchange (hash|range|single)[^\\n]*".r
+        .findAllIn(plan)
+        .map(_.dropWhile(c => !c.isLetter))
+        .toSet
+        .size,
       "bnlj" -> "BroadcastNestedLoopJoin".r.findAllIn(plan).size,
       "cartesian" -> "CartesianProduct".r.findAllIn(plan).size,
       "smj" -> "SortMergeJoin".r.findAllIn(plan).size,

@@ -72,8 +72,12 @@ class PlanGuardSpec extends AnyFunSuite with Matchers {
     ("t_confusables", 2, 0), // two fingerprint exchanges, bcast join-backs
     ("q_temporal_join", 2, 0), // history + as-of union-window; NO range join
     ("t_confusables_fuzz", 0, 0), // pure projection over the fixture
-    ("u_triangles", 4, 0), // canonical edges + 2 equi-joins, no cartesian
-    ("u_clustering", 6, 0)) // + degree agg and node join, still no cartesian
+    // r14: triangles re-pinned 4→7 / 6→8 — the degree-ordered orientation
+    // (GraphStats.orientedEdges) pays one node-sized degree agg and two
+    // edge-sized degree join-backs to cap wedge volume at O(m^1.5) on
+    // power-law graphs; every added exchange is edge/node-sized, audited
+    ("u_triangles", 7, 0), // canon + degree orient + wedge/closure equi-joins
+    ("u_clustering", 8, 0)) // + the shared degree agg's node join
 
   test("headline [B] gates keep their audited plan shapes") {
     assume(

@@ -75,6 +75,26 @@ class GraphStatsSpec extends SparkSpec {
     all(t.values) shouldBe 3L
   }
 
+  test("hub graph: degree-ordered counts match the closed form") {
+    // star hub (mid-sorting id h — the id-canonical wedge worst case:
+    // its edges split across both sides of an a<b orientation) + a ring
+    // over the leaves: triangles are exactly {h, i, i+1 mod m}
+    val m = 40L
+    val leaves = (0L until m).map(i => if (i < m / 2) i else i + 30000L)
+    val hub = 15000L // strictly between the two leaf id blocks
+    val edges =
+      leaves.map(l => hub -> l) ++
+        (0L until m).map(i => leaves(i.toInt) -> leaves(((i + 1) % m).toInt))
+    val t = tris(edges)
+    t(hub) shouldBe m // one triangle per ring edge
+    leaves.foreach(l => t(l) shouldBe 2L) // its two ring neighbors
+    val c = cc(edges)
+    // hub: deg m, m triangles -> 2*m*1e6 / (m*(m-1)) = 2e6/(m-1) floored
+    c(hub) shouldBe ((m, m, 2000000L / (m - 1)))
+    // leaf: deg 3 (hub + 2 ring), 2 triangles -> 4e6/6 floored
+    leaves.foreach(l => c(l) shouldBe ((3L, 2L, 666666L)))
+  }
+
   private def cc(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] = {
     import spark.implicits._
     GraphStats.clusteringReport(edges.toDF("src", "dst"), "src", "dst")
