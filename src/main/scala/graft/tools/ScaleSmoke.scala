@@ -41,12 +41,18 @@ object ScaleSmoke {
     val shuffleWrite = new AtomicLong()
     val shuffleRecords = new AtomicLong()
     val spillBytes = new AtomicLong()
+    // per-task shuffle-read high-water mark: the skew signal — a reduce
+    // task that must read a hot key's full fan-in shows up HERE even when
+    // totals look linear (the q_skew_salted_join spec pattern)
+    val maxTaskReadRecords = new AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         Option(t.taskMetrics).foreach { m =>
           shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
           spillBytes.addAndGet(m.diskBytesSpilled)
+          maxTaskReadRecords.getAndUpdate(v =>
+            math.max(v, m.shuffleReadMetrics.recordsRead))
         }
     })
 
@@ -108,6 +114,7 @@ object ScaleSmoke {
       try {
         graft.ops.Par.releaseCaches() // previous step's caches
         shuffleWrite.set(0); shuffleRecords.set(0); spillBytes.set(0)
+        maxTaskReadRecords.set(0)
         val t0 = System.nanoTime()
         val df = step.run()
         df.write.format("noop").mode("overwrite").save()
@@ -1812,6 +1819,121 @@ object ScaleSmoke {
             if (v >= exact - band && v <= exact + band) None
             else Some(s"q=$q: sketch $v outside +-$band around $exact")
           }
+        }))
+    }
+
+    // POWER-LAW triangle counting (r14, closing the r13 verdict's one
+    // `weak`): a degree-10^5 super-hub whose id sorts MID-RANGE — the
+    // id-canonical worst case (its edges split across both sides of the
+    // a<b orientation, so the hub would pivot ~(deg/2)^2 = 2.5e9 wedges).
+    // The degree-ordered plan orients every hub edge TOWARD the hub
+    // (leaves have degree 3), so the hub pivots zero wedges and total
+    // wedge volume stays linear. Both orientations' wedge volumes are
+    // AUDITED as 1-row aggregates (no need to run the bad plan to prove
+    // it violates the ceiling), and the triangle/cc output is closed-form.
+    locally {
+      val m = 100000L
+      val hub = 600000L // strictly between the two leaf id blocks
+      def leafId(i: org.apache.spark.sql.Column) =
+        when(i < m / 2, i).otherwise(i + 1000000L)
+      val ids = spark.range(m).select(col("id"))
+      val edges = ids
+        .select(lit(hub).as("src"), leafId(col("id")).as("dst"))
+        .union(ids.select(
+          leafId(col("id")).as("src"),
+          leafId((col("id") + 1) % m).as("dst")))
+      measure(Step(
+        "u_triangles+cc(degree-10^5 mid-id hub, degree-ordered wedges)",
+        () => graft.ops.GraphStats.clusteringReport(edges, "src", "dst"),
+        ceilingGB = 2.0,
+        invariant = df => {
+          val a = df.agg(
+            count(lit(1)).as("nodes"),
+            sum(col("n_triangles")).as("corners")).collect()(0)
+          val hubRow = df.filter(col("node") === hub)
+            .select(col("degree"), col("n_triangles"), col("cc_ppm"))
+            .collect()(0)
+          // wedge-volume audit over the SAME canonical edge set, both
+          // orientations: sum over pivots of C(out,2)
+          val canon = edges
+            .filter(col("src") =!= col("dst"))
+            .select(
+              least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+            .distinct()
+          val deg = canon
+            .select(explode(array(col("a"), col("b"))).as("node"))
+            .groupBy("node").agg(count(lit(1)).as("d"))
+          val aFirst =
+            struct(col("__da"), col("a")) < struct(col("__db"), col("b"))
+          val orderedWedges = canon
+            .join(deg.select(col("node").as("a"), col("d").as("__da")), Seq("a"))
+            .join(deg.select(col("node").as("b"), col("d").as("__db")), Seq("b"))
+            .select(when(aFirst, col("a")).otherwise(col("b")).as("u"))
+            .groupBy("u").agg(count(lit(1)).as("out"))
+            .agg(sum(col("out") * (col("out") - 1) / 2).as("w"))
+            .collect()(0).getAs[Number]("w").longValue()
+          val canonicalWedges = canon
+            .groupBy(col("a").as("u")).agg(count(lit(1)).as("hi"))
+            .join(
+              canon.groupBy(col("b").as("u")).agg(count(lit(1)).as("lo")),
+              Seq("u"))
+            .agg(sum(col("hi") * col("lo")).as("w"))
+            .collect()(0).getAs[Number]("w").longValue()
+          Seq(
+            if (a.getLong(0) == m + 1 && a.getLong(1) == 3 * m) None
+            else Some(s"${a.getLong(0)} nodes / ${a.getLong(1)} corners " +
+              s"!= (${m + 1}, ${3 * m})"),
+            if (hubRow.getLong(0) == m && hubRow.getLong(1) == m &&
+              hubRow.getLong(2) == 2000000L / (m - 1)) None
+            else Some(s"hub (deg, tri, cc) = $hubRow != " +
+              s"($m, $m, ${2000000L / (m - 1)})"),
+            if (orderedWedges <= 3 * m) None
+            else Some(s"degree-ordered wedge volume $orderedWedges > ${3 * m}" +
+              " — the orientation lost its O(m^1.5) bound"),
+            if (canonicalWedges >= (m / 2) * (m / 2)) None
+            else Some(s"id-canonical wedge volume $canonicalWedges < " +
+              s"${(m / 2) * (m / 2)} — fixture no longer exercises the " +
+              "hub blowup this step exists to catch")).flatten
+        }))
+    }
+
+    // POWER-LAW PageRank (r14): the ring smokes have constant degree, so
+    // the graph family's skew posture was asserted, never exercised. A
+    // planted super-hub with in-degree n-1 (every node links the hub; a
+    // ring gives everyone an out-edge) drives the contribution aggregate's
+    // hot key: map-side combine must deliver the hub's fan-in as one row
+    // per map partition, so NO reduce task may read anything near deg(hub)
+    // records. AQE partition coalescing is disabled in an isolated session
+    // (the q_skew_salted_join spec pattern) so the per-task bound is
+    // deterministic at this deliberately-small-bytes scale.
+    locally {
+      val n = 4000000L
+      val hub = n / 2
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val ids = s2.range(n).select(col("id"))
+      val edges = ids
+        .select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+        .union(ids.filter(col("id") =!= hub)
+          .select(col("id").as("src"), lit(hub).as("dst")))
+      measure(Step(
+        s"u_pagerank(4M nodes, planted in-degree-${n - 1} hub, task spread)",
+        () => graft.ops.PageRank.ranks(edges, "src", "dst", iters = 3),
+        ceilingGB = 3.0,
+        invariant = df => {
+          val maxRead = maxTaskReadRecords.get
+          val top = df.orderBy(col("rank").desc).limit(1).collect()(0)
+          Seq(
+            if (top.getLong(0) == hub && top.getLong(1) > 250000000000L) None
+            else Some(s"top rank (${top.getLong(0)}, ${top.getLong(1)}) — " +
+              s"expected the hub $hub with > 0.25 * scale"),
+            if (df.count() == n) None
+            else Some(s"${df.count()} nodes != $n"),
+            if (maxRead < n / 8) None
+            else Some(s"a task shuffle-read $maxRead records (>= n/8 = " +
+              s"${n / 8}) — the hub's fan-in reached a reduce task " +
+              "uncombined")).flatten
         }))
     }
 
