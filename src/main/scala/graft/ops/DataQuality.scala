@@ -25,18 +25,23 @@ object DataQuality {
 
   /** All row-level predicates in ONE scan: each `(name, holds)` pair
     * contributes a violation count `sum(holds ? 0 : 1)` (null predicate
-    * results count as violations — an unknown is not a pass).
+    * results count as violations — an unknown is not a pass). Internal
+    * columns are POSITIONAL (`__v_0`, `__v_1`, …) — check names appear
+    * only as literals in the report, so names carrying dots, backticks
+    * or duplicates can't break column resolution. Zero input rows report
+    * 0 violations, pass = 1 (the sums are coalesced).
     */
   def predicateReport(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "predicateReport needs at least one check")
-    val aggs = count(lit(1)).as("__n") +: checks.map { case (name, holds) =>
-      sum(when(coalesce(holds, lit(false)), 0L).otherwise(1L)).as(s"__v_$name")
+    val aggs = count(lit(1)).as("__n") +: checks.zipWithIndex.map {
+      case ((_, holds), i) =>
+        sum(when(coalesce(holds, lit(false)), 0L).otherwise(1L)).as(s"__v_$i")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = checks.map { case (name, _) =>
+    val stacked = checks.zipWithIndex.map { case ((name, _), i) =>
       struct(
         lit(name).as("check_name"),
-        col(s"__v_$name").as("n_violations"),
+        coalesce(col(s"__v_$i"), lit(0L)).as("n_violations"),
         col("__n").as("n_rows"))
     }
     one
@@ -59,7 +64,8 @@ object DataQuality {
       .agg(
         coalesce(sum(when(col("__c") > 1L, col("__c"))), lit(0L))
           .as("n_violations"),
-        sum(col("__c")).as("n_rows"))
+        // coalesce: zero input rows must report (0, 0, pass) like fkReport
+        coalesce(sum(col("__c")), lit(0L)).as("n_rows"))
       .select(
         lit(name).as("check_name"),
         col("n_violations"),

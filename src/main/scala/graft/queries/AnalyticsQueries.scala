@@ -987,7 +987,8 @@ object AnalyticsQueries {
         |  FROM events),
         |runs AS (
         |  SELECT user_id, event_id, event_type, us,
-        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |    CASE WHEN row_number() OVER w = 1
+        |           OR lag(event_type) OVER w IS DISTINCT FROM event_type
         |         THEN 1 ELSE 0 END AS opens
         |  FROM e
         |  WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
@@ -1011,7 +1012,8 @@ object AnalyticsQueries {
         |  FROM events),
         |runs AS (
         |  SELECT user_id, event_id, event_type, us,
-        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |    CASE WHEN row_number() OVER w = 1
+        |           OR lag(event_type) OVER w IS DISTINCT FROM event_type
         |         THEN 1 ELSE 0 END AS opens
         |  FROM e
         |  WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
@@ -1043,14 +1045,18 @@ object AnalyticsQueries {
 
     // run-collapse via null-safe lag-change detection, then versions +
     // half-open validity from lead() over the change rows — all in
-    // epoch_us (the events fixture is microsecond-grained)
+    // epoch_us (the events fixture is microsecond-grained). The rn=1 OR
+    // arm mirrors the Spark op's first-row branch: lag() alone would
+    // never open a key whose FIRST event_type is NULL (lag returns NULL
+    // for both no-previous-row and a NULL value)
     "q_scd2_history" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
         |  FROM events),
         |runs AS (
         |  SELECT user_id, event_id, event_type, us,
-        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |    CASE WHEN row_number() OVER w = 1
+        |           OR lag(event_type) OVER w IS DISTINCT FROM event_type
         |         THEN 1 ELSE 0 END AS opens
         |  FROM e
         |  WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),

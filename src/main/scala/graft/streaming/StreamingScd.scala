@@ -24,6 +24,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * O(keys), partitioned by the grouping key, the standard stateful-
   * operator shape; provider-independent (replayed under RocksDB with the
   * other streaming gates).
+  *
+  * Ordering contract: observations are sorted by `(us, tie)` WITHIN a
+  * micro-batch, but an append-only history cannot retro-insert — a key's
+  * observations must arrive in event-time order ACROSS micro-batches
+  * (the reference's temporal tables get this from event-time watermarks;
+  * here the source must deliver per-key in order, e.g. a keyed log).
+  * An observation older than the open run's `eff_from` is DROPPED — the
+  * same fate watermark-late rows meet in a streaming aggregation —
+  * rather than silently closing a run with `eff_to < eff_from` and
+  * mis-numbering every later version.
   */
 object StreamingScd {
 
@@ -59,6 +69,9 @@ object StreamingScd {
           sorted.foreach { o =>
             val attr = Option(o.attr)
             current match {
+              case Some(run) if o.us < run.effFromUs =>
+              // late cross-batch arrival: dropped (see the ordering
+              // contract above) — applying it would corrupt the history
               case Some(run) if run.attr == attr => // unchanged: same run
               case Some(run) =>
                 closed += ClosedVersion(

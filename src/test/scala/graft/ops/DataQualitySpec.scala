@@ -42,6 +42,34 @@ class DataQualitySpec extends SparkSpec {
       .collect().head.getAs[Int]("pass") shouldBe 1
   }
 
+  test("check names with dots, backticks and duplicates are just labels") {
+    val rep = DataQuality.predicateReport(t, Seq(
+      "price.is.positive" -> (col("price") > 0.0),
+      "weird`name" -> col("id").isNotNull,
+      "weird`name" -> col("id").isNull)) // duplicate name, distinct check
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    rep should contain(("price.is.positive", 2L, 0))
+    rep.count(_._1 == "weird`name") shouldBe 2
+    rep should contain(("weird`name", 0L, 1))
+    rep should contain(("weird`name", 4L, 0))
+  }
+
+  test("empty input reports zero violations and passes") {
+    val empty = t.filter(col("id") < 0L)
+    val rows = DataQuality.combine(
+      DataQuality.predicateReport(empty, Seq("p" -> (col("price") > 0.0))),
+      DataQuality.uniqueReport(empty, Seq("id"), "u"),
+      DataQuality.fkReport(empty, "id", t, "id", "fk"))
+      .collect()
+    rows should have size 3
+    rows.foreach { r =>
+      r.getAs[Long]("n_violations") shouldBe 0L
+      r.getAs[Long]("n_rows") shouldBe 0L
+      r.getAs[Int]("pass") shouldBe 1
+    }
+  }
+
   test("combine unions reports with the stable column order") {
     val rep = DataQuality.combine(
       DataQuality.predicateReport(t, Seq("p" -> (col("price") > 0.0))),

@@ -154,6 +154,34 @@ class StreamingScdSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cross-batch late arrivals are dropped, never corrupt the history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Obs]
+    val q = StreamingScd.history(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("scd_late")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(Obs(1L, 100L, 1L, "a"), Obs(1L, 200L, 2L, "b"))
+      q.processAllAvailable()
+      // a LATE observation (us=50 < the open b-run's eff_from 200) must
+      // not close the run backwards (eff_to < eff_from) or shift versions
+      input.addData(Obs(1L, 50L, 3L, "x"))
+      q.processAllAvailable()
+      input.addData(Obs(1L, 300L, 4L, "c")) // in-order close of the b run
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT version, attr, eff_from_us, eff_to_us FROM scd_late " +
+          "ORDER BY version")
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      rows.toSeq shouldBe Seq((1, "a", 100L, 200L), (2, "b", 200L, 300L))
+    } finally q.stop()
+  }
+
   test("streaming emission equals the batch history minus open runs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
