@@ -439,6 +439,279 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** ISO-BMFF (MP4/MOV family) sniff: a `ftyp` box at offset 4. The
+    * container is parseable pure-byte-arithmetic even though the JDK has
+    * no codec for the streams inside — see [[mp4Meta]].
+    */
+  def sniffVideoFormat(bytes: Array[Byte]): Option[String] = {
+    def tag(i: Int): String =
+      if (i + 4 <= bytes.length) new String(bytes, i, 4, "US-ASCII") else ""
+    if (tag(4) == "ftyp") Some("mp4") else None
+  }
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  final case class Mp4Meta(
+      major_brand: String,
+      duration_ms: Long,
+      n_tracks: Int,
+      width: Int,
+      height: Int,
+      codec: String)
+
+  /** Parse ISO-BMFF container metadata by walking the box tree — pure
+    * byte arithmetic, the WAV-header pattern at the video level
+    * (reference analog: none — the brief's multimodal plumbing item).
+    * Returns the `ftyp` major brand, the presentation duration from
+    * `mvhd` (version 0 and 1), the `trak` count, the FIRST video track's
+    * (`hdlr` = 'vide') display dimensions from its `tkhd` (16.16 fixed
+    * point) and its codec fourcc from `stsd`'s first sample entry.
+    * Malformed structure (impossible box sizes, missing moov/mvhd)
+    * returns None → callers classify `mp4-corrupt`. Codec-level DECODE
+    * stays out of reach without external libs — this parses the
+    * container, exactly like [[audioStats]] reads RIFF headers.
+    */
+  def parseMp4(bytes: Array[Byte]): Option[Mp4Meta] = {
+    var brand = ""
+    var durationMs = -1L
+    var nTracks = 0
+    var vWidth, vHeight = 0
+    var vCodec = ""
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var corrupt = false
+    // per-trak scratch (reset at each trak; committed when its walk ends)
+    var tkW, tkH = 0
+    var tkVideo = false
+    var tkCodec = ""
+
+    def walk(from: Long, limit: Long, depth: Int): Unit = {
+      var off = from
+      while (off < limit && !corrupt) {
+        if (off + 8 > limit) { corrupt = true; return }
+        val size0 = be32(bytes, off.toInt)
+        val typ = fourcc(bytes, off.toInt + 4)
+        var header = 8L
+        val size =
+          if (size0 == 1L) {
+            if (off + 16 > limit) { corrupt = true; return }
+            header = 16L
+            be64(bytes, off.toInt + 8)
+          } else if (size0 == 0L) limit - off // box extends to end
+          else size0
+        if (size < header || off + size > limit || depth > 16) {
+          corrupt = true; return
+        }
+        val p = (off + header).toInt // payload start
+        val pLen = (size - header).toInt
+        typ match {
+          case "ftyp" if pLen >= 4 => brand = fourcc(bytes, p)
+          case "mvhd" if pLen >= 4 =>
+            val v = bytes(p) & 0xff
+            if (v == 1 && pLen >= 32) {
+              val ts = be32(bytes, p + 20)
+              val dur = be64(bytes, p + 24)
+              if (ts > 0) durationMs = dur * 1000L / ts
+            } else if (v == 0 && pLen >= 20) {
+              val ts = be32(bytes, p + 12)
+              val dur = be32(bytes, p + 16)
+              if (ts > 0) durationMs = dur * 1000L / ts
+            }
+          case "tkhd" if pLen >= 4 =>
+            val v = bytes(p) & 0xff
+            // width/height trail the 36-byte matrix: v0 payload offset
+            // 76/80, v1 (64-bit times) 88/92 — 16.16 fixed point
+            val wOff = if (v == 1) 88 else 76
+            if (pLen >= wOff + 8) {
+              tkW = (be32(bytes, p + wOff) >> 16).toInt
+              tkH = (be32(bytes, p + wOff + 4) >> 16).toInt
+            }
+          case "hdlr" if pLen >= 12 =>
+            if (fourcc(bytes, p + 8) == "vide") tkVideo = true
+          case "stsd" if pLen >= 16 =>
+            // vf(4) entry_count(4) entry_size(4) entry_fourcc(4)
+            tkCodec = fourcc(bytes, p + 12)
+          case "trak" =>
+            nTracks += 1
+            tkW = 0; tkH = 0; tkVideo = false; tkCodec = ""
+            walk(off + header, off + size, depth + 1)
+            if (tkVideo && vCodec.isEmpty) {
+              vWidth = tkW; vHeight = tkH; vCodec = tkCodec
+            }
+          case t if containers(t) =>
+            walk(off + header, off + size, depth + 1)
+          case _ => // mdat, free, skip-anything-else
+        }
+        off += size
+      }
+    }
+
+    walk(0L, bytes.length.toLong, 0)
+    if (corrupt || brand.isEmpty || durationMs < 0L) None
+    else Some(Mp4Meta(brand, durationMs, nTracks, vWidth, vHeight, vCodec))
+  }
+
+  private def boxOut(
+      bos: ByteArrayOutputStream, typ: String, payload: Array[Byte]): Unit = {
+    val size = payload.length + 8
+    bos.write((size >> 24) & 0xff); bos.write((size >> 16) & 0xff)
+    bos.write((size >> 8) & 0xff); bos.write(size & 0xff)
+    bos.write(typ.getBytes("US-ASCII"))
+    bos.write(payload)
+  }
+
+  private def beBytes32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Deterministic minimal-but-structurally-real MP4 fixture: `ftyp(isom)`
+    * + `moov(mvhd + video trak(tkhd+mdia(mdhd,hdlr(vide),minf(stbl(stsd(
+    * codec))))) + nAudio audio traks(hdlr(soun)))` + an `mdat` of
+    * `mdatLen` bytes — version-0 boxes, unity matrix, 16.16 dimensions.
+    * [[parseMp4]] on the output recovers exactly the inputs, so a
+    * relational oracle can replay the parse closed-form (the
+    * [[wavFixture]] contract at the container level).
+    */
+  def mp4Fixture(
+      timescale: Int,
+      durationTicks: Long,
+      width: Int,
+      height: Int,
+      codec: String,
+      nAudio: Int,
+      mdatLen: Int): Array[Byte] = {
+    require(timescale > 0 && durationTicks >= 0 && durationTicks <= 0xffffffffL)
+    require(codec.length == 4, "codec must be a fourcc")
+    val unityMatrix = new ByteArrayOutputStream()
+    Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+      .foreach(v => unityMatrix.write(beBytes32(v)))
+
+    def fullBox(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      boxOut(bos, typ, new Array[Byte](4) ++ body) // version 0, flags 0
+      bos.toByteArray
+    }
+    def container(typ: String, children: Array[Byte]*): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      boxOut(bos, typ, children.reduce(_ ++ _))
+      bos.toByteArray
+    }
+
+    val mvhd = fullBox("mvhd",
+      beBytes32(0) ++ beBytes32(0) ++ // creation, modification
+        beBytes32(timescale.toLong) ++ beBytes32(durationTicks) ++
+        beBytes32(0x00010000L) ++ Array[Byte](0x01, 0x00) ++ // rate, volume
+        new Array[Byte](10) ++ unityMatrix.toByteArray ++
+        new Array[Byte](24) ++ beBytes32(2L + nAudio)) // next track id
+    def tkhd(trackId: Int, w: Int, h: Int) = fullBox("tkhd",
+      beBytes32(0) ++ beBytes32(0) ++ beBytes32(trackId.toLong) ++
+        beBytes32(0) ++ beBytes32(durationTicks) ++ new Array[Byte](8) ++
+        new Array[Byte](8) ++ // layer, alternate, volume, reserved
+        unityMatrix.toByteArray ++
+        beBytes32(w.toLong << 16) ++ beBytes32(h.toLong << 16))
+    def mdhd = fullBox("mdhd",
+      beBytes32(0) ++ beBytes32(0) ++ beBytes32(timescale.toLong) ++
+        beBytes32(durationTicks) ++ Array[Byte](0x55, 0xc4.toByte, 0, 0))
+    def hdlr(kind: String) = fullBox("hdlr",
+      beBytes32(0) ++ kind.getBytes("US-ASCII") ++ new Array[Byte](13))
+    def stsd(cc: String) = fullBox("stsd", {
+      val entry = new ByteArrayOutputStream()
+      boxOut(entry, cc, new Array[Byte](8)) // minimal sample entry stub
+      beBytes32(1) ++ entry.toByteArray
+    })
+    def trak(trackId: Int, kind: String, w: Int, h: Int, cc: String) =
+      container("trak",
+        tkhd(trackId, w, h),
+        container("mdia", mdhd, hdlr(kind),
+          container("minf", container("stbl", stsd(cc)))))
+
+    val bos = new ByteArrayOutputStream()
+    boxOut(bos, "ftyp",
+      "isom".getBytes("US-ASCII") ++ beBytes32(0x200) ++
+        "iso2".getBytes("US-ASCII"))
+    val traks = trak(1, "vide", width, height, codec) +:
+      (0 until nAudio).map(i => trak(2 + i, "soun", 0, 0, "mp4a"))
+    boxOut(bos, "moov", (mvhd +: traks).reduce(_ ++ _))
+    val mdat = new Array[Byte](mdatLen)
+    var i = 0
+    while (i < mdatLen) { mdat(i) = ((i * 31 + 7) & 0xff).toByte; i += 1 }
+    boxOut(bos, "mdat", mdat)
+    bos.toByteArray
+  }
+
+  /** Stage a deterministic MP4 blob per row from integer/string columns —
+    * partition-wise encode like [[withWavBlob]].
+    */
+  def withMp4Blob(
+      df: DataFrame,
+      idCol: String,
+      timescale: org.apache.spark.sql.Column,
+      durationTicks: org.apache.spark.sql.Column,
+      width: org.apache.spark.sql.Column,
+      height: org.apache.spark.sql.Column,
+      codec: org.apache.spark.sql.Column,
+      nAudio: org.apache.spark.sql.Column,
+      mdatLen: org.apache.spark.sql.Column): DataFrame = {
+    val staged = df.select(
+      col(idCol),
+      timescale.cast(IntegerType).as("__ts"),
+      durationTicks.cast(LongType).as("__dur"),
+      width.cast(IntegerType).as("__w"),
+      height.cast(IntegerType).as("__h"),
+      codec.cast(StringType).as("__cc"),
+      nAudio.cast(IntegerType).as("__na"),
+      mdatLen.cast(IntegerType).as("__ml"))
+    val outSchema = StructType(staged.schema.fields.take(1) :+
+      StructField("blob", BinaryType, nullable = false))
+    staged.mapPartitions { rows =>
+      rows.map(r => Row(r.get(0), mp4Fixture(
+        r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4),
+        r.getString(5), r.getInt(6), r.getInt(7))))
+    }(Encoders.row(outSchema))
+  }
+
+  private val videoMetaSchema = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("major_brand", StringType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("codec", StringType, nullable = false)))
+
+  /** Container metadata for video blobs — the [[parseMp4]] box walk,
+    * partition-wise and shuffle-free (the [[audioStats]] posture).
+    * Non-BMFF bytes classify `raw`, sniffed-but-malformed `mp4-corrupt`
+    * (visible to curation filters, as everywhere in this module); either
+    * way zero/empty metadata. Codec-level decode remains the documented
+    * stub — this is the container layer only.
+    */
+  def videoMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val pruned = df.select(col(idCol), col(blobCol))
+    val outSchema = StructType(pruned.schema.fields.take(1) ++ videoMetaSchema.fields)
+    pruned.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        sniffVideoFormat(bytes) match {
+          case Some(_) =>
+            parseMp4(bytes) match {
+              case Some(m) => Row(r.get(0), "mp4", m.major_brand,
+                m.duration_ms, m.n_tracks, m.width, m.height, m.codec)
+              case None => Row(r.get(0), "mp4-corrupt", "", 0L, 0, 0, 0, "")
+            }
+          case None => Row(r.get(0), "raw", "", 0L, 0, 0, 0, "")
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Fixed-dimension feature extraction: a deterministic `dim`-float vector
     * per blob (byte-histogram projection stub) — the embed-everything
     * plumbing shape: binary in, `Array[Float]` out, ready for

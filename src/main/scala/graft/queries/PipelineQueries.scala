@@ -2791,6 +2791,31 @@ object PipelineQueries {
       Multimodal.audioStats(staged, "doc_id", "blob")
     },
 
+    // ----- video CONTAINER metadata — real ISO-BMFF box walk (NEW r14):
+    // each doc stages a structurally-real MP4 (ftyp + moov with mvhd,
+    // a video trak carrying 16.16 tkhd dimensions + stsd codec fourcc,
+    // doc_id%3 audio traks + mdat), encoded partition-wise; videoMeta
+    // must walk the box tree back to exactly the generating parameters
+    // (duration via mvhd timescale division, track count, dimensions,
+    // codec). Codec-level DECODE stays the documented stub — the JDK has
+    // no video codec; the container layer is pure byte arithmetic, the
+    // m_audio_stats WAV-header pattern one level up. Shuffle-free -----
+    "m_video_meta" -> { (s, dir) =>
+      val staged = Multimodal.withMp4Blob(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id",
+        timescale = lit(600) + (col("doc_id") % 5) * 200,
+        durationTicks = lit(1000) + col("doc_id") % 50000,
+        width = lit(160) + (col("doc_id") % 8) * 40,
+        height = lit(120) + (col("doc_id") % 6) * 30,
+        codec = element_at(
+          array(lit("avc1"), lit("hvc1"), lit("vp09"), lit("av01")),
+          (col("doc_id") % 4 + 1).cast(IntegerType)),
+        nAudio = col("doc_id") % 3,
+        mdatLen = lit(64) + col("doc_id") % 100)
+      Multimodal.videoMeta(staged, "doc_id", "blob")
+    },
+
     // ----- URL curation (P39) -----
     // over a url column derived deterministically from doc_id/source/lang
     // (documents has no url field); the oracle builds the identical string
@@ -7010,6 +7035,20 @@ object PipelineQueries {
         |  CAST(sum(a) AS BIGINT) AS sum_abs,
         |  CAST(max(a) AS INT) AS max_amp
         |FROM sm GROUP BY doc_id""".stripMargin,
+    // box-walk replay: every field is a closed form of the generator's
+    // doc_id-derived parameters; duration is the mvhd integer division
+    "m_video_meta" ->
+      """SELECT doc_id, 'mp4' AS format, 'isom' AS major_brand,
+        |  CAST(((1000 + doc_id % 50000) * 1000)
+        |    // (600 + (doc_id % 5) * 200) AS BIGINT) AS duration_ms,
+        |  CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+        |  CAST(160 + (doc_id % 8) * 40 AS INT) AS width,
+        |  CAST(120 + (doc_id % 6) * 30 AS INT) AS height,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'avc1'
+        |       WHEN doc_id % 4 = 1 THEN 'hvc1'
+        |       WHEN doc_id % 4 = 2 THEN 'vp09'
+        |       ELSE 'av01' END AS codec
+        |FROM documents""".stripMargin,
     "m_media_report" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -67,6 +67,7 @@ class PlanGuardSpec extends AnyFunSuite with Matchers {
     ("q_interval_coverage", 1, 0), // key exchange; island rollups reuse it
     ("t_approx_quantiles", 3, 0), // the audited rangePrefix machinery
     ("m_audio_stats", 0, 0), // encode+decode both mapPartitions
+    ("m_video_meta", 0, 0), // r14: mp4 encode + box walk, both mapPartitions
     ("q_cdc_snapshot", 1, 0), // map-side-combined argmax, no window
     ("t_data_quality", 4, 0), // 1-row predicate agg + unique + fk pieces
     ("t_confusables", 2, 0), // two fingerprint exchanges, bcast join-backs

@@ -384,3 +384,86 @@ class AudioSpec extends SparkSpec {
     out.foreach(_.getAs[Long]("n_samples") shouldBe 0L)
   }
 }
+
+class VideoSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Multimodal
+
+  test("box walk recovers exactly the fixture's generating parameters") {
+    val blob = Multimodal.mp4Fixture(
+      timescale = 1000, durationTicks = 7340L, width = 640, height = 360,
+      codec = "avc1", nAudio = 2, mdatLen = 256)
+    val out = Multimodal.videoMeta(
+      Seq((1L, blob)).toDF("id", "blob"), "id", "blob").collect().head
+    out.getAs[String]("format") shouldBe "mp4"
+    out.getAs[String]("major_brand") shouldBe "isom"
+    out.getAs[Long]("duration_ms") shouldBe 7340L // ts 1000 -> ticks = ms
+    out.getAs[Int]("n_tracks") shouldBe 3
+    out.getAs[Int]("width") shouldBe 640
+    out.getAs[Int]("height") shouldBe 360
+    out.getAs[String]("codec") shouldBe "avc1"
+  }
+
+  test("parse matches the closed form over 40 seeded parameter draws") {
+    val rnd = new scala.util.Random(41)
+    (1 to 40).foreach { _ =>
+      val ts = 100 + rnd.nextInt(48000)
+      val dur = rnd.nextInt(1000000).toLong
+      val (w, h) = (16 + rnd.nextInt(4000), 16 + rnd.nextInt(3000))
+      val cc = Seq("avc1", "hvc1", "vp09", "av01")(rnd.nextInt(4))
+      val na = rnd.nextInt(4)
+      val m = Multimodal
+        .parseMp4(Multimodal.mp4Fixture(ts, dur, w, h, cc, na, rnd.nextInt(100)))
+        .get
+      m.duration_ms shouldBe dur * 1000L / ts
+      (m.n_tracks, m.width, m.height, m.codec) shouldBe ((1 + na, w, h, cc))
+    }
+  }
+
+  test("64-bit version-1 mvhd durations parse too") {
+    // splice a hand-built v1 mvhd (u64 times, u64 duration) into a v0
+    // fixture's moov: fixture mvhd is 108 bytes at moov payload start
+    val v0 = Multimodal.mp4Fixture(600, 4321L, 320, 240, "vp09", 0, 8)
+    def be32(v: Long) = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    val body = Array[Byte](1, 0, 0, 0) ++ // version 1
+      be64(0L) ++ be64(0L) ++ be32(600L) ++ be64(90000L) ++
+      new Array[Byte](80) // rate..next_track_id, irrelevant to the parse
+    val mvhd1 = be32(body.length + 8L) ++ "mvhd".getBytes("US-ASCII") ++ body
+    val ftypLen = 8 + 12
+    val moovStart = ftypLen // moov header at ftyp end
+    val moovPayload = moovStart + 8
+    val oldMvhdLen = 108
+    val moovOldSize = ((v0(moovStart) & 0xff) << 24) |
+      ((v0(moovStart + 1) & 0xff) << 16) |
+      ((v0(moovStart + 2) & 0xff) << 8) | (v0(moovStart + 3) & 0xff)
+    val newMoovSize = moovOldSize - oldMvhdLen + mvhd1.length
+    val patched =
+      v0.take(moovStart) ++ be32(newMoovSize.toLong) ++
+        v0.slice(moovStart + 4, moovPayload) ++
+        mvhd1 ++ v0.drop(moovPayload + oldMvhdLen)
+    val m = Multimodal.parseMp4(patched).get
+    m.duration_ms shouldBe 90000L * 1000L / 600L
+    m.n_tracks shouldBe 1
+    m.codec shouldBe "vp09"
+  }
+
+  test("non-BMFF bytes classify raw; truncated/garbled mp4 as mp4-corrupt") {
+    val good = Multimodal.mp4Fixture(1000, 500L, 64, 48, "avc1", 1, 32)
+    val df = Seq(
+      (1L, "just some text".getBytes("UTF-8")),
+      (2L, good.take(40)), // ftyp intact, moov truncated mid-box
+      (3L, good.take(8) ++ Array.fill[Byte](8)(0x7f))) // absurd box size
+      .toDF("id", "blob")
+    val out = Multimodal.videoMeta(df, "id", "blob").orderBy("id").collect()
+    out(0).getAs[String]("format") shouldBe "raw"
+    out(1).getAs[String]("format") shouldBe "mp4-corrupt"
+    out(2).getAs[String]("format") shouldBe "mp4-corrupt"
+    out.foreach { r =>
+      r.getAs[Int]("n_tracks") shouldBe 0
+      r.getAs[Long]("duration_ms") shouldBe 0L
+    }
+  }
+}
