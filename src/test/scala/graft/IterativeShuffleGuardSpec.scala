@@ -1,0 +1,93 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Per-iteration shuffle guard for the ITERATIVE graph gates (r14, per
+  * the r13 verdict): [[PlanGuardSpec]] pins static plan text, but the
+  * iterative pipelines (PageRank/HITS/TrustRank/label-propagation CC)
+  * execute eagerly through per-round localCheckpoints — their cost lives
+  * in the JOBS run during construction, invisible to a final-plan pin.
+  * This spec pins the measured TOTAL shuffle-write record count of each
+  * gate's full evaluation at sf0.001: the pipelines are exact-integer
+  * over fixed fixtures and fixed iteration counts, so the record count
+  * is a deterministic property of the plan — a refactor or Spark
+  * upgrade that adds a shuffle per iteration (or stops combining
+  * map-side) blows the bound by O(edges × iters), far past the head-room.
+  *
+  * Bounds are measured × ~1.3 (head-room for AQE advisory changes that
+  * re-split partials, not for new per-iteration shuffles). Scoped by job
+  * group so parallel suites in the shared JVM can't pollute the count.
+  */
+class IterativeShuffleGuardSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = SparkSpec.session
+  private val dir = "/root/testdata/sf0.001"
+
+  /** gate -> max total shuffle-write records across all its jobs */
+  private val pinned: Seq[(String, Long)] = Seq(
+    ("u_pagerank", 12000L), // measured 9166
+    ("u_pagerank_dangling", 7000L), // measured 5394
+    ("u_trustrank", 12000L), // measured 9186
+    ("u_hits", 24000L), // measured 18084
+    ("p_cc_star", 30000L), // measured 23175
+    ("u_crawl_depth", 2000L)) // measured 1494
+
+  private def measure(gate: String): Long = {
+    val group = s"iter-guard-$gate"
+    val stages = ConcurrentHashMap.newKeySet[Int]()
+    val records = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (group == j.properties.getProperty("spark.jobGroup.id"))
+          j.stageIds.foreach(id => stages.add(id))
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (stages.contains(e.stageId))
+          Option(e.taskMetrics).foreach(m =>
+            records.addAndGet(m.shuffleWriteMetrics.recordsWritten))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(group, s"iterative shuffle guard: $gate")
+      // construction runs the eager checkpoint jobs; the count drains the
+      // final segment — both inside the job group
+      try SparkEntry.queries(gate)(spark, dir).count()
+      finally {
+        spark.sparkContext.clearJobGroup()
+        graft.ops.Par.releaseCaches()
+      }
+      // async listener bus: wait until the counter stops moving
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) {
+        Thread.sleep(100)
+        waited += 1
+        val cur = records.get
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    records.get
+  }
+
+  test("iterative graph gates keep their per-iteration shuffle volume") {
+    assume(
+      new java.io.File(dir).isDirectory,
+      s"needs the driver-generated testdata at $dir")
+    val failures = pinned.flatMap { case (gate, bound) =>
+      val got = measure(gate)
+      info(s"$gate: $got shuffle-write records (pinned <= $bound)")
+      if (got > bound)
+        Some(s"$gate: $got shuffle-write records > pinned $bound — " +
+          "a per-iteration shuffle crept in (re-audit before re-pinning)")
+      else None
+    }
+    withClue("iterative shuffle regressions: ") {
+      failures shouldBe empty
+    }
+  }
+}
