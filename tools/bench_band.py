@@ -49,7 +49,7 @@ def histories():
         kept += 1
         for q, s in queries.items():
             hist.setdefault(q, []).append(float(s))
-    return hist, kept
+    return hist, kept, len(revs)
 
 
 def quantile(xs, p):
@@ -61,7 +61,7 @@ def quantile(xs, p):
 
 
 def main():
-    hist, n_runs = histories()
+    hist, n_runs, n_revs = histories()
     bands = {}
     all_ratios = []
     for q, h in hist.items():
@@ -76,8 +76,13 @@ def main():
             "band": round(band, 3),
             "max_ratio_seen": round(max(ratios), 3),
         }
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        cwd=REPO, capture_output=True, text=True).stdout.strip()
     out = {
+        "generated_at_commit": head,
         "runs": n_runs,
+        "revisions": n_revs,
         "global_p50_ratio": round(quantile(all_ratios, 0.5), 3),
         "global_p95_ratio": round(quantile(all_ratios, 0.95), 3),
         "global_max_ratio": round(max(all_ratios), 3),

@@ -36,7 +36,26 @@ def main():
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
     bands = {}
     if BAND_FILE.exists():
-        bands = json.loads(BAND_FILE.read_text()).get("queries", {})
+        band_doc = json.loads(BAND_FILE.read_text())
+        bands = band_doc.get("queries", {})
+        # band provenance (r14, per the r13 verdict): a stale band —
+        # generated before the latest BENCH_LOCAL commits — silently
+        # mis-calibrates; surface its vintage and flag staleness
+        band_runs = band_doc.get("revisions", band_doc.get("runs", 0))
+        band_commit = band_doc.get("generated_at_commit", "?")
+        try:
+            import subprocess
+            n_revs = len(subprocess.run(
+                ["git", "rev-list", "HEAD", "--", "BENCH_LOCAL.json"],
+                cwd=BAND_FILE.parent.parent, capture_output=True,
+                text=True).stdout.split())
+        except Exception:
+            n_revs = None
+        stale = (" — STALE: %d BENCH_LOCAL revisions in history, re-run "
+                 "tools/bench_band.py" % n_revs
+                 if n_revs is not None and n_revs > band_runs else "")
+        print(f"band: {len(bands)} queries from {band_runs} runs "
+              f"(generated at {band_commit}){stale}")
     oq, nq = old["queries"], new["queries"]
     flags, improved = [], []
     for name in sorted(set(oq) & set(nq)):
