@@ -1937,6 +1937,34 @@ object ScaleSmoke {
         }))
     }
 
+    // POWER-LAW connected components (r14): the chains-of-1000 step caps
+    // component size at 1000, so star contraction's giant-component case
+    // (the EXACT shape Kiveris et al. designed large-star/small-star for:
+    // one hub whose closed neighborhood is the whole graph) was never
+    // exercised. A 2M-leaf star must collapse to ONE component labeled by
+    // the hub in O(1) alternating rounds — per-round cost is two
+    // edge-sized same-key shuffles regardless of the hub's degree (the
+    // min table is one row per key; AQE splits/broadcasts the probe side).
+    locally {
+      val n = 2000000L
+      measure(Step(
+        s"p_cc_star(single ${n}-node star, giant component)",
+        () => graft.ops.ConnectedComponents.components(
+          spark.range(1, n)
+            .select(col("id").as("id_a"), lit(0L).as("id_b"))),
+        ceilingGB = 2.0,
+        invariant = df => {
+          val a = df.agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("cluster_id")).as("k"),
+            max(col("cluster_id")).as("mx")).collect()(0)
+          if (a.getLong(0) == n && a.getLong(1) == 1L && a.getLong(2) == 0L)
+            Nil
+          else Seq(s"(${a.getLong(0)} nodes, ${a.getLong(1)} components, " +
+            s"max label ${a.getLong(2)}) != ($n, 1, 0)")
+        }))
+    }
+
     graft.ops.Par.releaseCaches()
     spark.stop()
     sys.exit(if (failed) 1 else 0)
