@@ -485,6 +485,7 @@ object Multimodal {
     var nTracks = 0
     var vWidth, vHeight = 0
     var vCodec = ""
+    var videoSeen = false
     val containers = Set("moov", "trak", "mdia", "minf", "stbl")
     var corrupt = false
     // per-trak scratch (reset at each trak; committed when its walk ends)
@@ -542,7 +543,10 @@ object Multimodal {
             nTracks += 1
             tkW = 0; tkH = 0; tkVideo = false; tkCodec = ""
             walk(off + header, off + size, depth + 1)
-            if (tkVideo && vCodec.isEmpty) {
+            // dedicated found-flag, NOT vCodec.isEmpty: a first video
+            // trak without an stsd must still win as "first"
+            if (tkVideo && !videoSeen) {
+              videoSeen = true
               vWidth = tkW; vHeight = tkH; vCodec = tkCodec
             }
           case t if containers(t) =>
@@ -589,6 +593,8 @@ object Multimodal {
       mdatLen: Int): Array[Byte] = {
     require(timescale > 0 && durationTicks >= 0 && durationTicks <= 0xffffffffL)
     require(codec.length == 4, "codec must be a fourcc")
+    require(nAudio >= 0, s"nAudio must be non-negative, got $nAudio")
+    require(mdatLen >= 0, s"mdatLen must be non-negative, got $mdatLen")
     val unityMatrix = new ByteArrayOutputStream()
     Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
       .foreach(v => unityMatrix.write(beBytes32(v)))

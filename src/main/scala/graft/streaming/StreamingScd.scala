@@ -30,10 +30,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * observations must arrive in event-time order ACROSS micro-batches
   * (the reference's temporal tables get this from event-time watermarks;
   * here the source must deliver per-key in order, e.g. a keyed log).
-  * An observation older than the open run's `eff_from` is DROPPED — the
-  * same fate watermark-late rows meet in a streaming aggregation —
-  * rather than silently closing a run with `eff_to < eff_from` and
-  * mis-numbering every later version.
+  * An observation older than the key's event-time FRONTIER (the max us
+  * already folded into its history — not just the open run's eff_from:
+  * an arrival inside the open run would retro-split it) is DROPPED —
+  * the same fate watermark-late rows meet in a streaming aggregation —
+  * rather than silently corrupting run boundaries and mis-numbering
+  * every later version.
   */
 object StreamingScd {
 
@@ -44,8 +46,15 @@ object StreamingScd {
 
   /** The open run: `attr` is Option so a null attribute is a tracked
     * state, matching the batch op's null-safe `<=>` change detection.
+    * `frontierUs` is the max event time already folded into this key's
+    * history (≥ effFromUs: unchanged-attr observations advance it) —
+    * the late-arrival cutoff.
     */
-  final case class OpenRun(attr: Option[String], effFromUs: Long, nClosed: Int)
+  final case class OpenRun(
+      attr: Option[String],
+      effFromUs: Long,
+      nClosed: Int,
+      frontierUs: Long)
 
   final case class ClosedVersion(
       key: Long,
@@ -69,10 +78,14 @@ object StreamingScd {
           sorted.foreach { o =>
             val attr = Option(o.attr)
             current match {
-              case Some(run) if o.us < run.effFromUs =>
-              // late cross-batch arrival: dropped (see the ordering
-              // contract above) — applying it would corrupt the history
-              case Some(run) if run.attr == attr => // unchanged: same run
+              case Some(run) if o.us < run.frontierUs =>
+              // late cross-batch arrival: older than event time already
+              // folded into this key's history (NOT just the open run's
+              // eff_from — an arrival INSIDE the open run would also
+              // retro-split it). Dropped per the ordering contract above.
+              case Some(run) if run.attr == attr =>
+                // unchanged: same run, but the frontier advances
+                current = Some(run.copy(frontierUs = o.us))
               case Some(run) =>
                 closed += ClosedVersion(
                   key,
@@ -80,9 +93,9 @@ object StreamingScd {
                   run.attr.orNull,
                   run.effFromUs,
                   o.us)
-                current = Some(OpenRun(attr, o.us, run.nClosed + 1))
+                current = Some(OpenRun(attr, o.us, run.nClosed + 1, o.us))
               case None =>
-                current = Some(OpenRun(attr, o.us, 0))
+                current = Some(OpenRun(attr, o.us, 0, o.us))
             }
           }
           current.foreach(state.update)

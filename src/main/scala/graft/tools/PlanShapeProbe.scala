@@ -15,7 +15,10 @@ object PlanShapeProbe {
     */
   def shape(plan: String): Map[String, Int] =
     Map(
-      "exchange" -> "(?m)^.*Exchange (hash|range|single)[^\\n]*".r
+      // 'Single' capitalized: Spark prints "Exchange SinglePartition" —
+      // a lowercase alternative silently missed every global-agg /
+      // coalesce(1)-style exchange (r14 review fix)
+      "exchange" -> "(?m)^.*Exchange (hash|range|Single)[^\\n]*".r
         .findAllIn(plan)
         .map(_.dropWhile(c => !c.isLetter))
         .toSet

@@ -1923,6 +1923,11 @@ object ScaleSmoke {
         ceilingGB = 3.0,
         invariant = df => {
           val maxRead = maxTaskReadRecords.get
+          // bound scales with the shuffle fan-out (a healthy fully-
+          // combined stage legitimately reads ~rows/partitions per task);
+          // the failure mode — deg(hub) rows into one reduce task — is
+          // ~n regardless of partition count
+          val bound = 4L * n / cpus.toLong.max(1L)
           val top = df.orderBy(col("rank").desc).limit(1).collect()(0)
           Seq(
             if (top.getLong(0) == hub && top.getLong(1) > 250000000000L) None
@@ -1930,10 +1935,10 @@ object ScaleSmoke {
               s"expected the hub $hub with > 0.25 * scale"),
             if (df.count() == n) None
             else Some(s"${df.count()} nodes != $n"),
-            if (maxRead < n / 8) None
-            else Some(s"a task shuffle-read $maxRead records (>= n/8 = " +
-              s"${n / 8}) — the hub's fan-in reached a reduce task " +
-              "uncombined")).flatten
+            if (maxRead < bound) None
+            else Some(s"a task shuffle-read $maxRead records (>= 4n/" +
+              s"partitions = $bound) — the hub's fan-in reached a " +
+              "reduce task uncombined")).flatten
         }))
     }
 

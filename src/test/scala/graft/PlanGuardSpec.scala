@@ -29,9 +29,9 @@ class PlanGuardSpec extends AnyFunSuite with Matchers {
   private val pinned: Seq[(String, Int, Int)] = Seq(
     ("q01_pricing_summary", 1, 0),
     ("q03_shipping_priority", 1, 0),
-    ("q06_forecast_revenue", 0, 0),
-    ("t_tfidf", 4, 4), // r14 tightened 11->4 (distinct-line counting); 4 BNLJ = the audited 1-row corpus-stat broadcasts
-    ("t_bm25_topk", 3, 1), // r14 tightened 4->3; 1 BNLJ = the 1-row corpus-stats crossJoin
+    ("q06_forecast_revenue", 1, 0), // the single global-agg exchange (r14: SinglePartition now counted)
+    ("t_tfidf", 6, 4), // r14: 4 hash + 2 audited 1-row stat aggs (SinglePartition); 4 BNLJ = the corpus-stat broadcasts
+    ("t_bm25_topk", 4, 1), // r14: 3 hash + the 1-row corpus-stats agg; 1 BNLJ = its crossJoin
     ("s_mips_topk", 1, 1), // 1 = the bounded query-side broadcast
     ("s_cosine_topk", 1, 1), // 1 = the bounded query-side broadcast
     ("t_cms_counts", 2, 0),
@@ -69,7 +69,7 @@ class PlanGuardSpec extends AnyFunSuite with Matchers {
     ("m_audio_stats", 0, 0), // encode+decode both mapPartitions
     ("m_video_meta", 0, 0), // r14: mp4 encode + box walk, both mapPartitions
     ("q_cdc_snapshot", 1, 0), // map-side-combined argmax, no window
-    ("t_data_quality", 3, 0), // r14 tightened 4->3; 1-row predicate agg + unique + fk pieces
+    ("t_data_quality", 6, 0), // r14: 3 hash + the three 1-row report aggs (SinglePartition)
     ("t_confusables", 2, 0), // two fingerprint exchanges, bcast join-backs
     ("q_temporal_join", 2, 0), // history + as-of union-window; NO range join
     ("t_confusables_fuzz", 0, 0), // pure projection over the fixture

@@ -79,8 +79,12 @@ class StreamingStateGuardSpec extends AnyFunSuite with Matchers {
         graft.ops.Par.releaseCaches()
       }
       // the listener bus is async: wait until every pinned query reported
+      // a SATISFYING inventory — name presence alone is not enough (an
+      // empty batch-0 event can land before the real non-empty one)
+      def settled(p: (String, String, Map[String, Int])): Boolean =
+        seen.get(p._2).exists(got => p._3.isEmpty || got.nonEmpty)
       val deadline = System.currentTimeMillis() + 30000L
-      while (pinned.exists(p => !seen.contains(p._2)) &&
+      while (!pinned.forall(settled) &&
         System.currentTimeMillis() < deadline) Thread.sleep(100)
     } finally spark.streams.removeListener(listener)
 

@@ -165,13 +165,18 @@ class StreamingScdSpec extends SparkSpec {
       .outputMode("append")
       .start()
     try {
-      input.addData(Obs(1L, 100L, 1L, "a"), Obs(1L, 200L, 2L, "b"))
+      input.addData(
+        Obs(1L, 100L, 1L, "a"), Obs(1L, 200L, 2L, "b"),
+        Obs(1L, 250L, 3L, "b")) // advances the frontier past 200
       q.processAllAvailable()
-      // a LATE observation (us=50 < the open b-run's eff_from 200) must
-      // not close the run backwards (eff_to < eff_from) or shift versions
-      input.addData(Obs(1L, 50L, 3L, "x"))
+      // LATE observations must not corrupt the history: us=50 predates
+      // the open run entirely; us=220 lands INSIDE the open b-run
+      // (before the 250 frontier) and would retro-split it
+      input.addData(Obs(1L, 50L, 4L, "x"))
       q.processAllAvailable()
-      input.addData(Obs(1L, 300L, 4L, "c")) // in-order close of the b run
+      input.addData(Obs(1L, 220L, 5L, "y"))
+      q.processAllAvailable()
+      input.addData(Obs(1L, 300L, 6L, "c")) // in-order close of the b run
       q.processAllAvailable()
       val rows = spark.sql(
         "SELECT version, attr, eff_from_us, eff_to_us FROM scd_late " +

@@ -34,28 +34,20 @@ def load(path):
 def main():
     old, new = load(sys.argv[1]), load(sys.argv[2])
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    # band provenance (r14, per the r13 verdict): a stale band —
+    # generated before the latest BENCH_LOCAL commits — silently
+    # mis-calibrates; surface its vintage and flag staleness
+    import band_util
+    band_doc, recorded, actual = band_util.band_provenance()
     bands = {}
-    if BAND_FILE.exists():
-        band_doc = json.loads(BAND_FILE.read_text())
+    if band_doc is not None:
         bands = band_doc.get("queries", {})
-        # band provenance (r14, per the r13 verdict): a stale band —
-        # generated before the latest BENCH_LOCAL commits — silently
-        # mis-calibrates; surface its vintage and flag staleness
-        band_runs = band_doc.get("revisions", band_doc.get("runs", 0))
-        band_commit = band_doc.get("generated_at_commit", "?")
-        try:
-            import subprocess
-            n_revs = len(subprocess.run(
-                ["git", "rev-list", "HEAD", "--", "BENCH_LOCAL.json"],
-                cwd=BAND_FILE.parent.parent, capture_output=True,
-                text=True).stdout.split())
-        except Exception:
-            n_revs = None
         stale = (" — STALE: %d BENCH_LOCAL revisions in history, re-run "
-                 "tools/bench_band.py" % n_revs
-                 if n_revs is not None and n_revs > band_runs else "")
-        print(f"band: {len(bands)} queries from {band_runs} runs "
-              f"(generated at {band_commit}){stale}")
+                 "tools/bench_band.py" % actual
+                 if band_util.is_stale(recorded, actual) else "")
+        print(f"band: {len(bands)} queries over {recorded} revisions "
+              f"(generated at {band_doc.get('generated_at_commit', '?')})"
+              f"{stale}")
     oq, nq = old["queries"], new["queries"]
     flags, improved = [], []
     for name in sorted(set(oq) & set(nq)):

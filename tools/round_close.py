@@ -14,7 +14,7 @@ Checks, exiting non-zero on any failure:
 Run as the LAST step of a round, after the final artifact commit:
     python3 tools/round_close.py
 """
-import json
+
 import re
 import subprocess
 import sys
@@ -43,17 +43,13 @@ def main():
         if on_disk and on_disk[-1].name not in tracked:
             failures.append(f"latest artifact {on_disk[-1].name} is untracked")
 
-    band = REPO / "tools/bench_band.json"
-    if band.exists():
-        doc = json.loads(band.read_text())
-        recorded = doc.get("revisions", doc.get("runs", 0))
-        n_revs = len(sh("git", "rev-list", "HEAD", "--",
-                        "BENCH_LOCAL.json").split())
-        if n_revs > recorded:
-            failures.append(
-                f"bench band is stale ({recorded} recorded vs {n_revs} "
-                "BENCH_LOCAL revisions) — re-run tools/bench_band.py and "
-                "commit")
+    import band_util
+    _, recorded, actual = band_util.band_provenance()
+    if band_util.is_stale(recorded, actual):
+        failures.append(
+            f"bench band is stale ({recorded} recorded vs {actual} "
+            "BENCH_LOCAL revisions) — re-run tools/bench_band.py and "
+            "commit")
 
     if failures:
         print("ROUND-CLOSE FAILED:")
