@@ -1271,6 +1271,50 @@ object ScaleSmoke {
           else Some(s"$n rows != $nDocs docs")).flatten
       }))
 
+    // real ISO-BMFF box walk at corpus scale (r14): encode one
+    // structurally-real MP4 per doc partition-wise, parse it back — the
+    // m_image_stats posture one modality over (container metadata; the
+    // JDK has no video codec, so the codec level stays the documented
+    // stub). Shuffle bill must stay ~zero at any corpus size.
+    measure(Step(
+      s"m_video_meta(${copies}x, mp4 encode+box walk)",
+      () => {
+        val staged = graft.ops.Multimodal.withMp4Blob(
+          docs.select(col("doc_id")),
+          "doc_id",
+          timescale = lit(600) + (col("doc_id") % 5) * 200,
+          durationTicks = lit(1000) + col("doc_id") % 50000,
+          width = lit(160) + (col("doc_id") % 8) * 40,
+          height = lit(120) + (col("doc_id") % 6) * 30,
+          codec = lit("avc1"),
+          nAudio = col("doc_id") % 3,
+          mdatLen = lit(64) + col("doc_id") % 100)
+        graft.ops.Multimodal.videoMeta(staged, "doc_id", "blob")
+      },
+      ceilingGB = 0.1,
+      invariant = df => {
+        val bad = df
+          .filter(
+            col("format") =!= "mp4" ||
+              col("major_brand") =!= "isom" ||
+              col("n_tracks") =!= (lit(1) + col("doc_id") % 3) ||
+              col("width") =!= lit(160) + (col("doc_id") % 8) * 40 ||
+              col("duration_ms") =!= org.apache.spark.sql.graft.ColumnShim
+                .column(org.apache.spark.sql.catalyst.expressions
+                  .IntegralDivide(
+                    org.apache.spark.sql.graft.ColumnShim.expression(
+                      (lit(1000L) + col("doc_id") % 50000) * 1000L),
+                    org.apache.spark.sql.graft.ColumnShim.expression(
+                      lit(600L) + (col("doc_id") % 5) * 200L))))
+          .count()
+        val n = df.count()
+        Seq(
+          if (bad == 0L) None
+          else Some(s"$bad rows with wrong box-walk metadata"),
+          if (n == nDocs) None
+          else Some(s"$n rows != $nDocs docs")).flatten
+      }))
+
     // ingest e2e composition at 100x (r13): CSV slice + JSONL slice with
     // re-ingested duplicates -> union -> keep-min exact dedup ->
     // partitionBy(lang) write -> pruned read. Result-invariance is exact:
