@@ -455,6 +455,29 @@ class VideoSpec extends SparkSpec {
     m.codec shouldBe "vp09"
   }
 
+  test("box walk never throws or loops on 2000 adversarial mutations") {
+    // the parser meets arbitrary bytes at corpus scale: every draw must
+    // terminate in Some/None — no exception, no hang. Mutations cover
+    // bit flips in size/type fields, truncations, zero-size boxes
+    // (extend-to-end), 64-bit largesize markers, and pure garbage.
+    val rnd = new scala.util.Random(163)
+    val base = Multimodal.mp4Fixture(1000, 12345L, 320, 240, "avc1", 2, 64)
+    (1 to 2000).foreach { i =>
+      val b =
+        if (i % 5 == 0) {
+          val g = new Array[Byte](rnd.nextInt(200))
+          rnd.nextBytes(g); g
+        } else {
+          val m = base.clone()
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+          }
+          m.take(if (i % 3 == 0) rnd.nextInt(m.length + 1) else m.length)
+        }
+      noException should be thrownBy Multimodal.parseMp4(b)
+    }
+  }
+
   test("non-BMFF bytes classify raw; truncated/garbled mp4 as mp4-corrupt") {
     val good = Multimodal.mp4Fixture(1000, 500L, 64, 48, "avc1", 1, 32)
     val df = Seq(
