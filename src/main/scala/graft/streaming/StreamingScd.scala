@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.util.LongAccumulator
 
 /** Streaming SCD-2 history via `flatMapGroupsWithState` — the streaming
   * twin of [[graft.ops.Scd.scd2History]] and the batch/stream pairing the
@@ -35,7 +36,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * an arrival inside the open run would retro-split it) is DROPPED —
   * the same fate watermark-late rows meet in a streaming aggregation —
   * rather than silently corrupting run boundaries and mis-numbering
-  * every later version.
+  * every later version. Drops are OBSERVABLE: pass `lateDrops` (a
+  * registered [[LongAccumulator]]) and every cross-batch late drop
+  * increments it — the numRowsDroppedByWatermark analog for this
+  * operator, so an out-of-order source violating the ordering contract
+  * is detectable in production rather than silently diverging from the
+  * batch history. (Accumulator semantics: task retries can overcount —
+  * fine for a detection signal, not a ledger.)
   */
 object StreamingScd {
 
@@ -63,7 +70,9 @@ object StreamingScd {
       eff_from_us: Long,
       eff_to_us: Long)
 
-  def history(obs: Dataset[Obs]): Dataset[ClosedVersion] = {
+  def history(
+      obs: Dataset[Obs],
+      lateDrops: Option[LongAccumulator] = None): Dataset[ClosedVersion] = {
     import obs.sparkSession.implicits._
     obs
       .groupByKey(_.key)
@@ -79,10 +88,12 @@ object StreamingScd {
             val attr = Option(o.attr)
             current match {
               case Some(run) if o.us < run.frontierUs =>
-              // late cross-batch arrival: older than event time already
-              // folded into this key's history (NOT just the open run's
-              // eff_from — an arrival INSIDE the open run would also
-              // retro-split it). Dropped per the ordering contract above.
+                // late cross-batch arrival: older than event time already
+                // folded into this key's history (NOT just the open run's
+                // eff_from — an arrival INSIDE the open run would also
+                // retro-split it). Dropped per the ordering contract
+                // above, and counted so the drop is observable.
+                lateDrops.foreach(_.add(1L))
               case Some(run) if run.attr == attr =>
                 // unchanged: same run, but the frontier advances
                 current = Some(run.copy(frontierUs = o.us))

@@ -13,8 +13,17 @@ observed distribution of those run-to-run increases:
 absolute floor), which separates real plan regressions from wobble
 mechanically instead of by eyeball.
 
+A refresh is NOT allowed to silently ratchet: folding a recent slowdown
+into the band would let a same-size future regression pass unflagged
+(r14 widened h_retry_exp 1.3->1.812 this way). By default each query's
+band may grow at most WIDEN_CAP (x1.15) per refresh over the committed
+band; queries capped this way are listed loudly. Pass --ack-widen only
+after the widened readings have been adjudicated (quiet-window probes or
+a named cause) — the acknowledgment is recorded in the band file.
+
 Usage:
     python3 tools/bench_band.py            # writes tools/bench_band.json
+    python3 tools/bench_band.py --ack-widen "reason"  # accept wider bands
     python3 tools/bench_band.py --print    # band summary for SURVEY §5
 """
 import json
@@ -60,16 +69,36 @@ def quantile(xs, p):
     return xs[i]
 
 
+WIDEN_CAP = 1.15  # max per-refresh band growth without acknowledgment
+
+
 def main():
     hist, n_runs, n_revs = histories()
+    prior = {}
+    ack = None
+    if "--ack-widen" in sys.argv:
+        i = sys.argv.index("--ack-widen")
+        ack = sys.argv[i + 1] if i + 1 < len(sys.argv) else "acknowledged"
+    if OUT.exists() and ack is None:
+        try:
+            prior = json.loads(OUT.read_text()).get("queries", {})
+        except json.JSONDecodeError:
+            prior = {}
     bands = {}
     all_ratios = []
+    capped = []
     for q, h in hist.items():
         ratios = [b / a for a, b in zip(h, h[1:]) if a > 0.01]
         if len(ratios) < 2:
             continue  # too little history: bench_diff falls back to default
         all_ratios.extend(ratios)
         band = max(1.3, min(3.0, quantile(ratios, 0.95)))
+        old_band = prior.get(q, {}).get("band")
+        if old_band is not None and band > old_band * WIDEN_CAP:
+            # refuse to silently ratchet up to a recent slowdown: cap the
+            # growth and flag for adjudication (--ack-widen to accept)
+            capped.append((q, old_band, round(band, 3)))
+            band = old_band * WIDEN_CAP
         bands[q] = {
             "n": len(h),
             "median": round(sorted(h)[len(h) // 2], 3),
@@ -83,6 +112,7 @@ def main():
         "generated_at_commit": head,
         "runs": n_runs,
         "revisions": n_revs,
+        **({"widen_ack": ack} if ack else {}),
         "global_p50_ratio": round(quantile(all_ratios, 0.5), 3),
         "global_p95_ratio": round(quantile(all_ratios, 0.95), 3),
         "global_max_ratio": round(max(all_ratios), 3),
@@ -100,6 +130,11 @@ def main():
     else:
         OUT.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
         print(f"wrote {OUT} ({len(bands)} queries, {n_runs} runs)")
+        if capped:
+            print(f"CAPPED {len(capped)} band(s) at x{WIDEN_CAP}/refresh "
+                  "(adjudicate, then --ack-widen to accept):")
+            for q, old_b, new_b in sorted(capped, key=lambda t: -t[2]):
+                print(f"  {q}: committed x{old_b} -> measured x{new_b}")
 
 
 if __name__ == "__main__":
