@@ -439,14 +439,20 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** ISO-BMFF (MP4/MOV family) sniff: a `ftyp` box at offset 4. The
-    * container is parseable pure-byte-arithmetic even though the JDK has
-    * no codec for the streams inside — see [[mp4Meta]].
+  /** Video-container sniff: ISO-BMFF (MP4/MOV family) = a `ftyp` box at
+    * offset 4; Matroska/WebM = the EBML magic `0x1A45DFA3` at offset 0.
+    * Both containers are parseable pure-byte-arithmetic even though the
+    * JDK has no codec for the streams inside — see [[parseMp4]] /
+    * [[parseWebm]].
     */
   def sniffVideoFormat(bytes: Array[Byte]): Option[String] = {
     def tag(i: Int): String =
       if (i + 4 <= bytes.length) new String(bytes, i, 4, "US-ASCII") else ""
-    if (tag(4) == "ftyp") Some("mp4") else None
+    def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    if (tag(4) == "ftyp") Some("mp4")
+    else if (at(0) == 0x1a && at(1) == 0x45 && at(2) == 0xdf && at(3) == 0xa3)
+      Some("webm")
+    else None
   }
 
   private def be32(b: Array[Byte], i: Int): Long =
@@ -507,7 +513,11 @@ object Multimodal {
             be64(bytes, off.toInt + 8)
           } else if (size0 == 0L) limit - off // box extends to end
           else size0
-        if (size < header || off + size > limit || depth > 16) {
+        // `size > limit - off` (not `off + size > limit`): a crafted
+        // 64-bit largesize near Long.MaxValue wraps off+size negative and
+        // slips past the guard; off < limit here, so the subtraction form
+        // cannot overflow
+        if (size < header || size > limit - off || depth > 16) {
           corrupt = true; return
         }
         val p = (off + header).toInt // payload start
@@ -519,7 +529,11 @@ object Multimodal {
             if (v == 1 && pLen >= 32) {
               val ts = be32(bytes, p + 20)
               val dur = be64(bytes, p + 24)
-              if (ts > 0) durationMs = dur * 1000L / ts
+              // a v1 64-bit duration can overflow dur*1000: a wrapped
+              // positive product would report garbage as valid metadata —
+              // classify mp4-corrupt instead (no real file is ~292Ma long)
+              if (dur < 0L || dur > Long.MaxValue / 1000L) corrupt = true
+              else if (ts > 0) durationMs = dur * 1000L / ts
             } else if (v == 0 && pLen >= 20) {
               val ts = be32(bytes, p + 12)
               val dur = be32(bytes, p + 16)
@@ -683,6 +697,275 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // ---------------------------------------------------------------- WebM
+
+  final case class WebmMeta(
+      doc_type: String,
+      duration_ms: Long,
+      n_tracks: Int,
+      width: Int,
+      height: Int,
+      codec: String)
+
+  // Matroska/WebM element IDs (raw, marker bits retained — public EBML /
+  // Matroska spec, RFC 8794): the subset a metadata walk needs.
+  private val EbmlHeader = 0x1a45dfa3L
+  private val EDocType = 0x4282L
+  private val ESegment = 0x18538067L
+  private val EInfo = 0x1549a966L
+  private val ETimestampScale = 0x2ad7b1L
+  private val EDuration = 0x4489L
+  private val ETracks = 0x1654ae6bL
+  private val ETrackEntry = 0xaeL
+  private val ETrackType = 0x83L
+  private val ECodecId = 0x86L
+  private val EVideo = 0xe0L
+  private val EPixelWidth = 0xb0L
+  private val EPixelHeight = 0xbaL
+
+  /** Parse Matroska/WebM container metadata by walking the EBML element
+    * tree — the [[parseMp4]] pattern one container format over (reference
+    * analog: none — the brief's multimodal-columns item; spec: RFC 8794 +
+    * the public Matroska element registry). Recovers the EBML `DocType`,
+    * the presentation duration from `Info` (`Duration` float units ×
+    * `TimestampScale` ns), the `TrackEntry` count and the FIRST video
+    * track's (`TrackType`=1) pixel dimensions + codec id. Every length is
+    * varint-decoded with overflow-safe subtraction bounds (the hardened
+    * parseMp4 guards from the start); malformed structure returns None →
+    * callers classify `webm-corrupt`. Codec-level DECODE stays out of
+    * reach without external libs — container layer only.
+    */
+  def parseWebm(bytes: Array[Byte]): Option[WebmMeta] = {
+    var docType = ""
+    var scaleNs = 1000000L // Matroska default: 1 ms per timestamp unit
+    var durUnits = -1.0
+    var nTracks = 0
+    var vW, vH = 0
+    var vCodec = ""
+    var videoSeen = false
+    var corrupt = false
+    // per-TrackEntry scratch (reset per entry; committed when it ends)
+    var tkType = 0L
+    var tkW, tkH = 0
+    var tkCodec = ""
+
+    // contexts the dispatch below distinguishes
+    val CtxRoot = 0; val CtxEbml = 1; val CtxSegment = 2; val CtxInfo = 3
+    val CtxTracks = 4; val CtxEntry = 5; val CtxVideo = 6
+
+    def vintLen(b: Int, max: Int): Int = {
+      var l = 1
+      var mask = 0x80
+      while (l <= max && (b & mask) == 0) { l += 1; mask >>= 1 }
+      if (l > max) -1 else l
+    }
+    // raw element ID (marker retained), ≤4 bytes; -1L on malformed
+    def readId(off: Long, limit: Long): (Long, Int) = {
+      if (off >= limit) return (-1L, 0)
+      val l = vintLen(bytes(off.toInt) & 0xff, 4)
+      if (l < 0 || off + l > limit) return (-1L, 0)
+      var v = 0L
+      var i = 0
+      while (i < l) { v = (v << 8) | (bytes((off + i).toInt) & 0xffL); i += 1 }
+      (v, l)
+    }
+    // data size (marker stripped), ≤8 bytes; (-1,len) = unknown size,
+    // (-2,0) = malformed
+    def readSize(off: Long, limit: Long): (Long, Int) = {
+      if (off >= limit) return (-2L, 0)
+      val b0 = bytes(off.toInt) & 0xff
+      val l = vintLen(b0, 8)
+      if (l < 0 || off + l > limit) return (-2L, 0)
+      var v = (b0 & ((0x80 >> (l - 1)) - 1)).toLong
+      var i = 1
+      while (i < l) { v = (v << 8) | (bytes((off + i).toInt) & 0xffL); i += 1 }
+      // all value bits set = reserved "unknown size"
+      if (v == (1L << (7 * l)) - 1L) (-1L, l) else (v, l)
+    }
+    def readUint(p: Long, len: Long): Long = {
+      if (len < 1 || len > 8) { corrupt = true; return -1L }
+      var v = 0L
+      var i = 0L
+      while (i < len) { v = (v << 8) | (bytes((p + i).toInt) & 0xffL); i += 1 }
+      v
+    }
+    def readFloat(p: Long, len: Long): Double =
+      if (len == 4L)
+        java.lang.Float.intBitsToFloat(be32(bytes, p.toInt).toInt).toDouble
+      else if (len == 8L) java.lang.Double.longBitsToDouble(be64(bytes, p.toInt))
+      else { corrupt = true; -1.0 }
+
+    def walk(from: Long, limit: Long, depth: Int, ctx: Int): Unit = {
+      var off = from
+      while (off < limit && !corrupt) {
+        val (id, idLen) = readId(off, limit)
+        if (idLen == 0) { corrupt = true; return }
+        val (size0, szLen) = readSize(off + idLen, limit)
+        if (size0 == -2L) { corrupt = true; return }
+        val p = off + idLen + szLen
+        // unknown size (streamed Segments/Clusters) extends to parent end
+        val size = if (size0 == -1L) limit - p else size0
+        // subtraction form: p ≤ limit here, so no additive overflow
+        if (size < 0L || size > limit - p || depth > 16) {
+          corrupt = true; return
+        }
+        (ctx, id) match {
+          case (CtxRoot, EbmlHeader) => walk(p, p + size, depth + 1, CtxEbml)
+          case (CtxEbml, EDocType) =>
+            docType = new String(bytes, p.toInt, size.toInt, "US-ASCII")
+              .takeWhile(_ != '\u0000') // spec: strings may be NUL-padded
+          case (CtxRoot, ESegment) => walk(p, p + size, depth + 1, CtxSegment)
+          case (CtxSegment, EInfo) => walk(p, p + size, depth + 1, CtxInfo)
+          case (CtxInfo, ETimestampScale) =>
+            scaleNs = readUint(p, size)
+            if (scaleNs <= 0L) corrupt = true
+          case (CtxInfo, EDuration) => durUnits = readFloat(p, size)
+          case (CtxSegment, ETracks) => walk(p, p + size, depth + 1, CtxTracks)
+          case (CtxTracks, ETrackEntry) =>
+            tkType = 0L; tkW = 0; tkH = 0; tkCodec = ""
+            walk(p, p + size, depth + 1, CtxEntry)
+            nTracks += 1
+            if (tkType == 1L && !videoSeen) { // 1 = video in the registry
+              videoSeen = true
+              vW = tkW; vH = tkH; vCodec = tkCodec
+            }
+          case (CtxEntry, ETrackType) => tkType = readUint(p, size)
+          case (CtxEntry, ECodecId) =>
+            tkCodec = new String(bytes, p.toInt, size.toInt, "US-ASCII")
+              .takeWhile(_ != '\u0000')
+          case (CtxEntry, EVideo) => walk(p, p + size, depth + 1, CtxVideo)
+          case (CtxVideo, EPixelWidth) => tkW = readUint(p, size).toInt
+          case (CtxVideo, EPixelHeight) => tkH = readUint(p, size).toInt
+          case _ => // Clusters, SeekHead, Cues, Void, … — skipped
+        }
+        off = p + size
+      }
+    }
+
+    walk(0L, bytes.length.toLong, 0, CtxRoot)
+    if (corrupt || docType.isEmpty || durUnits < 0.0) None
+    else {
+      // duration = units × ns/unit ÷ 1e6 — all integer once units are
+      // integral; reject shapes whose product would wrap (a crafted float
+      // near Double.MaxValue must classify corrupt, not report garbage)
+      if (!java.lang.Double.isFinite(durUnits) || durUnits > (1L << 53).toDouble)
+        None
+      else {
+        val ticks = durUnits.toLong
+        if (scaleNs > 0L && ticks > Long.MaxValue / scaleNs) None
+        else Some(WebmMeta(
+          docType, ticks * scaleNs / 1000000L, nTracks, vW, vH, vCodec))
+      }
+    }
+  }
+
+  private def ebmlId(id: Long): Array[Byte] = {
+    val len = if (id <= 0xffL) 1 else if (id <= 0xffffL) 2
+      else if (id <= 0xffffffL) 3 else 4
+    (0 until len).map(i => ((id >> (8 * (len - 1 - i))) & 0xff).toByte).toArray
+  }
+
+  private def ebmlSize(n: Long): Array[Byte] = {
+    var len = 1
+    // minimal length whose all-ones (unknown-size) marker n avoids
+    while (len < 8 && n >= (1L << (7 * len)) - 1L) len += 1
+    val out = new Array[Byte](len)
+    out(0) = ((0x80 >> (len - 1)) | ((n >> (8 * (len - 1))) &
+      ((0x80 >> (len - 1)) - 1))).toByte
+    var i = 1
+    while (i < len) {
+      out(i) = ((n >> (8 * (len - 1 - i))) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def ebmlUint(v: Long): Array[Byte] = {
+    var len = 1
+    while (len < 8 && (v >>> (8 * len)) != 0L) len += 1
+    (0 until len).map(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte).toArray
+  }
+
+  private def ebmlEl(id: Long, payload: Array[Byte]): Array[Byte] =
+    ebmlId(id) ++ ebmlSize(payload.length.toLong) ++ payload
+
+  /** Deterministic minimal-but-structurally-real WebM fixture: EBML header
+    * (`DocType=webm`) + Segment(Info(TimestampScale, Duration-as-double) +
+    * Tracks(video TrackEntry with pixel dims + codec id, nAudio audio
+    * entries) + a Cluster of `clusterLen` opaque bytes). [[parseWebm]] on
+    * the output recovers exactly the inputs — the [[mp4Fixture]] contract
+    * one container over, so a relational oracle replays the parse
+    * closed-form.
+    */
+  def webmFixture(
+      scaleNs: Long,
+      durationUnits: Long,
+      width: Int,
+      height: Int,
+      codec: String,
+      nAudio: Int,
+      clusterLen: Int): Array[Byte] = {
+    require(scaleNs > 0L, s"scaleNs must be positive, got $scaleNs")
+    require(durationUnits >= 0L && durationUnits <= (1L << 53),
+      s"durationUnits out of exact-double range: $durationUnits")
+    require(nAudio >= 0 && clusterLen >= 0, "nAudio/clusterLen non-negative")
+    val header = ebmlEl(EbmlHeader,
+      ebmlEl(EDocType, "webm".getBytes("US-ASCII")))
+    val durBits = java.lang.Double.doubleToLongBits(durationUnits.toDouble)
+    val info = ebmlEl(EInfo,
+      ebmlEl(ETimestampScale, ebmlUint(scaleNs)) ++
+        ebmlEl(EDuration,
+          (0 until 8).map(i => ((durBits >> (8 * (7 - i))) & 0xff).toByte)
+            .toArray))
+    val videoTrack = ebmlEl(ETrackEntry,
+      ebmlEl(ETrackType, Array(1.toByte)) ++
+        ebmlEl(ECodecId, codec.getBytes("US-ASCII")) ++
+        ebmlEl(EVideo,
+          ebmlEl(EPixelWidth, ebmlUint(width.toLong)) ++
+            ebmlEl(EPixelHeight, ebmlUint(height.toLong))))
+    val audioTracks = (0 until nAudio).map(_ => ebmlEl(ETrackEntry,
+      ebmlEl(ETrackType, Array(2.toByte)) ++
+        ebmlEl(ECodecId, "A_OPUS".getBytes("US-ASCII"))))
+    val tracks = ebmlEl(ETracks,
+      (videoTrack +: audioTracks).reduce(_ ++ _))
+    val cluster = new Array[Byte](clusterLen)
+    var i = 0
+    while (i < clusterLen) { cluster(i) = ((i * 31 + 7) & 0xff).toByte; i += 1 }
+    header ++ ebmlEl(ESegment,
+      info ++ tracks ++ ebmlEl(0x1f43b675L, cluster))
+  }
+
+  /** Stage a deterministic WebM blob per row from integer/string columns —
+    * partition-wise encode like [[withMp4Blob]].
+    */
+  def withWebmBlob(
+      df: DataFrame,
+      idCol: String,
+      scaleNs: org.apache.spark.sql.Column,
+      durationUnits: org.apache.spark.sql.Column,
+      width: org.apache.spark.sql.Column,
+      height: org.apache.spark.sql.Column,
+      codec: org.apache.spark.sql.Column,
+      nAudio: org.apache.spark.sql.Column,
+      clusterLen: org.apache.spark.sql.Column): DataFrame = {
+    val staged = df.select(
+      col(idCol),
+      scaleNs.cast(LongType).as("__sc"),
+      durationUnits.cast(LongType).as("__du"),
+      width.cast(IntegerType).as("__w"),
+      height.cast(IntegerType).as("__h"),
+      codec.cast(StringType).as("__cc"),
+      nAudio.cast(IntegerType).as("__na"),
+      clusterLen.cast(IntegerType).as("__cl"))
+    val outSchema = StructType(staged.schema.fields.take(1) :+
+      StructField("blob", BinaryType, nullable = false))
+    staged.mapPartitions { rows =>
+      rows.map(r => Row(r.get(0), webmFixture(
+        r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4),
+        r.getString(5), r.getInt(6), r.getInt(7))))
+    }(Encoders.row(outSchema))
+  }
+
   private val videoMetaSchema = StructType(Seq(
     StructField("format", StringType, nullable = false),
     StructField("major_brand", StringType, nullable = false),
@@ -692,12 +975,15 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("codec", StringType, nullable = false)))
 
-  /** Container metadata for video blobs — the [[parseMp4]] box walk,
+  /** Container metadata for video blobs — the [[parseMp4]] box walk for
+    * ISO-BMFF, the [[parseWebm]] EBML walk for Matroska/WebM —
     * partition-wise and shuffle-free (the [[audioStats]] posture).
-    * Non-BMFF bytes classify `raw`, sniffed-but-malformed `mp4-corrupt`
-    * (visible to curation filters, as everywhere in this module); either
-    * way zero/empty metadata. Codec-level decode remains the documented
-    * stub — this is the container layer only.
+    * Unrecognized bytes classify `raw`, sniffed-but-malformed
+    * `mp4-corrupt`/`webm-corrupt` (visible to curation filters, as
+    * everywhere in this module); either way zero/empty metadata. The
+    * `major_brand` slot carries the EBML DocType for webm. Codec-level
+    * decode remains the documented stub — this is the container layer
+    * only.
     */
   def videoMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val pruned = df.select(col(idCol), col(blobCol))
@@ -706,11 +992,17 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
         sniffVideoFormat(bytes) match {
-          case Some(_) =>
+          case Some("mp4") =>
             parseMp4(bytes) match {
               case Some(m) => Row(r.get(0), "mp4", m.major_brand,
                 m.duration_ms, m.n_tracks, m.width, m.height, m.codec)
               case None => Row(r.get(0), "mp4-corrupt", "", 0L, 0, 0, 0, "")
+            }
+          case Some(_) => // webm
+            parseWebm(bytes) match {
+              case Some(m) => Row(r.get(0), "webm", m.doc_type,
+                m.duration_ms, m.n_tracks, m.width, m.height, m.codec)
+              case None => Row(r.get(0), "webm-corrupt", "", 0L, 0, 0, 0, "")
             }
           case None => Row(r.get(0), "raw", "", 0L, 0, 0, 0, "")
         }

@@ -2816,6 +2816,33 @@ object PipelineQueries {
       Multimodal.videoMeta(staged, "doc_id", "blob")
     },
 
+    // ----- WebM/Matroska CONTAINER metadata — real EBML varint walk
+    // (NEW r15): each doc stages a structurally-real WebM (EBML header
+    // with DocType, Segment(Info(TimestampScale, Duration) + Tracks
+    // (video TrackEntry with pixel dims + codec id, doc_id%3 audio
+    // entries) + an opaque Cluster)), encoded partition-wise; videoMeta
+    // must walk the element tree back to exactly the generating
+    // parameters (duration = units x scale_ns // 1e6). The parseMp4
+    // pattern one container format over; shuffle-free -----
+    "m_webm_meta" -> { (s, dir) =>
+      val staged = Multimodal.withWebmBlob(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id",
+        scaleNs = element_at(
+          array(lit(250000L), lit(500000L), lit(1000000L), lit(2000000L),
+            lit(4000000L)),
+          (col("doc_id") % 5 + 1).cast(IntegerType)),
+        durationUnits = lit(1000) + col("doc_id") % 50000,
+        width = lit(160) + (col("doc_id") % 8) * 40,
+        height = lit(120) + (col("doc_id") % 6) * 30,
+        codec = element_at(
+          array(lit("V_VP8"), lit("V_VP9"), lit("V_AV1")),
+          (col("doc_id") % 3 + 1).cast(IntegerType)),
+        nAudio = col("doc_id") % 3,
+        clusterLen = lit(64) + col("doc_id") % 100)
+      Multimodal.videoMeta(staged, "doc_id", "blob")
+    },
+
     // ----- URL curation (P39) -----
     // over a url column derived deterministically from doc_id/source/lang
     // (documents has no url field); the oracle builds the identical string
@@ -7048,6 +7075,23 @@ object PipelineQueries {
         |       WHEN doc_id % 4 = 1 THEN 'hvc1'
         |       WHEN doc_id % 4 = 2 THEN 'vp09'
         |       ELSE 'av01' END AS codec
+        |FROM documents""".stripMargin,
+    // EBML walk replay: duration = units x ns-per-unit // 1e6, every
+    // other field a closed form of the generator's doc_id parameters
+    "m_webm_meta" ->
+      """SELECT doc_id, 'webm' AS format, 'webm' AS major_brand,
+        |  CAST(((1000 + doc_id % 50000) *
+        |    CASE WHEN doc_id % 5 = 0 THEN 250000
+        |         WHEN doc_id % 5 = 1 THEN 500000
+        |         WHEN doc_id % 5 = 2 THEN 1000000
+        |         WHEN doc_id % 5 = 3 THEN 2000000
+        |         ELSE 4000000 END) // 1000000 AS BIGINT) AS duration_ms,
+        |  CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+        |  CAST(160 + (doc_id % 8) * 40 AS INT) AS width,
+        |  CAST(120 + (doc_id % 6) * 30 AS INT) AS height,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'V_VP8'
+        |       WHEN doc_id % 3 = 1 THEN 'V_VP9'
+        |       ELSE 'V_AV1' END AS codec
         |FROM documents""".stripMargin,
     "m_media_report" ->
       """WITH m AS (

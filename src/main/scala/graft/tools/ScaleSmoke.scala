@@ -1315,6 +1315,57 @@ object ScaleSmoke {
           else Some(s"$n rows != $nDocs docs")).flatten
       }))
 
+    // real EBML varint walk at corpus scale (r15): encode one
+    // structurally-real WebM per doc partition-wise, parse it back — the
+    // m_video_meta posture one container format over. Shuffle bill must
+    // stay ~zero at any corpus size.
+    measure(Step(
+      s"m_webm_meta(${copies}x, webm encode+EBML walk)",
+      () => {
+        val staged = graft.ops.Multimodal.withWebmBlob(
+          docs.select(col("doc_id")),
+          "doc_id",
+          scaleNs = element_at(
+            array(lit(250000L), lit(500000L), lit(1000000L), lit(2000000L),
+              lit(4000000L)),
+            (col("doc_id") % 5 + 1).cast("int")),
+          durationUnits = lit(1000) + col("doc_id") % 50000,
+          width = lit(160) + (col("doc_id") % 8) * 40,
+          height = lit(120) + (col("doc_id") % 6) * 30,
+          codec = lit("V_VP9"),
+          nAudio = col("doc_id") % 3,
+          clusterLen = lit(64) + col("doc_id") % 100)
+        graft.ops.Multimodal.videoMeta(staged, "doc_id", "blob")
+      },
+      ceilingGB = 0.1,
+      invariant = df => {
+        val scaleNs = element_at(
+          array(lit(250000L), lit(500000L), lit(1000000L), lit(2000000L),
+            lit(4000000L)),
+          (col("doc_id") % 5 + 1).cast("int"))
+        val bad = df
+          .filter(
+            col("format") =!= "webm" ||
+              col("major_brand") =!= "webm" ||
+              col("n_tracks") =!= (lit(1) + col("doc_id") % 3) ||
+              col("width") =!= lit(160) + (col("doc_id") % 8) * 40 ||
+              col("codec") =!= "V_VP9" ||
+              col("duration_ms") =!= org.apache.spark.sql.graft.ColumnShim
+                .column(org.apache.spark.sql.catalyst.expressions
+                  .IntegralDivide(
+                    org.apache.spark.sql.graft.ColumnShim.expression(
+                      (lit(1000L) + col("doc_id") % 50000) * scaleNs),
+                    org.apache.spark.sql.graft.ColumnShim.expression(
+                      lit(1000000L)))))
+          .count()
+        val n = df.count()
+        Seq(
+          if (bad == 0L) None
+          else Some(s"$bad rows with wrong EBML-walk metadata"),
+          if (n == nDocs) None
+          else Some(s"$n rows != $nDocs docs")).flatten
+      }))
+
     // ingest e2e composition at 100x (r13): CSV slice + JSONL slice with
     // re-ingested duplicates -> union -> keep-min exact dedup ->
     // partitionBy(lang) write -> pruned read. Result-invariance is exact:

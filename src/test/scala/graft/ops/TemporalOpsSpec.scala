@@ -158,7 +158,8 @@ class StreamingScdSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Obs]
-    val q = StreamingScd.history(input.toDS())
+    val drops = spark.sparkContext.longAccumulator("scd2.lateDrops")
+    val q = StreamingScd.history(input.toDS(), Some(drops))
       .writeStream
       .format("memory")
       .queryName("scd_late")
@@ -184,6 +185,8 @@ class StreamingScdSpec extends SparkSpec {
         .collect()
         .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
       rows.toSeq shouldBe Seq((1, "a", 100L, 200L), (2, "b", 200L, 300L))
+      // the two late drops (us=50, us=220) are observable, not silent
+      drops.value shouldBe 2L
     } finally q.stop()
   }
 
@@ -475,6 +478,142 @@ class VideoSpec extends SparkSpec {
           m.take(if (i % 3 == 0) rnd.nextInt(m.length + 1) else m.length)
         }
       noException should be thrownBy Multimodal.parseMp4(b)
+    }
+  }
+
+  test("overflow-crafted largesize and v1 duration classify corrupt, no throw") {
+    def be32(v: Long) = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    val ftyp = be32(20L) ++ "ftyp".getBytes("US-ASCII") ++
+      "isom".getBytes("US-ASCII") ++ be32(0L) ++ "isom".getBytes("US-ASCII")
+    // size0==1 + 64-bit largesize near Long.MaxValue: the additive bounds
+    // check `off + size > limit` wraps negative and used to admit it,
+    // driving off negative (AIOOBE) or a ~2^63-iteration loop. Must
+    // classify mp4-corrupt instead (the exact advisor shape).
+    Seq(Long.MaxValue, Long.MaxValue - 7L, Long.MinValue, -1L).foreach { ls =>
+      val blob = ftyp ++ be32(1L) ++ "moov".getBytes("US-ASCII") ++ be64(ls) ++
+        new Array[Byte](64)
+      Multimodal.parseMp4(blob) shouldBe None
+    }
+    // v1 mvhd duration near Long.MaxValue: dur*1000 wraps; a positive
+    // wrapped product must NOT surface as valid metadata
+    Seq(Long.MaxValue, Long.MaxValue / 999L, Long.MinValue).foreach { dur =>
+      val mvhdBody = Array[Byte](1, 0, 0, 0) ++
+        be64(0L) ++ be64(0L) ++ be32(600L) ++ be64(dur) ++ new Array[Byte](80)
+      val mvhd = be32(mvhdBody.length + 8L) ++
+        "mvhd".getBytes("US-ASCII") ++ mvhdBody
+      val moov = be32(mvhd.length + 8L) ++ "moov".getBytes("US-ASCII") ++ mvhd
+      Multimodal.parseMp4(ftyp ++ moov) shouldBe None
+    }
+  }
+
+  test("EBML walk recovers exactly the webm fixture's generating parameters") {
+    val blob = Multimodal.webmFixture(
+      scaleNs = 1000000L, durationUnits = 7340L, width = 640, height = 360,
+      codec = "V_VP9", nAudio = 2, clusterLen = 256)
+    val out = Multimodal.videoMeta(
+      Seq((1L, blob)).toDF("id", "blob"), "id", "blob").collect().head
+    out.getAs[String]("format") shouldBe "webm"
+    out.getAs[String]("major_brand") shouldBe "webm" // DocType slot
+    out.getAs[Long]("duration_ms") shouldBe 7340L // 1ms units
+    out.getAs[Int]("n_tracks") shouldBe 3
+    out.getAs[Int]("width") shouldBe 640
+    out.getAs[Int]("height") shouldBe 360
+    out.getAs[String]("codec") shouldBe "V_VP9"
+  }
+
+  test("webm parse matches the closed form over 40 seeded parameter draws") {
+    val rnd = new scala.util.Random(43)
+    (1 to 40).foreach { _ =>
+      val sc = Seq(250000L, 500000L, 1000000L, 2000000L, 4000000L)(
+        rnd.nextInt(5))
+      val dur = rnd.nextInt(1000000).toLong
+      val (w, h) = (16 + rnd.nextInt(4000), 16 + rnd.nextInt(3000))
+      val cc = Seq("V_VP8", "V_VP9", "V_AV1")(rnd.nextInt(3))
+      val na = rnd.nextInt(4)
+      val m = Multimodal
+        .parseWebm(
+          Multimodal.webmFixture(sc, dur, w, h, cc, na, rnd.nextInt(100)))
+        .get
+      m.duration_ms shouldBe dur * sc / 1000000L
+      (m.n_tracks, m.width, m.height, m.codec) shouldBe ((1 + na, w, h, cc))
+    }
+  }
+
+  test("ebml walk never throws or loops on 2000 adversarial mutations") {
+    // same contract as the mp4 fuzz: arbitrary bytes at corpus scale must
+    // terminate in Some/None — bit flips, truncations, garbage; plus the
+    // crafted-overflow shapes (unknown-size markers, huge vint sizes,
+    // non-finite Duration floats) planted explicitly below
+    val rnd = new scala.util.Random(167)
+    val base = Multimodal.webmFixture(
+      1000000L, 12345L, 320, 240, "V_VP9", 2, 64)
+    (1 to 2000).foreach { i =>
+      val b =
+        if (i % 5 == 0) {
+          val g = new Array[Byte](rnd.nextInt(200))
+          rnd.nextBytes(g)
+          // half the garbage draws keep the EBML magic so the walk runs
+          if (i % 10 == 0 && g.length >= 4) {
+            g(0) = 0x1a.toByte; g(1) = 0x45.toByte
+            g(2) = 0xdf.toByte; g(3) = 0xa3.toByte
+          }
+          g
+        } else {
+          val m = base.clone()
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+          }
+          m.take(if (i % 3 == 0) rnd.nextInt(m.length + 1) else m.length)
+        }
+      noException should be thrownBy Multimodal.parseWebm(b)
+    }
+  }
+
+  test("webm overflow shapes classify corrupt: huge sizes, non-finite floats") {
+    def id(v: Long, len: Int) = (0 until len)
+      .map(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte).toArray
+    val magic = id(0x1a45dfa3L, 4)
+    // 8-byte vint size with all-ones (unknown) inside a child: extends to
+    // parent end — must terminate, not loop
+    val unknown = magic ++ Array(0x84.toByte) ++ // size 4
+      id(0x4282L, 2) ++ Array(0x81.toByte, 'w'.toByte) ++
+      id(0x18538067L, 4) ++ Array(0xff.toByte) ++ new Array[Byte](32)
+    noException should be thrownBy Multimodal.parseWebm(unknown)
+    // crafted 8-byte size near 2^56-2 inside a bounded parent: the
+    // subtraction guard must reject without wrapping
+    val hugeSz = Array(0x01.toByte) ++ Array.fill(6)(0xff.toByte) ++
+      Array(0xfe.toByte)
+    val crafted = magic ++ Array(0x90.toByte) ++ // EBML header claims 16
+      id(0x4282L, 2) ++ hugeSz ++ new Array[Byte](8)
+    Multimodal.parseWebm(crafted) shouldBe None
+    // non-finite / out-of-range Duration doubles -> corrupt, not garbage
+    Seq(Double.PositiveInfinity, Double.NaN, 9.3e15).foreach { d =>
+      val bits = java.lang.Double.doubleToLongBits(d)
+      val durEl = id(0x4489L, 2) ++ Array(0x88.toByte) ++ id(bits, 8)
+      val scEl = id(0x2ad7b1L, 3) ++ Array(0x81.toByte, 0x01.toByte)
+      val info = id(0x1549a966L, 4) ++
+        Array((0x80 | (durEl.length + scEl.length)).toByte) ++ scEl ++ durEl
+      val seg = id(0x18538067L, 4) ++
+        Array((0x80 | info.length).toByte) ++ info
+      val hdr = magic ++ Array(0x86.toByte) ++
+        id(0x4282L, 2) ++ Array(0x84.toByte) ++ "webm".getBytes("US-ASCII")
+      Multimodal.parseWebm(hdr ++ seg) shouldBe None
+    }
+  }
+
+  test("non-EBML after magic and truncated webm classify webm-corrupt") {
+    val good = Multimodal.webmFixture(1000000L, 500L, 64, 48, "V_VP8", 1, 32)
+    val df = Seq(
+      (1L, good.take(30)), // magic intact, Segment truncated mid-element
+      (2L, good.take(4) ++ Array.fill[Byte](8)(0x00))) // zero id byte
+      .toDF("id", "blob")
+    val out = Multimodal.videoMeta(df, "id", "blob").orderBy("id").collect()
+    out.foreach { r =>
+      r.getAs[String]("format") shouldBe "webm-corrupt"
+      r.getAs[Int]("n_tracks") shouldBe 0
     }
   }
 
