@@ -2242,18 +2242,43 @@ object PipelineQueries {
     // ----- PCA -> ANN end-to-end (rows-only gate: float-sum reassociation
     // keeps PCA itself out of hash gating, but the composed pipeline's
     // schema and row count are pinned here: every vector reduces to k dims
-    // and lands in exactly one coarse cell) -----
+    // and lands in exactly one coarse cell). r15: the gate now REQUIRES
+    // PCA's actual contract in-gate — the 8 components' captured-variance
+    // share of the total corpus variance above a measured floor. (A
+    // recall@k floor was measured first and carries NO signal here: the
+    // synthetic embeddings are near-isotropic, so full-space neighbors are
+    // noise-grade and ANY projection scrambles them — measured pca-space
+    // recall@5 0.04-0.10. Variance share is the signal that distinguishes
+    // a real eigenbasis from a broken one: a random 8-dim subspace
+    // captures ~k/dim in expectation, the fitted basis strictly more;
+    // a collapsed/non-orthonormal basis strictly less.)
     "s_pca_ann" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val reduced = graft.ops.Pca.reduce(emb, "embedding", 8, "pca")
-        .withColumn("pca", col("pca").cast("array<float>"))
-      val centroids = reduced
+      val model = graft.ops.Pca.fit(emb, "embedding", 8)
+      // total variance = E[||x||^2] - ||mu||^2 (one cheap agg pass)
+      val st = emb.agg(
+        sum(Similarity.norm2(col("embedding").cast("array<float>"))
+            .cast("double"))
+          .as("ss"),
+        count(lit(1)).as("n")).collect().head
+      val total =
+        st.getDouble(0) / st.getLong(1) - model.mean.map(m => m * m).sum
+      val share = model.explainedVariance.sum / total
+      require(share >= PcaVarianceShareFloor,
+        f"s_pca_ann captured-variance share = $share%.4f fell below the " +
+          f"$PcaVarianceShareFloor floor - the eigenbasis regressed " +
+          "(random-subspace baseline is k/dim)")
+      val reduced = emb.withColumn(
+        "pca",
+        graft.ops.Pca.project(model, col("embedding")).cast("array<float>"))
+      val redCached = graft.ops.Par.cached(reduced)
+      val centroids = redCached
         .filter(col("vec_id") < 4)
         .orderBy(col("vec_id"))
         .select(col("pca"))
         .collect()
         .map(_.getSeq[Float](0).toArray)
-      Similarity.ivfAssign(reduced, "vec_id", "pca", centroids)
+      Similarity.ivfAssign(redCached, "vec_id", "pca", centroids)
     },
 
     // ----- embedding-cosine near-dup pairs (LSH-blocked scale path) -----
@@ -2956,20 +2981,37 @@ object PipelineQueries {
 
     // ----- IVF ANN end-to-end (rows-only: k-means training + nprobe
     // search compose FP sums that cannot hash-match cross-engine; the
-    // map-side assignment math is hash-gated separately as s_ivf_assign)
+    // map-side assignment math is hash-gated separately as s_ivf_assign).
+    // r15: the gate now carries ALGORITHMIC signal beyond shape — recall@5
+    // vs the in-gate brute-force truth is REQUIRED above a measured floor
+    // (the P138/P141 audited-sketch pattern): a recall regression fails
+    // the driver run, not just a shape change. Measured 0.67/0.63/0.68 at
+    // sf0.001/0.01/0.1 (probing 3 of 8 cells), floor pinned with margin.
     "s_ivf_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(
+      val qs = emb.filter(col("vec_id") < 50)
+      val ann = Similarity.ivfTopK(
         emb,
         "vec_id",
         "embedding",
-        emb.filter(col("vec_id") < 50),
+        qs,
         "vec_id",
         "embedding",
         k = 5,
         cells = 8,
         nprobe = 3,
         trainIters = 2)
+      val truth = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", qs, "vec_id", "embedding", k = 5)
+      val rec = graft.ops.AnnEval
+        .recallAtK(ann, truth, "query_id", "neighbor_id")
+        .agg(sum(col("n_hits")).as("h"), sum(col("n_truth")).as("t"))
+        .collect().head
+      val recall = rec.getLong(0).toDouble / rec.getLong(1)
+      require(recall >= 0.55,
+        f"s_ivf_topk recall@5 = $recall%.3f fell below the 0.55 floor " +
+          "(measured 0.63-0.68 across sf0.001..0.1) - ANN quality regressed")
+      ann
     },
 
     // ----- integer-exact IVF (P73): the WHOLE pipeline \u2014 quantization,
@@ -3999,6 +4041,14 @@ object PipelineQueries {
        |SELECT h.node, h.h AS hub, a.a AS authority
        |FROM h$iters h JOIN a$iters a ON h.node = a.node""".stripMargin
   }
+
+  /** s_pca_ann in-gate floor for the 8-of-64-dim captured-variance share.
+    * Measured 0.2035/0.2049/0.1598 at sf0.001/0.01/0.1 (near-isotropic
+    * synthetic embeddings: the fitted basis beats the 8/64 = 0.125
+    * random-subspace baseline by the sample-covariance eigenvalue spread);
+    * floor sits between the baseline and the weakest measurement.
+    */
+  private val PcaVarianceShareFloor = 0.14
 
   private val IvfIntCells = 8
   private val IvfIntIters = 2

@@ -3,7 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev scratchpad for phase timing. */
+/** Dev scratchpad for phase timing / floor measurement. Currently:
+  * measure the in-gate recall values of s_ivf_topk and s_pca_ann at each
+  * sf dir (the floors those gates REQUIRE — r15).
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -12,38 +15,43 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
 
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      r
-    }
+    import graft.ops.{AnnEval, Similarity}
 
-    // phase breakdown of the u_pagerank gate
-    def runGate(): Unit = {
-      val docs = graft.ops.Par
-        .fan(spark.read.parquet(s"$dir/documents.parquet"))
-        .select(col("doc_id"))
-      val n = time("docs.count")(docs.count())
-      val e1 = docs.select(
-        col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
-      val e2 = docs.select(
-        col("doc_id").as("src"), ((col("doc_id") * 13 + 5) % n).as("dst"))
-      val e3 = docs.filter(col("doc_id") % 5 === 0).select(
-        col("doc_id").as("src"), (col("doc_id") % 37).as("dst"))
-      val edges = e1.union(e2).union(e3)
-      val out = time("ranks build+eval") {
-        graft.ops.PageRank.ranks(edges, "src", "dst", iters = 5)
-          .write.format("noop").mode("overwrite").save()
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val dir = s"/root/testdata/$sf"
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+      // s_ivf_topk recall@5 (cells=8, nprobe=3, trainIters=2)
+      locally {
+        val qs = emb.filter(col("vec_id") < 50)
+        val ann = Similarity.ivfTopK(emb, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 5, cells = 8, nprobe = 3,
+          trainIters = 2)
+        val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 5)
+        val rec = AnnEval.recallAtK(ann, truth, "query_id", "neighbor_id")
+          .agg(sum(col("n_hits")).as("h"), sum(col("n_truth")).as("t"))
+          .collect().head
+        println(f"[scratch] $sf s_ivf_topk recall@5 = " +
+          f"${rec.getLong(0).toDouble / rec.getLong(1)}%.3f")
       }
-      graft.ops.Par.releaseCaches()
-      out
+
+      // s_pca_ann captured-variance share (8 of 64 dims)
+      locally {
+        val model = graft.ops.Pca.fit(emb, "embedding", 8)
+        val st = emb.agg(
+          sum(Similarity.norm2(col("embedding").cast("array<float>"))
+            .cast("double"))
+            .as("ss"),
+          count(lit(1)).as("n")).collect().head
+        val total =
+          st.getDouble(0) / st.getLong(1) - model.mean.map(m => m * m).sum
+        println(f"[scratch] $sf s_pca_ann variance share = " +
+          f"${model.explainedVariance.sum / total}%.4f")
+        graft.ops.Par.releaseCaches()
+      }
     }
-    // warm
-    spark.read.parquet(s"$dir/nation.parquet").count()
-    (1 to 3).foreach(_ => time("u_pagerank full")(runGate()))
     spark.stop()
     sys.exit(0)
   }
