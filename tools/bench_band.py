@@ -79,11 +79,17 @@ def main():
     if "--ack-widen" in sys.argv:
         i = sys.argv.index("--ack-widen")
         ack = sys.argv[i + 1] if i + 1 < len(sys.argv) else "acknowledged"
-    if OUT.exists() and ack is None:
-        try:
-            prior = json.loads(OUT.read_text()).get("queries", {})
-        except json.JSONDecodeError:
-            prior = {}
+    if ack is None:
+        # prior = the COMMITTED band, not the on-disk file: repeated
+        # uncommitted regens would otherwise compound the x1.15 allowance
+        show = subprocess.run(
+            ["git", "show", "HEAD:tools/bench_band.json"],
+            cwd=REPO, capture_output=True, text=True)
+        if show.returncode == 0:
+            try:
+                prior = json.loads(show.stdout).get("queries", {})
+            except json.JSONDecodeError:
+                prior = {}
     bands = {}
     all_ratios = []
     capped = []
