@@ -35,7 +35,16 @@ class IterativeShuffleGuardSpec extends AnyFunSuite with Matchers {
     ("u_trustrank", 12000L), // measured 9186
     ("u_hits", 24000L), // measured 18084
     ("p_cc_star", 30000L), // measured 23175
-    ("u_crawl_depth", 2000L)) // measured 1494
+    ("u_crawl_depth", 2000L), // measured 1494
+    // r15 extensions (the r14 verdict's ask): the two remaining iterative
+    // families — pointer-doubling redirect resolution and min-label
+    // propagation dup clustering (exactly the family whose r14 bench
+    // readings regressed; a pinned record count adjudicates instantly) —
+    // plus the host-graph PageRank twins that had no guard at all
+    ("u_redirects", 6500L), // measured 4988
+    ("p_dup_clusters", 2200L), // measured 1685
+    ("u_host_rank", 3600L), // measured 2702
+    ("u_link_authority", 2700L)) // measured 2072
 
   private def measure(gate: String): Long = {
     val group = s"iter-guard-$gate"
