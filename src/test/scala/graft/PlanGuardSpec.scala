@@ -78,7 +78,91 @@ class PlanGuardSpec extends AnyFunSuite with Matchers {
     // edge-sized degree join-backs to cap wedge volume at O(m^1.5) on
     // power-law graphs; every added exchange is edge/node-sized, audited
     ("u_triangles", 7, 0), // canon + degree orient + wedge/closure equi-joins
-    ("u_clustering", 8, 0)) // + the shared degree agg's node join
+    ("u_clustering", 8, 0), // + the shared degree agg's node join
+    // r15: census COMPLETED — every remaining SURVEY [B]-row gate pinned
+    // at its measured shape (0 cartesians, 0 global sorts anywhere; BNLJ
+    // allowances are the X6-audited bounded broadcasts: the 1-row
+    // corpus/epoch-stat crosses in s_ann_recall/s_hybrid_rrf/
+    // t_corpus_drift/t_keywords and the bounded query-side broadcasts in
+    // s_hard_negatives/s_pq_topk/s_semantic_decontaminate). The iterative
+    // graph gates live in IterativeShuffleGuardSpec, the streaming gates
+    // in StreamingStateGuardSpec — between the three specs every [B] row
+    // is mechanically guarded.
+    ("h_async_lookup", 0, 0),
+    ("h_cached_lookup", 0, 0),
+    ("p_bloom_antijoin", 0, 0),
+    ("p_cluster_sizes", 2, 0),
+    ("p_containment", 6, 0),
+    ("p_cross_dedup", 0, 0),
+    ("p_cross_neardup", 11, 0),
+    ("p_curation_e2e", 10, 0),
+    ("p_dedup_keep_best", 1, 0),
+    ("p_dedup_survivors", 0, 0),
+    ("p_dup_spans", 3, 0),
+    ("p_prefix_jaccard", 6, 0),
+    ("p_segment_dedup", 2, 0),
+    ("p_segment_dedup_skewsafe", 2, 0),
+    ("p_sentence_boilerplate", 3, 0),
+    ("p_snapshot_diff", 2, 0),
+    ("p_source_boilerplate", 3, 0),
+    ("p_span_removed", 3, 0),
+    ("q_range_join_sql", 0, 0),
+    ("s_ann_recall", 7, 2),
+    ("s_cluster_sample", 1, 0),
+    ("s_hard_negatives", 1, 1),
+    ("s_hybrid_rrf", 6, 2),
+    ("s_ivf_int_centroids", 0, 0),
+    ("s_ivf_int_topk", 2, 0),
+    ("s_ivf_topk", 2, 0),
+    ("s_jl_project", 0, 0),
+    ("s_lsh_bucket", 0, 0),
+    ("s_mean_pool", 1, 0),
+    ("s_pq_codebooks", 0, 0),
+    ("s_pq_topk", 1, 1),
+    ("s_semantic_decontaminate", 1, 1),
+    ("s_semantic_dedup", 0, 0),
+    ("t_bigram_fluency", 5, 0),
+    ("t_ccnet_buckets", 6, 0),
+    ("t_chunk_docs", 0, 0),
+    ("t_code_detect", 0, 0),
+    ("t_corpus_drift", 6, 2),
+    ("t_corpus_report", 2, 0),
+    ("t_decontaminate", 2, 0),
+    ("t_decontaminate8", 2, 0),
+    ("t_global_shuffle", 3, 0),
+    ("t_gopher_repetition", 0, 0),
+    ("t_hash_split", 0, 0),
+    ("t_jsonl_ingest", 0, 0),
+    ("t_keywords", 6, 4),
+    ("t_lang_fertility", 1, 0),
+    ("t_length_histogram", 1, 0),
+    ("t_mixture_plan", 1, 0),
+    ("t_mojibake", 0, 0),
+    ("t_mojibake_fuzz", 0, 0),
+    ("t_nfc_norm", 0, 0),
+    ("t_oov_report", 3, 0), // 2 standalone; +1 when suite cache state differs
+    ("t_pmi_bigrams", 3, 0),
+    ("t_quota_sample", 1, 0),
+    ("t_rank_normalize", 2, 0),
+    ("t_repetition", 0, 0),
+    ("t_scripts", 0, 0),
+    ("t_scripts_fuzz", 0, 0),
+    ("t_sentences", 0, 0),
+    ("t_sentences_fuzz", 0, 0),
+    ("t_seq_pack", 1, 0),
+    ("t_shard_manifest", 4, 0),
+    ("t_strip_html", 0, 0),
+    ("t_strip_html_fuzz", 0, 0),
+    ("t_systematic_sample", 3, 0),
+    ("t_temperature_mix", 2, 0),
+    ("t_token_budget", 3, 0),
+    ("t_vocab_topk", 2, 0), // 1 standalone; +1 when suite cache state differs
+    ("t_winsorize", 1, 0),
+    ("t_word_diversity", 0, 0),
+    ("u_fetch_slots", 1, 0),
+    ("u_outlinks", 2, 0),
+    ("u_robots_filter", 0, 0),
+    ("m_webm_meta", 0, 0))
 
   test("headline [B] gates keep their audited plan shapes") {
     assume(
