@@ -2868,6 +2868,22 @@ object PipelineQueries {
       Multimodal.videoMeta(staged, "doc_id", "blob")
     },
 
+    // ----- WARC web-archive ingest — the Common Crawl container (NEW
+    // r15): each doc stages a structurally-real WARC blob (warcinfo +
+    // 1+doc_id%3 HTTP response records; ODD ids as per-record gzip
+    // members, the .warc.gz layout), parsed back record-by-record with
+    // the HTTP block split into status/content-type/body. Every output
+    // field is a closed form of (doc_id, rec_idx), so DuckDB replays the
+    // whole parse — including the gzip path, which must be transparent.
+    // mapPartitions-only, shuffle-free -----
+    "u_warc_ingest" -> { (s, dir) =>
+      val staged = graft.ops.Warc.withWarcBlob(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id",
+        nResponses = lit(1) + col("doc_id") % 3)
+      graft.ops.Warc.warcIngest(staged, "doc_id", "blob")
+    },
+
     // ----- URL curation (P39) -----
     // over a url column derived deterministically from doc_id/source/lang
     // (documents has no url field); the oracle builds the identical string
@@ -7143,6 +7159,31 @@ object PipelineQueries {
         |       WHEN doc_id % 3 = 1 THEN 'V_VP9'
         |       ELSE 'V_AV1' END AS codec
         |FROM documents""".stripMargin,
+    // WARC replay: warcinfo row + one row per response record, every
+    // field a closed form of (doc_id, rec_idx); gzip must be transparent
+    "u_warc_ingest" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CAST(unnest(range(0, 1 + doc_id % 3)) AS INT) AS rr
+        |  FROM documents)
+        |SELECT doc_id, CAST(0 AS INT) AS rec_idx,
+        |  'warcinfo' AS warc_type, '' AS target_uri,
+        |  CAST(0 AS INT) AS http_status, '' AS content_type,
+        |  CAST(25 AS INT) AS payload_len,
+        |  'software: graft-fixture' || chr(13) || chr(10) AS payload
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, rr + 1 AS rec_idx,
+        |  'response' AS warc_type,
+        |  'https://www.d' || CAST(doc_id % 37 AS VARCHAR) || '.com/p' ||
+        |    CAST(doc_id AS VARCHAR) || '-' || CAST(rr AS VARCHAR)
+        |    AS target_uri,
+        |  CAST(200 AS INT) AS http_status,
+        |  'text/html' AS content_type,
+        |  CAST(16 + (doc_id * 7 + rr) % 32 AS INT) AS payload_len,
+        |  repeat(chr(97 + CAST((doc_id + rr) % 26 AS INT)),
+        |    CAST(16 + (doc_id * 7 + rr) % 32 AS INT)) AS payload
+        |FROM r""".stripMargin,
     "m_media_report" ->
       """WITH m AS (
         |  SELECT doc_id,

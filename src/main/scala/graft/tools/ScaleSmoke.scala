@@ -1366,6 +1366,40 @@ object ScaleSmoke {
           else Some(s"$n rows != $nDocs docs")).flatten
       }))
 
+    // WARC ingest at corpus scale (r15): encode one structurally-real
+    // WARC blob per doc partition-wise (odd ids as gzip members, the
+    // Common Crawl layout), parse every record back — zero shuffle at
+    // any corpus size, and the record count is the generator's closed
+    // form. The gzip path pays a real DEFLATE round-trip per odd doc.
+    measure(Step(
+      s"u_warc_ingest(${copies}x, warc encode+parse, half gzip)",
+      () => {
+        val staged = graft.ops.Warc.withWarcBlob(
+          docs.select(col("doc_id")),
+          "doc_id",
+          nResponses = lit(1) + col("doc_id") % 3)
+        graft.ops.Warc.warcIngest(staged, "doc_id", "blob")
+      },
+      ceilingGB = 0.1,
+      invariant = df => {
+        val corrupt = df.filter(col("warc_type") === "warc-corrupt").count()
+        val responses = df
+          .filter(col("warc_type") === "response" &&
+            col("payload_len") =!= (lit(16) +
+              (col("doc_id") * 7 + col("rec_idx") - 1) % 32))
+          .count()
+        val n = df.count()
+        // rows = one warcinfo per doc + sum(1 + doc_id%3) responses
+        val expect = nDocs + docs
+          .select(sum(lit(1) + col("doc_id") % 3)).collect()(0).getLong(0)
+        Seq(
+          if (corrupt == 0L) None else Some(s"$corrupt corrupt blobs"),
+          if (responses == 0L) None
+          else Some(s"$responses responses with wrong closed-form length"),
+          if (n == expect) None
+          else Some(s"$n rows != expected $expect")).flatten
+      }))
+
     // ingest e2e composition at 100x (r13): CSV slice + JSONL slice with
     // re-ingested duplicates -> union -> keep-min exact dedup ->
     // partitionBy(lang) write -> pruned read. Result-invariance is exact:

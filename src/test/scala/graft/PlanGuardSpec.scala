@@ -162,6 +162,7 @@ class PlanGuardSpec extends AnyFunSuite with Matchers {
     ("u_fetch_slots", 1, 0),
     ("u_outlinks", 2, 0),
     ("u_robots_filter", 0, 0),
+    ("u_warc_ingest", 0, 0), // r15: encode+parse both mapPartitions
     ("m_webm_meta", 0, 0))
 
   test("headline [B] gates keep their audited plan shapes") {
