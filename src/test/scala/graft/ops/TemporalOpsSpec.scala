@@ -598,10 +598,26 @@ class VideoSpec extends SparkSpec {
         Array((0x80 | (durEl.length + scEl.length)).toByte) ++ scEl ++ durEl
       val seg = id(0x18538067L, 4) ++
         Array((0x80 | info.length).toByte) ++ info
-      val hdr = magic ++ Array(0x86.toByte) ++
+      val hdr = magic ++ Array(0x87.toByte) ++ // header payload = 7 bytes
         id(0x4282L, 2) ++ Array(0x84.toByte) ++ "webm".getBytes("US-ASCII")
       Multimodal.parseWebm(hdr ++ seg) shouldBe None
     }
+  }
+
+  test("4-byte-float Duration elements parse too (fixture writes 8)") {
+    def id(v: Long, len: Int) = (0 until len)
+      .map(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte).toArray
+    val fbits = java.lang.Float.floatToIntBits(90000.0f).toLong
+    val durEl = id(0x4489L, 2) ++ Array(0x84.toByte) ++ id(fbits, 4)
+    val scEl = id(0x2ad7b1L, 3) ++ Array(0x83.toByte) ++ id(500000L, 3)
+    val info = id(0x1549a966L, 4) ++
+      Array((0x80 | (durEl.length + scEl.length)).toByte) ++ scEl ++ durEl
+    val seg = id(0x18538067L, 4) ++ Array((0x80 | info.length).toByte) ++ info
+    val hdr = id(0x1a45dfa3L, 4) ++ Array(0x87.toByte) ++
+      id(0x4282L, 2) ++ Array(0x84.toByte) ++ "webm".getBytes("US-ASCII")
+    val m = Multimodal.parseWebm(hdr ++ seg).get
+    m.duration_ms shouldBe 90000L * 500000L / 1000000L
+    m.doc_type shouldBe "webm"
   }
 
   test("non-EBML after magic and truncated webm classify webm-corrupt") {

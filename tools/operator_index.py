@@ -55,7 +55,8 @@ GROUPS = {
     "Urls": "URL canonicalization, domains, outlinks, robots filters, fetch slots",
     "CorpusStats": "Corpus composition, drift, and length-histogram reports",
     "JsonIngest": "JSONL ingest with quarantine contract",
-    "Multimodal": "Opaque-binary media columns: real JDK image (ImageIO) and audio (javax.sound) decode, frame sampling; video containers stubbed",
+    "Multimodal": "Opaque-binary media columns: real JDK image (ImageIO) and audio (javax.sound) decode, frame sampling; MP4/WebM container metadata walks (codec-level video decode stubbed)",
+    "Warc": "WARC (ISO 28500) web-archive ingest: record walk, gzip members, HTTP block split, bomb-capped decompression",
     "Formats": "Interchange-format (ORC/CSV/JSON) round-trips with pinned fidelity options",
     "Scd": "SCD-2 dimension history and CDC latest-wins snapshots from per-key changelogs",
     "DataQuality": "Deequ-style constraint reports: predicates, uniqueness, referential integrity",
