@@ -415,6 +415,72 @@ object Urls {
       .drop("__rb_path", "__rb_rdomain", "__rb_rule", "__rb_prefix", "__rb_rn")
   }
 
+  /** Parse raw robots.txt TEXT into the (agent, rule, value) rule rows
+    * [[robotsDecisions]] consumes — the missing FRONT END of the
+    * crawl-scope stack (fetched robots bodies → rules → per-URL
+    * decisions). RFC 9309 / Google-parser subset, implemented entirely in
+    * codegen'd expressions plus two per-document windows — no UDF:
+    *
+    *   - lines split on LF (CR stripped — CRLF bodies tolerated),
+    *     comments stripped (`#` to end of line), directive names
+    *     case-insensitive, values trimmed; only `user-agent` / `allow` /
+    *     `disallow` / `crawl-delay` lines are kept (sitemap and unknown
+    *     directives dropped);
+    *   - a GROUP starts at a user-agent line whose previous KEPT line is
+    *     not itself a user-agent line — consecutive user-agent lines
+    *     STACK onto one group and every directive of the group attaches
+    *     to each stacked agent; blank lines are not significant (the
+    *     Google-parser rule, which RFC 9309 §2.2.1 permits);
+    *   - directives before the first group are dropped (RFC: rules
+    *     outside a group are invalid); agents are lowercased; an empty
+    *     directive value survives as "" (RFC: `Disallow:` = allow-all).
+    *
+    * Output: (`idCol`, `group_idx` 1-based, `agent`, `rule`, `value`).
+    *
+    * Scale posture: one window exchange on the document key + a
+    * (doc, group) equi-join whose sides are both robots-file-sized —
+    * per-document work is bounded by the file's line count, never corpus
+    * size; millions of domains parallelize on the document key.
+    */
+  def parseRobots(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = Par.fan(df).select(
+      col(idCol),
+      posexplode(split(regexp_replace(col(textCol), "\r", ""), "\n"))
+        .as(Seq("__ln", "__raw")))
+    val cleaned = lines
+      .withColumn("__clean", trim(regexp_replace(col("__raw"), "#.*$", "")))
+      .withColumn(
+        "__kind",
+        lower(regexp_extract(col("__clean"), "^([A-Za-z-]+)\\s*:", 1)))
+      .withColumn(
+        "__value",
+        trim(regexp_extract(col("__clean"), "^[A-Za-z-]+\\s*:(.*)$", 1)))
+      .filter(col("__kind")
+        .isin("user-agent", "allow", "disallow", "crawl-delay"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__ln"))
+    val grouped = cleaned
+      .withColumn("__ua", (col("__kind") === "user-agent").cast(IntegerType))
+      .withColumn("__prev_ua", lag(col("__ua"), 1, 0).over(w))
+      .withColumn(
+        "__gstart",
+        (col("__ua") === 1 && col("__prev_ua") === 0).cast(IntegerType))
+      .withColumn("group_idx", sum(col("__gstart")).over(w).cast(IntegerType))
+      .filter(col("group_idx") > 0)
+    val agents = grouped
+      .filter(col("__ua") === 1)
+      .select(col(idCol), col("group_idx"), lower(col("__value")).as("agent"))
+    val directives = grouped
+      .filter(col("__ua") === 0)
+      .select(
+        col(idCol),
+        col("group_idx"),
+        col("__kind").as("rule"),
+        col("__value").as("value"))
+    agents.join(directives, Seq(idCol, "group_idx"))
+  }
+
   /** Politeness-aware fetch partitioning: spread each registered domain's
     * URLs round-robin across `slots` fetch workers so no worker hammers
     * one host — with `n_d` urls on a domain, every slot gets

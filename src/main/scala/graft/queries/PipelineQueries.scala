@@ -2884,6 +2884,38 @@ object PipelineQueries {
       graft.ops.Warc.warcIngest(staged, "doc_id", "blob")
     },
 
+    // ----- raw robots.txt parsing — the crawl-scope FRONT END (NEW r15):
+    // each doc stages a robots.txt body (comments, CRLF line, a
+    // before-any-group directive that must be dropped, stacked + mixed-
+    // case user-agent lines, an empty Disallow:, an ignored Sitemap:);
+    // parseRobots must reduce it to exactly the closed-form rule rows,
+    // which the oracle derives INDEPENDENTLY (no parse replay - the
+    // expected output is a pure closed form of doc_id) -----
+    "u_robots_parse" -> { (s, dir) =>
+      val nl = lit("\n")
+      val txt = concat(
+        lit("# fetched "), (col("doc_id") % 11).cast(StringType), nl,
+        when(col("doc_id") % 7 === 0, lit("Disallow: /early\n"))
+          .otherwise(lit("")),
+        lit("User-agent: *\r\n"),
+        lit("Disallow: /admin\n"),
+        when(col("doc_id") % 2 === 0, lit("Allow: /admin/public\n"))
+          .otherwise(lit("")),
+        lit("Crawl-delay: "), (lit(1) + col("doc_id") % 5).cast(StringType),
+        nl,
+        when(col("doc_id") % 5 === 0, lit("Disallow:\n")).otherwise(lit("")),
+        nl,
+        when(col("doc_id") % 3 === 0,
+          concat(
+            lit("User-agent: GraftBot\nUser-agent: otherbot\nDISALLOW: /p"),
+            (col("doc_id") % 7).cast(StringType), nl)).otherwise(lit("")),
+        lit("Sitemap: https://example.invalid/s.xml\n"))
+      Urls.parseRobots(
+        t(s, dir, "documents").select(col("doc_id"), txt.as("robots")),
+        "doc_id",
+        "robots")
+    },
+
     // ----- URL curation (P39) -----
     // over a url column derived deterministically from doc_id/source/lang
     // (documents has no url field); the oracle builds the identical string
@@ -7184,6 +7216,26 @@ object PipelineQueries {
         |  repeat(chr(97 + CAST((doc_id + rr) % 26 AS INT)),
         |    CAST(16 + (doc_id * 7 + rr) % 32 AS INT)) AS payload
         |FROM r""".stripMargin,
+    // the expected robots rules are derived CLOSED-FORM (independent of
+    // the parse): group 1 = the '*' group's directives, group 2 = the
+    // stacked two-agent group on doc_id%3=0 docs
+    "u_robots_parse" ->
+      """SELECT doc_id, CAST(1 AS INT) AS group_idx, '*' AS agent,
+        |  'disallow' AS rule, '/admin' AS value FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INT), '*', 'allow', '/admin/public'
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INT), '*', 'crawl-delay',
+        |  CAST(1 + doc_id % 5 AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INT), '*', 'disallow', ''
+        |FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT doc_id, CAST(2 AS INT), a.agent, 'disallow',
+        |  '/p' || CAST(doc_id % 7 AS VARCHAR)
+        |FROM documents, (SELECT unnest(['graftbot', 'otherbot']) AS agent) a
+        |WHERE doc_id % 3 = 0""".stripMargin,
     "m_media_report" ->
       """WITH m AS (
         |  SELECT doc_id,

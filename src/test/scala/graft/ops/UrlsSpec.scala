@@ -273,6 +273,67 @@ class UrlsSpec extends SparkSpec {
     Urls.capPerDomain(docs, "id", "url", k = 2).count() shouldBe 2L
   }
 
+  test("parseRobots: groups, stacking, case, comments, CRLF, drops") {
+    val txt =
+      "# top comment\n" +
+        "Disallow: /before-any-group\n" + // outside a group: dropped
+        "User-agent: *\r\n" + // CRLF tolerated
+        "Disallow: /admin # trailing comment\n" +
+        "Allow: /admin/ok\n" +
+        "Crawl-delay: 3\n" +
+        "Disallow:\n" + // empty value survives as ""
+        "\n" +
+        "User-agent: GraftBot\n" + // blank line insignificant; new group
+        "User-agent: otherbot\n" + // stacked onto the same group
+        "DISALLOW: /p7\n" + // directive names case-insensitive
+        "Sitemap: https://x.example/s.xml\n" // unknown: dropped
+    val out = Urls
+      .parseRobots(Seq((1L, txt)).toDF("id", "robots"), "id", "robots")
+      .collect()
+      .map(r => (r.getAs[Int]("group_idx"), r.getAs[String]("agent"),
+        r.getAs[String]("rule"), r.getAs[String]("value")))
+      .toSet
+    out shouldBe Set(
+      (1, "*", "disallow", "/admin"),
+      (1, "*", "allow", "/admin/ok"),
+      (1, "*", "crawl-delay", "3"),
+      (1, "*", "disallow", ""),
+      (2, "graftbot", "disallow", "/p7"),
+      (2, "otherbot", "disallow", "/p7"))
+  }
+
+  test("parseRobots: blank lines do not split stacked user-agent lines") {
+    // the Google-parser rule (RFC 9309 permits it): UA, blank, UA, rule
+    // is ONE two-agent group
+    val txt = "User-agent: a\n\nUser-agent: b\nDisallow: /x\n"
+    val out = Urls
+      .parseRobots(Seq((1L, txt)).toDF("id", "robots"), "id", "robots")
+      .collect()
+      .map(r => (r.getAs[Int]("group_idx"), r.getAs[String]("agent")))
+      .toSet
+    out shouldBe Set((1, "a"), (1, "b"))
+  }
+
+  test("parseRobots feeds robotsDecisions end-to-end") {
+    val robots = Seq(
+      ("d1.com", "User-agent: *\nDisallow: /admin\nAllow: /admin/pub\n"))
+      .toDF("domain", "robots")
+    val rules = Urls.parseRobots(robots, "domain", "robots")
+      .filter(col("rule").isin("allow", "disallow"))
+      .select(
+        col("domain").as("rule_domain"), col("agent"),
+        col("rule"), col("value").as("prefix"))
+    val urls = Seq(
+      (1L, "https://d1.com/admin/x"),
+      (2L, "https://d1.com/admin/pub/y"),
+      (3L, "https://d1.com/open"))
+      .toDF("id", "url")
+    val out = Urls
+      .robotsDecisions(urls, "id", "url", rules, agent = "bot")
+      .orderBy("id").collect().map(_.getAs[String]("decision")).toSeq
+    out shouldBe Seq("disallow", "allow", "allow")
+  }
+
   test("graft.syntax exposes the url curation ops") {
     import graft.syntax._
     val df = (0L until 12L)
