@@ -481,6 +481,45 @@ object Urls {
     agents.join(directives, Seq(idCol, "group_idx"))
   }
 
+  /** Parse sitemap XML (sitemaps.org protocol) into one row per entry —
+    * the OTHER half of the crawl front end next to [[parseRobots]]: a
+    * fetched sitemap body becomes the frontier rows a scheduler enqueues.
+    * Handles both document kinds: a `<urlset>` yields its `<url>`
+    * entries (loc + optional lastmod), a `<sitemapindex>` yields its
+    * child `<sitemap>` entries (loc; the scheduler fetches those next).
+    * Regex-based like [[outlinks]] — entry blocks via non-greedy
+    * `<url>…</url>` / `<sitemap>…</sitemap>` matches, fields via
+    * `<loc>` / `<lastmod>` extraction; entries without a `<loc>` are
+    * dropped, absent `<lastmod>` surfaces as "". Pure codegen'd
+    * expressions (regexp_extract_all + posexplode) — zero exchanges at
+    * any corpus size.
+    *
+    * Output: (`idCol`, `kind` = 'index'|'urlset', `entry_idx` 0-based,
+    * `loc`, `lastmod`).
+    */
+  def parseSitemap(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
+    val kind = when(col(xmlCol).contains("<sitemapindex"), lit("index"))
+      .otherwise(lit("urlset"))
+    Par.fan(df)
+      .select(
+        col(idCol),
+        kind.as("kind"),
+        posexplode(
+          regexp_extract_all(
+            col(xmlCol),
+            lit("<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"),
+            lit(1))).as(Seq("entry_idx", "__block")))
+      .select(
+        col(idCol),
+        col("kind"),
+        col("entry_idx"),
+        trim(regexp_extract(col("__block"), "<loc>(.*?)</loc>", 1))
+          .as("loc"),
+        trim(regexp_extract(col("__block"), "<lastmod>(.*?)</lastmod>", 1))
+          .as("lastmod"))
+      .filter(col("loc") =!= "")
+  }
+
   /** Politeness-aware fetch partitioning: spread each registered domain's
     * URLs round-robin across `slots` fetch workers so no worker hammers
     * one host — with `n_d` urls on a domain, every slot gets

@@ -2916,6 +2916,41 @@ object PipelineQueries {
         "robots")
     },
 
+    // ----- sitemap XML parsing — the crawl front end's other half (NEW
+    // r15): doc_id%4=0 docs stage a <sitemapindex> (2 child sitemaps
+    // when doc_id%8=0, else 1), the rest a <urlset> (1+doc_id%3 urls
+    // with lastmod; the first entry lacks lastmod when doc_id%5=0). The
+    // oracle derives the expected rows closed-form, independent of the
+    // regex walk -----
+    "u_sitemap_parse" -> { (s, dir) =>
+      val d = col("doc_id").cast(StringType)
+      val dom = concat(lit("https://www.d"),
+        (col("doc_id") % 37).cast(StringType), lit(".com"))
+      def urlEntry(i: Int) = when(col("doc_id") % 3 >= i - 1,
+        concat(
+          lit(s"<url><loc>"), dom, lit("/p"), d, lit(s"-${i - 1}</loc>"),
+          when(col("doc_id") % 5 === 0 && lit(i) === 1, lit(""))
+            .otherwise(concat(
+              lit("<lastmod>2026-0"),
+              (lit(1) + (col("doc_id") + lit(i - 1)) % 9).cast(StringType),
+              lit("-01</lastmod>"))),
+          lit("<priority>0.5</priority></url>"))).otherwise(lit(""))
+      def idxEntry(i: Int) = when(
+        if (i == 1) lit(true) else col("doc_id") % 8 === 0,
+        concat(lit("<sitemap><loc>"), dom,
+          lit(s"/sitemap-${i - 1}.xml</loc></sitemap>"))).otherwise(lit(""))
+      val xml = when(col("doc_id") % 4 === 0,
+        concat(lit("<?xml version=\"1.0\"?><sitemapindex>"),
+          idxEntry(1), idxEntry(2), lit("</sitemapindex>")))
+        .otherwise(
+          concat(lit("<?xml version=\"1.0\"?><urlset>"),
+            urlEntry(1), urlEntry(2), urlEntry(3), lit("</urlset>")))
+      Urls.parseSitemap(
+        t(s, dir, "documents").select(col("doc_id"), xml.as("xml")),
+        "doc_id",
+        "xml")
+    },
+
     // ----- URL curation (P39) -----
     // over a url column derived deterministically from doc_id/source/lang
     // (documents has no url field); the oracle builds the identical string
@@ -7236,6 +7271,33 @@ object PipelineQueries {
         |  '/p' || CAST(doc_id % 7 AS VARCHAR)
         |FROM documents, (SELECT unnest(['graftbot', 'otherbot']) AS agent) a
         |WHERE doc_id % 3 = 0""".stripMargin,
+    // sitemap rows derived closed-form: index docs (doc_id%4=0) emit
+    // their child-sitemap locs, urlset docs one row per url entry
+    "u_sitemap_parse" ->
+      """WITH dom AS (
+        |  SELECT doc_id,
+        |    'https://www.d' || CAST(doc_id % 37 AS VARCHAR) || '.com' AS d
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, CAST(unnest(range(0,
+        |    CASE WHEN doc_id % 8 = 0 THEN 2 ELSE 1 END)) AS INT) AS i, d
+        |  FROM dom WHERE doc_id % 4 = 0),
+        |us AS (
+        |  SELECT doc_id,
+        |    CAST(unnest(range(0, 1 + doc_id % 3)) AS INT) AS i, d
+        |  FROM dom WHERE doc_id % 4 <> 0)
+        |SELECT doc_id, 'index' AS kind, i AS entry_idx,
+        |  d || '/sitemap-' || CAST(i AS VARCHAR) || '.xml' AS loc,
+        |  '' AS lastmod
+        |FROM idx
+        |UNION ALL
+        |SELECT doc_id, 'urlset' AS kind, i AS entry_idx,
+        |  d || '/p' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+        |    AS loc,
+        |  CASE WHEN doc_id % 5 = 0 AND i = 0 THEN ''
+        |       ELSE '2026-0' || CAST(1 + (doc_id + i) % 9 AS VARCHAR) ||
+        |         '-01' END AS lastmod
+        |FROM us""".stripMargin,
     "m_media_report" ->
       """WITH m AS (
         |  SELECT doc_id,

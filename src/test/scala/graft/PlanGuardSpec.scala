@@ -164,6 +164,7 @@ class PlanGuardSpec extends AnyFunSuite with Matchers {
     ("u_robots_filter", 0, 0),
     ("u_warc_ingest", 0, 0), // r15: encode+parse both mapPartitions
     ("u_robots_parse", 2, 0), // one doc-key window exchange + the (doc, group) join
+    ("u_sitemap_parse", 0, 0), // pure regexp/posexplode projection
     ("m_webm_meta", 0, 0))
 
   test("headline [B] gates keep their audited plan shapes") {

@@ -334,6 +334,40 @@ class UrlsSpec extends SparkSpec {
     out shouldBe Seq("disallow", "allow", "allow")
   }
 
+  test("parseSitemap: urlset entries, optional lastmod, loc-less dropped") {
+    val xml = "<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc> https://a.com/p1 </loc><lastmod>2026-02-01</lastmod></url>" +
+      "<url><loc>https://a.com/p2</loc><priority>0.9</priority></url>" +
+      "<url><priority>0.1</priority></url>" + // no <loc>: dropped
+      "</urlset>"
+    val out = Urls
+      .parseSitemap(Seq((1L, xml)).toDF("id", "xml"), "id", "xml")
+      .orderBy("entry_idx").collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Int]("entry_idx"),
+        r.getAs[String]("loc"), r.getAs[String]("lastmod")))
+      .toSeq
+    out shouldBe Seq(
+      ("urlset", 0, "https://a.com/p1", "2026-02-01"),
+      ("urlset", 1, "https://a.com/p2", ""))
+  }
+
+  test("parseSitemap: a sitemapindex yields its child-sitemap locs") {
+    val xml = "<sitemapindex>" +
+      "<sitemap><loc>https://a.com/s1.xml</loc></sitemap>" +
+      "<sitemap><loc>https://a.com/s2.xml</loc>" +
+      "<lastmod>2026-01-01</lastmod></sitemap>" +
+      "</sitemapindex>"
+    val out = Urls
+      .parseSitemap(Seq((1L, xml)).toDF("id", "xml"), "id", "xml")
+      .orderBy("entry_idx").collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[String]("loc"),
+        r.getAs[String]("lastmod")))
+      .toSeq
+    out shouldBe Seq(
+      ("index", "https://a.com/s1.xml", ""),
+      ("index", "https://a.com/s2.xml", "2026-01-01"))
+  }
+
   test("graft.syntax exposes the url curation ops") {
     import graft.syntax._
     val df = (0L until 12L)
