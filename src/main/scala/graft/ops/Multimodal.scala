@@ -735,6 +735,15 @@ object Multimodal {
     * callers classify `webm-corrupt`. Codec-level DECODE stays out of
     * reach without external libs — container layer only.
     */
+  /** Pixel-dimension sanity ceiling for [[parseWebm]]: EBML PixelWidth/
+    * PixelHeight are up-to-8-byte uints, so a crafted element can encode
+    * values far past any displayable raster; anything above this (or
+    * negative after the 8-byte read) classifies the blob corrupt instead
+    * of narrowing into garbage `Int` dimensions. 2^20 px/side is ~16×
+    * beyond 8K video.
+    */
+  val MaxPixelDim: Long = 1L << 20
+
   def parseWebm(bytes: Array[Byte]): Option[WebmMeta] = {
     var docType = ""
     var scaleNs = 1000000L // Matroska default: 1 ms per timestamp unit
@@ -834,8 +843,15 @@ object Multimodal {
             tkCodec = new String(bytes, p.toInt, size.toInt, "US-ASCII")
               .takeWhile(_ != '\u0000')
           case (CtxEntry, EVideo) => walk(p, p + size, depth + 1, CtxVideo)
-          case (CtxVideo, EPixelWidth) => tkW = readUint(p, size).toInt
-          case (CtxVideo, EPixelHeight) => tkH = readUint(p, size).toInt
+          // bound dimensions before the Int narrowing — a crafted 5-8
+          // byte uint must classify corrupt (the duration-overflow rule),
+          // not truncate into plausible-looking garbage pixels
+          case (CtxVideo, EPixelWidth) =>
+            val v = readUint(p, size)
+            if (v < 0L || v > MaxPixelDim) corrupt = true else tkW = v.toInt
+          case (CtxVideo, EPixelHeight) =>
+            val v = readUint(p, size)
+            if (v < 0L || v > MaxPixelDim) corrupt = true else tkH = v.toInt
           case _ => // Clusters, SeekHead, Cues, Void, … — skipped
         }
         off = p + size

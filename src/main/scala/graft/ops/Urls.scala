@@ -498,8 +498,17 @@ object Urls {
     * `loc`, `lastmod`).
     */
   def parseSitemap(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
-    val kind = when(col(xmlCol).contains("<sitemapindex"), lit("index"))
-      .otherwise(lit("urlset"))
+    // kind from the document's ROOT element (first tag after any <?…?>
+    // declarations), not a whole-body substring scan — an entry whose text
+    // happens to contain "<sitemapindex" must not relabel a <urlset> doc
+    val kind = when(
+      regexp_extract(
+        col(xmlCol), "^\\s*(?:<\\?[^>]*>\\s*)*<\\s*([A-Za-z]+)", 1)
+        === "sitemapindex",
+      lit("index")).otherwise(lit("urlset"))
+    // (?s): real-world sitemaps are pretty-printed — entry blocks and the
+    // loc/lastmod elements span newlines, and Java regex '.' does not
+    // match a newline without DOTALL
     Par.fan(df)
       .select(
         col(idCol),
@@ -507,16 +516,20 @@ object Urls {
         posexplode(
           regexp_extract_all(
             col(xmlCol),
-            lit("<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"),
+            lit("(?s)<(?:url|sitemap)\\s*>(.*?)</\\s*(?:url|sitemap)\\s*>"),
             lit(1))).as(Seq("entry_idx", "__block")))
       .select(
         col(idCol),
         col("kind"),
         col("entry_idx"),
-        trim(regexp_extract(col("__block"), "<loc>(.*?)</loc>", 1))
-          .as("loc"),
-        trim(regexp_extract(col("__block"), "<lastmod>(.*?)</lastmod>", 1))
-          .as("lastmod"))
+        // Spark's trim strips only spaces — pretty-printed bodies pad the
+        // element text with newlines/tabs too, so trim all whitespace
+        regexp_replace(
+          regexp_extract(col("__block"), "(?s)<loc>(.*?)</loc>", 1),
+          "^\\s+|\\s+$", "").as("loc"),
+        regexp_replace(
+          regexp_extract(col("__block"), "(?s)<lastmod>(.*?)</lastmod>", 1),
+          "^\\s+|\\s+$", "").as("lastmod"))
       .filter(col("loc") =!= "")
   }
 

@@ -149,12 +149,17 @@ object Warc {
       }
       idx += 1
       off = p + len.toInt
-      // records terminate with CRLF CRLF
-      if (off + 3 < bytes.length) {
-        if (!(bytes(off) == '\r' && bytes(off + 1) == '\n' &&
-          bytes(off + 2) == '\r' && bytes(off + 3) == '\n')) return None
-        off += 4
-      } else off = bytes.length
+      // records terminate with CRLF CRLF; at EOF the tail must still be a
+      // (possibly truncated) prefix of that separator — 1-3 trailing
+      // garbage bytes are structural corruption, not a clean end
+      val sep = Array[Byte]('\r', '\n', '\r', '\n')
+      val tail = math.min(4, bytes.length - off)
+      var si = 0
+      while (si < tail) {
+        if (bytes(off + si) != sep(si)) return None
+        si += 1
+      }
+      off += tail
     }
     Some(out.result())
   }

@@ -2926,25 +2926,32 @@ object PipelineQueries {
       val d = col("doc_id").cast(StringType)
       val dom = concat(lit("https://www.d"),
         (col("doc_id") % 37).cast(StringType), lit(".com"))
+      // even docs stage PRETTY-PRINTED xml (newline+indent between and
+      // INSIDE entry blocks, whitespace around loc text) — the real-world
+      // transport shape the (?s)/trim parse must survive; the oracle is
+      // unchanged because values are whitespace-trimmed
+      val pp = when(col("doc_id") % 2 === 0, lit("\n  ")).otherwise(lit(""))
       def urlEntry(i: Int) = when(col("doc_id") % 3 >= i - 1,
         concat(
-          lit(s"<url><loc>"), dom, lit("/p"), d, lit(s"-${i - 1}</loc>"),
+          pp, lit("<url>"), pp, lit("<loc>"), pp, dom, lit("/p"), d,
+          lit(s"-${i - 1}"), pp, lit("</loc>"),
           when(col("doc_id") % 5 === 0 && lit(i) === 1, lit(""))
             .otherwise(concat(
-              lit("<lastmod>2026-0"),
+              pp, lit("<lastmod>2026-0"),
               (lit(1) + (col("doc_id") + lit(i - 1)) % 9).cast(StringType),
               lit("-01</lastmod>"))),
-          lit("<priority>0.5</priority></url>"))).otherwise(lit(""))
+          pp, lit("<priority>0.5</priority></url>"))).otherwise(lit(""))
       def idxEntry(i: Int) = when(
         if (i == 1) lit(true) else col("doc_id") % 8 === 0,
-        concat(lit("<sitemap><loc>"), dom,
-          lit(s"/sitemap-${i - 1}.xml</loc></sitemap>"))).otherwise(lit(""))
+        concat(pp, lit("<sitemap>"), pp, lit("<loc>"), dom,
+          lit(s"/sitemap-${i - 1}.xml</loc>"), pp,
+          lit("</sitemap>"))).otherwise(lit(""))
       val xml = when(col("doc_id") % 4 === 0,
-        concat(lit("<?xml version=\"1.0\"?><sitemapindex>"),
-          idxEntry(1), idxEntry(2), lit("</sitemapindex>")))
+        concat(lit("<?xml version=\"1.0\"?>"), pp, lit("<sitemapindex>"),
+          idxEntry(1), idxEntry(2), pp, lit("</sitemapindex>")))
         .otherwise(
-          concat(lit("<?xml version=\"1.0\"?><urlset>"),
-            urlEntry(1), urlEntry(2), urlEntry(3), lit("</urlset>")))
+          concat(lit("<?xml version=\"1.0\"?>"), pp, lit("<urlset>"),
+            urlEntry(1), urlEntry(2), urlEntry(3), pp, lit("</urlset>")))
       Urls.parseSitemap(
         t(s, dir, "documents").select(col("doc_id"), xml.as("xml")),
         "doc_id",

@@ -604,6 +604,39 @@ class VideoSpec extends SparkSpec {
     }
   }
 
+  test("oversized PixelWidth/PixelHeight classify corrupt, never truncate") {
+    // a crafted 8-byte uint dimension would Int-truncate into plausible
+    // garbage without the MaxPixelDim guard; sane dimensions still parse
+    def id(v: Long, len: Int) = (0 until len)
+      .map(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte).toArray
+    def el(eid: Array[Byte], payload: Array[Byte]) =
+      eid ++ Array((0x80 | payload.length).toByte) ++ payload
+    def webmWith(width: Array[Byte]): Array[Byte] = {
+      val video = el(id(0xe0L, 1), // Video
+        el(id(0xb0L, 1), width) ++ // PixelWidth
+          el(id(0xbaL, 1), id(48L, 2))) // PixelHeight
+      val entry = el(id(0xaeL, 1), // TrackEntry
+        el(id(0x83L, 1), Array(0x01.toByte)) ++ // TrackType = video
+          el(id(0x86L, 1), "V_VP8".getBytes("US-ASCII")) ++ video)
+      val tracks = el(id(0x1654ae6bL, 4), entry)
+      val info = el(id(0x1549a966L, 4),
+        el(id(0x2ad7b1L, 3), Array(0x01.toByte)) ++ // scale = 1 ns
+          el(id(0x4489L, 2), id(
+            java.lang.Double.doubleToLongBits(5.0e6), 8))) // Duration
+      val seg = el(id(0x18538067L, 4), info ++ tracks)
+      val hdr = el(id(0x1a45dfa3L, 4),
+        el(id(0x4282L, 2), "webm".getBytes("US-ASCII")))
+      hdr ++ seg
+    }
+    val sane = Multimodal.parseWebm(webmWith(id(640L, 2))).get
+    sane.width shouldBe 640
+    sane.height shouldBe 48
+    // 2^33 exceeds MaxPixelDim; 0x8000000000000000 reads negative
+    Multimodal.parseWebm(webmWith(id(1L << 33, 8))) shouldBe None
+    Multimodal.parseWebm(webmWith(id(java.lang.Long.MIN_VALUE, 8))) shouldBe
+      None
+  }
+
   test("4-byte-float Duration elements parse too (fixture writes 8)") {
     def id(v: Long, len: Int) = (0 until len)
       .map(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte).toArray

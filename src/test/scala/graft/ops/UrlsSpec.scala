@@ -368,6 +368,45 @@ class UrlsSpec extends SparkSpec {
       ("index", "https://a.com/s2.xml", "2026-01-01"))
   }
 
+  test("parseSitemap: pretty-printed (multi-line) entries parse whole") {
+    // the dominant real-world shape: newlines between AND inside entry
+    // blocks, whitespace around the loc text — nothing may be dropped
+    val xml =
+      """<?xml version="1.0"?>
+        |<urlset>
+        |  <url>
+        |    <loc>
+        |      https://a.com/p1
+        |    </loc>
+        |    <lastmod>2026-03-01</lastmod>
+        |  </url>
+        |  <url>
+        |    <loc>https://a.com/p2</loc>
+        |  </url>
+        |</urlset>""".stripMargin
+    val out = Urls
+      .parseSitemap(Seq((1L, xml)).toDF("id", "xml"), "id", "xml")
+      .orderBy("entry_idx").collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Int]("entry_idx"),
+        r.getAs[String]("loc"), r.getAs[String]("lastmod")))
+      .toSeq
+    out shouldBe Seq(
+      ("urlset", 0, "https://a.com/p1", "2026-03-01"),
+      ("urlset", 1, "https://a.com/p2", ""))
+  }
+
+  test("parseSitemap: kind is decided by the ROOT element, not a scan") {
+    // a urlset whose entry text mentions "<sitemapindex" must stay
+    // 'urlset'; declarations/whitespace before the root are skipped
+    val xml = "\n<?xml version=\"1.0\"?>\n<urlset>" +
+      "<url><loc>https://a.com/docs/about-<sitemapindex>-tags</loc></url>" +
+      "</urlset>"
+    val out = Urls
+      .parseSitemap(Seq((1L, xml)).toDF("id", "xml"), "id", "xml")
+      .collect()
+    out.map(_.getAs[String]("kind")).toSeq shouldBe Seq("urlset")
+  }
+
   test("graft.syntax exposes the url curation ops") {
     import graft.syntax._
     val df = (0L until 12L)

@@ -64,6 +64,24 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("trailing bytes after the last record must prefix CRLF CRLF") {
+    val good = Warc.warcFixture(9L, 2, gzip = false)
+    // the fixture ends with the full CRLF CRLF separator: dropping 1-3
+    // of those bytes leaves a truncated-but-valid separator prefix
+    (1 to 3).foreach { k =>
+      Warc.parseWarc(good.dropRight(k)).map(_.length) shouldBe Some(3)
+    }
+    // 1-3 trailing GARBAGE bytes are structural corruption, not a clean
+    // end (the pre-r16 parser silently accepted them)
+    Seq("x", "\r\nx", "\r\nZ\r").foreach { tail =>
+      Warc.parseWarc(
+        good.dropRight(4) ++ tail.getBytes("US-ASCII")) shouldBe None
+    }
+    // garbage AT the separator position with >=4 bytes left still rejects
+    Warc.parseWarc(good.dropRight(4) ++ "XXXX".getBytes("US-ASCII")) shouldBe
+      None
+  }
+
   test("a gzip bomb classifies corrupt instead of exhausting memory") {
     // ~160 MB of zeros compresses to ~160 KB: decompression must stop at
     // the MaxDecompressedBytes cap and classify the blob corrupt
