@@ -2884,6 +2884,60 @@ object PipelineQueries {
       graft.ops.Warc.warcIngest(staged, "doc_id", "blob")
     },
 
+    // ----- FILE-scale WARC ingest (NEW r16, the r15 verdict's #1 ask):
+    // a real Common Crawl segment is a ~1 GB .warc.gz FILE, far past the
+    // blob path's 64 MiB cap. The gate stages a >=256 MiB multi-member
+    // .warc.gz (110k records, near-incompressible LCG bodies; REQUIREd
+    // >=256 MiB on-wire) plus two small segments (one gz, one plain),
+    // STREAMS their records off the file handles (one record in memory
+    // at a time), and aggregates per (file, type, idx-bucket) — every
+    // aggregate a closed form of (seed, rec_idx) that DuckDB replays
+    // independently. The big-file walk runs payload-PRUNED (column
+    // pruning pushed into the record walk; lengths/URIs/structure still
+    // parse-derived and byte-exact); byte-exact CONTENT is REQUIREd
+    // in-gate by replaying one small-segment record against the LCG
+    // generator. Fixture staging is memoized on disk per machine -----
+    "u_warc_file_ingest" -> { (s, dir) =>
+      import s.implicits._
+      import graft.ops.Warc
+      val big =
+        Warc.stagedWarcFile("big", seed = 1L, nResponses = 110000,
+          gzip = true)
+      val seg =
+        Warc.stagedWarcFile("seg", seed = 2L, nResponses = 500, gzip = true)
+      val plain =
+        Warc.stagedWarcFile("plain", seed = 3L, nResponses = 400,
+          gzip = false)
+      require(big.length >= (256L << 20),
+        s"warc file fixture must be >=256 MiB on-wire, got ${big.length}")
+      val probe = Warc.warcIngestFiles(
+          Seq(("seg", seg.getPath)).toDF("file_id", "path"), "path")
+        .filter(col("rec_idx") === 8)
+        .select(col("payload"), col("target_uri"))
+        .collect()
+      require(probe.length == 1 &&
+        probe(0).getString(0) == Warc.fileBody(2L, 7) &&
+        probe(0).getString(1) == Warc.fileUri(2L, 7),
+        "seg record 8 must round-trip byte-exactly through the file walk")
+      val bigRecs = Warc.warcIngestFiles(
+        Seq(("big", big.getPath)).toDF("file_id", "path"), "path",
+        includePayload = false)
+      val smallRecs = Warc.warcIngestFiles(
+        Seq(("seg", seg.getPath), ("plain", plain.getPath))
+          .toDF("file_id", "path"),
+        "path")
+      bigRecs.unionByName(smallRecs)
+        .groupBy(
+          col("file_id"), col("warc_type"),
+          (col("rec_idx") % 16).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_recs"),
+          sum(col("payload_len")).as("sum_len"),
+          min(col("rec_idx")).as("min_idx"),
+          max(col("rec_idx")).as("max_idx"),
+          countDistinct(col("target_uri")).as("n_uris"))
+    },
+
     // ----- raw robots.txt parsing — the crawl-scope FRONT END (NEW r15):
     // each doc stages a robots.txt body (comments, CRLF line, a
     // before-any-group directive that must be dropped, stacked + mixed-
@@ -7258,6 +7312,36 @@ object PipelineQueries {
         |  repeat(chr(97 + CAST((doc_id + rr) % 26 AS INT)),
         |    CAST(16 + (doc_id * 7 + rr) % 32 AS INT)) AS payload
         |FROM r""".stripMargin,
+    // file-scale WARC replay: the expected per-(file, type, bucket)
+    // aggregates derived CLOSED-FORM from the fixture parameters — an
+    // independent derivation of lengths/URIs/indices; byte content is
+    // REQUIREd in-gate against the LCG generator
+    "u_warc_file_ingest" ->
+      """WITH f(file_id, seed, n) AS (
+        |  VALUES ('big', 1, 110000), ('seg', 2, 500), ('plain', 3, 400)),
+        |r AS (
+        |  SELECT file_id, seed,
+        |    CAST(unnest(range(0, n)) AS INT) AS rr
+        |  FROM f),
+        |recs AS (
+        |  SELECT file_id, 'response' AS warc_type,
+        |    CAST((rr + 1) % 16 AS INT) AS bucket,
+        |    rr + 1 AS rec_idx,
+        |    2048 + (seed * 31 + rr * 97) % 2048 AS payload_len,
+        |    'https://www.d' || CAST((seed + rr) % 37 AS VARCHAR) ||
+        |      '.com/seg' || CAST(seed AS VARCHAR) || '/p' ||
+        |      CAST(rr AS VARCHAR) AS uri
+        |  FROM r
+        |  UNION ALL
+        |  SELECT file_id, 'warcinfo', CAST(0 AS INT), 0, 25, '' FROM f)
+        |SELECT file_id, warc_type, bucket,
+        |  CAST(count(*) AS BIGINT) AS n_recs,
+        |  CAST(sum(payload_len) AS BIGINT) AS sum_len,
+        |  CAST(min(rec_idx) AS INT) AS min_idx,
+        |  CAST(max(rec_idx) AS INT) AS max_idx,
+        |  CAST(count(DISTINCT uri) AS BIGINT) AS n_uris
+        |FROM recs
+        |GROUP BY file_id, warc_type, bucket""".stripMargin,
     // the expected robots rules are derived CLOSED-FORM (independent of
     // the parse): group 1 = the '*' group's directives, group 2 = the
     // stacked two-agent group on doc_id%3=0 docs

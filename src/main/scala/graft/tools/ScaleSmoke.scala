@@ -1400,6 +1400,54 @@ object ScaleSmoke {
           else Some(s"$n rows != expected $expect")).flatten
       }))
 
+    // FILE-scale WARC ingest (r16): the arrival grain — stage the gate's
+    // >=256 MiB multi-member .warc.gz plus 8 medium segments (~600 MiB
+    // on-wire total, ~700 MiB decompressed) and STREAM every record off
+    // the file handles. The memory posture is RECORD-bounded, not
+    // file-bounded (WarcFileSpec proves a 2 GiB declared length rejects
+    // without materializing); the only shuffle at ANY file count is the
+    // tiny path spread — record rows never shuffle, so the ceiling is
+    // effectively zero. Big file walks payload-PRUNED (the metadata
+    // grain); the 8 segments decode every payload in full.
+    measure(Step(
+      "u_warc_file_ingest(9 files, ~600 MiB on-wire, streamed records)",
+      () => {
+        import spark.implicits._
+        val big = graft.ops.Warc.stagedWarcFile(
+          "big", seed = 1L, nResponses = 110000, gzip = true)
+        val segs = (0 until 8).map { i =>
+          (s"seg$i", graft.ops.Warc.stagedWarcFile(
+            s"smoke$i", seed = 10L + i, nResponses = 14000,
+            gzip = true).getPath)
+        }
+        val bigRecs = graft.ops.Warc.warcIngestFiles(
+          Seq(("big", big.getPath)).toDF("file_id", "path"), "path",
+          includePayload = false)
+        val segRecs =
+          graft.ops.Warc.warcIngestFiles(segs.toDF("file_id", "path"), "path")
+        bigRecs.unionByName(segRecs)
+      },
+      ceilingGB = 0.01,
+      invariant = df => {
+        val corrupt = df.filter(col("warc_type") === "warc-corrupt").count()
+        val n = df.count()
+        val expect = 110001L + 8L * 14001L
+        val seed = when(col("file_id") === "big", lit(1L))
+          .otherwise(lit(10L) +
+            regexp_extract(col("file_id"), "seg(\\d+)", 1).cast("long"))
+        val badLen = df
+          .filter(col("warc_type") === "response" &&
+            col("payload_len") =!= lit(2048) +
+              (seed * 31 + (col("rec_idx") - 1) * 97) % 2048)
+          .count()
+        Seq(
+          if (corrupt == 0L) None else Some(s"$corrupt corrupt files"),
+          if (badLen == 0L) None
+          else Some(s"$badLen records with wrong closed-form byte length"),
+          if (n == expect) None
+          else Some(s"$n rows != expected $expect")).flatten
+      }))
+
     // ingest e2e composition at 100x (r13): CSV slice + JSONL slice with
     // re-ingested duplicates -> union -> keep-min exact dedup ->
     // partitionBy(lang) write -> pruned read. Result-invariance is exact:

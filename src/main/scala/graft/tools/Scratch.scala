@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev scratchpad for phase timing / floor measurement. Currently:
-  * measure the in-gate recall values of s_ivf_topk and s_pca_ann at each
-  * sf dir (the floors those gates REQUIRE — r15).
+  * size + wall-time of the file-scale WARC fixture and its one-task
+  * ingest (the r16 `u_warc_file_ingest` gate parameters).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -15,44 +15,25 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.ops.Warc
 
-    import graft.ops.{AnnEval, Similarity}
+    val t0 = System.nanoTime()
+    val big = Warc.stagedWarcFile("scratch-big", seed = 1L,
+      nResponses = 110000, gzip = true)
+    val t1 = System.nanoTime()
+    println(f"[scratch] fixture: ${big.length() / 1048576.0}%.1f MiB " +
+      f"in ${(t1 - t0) / 1e9}%.1f s (>=256 MiB: ${big.length >= (256L << 20)})")
 
-    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
-      val dir = s"/root/testdata/$sf"
-      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-
-      // s_ivf_topk recall@5 (cells=8, nprobe=3, trainIters=2)
-      locally {
-        val qs = emb.filter(col("vec_id") < 50)
-        val ann = Similarity.ivfTopK(emb, "vec_id", "embedding",
-          qs, "vec_id", "embedding", k = 5, cells = 8, nprobe = 3,
-          trainIters = 2)
-        val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-          qs, "vec_id", "embedding", k = 5)
-        val rec = AnnEval.recallAtK(ann, truth, "query_id", "neighbor_id")
-          .agg(sum(col("n_hits")).as("h"), sum(col("n_truth")).as("t"))
-          .collect().head
-        println(f"[scratch] $sf s_ivf_topk recall@5 = " +
-          f"${rec.getLong(0).toDouble / rec.getLong(1)}%.3f")
-      }
-
-      // s_pca_ann captured-variance share (8 of 64 dims)
-      locally {
-        val model = graft.ops.Pca.fit(emb, "embedding", 8)
-        val st = emb.agg(
-          sum(Similarity.norm2(col("embedding").cast("array<float>"))
-            .cast("double"))
-            .as("ss"),
-          count(lit(1)).as("n")).collect().head
-        val total =
-          st.getDouble(0) / st.getLong(1) - model.mean.map(m => m * m).sum
-        println(f"[scratch] $sf s_pca_ann variance share = " +
-          f"${model.explainedVariance.sum / total}%.4f")
-        graft.ops.Par.releaseCaches()
-      }
-    }
+    val t2 = System.nanoTime()
+    val n = Warc
+      .warcIngestFiles(Seq(("big", big.getPath)).toDF("fid", "path"), "path")
+      .groupBy(col("warc_type"))
+      .agg(count(lit(1)).as("n"), sum(col("payload_len")).as("len"))
+      .collect()
+    val t3 = System.nanoTime()
+    println(f"[scratch] ingest: ${(t3 - t2) / 1e9}%.1f s " +
+      n.map(r => s"${r.get(0)}=${r.get(1)}/${r.get(2)}").mkString(" "))
     spark.stop()
-    sys.exit(0)
   }
 }

@@ -163,6 +163,10 @@ class PlanGuardSpec extends AnyFunSuite with Matchers {
     ("u_outlinks", 2, 0),
     ("u_robots_filter", 0, 0),
     ("u_warc_ingest", 0, 0), // r15: encode+parse both mapPartitions
+    // r16: 2 path-spread repartitions (3-row relations) + the
+    // partial-agg'd group exchange + the countDistinct second phase —
+    // record walks themselves are mapPartitions, shuffle-free
+    ("u_warc_file_ingest", 4, 0),
     ("u_robots_parse", 2, 0), // one doc-key window exchange + the (doc, group) join
     ("u_sitemap_parse", 0, 0), // pure regexp/posexplode projection
     ("m_webm_meta", 0, 0))
