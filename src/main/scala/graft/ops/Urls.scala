@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -374,15 +374,19 @@ object Urls {
       !df.columns.exists(Seq("domain", "decision", "matched_prefix").contains),
       "input must not contain domain/decision/matched_prefix")
     // agent-group selection: domains with an agent-specific group use it
-    // EXCLUSIVELY; the rest fall back to their '*' group
+    // EXCLUSIVELY; the rest fall back to their '*' group. Group
+    // EXISTENCE keys off any rule row, but only path rules participate
+    // in matching — crawl-delay/sitemap rows from parseRobots would
+    // otherwise prefix-match paths against their values (r16 hardening)
     val specificDomains = rules
       .filter(col(agentCol) === agent)
       .select(col(ruleDomainCol))
       .distinct()
-    val applicable = rules
+    val pathRules = rules.filter(col(ruleCol).isin("allow", "disallow"))
+    val applicable = pathRules
       .filter(col(agentCol) === agent)
       .unionByName(
-        rules
+        pathRules
           .filter(col(agentCol) === "*")
           .join(specificDomains, Seq(ruleDomainCol), "left_anti"))
       .select(
@@ -423,19 +427,25 @@ object Urls {
     *
     *   - lines split on LF (CR stripped — CRLF bodies tolerated),
     *     comments stripped (`#` to end of line), directive names
-    *     case-insensitive, values trimmed; only `user-agent` / `allow` /
-    *     `disallow` / `crawl-delay` lines are kept (sitemap and unknown
-    *     directives dropped);
-    *   - a GROUP starts at a user-agent line whose previous KEPT line is
-    *     not itself a user-agent line — consecutive user-agent lines
-    *     STACK onto one group and every directive of the group attaches
-    *     to each stacked agent; blank lines are not significant (the
+    *     case-insensitive, values trimmed; `user-agent` / `allow` /
+    *     `disallow` / `crawl-delay` lines are group-scoped, `sitemap`
+    *     lines are kept GROUP-INDEPENDENT (RFC 9309 §2.3: sitemap is not
+    *     part of any group — emitted with `group_idx` 0 and agent ''
+    *     regardless of position, even before the first group); unknown
+    *     directives are dropped;
+    *   - a GROUP starts at a user-agent line whose previous KEPT
+    *     group-scoped line is not itself a user-agent line — consecutive
+    *     user-agent lines STACK onto one group and every directive of
+    *     the group attaches to each stacked agent; blank lines and
+    *     sitemap lines are not significant for grouping (the
     *     Google-parser rule, which RFC 9309 §2.2.1 permits);
-    *   - directives before the first group are dropped (RFC: rules
-    *     outside a group are invalid); agents are lowercased; an empty
-    *     directive value survives as "" (RFC: `Disallow:` = allow-all).
+    *   - group-scoped directives before the first group are dropped
+    *     (RFC: rules outside a group are invalid); agents are
+    *     lowercased; an empty directive value survives as "" (RFC:
+    *     `Disallow:` = allow-all).
     *
-    * Output: (`idCol`, `group_idx` 1-based, `agent`, `rule`, `value`).
+    * Output: (`idCol`, `group_idx` 1-based; 0 = group-independent,
+    * `agent` ('' for group-independent rows), `rule`, `value`).
     *
     * Scale posture: one window exchange on the document key + a
     * (doc, group) equi-join whose sides are both robots-file-sized —
@@ -447,7 +457,7 @@ object Urls {
       col(idCol),
       posexplode(split(regexp_replace(col(textCol), "\r", ""), "\n"))
         .as(Seq("__ln", "__raw")))
-    val cleaned = lines
+    val parsed = lines
       .withColumn("__clean", trim(regexp_replace(col("__raw"), "#.*$", "")))
       .withColumn(
         "__kind",
@@ -455,6 +465,17 @@ object Urls {
       .withColumn(
         "__value",
         trim(regexp_extract(col("__clean"), "^[A-Za-z-]+\\s*:(.*)$", 1)))
+    // sitemap rows bypass grouping entirely (and never split a stacked
+    // user-agent run, since the group walk below never sees them)
+    val sitemaps = parsed
+      .filter(col("__kind") === "sitemap" && col("__value") =!= "")
+      .select(
+        col(idCol),
+        lit(0).as("group_idx"),
+        lit("").as("agent"),
+        lit("sitemap").as("rule"),
+        col("__value").as("value"))
+    val cleaned = parsed
       .filter(col("__kind")
         .isin("user-agent", "allow", "disallow", "crawl-delay"))
     val w = org.apache.spark.sql.expressions.Window
@@ -479,6 +500,70 @@ object Urls {
         col("__kind").as("rule"),
         col("__value").as("value"))
     agents.join(directives, Seq(idCol, "group_idx"))
+      .unionByName(sitemaps)
+  }
+
+  /** Numeric-format guard for `crawl-delay` values — the Google-parser
+    * rule: non-numeric values are DROPPED, not coerced. Up to 6 integer
+    * and 3 fractional digits keeps the milliseconds conversion exactly
+    * integral on both engines (sub-ms precision is rejected as
+    * non-conforming, like any other malformed value).
+    */
+  private val CrawlDelayPattern = "^[0-9]{1,6}(\\.[0-9]{1,3})?$"
+
+  /** Type the politeness loop: reduce [[parseRobots]]-shaped rule rows to
+    * ONE `crawl_delay_ms` per rule domain for `agent` — the numeric rate
+    * the frontier scheduler ([[fetchSlotsScheduled]]) consumes, closing
+    * the "delay comes out as a string nobody reads" seam. Group selection
+    * mirrors [[robotsDecisions]] exactly: a domain with ANY rule rows for
+    * `agent` uses only those (its `*` rows are ignored — so a specific
+    * group without a delay line yields NO delay); otherwise its `*`
+    * rows. Non-numeric values are dropped (Google-parser rule); several
+    * surviving lines collapse to the most conservative (max). Seconds
+    * convert to exact integer milliseconds.
+    *
+    * `rules` columns: (`ruleDomainCol`, `agentCol`, `ruleCol`,
+    * `valueCol`) — rows with `ruleCol != 'crawl-delay'` are ignored, so
+    * the full [[parseRobots]] output can be passed as-is.
+    * Output: (`ruleDomainCol`, `crawl_delay_ms` BIGINT) — only domains
+    * with a surviving delay appear (left-join downstream).
+    *
+    * Scale posture: rule sets are crawl-config-sized; one domain-key
+    * aggregation, broadcastable downstream.
+    */
+  def crawlDelayMs(
+      rules: DataFrame,
+      agent: String,
+      ruleDomainCol: String = "rule_domain",
+      agentCol: String = "agent",
+      ruleCol: String = "rule",
+      valueCol: String = "value"): DataFrame = {
+    val delays = rules
+      .filter(col(ruleCol) === "crawl-delay" &&
+        col(valueCol).rlike(CrawlDelayPattern))
+      .select(
+        col(ruleDomainCol),
+        col(agentCol),
+        // DECIMAL(10,3) × 1000 is integral by construction of the
+        // pattern, so the BIGINT cast is exact on both engines
+        (col(valueCol).cast(DecimalType(10, 3)) * 1000)
+          .cast(LongType).as("__delay_ms"))
+    val specific = delays
+      .filter(col(agentCol) === agent)
+      .select(col(ruleDomainCol), col("__delay_ms"))
+    // exclusivity keys off ANY rule row for the agent, not just delay
+    // rows — the robotsDecisions group-selection rule
+    val specificDomains = rules
+      .filter(col(agentCol) === agent)
+      .select(col(ruleDomainCol))
+      .distinct()
+    val fallback = delays
+      .filter(col(agentCol) === "*")
+      .join(specificDomains, Seq(ruleDomainCol), "left_anti")
+      .select(col(ruleDomainCol), col("__delay_ms"))
+    specific.unionByName(fallback)
+      .groupBy(col(ruleDomainCol))
+      .agg(max(col("__delay_ms")).as("crawl_delay_ms"))
   }
 
   /** Parse sitemap XML (sitemaps.org protocol) into one row per entry —
@@ -531,6 +616,82 @@ object Urls {
           regexp_extract(col("__block"), "(?s)<lastmod>(.*?)</lastmod>", 1),
           "^\\s+|\\s+$", "").as("lastmod"))
       .filter(col("loc") =!= "")
+  }
+
+  /** Stage a text column as the BINARY blob [[parseSitemapBlobs]] reads:
+    * rows where `gzip` holds become one-member gzip blobs (the `.xml.gz`
+    * transport), the rest plain UTF-8 bytes. Partition-wise encode, the
+    * [[Warc.withWarcBlob]] staging pattern; replaces `xmlCol` with
+    * `blob`.
+    */
+  def withSitemapBlob(
+      df: DataFrame,
+      xmlCol: String,
+      gzip: Column): DataFrame = {
+    val keep = df.schema.fields.filterNot(_.name == xmlCol).toSeq
+    val staged = df.select(
+      keep.map(f => col(f.name)) ++
+        Seq(col(xmlCol), gzip.cast(BooleanType).as("__gz")): _*)
+    val outSchema = StructType(
+      keep :+ StructField("blob", BinaryType, nullable = false))
+    val n = keep.length
+    staged.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getString(n).getBytes("UTF-8")
+        val blob =
+          if (r.getBoolean(n + 1)) {
+            val bos = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(bytes); gz.close()
+            bos.toByteArray
+          } else bytes
+        Row.fromSeq((0 until n).map(r.get) :+ blob)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** [[parseSitemap]] over BINARY sitemap blobs — `.xml.gz` is the
+    * dominant transport for sitemaps in the wild (the protocol documents
+    * gzip explicitly, and the 50 MB size cap pushes publishers to it).
+    * Gzip blobs (magic-sniffed) decompress through the same capped
+    * gunzip as [[Warc]] blobs (a bomb classifies corrupt, never OOMs);
+    * plain blobs decode directly. A blob that fails to decompress
+    * surfaces as ONE `(id, 'sitemap-corrupt', -1, '', '')` row —
+    * countable downstream, never silently dropped.
+    *
+    * Scale posture: one mapPartitions decode (the decoded relation is
+    * cached via [[Par.cached]] so the good/corrupt split does not gunzip
+    * twice), then the zero-exchange [[parseSitemap]] projection.
+    */
+  def parseSitemapBlobs(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String): DataFrame = {
+    val pruned = df.select(col(idCol), col(blobCol))
+    val decodedSchema = StructType(pruned.schema.fields.take(1) :+
+      StructField("__xml", StringType, nullable = true))
+    val decoded = Par.cached(pruned.mapPartitions { rows =>
+      rows.map { r =>
+        val blob = r.getAs[Array[Byte]](1)
+        val bytes =
+          if (blob != null && blob.length >= 2 &&
+            blob(0) == 0x1f.toByte && blob(1) == 0x8b.toByte)
+            Warc.gunzipCapped(blob).orNull
+          else blob
+        Row(r.get(0), if (bytes == null) null else new String(bytes, "UTF-8"))
+      }
+    }(Encoders.row(decodedSchema)))
+    val good = parseSitemap(
+      decoded.filter(col("__xml").isNotNull), idCol, "__xml")
+    val corrupt = decoded
+      .filter(col("__xml").isNull)
+      .select(
+        col(idCol),
+        lit("sitemap-corrupt").as("kind"),
+        lit(-1).as("entry_idx"),
+        lit("").as("loc"),
+        lit("").as("lastmod"))
+    good.unionByName(corrupt)
   }
 
   /** Politeness-aware fetch partitioning: spread each registered domain's
@@ -620,5 +781,46 @@ object Urls {
       .withColumn(
         "slot",
         ((row_number().over(w) - 1) % slots).cast(IntegerType))
+  }
+
+  /** [[fetchSlots]] with the politeness RATE applied: join each domain's
+    * [[crawlDelayMs]] and emit `not_before_ms` — the earliest offset (ms
+    * from frontier start) at which the URL may be fetched so consecutive
+    * hits on one HOST stay `crawl_delay_ms` apart GLOBALLY (crawl-delay
+    * is per host, not per worker: the k-th URL of a domain schedules at
+    * `k × delay` no matter which slot fetches it). Domains without a
+    * registered delay schedule at 0 (no politeness constraint beyond the
+    * slot spread). Deterministic like [[fetchSlots]]: same hash scatter,
+    * so a resumed frontier reproduces identical slots AND times.
+    *
+    * `delays` columns: (`delayDomainCol`, `delayMsCol`) — the
+    * [[crawlDelayMs]] output shape, broadcast (crawl-config-sized).
+    * Output: [[fetchSlots]] columns + `crawl_delay_ms` (0 when absent) +
+    * `not_before_ms`.
+    */
+  def fetchSlotsScheduled(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      slots: Int,
+      delays: DataFrame,
+      delayDomainCol: String = "rule_domain",
+      delayMsCol: String = "crawl_delay_ms"): DataFrame = {
+    val base = fetchSlots(df, idCol, urlCol, slots)
+    val d = delays.select(
+      col(delayDomainCol).as("__fs_domain"),
+      col(delayMsCol).cast(LongType).as("__fs_delay"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(
+        TextFunctions.hash61(concat(lit("slot:"), col(idCol).cast(StringType))),
+        col(idCol))
+    base
+      .join(broadcast(d), col("domain") === col("__fs_domain"), "left")
+      .withColumn("crawl_delay_ms", coalesce(col("__fs_delay"), lit(0L)))
+      .withColumn(
+        "not_before_ms",
+        (row_number().over(w) - 1).cast(LongType) * col("crawl_delay_ms"))
+      .drop("__fs_domain", "__fs_delay")
   }
 }

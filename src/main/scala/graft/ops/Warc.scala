@@ -70,7 +70,7 @@ object Warc {
   private val Gzip = Array(0x1f.toByte, 0x8b.toByte)
   private val Sep = Array[Byte]('\r', '\n', '\r', '\n')
 
-  private def gunzipCapped(bytes: Array[Byte]): Option[Array[Byte]] =
+  private[ops] def gunzipCapped(bytes: Array[Byte]): Option[Array[Byte]] =
     try {
       val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
       val out = new java.io.ByteArrayOutputStream()

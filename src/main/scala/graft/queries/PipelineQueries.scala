@@ -479,6 +479,11 @@ object PipelineQueries {
     * /admin/tools), d0-d4 ADDITIONALLY carry a graftbot-specific group
     * (which must REPLACE '*' entirely), d6 carries an allow /admin that
     * ties the disallow /admin exactly (allow must win the tie).
+    *
+    * r16 (typed politeness): crawl-delay rows ride the same relation —
+    * d0/d1 in the graftbot group (used), d2-d8 in '*' (d2-d4's are DEAD:
+    * the specific group exists without a delay line, so exclusivity
+    * yields NO delay; d7's value is non-numeric and must drop).
     */
   private[graft] val RobotsRules: Seq[(String, String, String, String)] =
     (0 until 10).flatMap(k =>
@@ -486,8 +491,18 @@ object PipelineQueries {
         (s"d$k.com", "*", "disallow", "/admin"),
         (s"d$k.com", "*", "allow", "/admin/tools"))) ++
       (0 until 5).map(k =>
-        (s"d$k.com", "graftbot", "disallow", "/admin/tools")) :+
-      ("d6.com", "*", "allow", "/admin")
+        (s"d$k.com", "graftbot", "disallow", "/admin/tools")) ++
+      Seq(
+        ("d6.com", "*", "allow", "/admin"),
+        ("d0.com", "graftbot", "crawl-delay", "0.25"),
+        ("d1.com", "graftbot", "crawl-delay", "3"),
+        ("d2.com", "*", "crawl-delay", "2.5"),
+        ("d3.com", "*", "crawl-delay", "4"),
+        ("d4.com", "*", "crawl-delay", "6.75"),
+        ("d5.com", "*", "crawl-delay", "1"),
+        ("d6.com", "*", "crawl-delay", "0.5"),
+        ("d7.com", "*", "crawl-delay", "fast"),
+        ("d8.com", "*", "crawl-delay", "10"))
 
   /** Card-candidate fuzz fragments: digit-run shapes that stress the
     * leftmost-greedy `\d{13,19}` agreement between Java regex and RE2 —
@@ -2941,7 +2956,8 @@ object PipelineQueries {
     // ----- raw robots.txt parsing — the crawl-scope FRONT END (NEW r15):
     // each doc stages a robots.txt body (comments, CRLF line, a
     // before-any-group directive that must be dropped, stacked + mixed-
-    // case user-agent lines, an empty Disallow:, an ignored Sitemap:);
+    // case user-agent lines, an empty Disallow:, a Sitemap: emitted
+    // GROUP-INDEPENDENT per RFC 9309 §2.3 — r16, previously dropped);
     // parseRobots must reduce it to exactly the closed-form rule rows,
     // which the oracle derives INDEPENDENTLY (no parse replay - the
     // expected output is a pure closed form of doc_id) -----
@@ -3012,6 +3028,61 @@ object PipelineQueries {
         "xml")
     },
 
+    // ----- crawl frontier e2e (NEW r16, the r15 verdict's robots→sitemap
+    // seam): robots bodies carry Sitemap: directives (1 + doc_id%2 per
+    // doc) → parseRobots surfaces them group-independent → the sitemap
+    // URLs join to a staged body table keyed by the SAME closed-form URL
+    // → parseSitemapBlobs (half the bodies ship as .xml.gz — the
+    // dominant transport — and doc_id%50=0 stages a TRUNCATED gzip that
+    // must classify sitemap-corrupt) → one frontier row per url entry.
+    // The oracle derives every row closed-form, independent of both
+    // parsers and of the gzip round-trip -----
+    "u_crawl_frontier_e2e" -> { (s, dir) =>
+      val m = (col("doc_id") % 37).cast(StringType)
+      val d = col("doc_id").cast(StringType)
+      def smUrl(j: Column) = concat(
+        lit("https://www.d"), m, lit(".com/s"), d, lit("-"),
+        j.cast(StringType), lit(".xml"))
+      val robots = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          lit("User-agent: *\nDisallow: /admin\n"),
+          lit("Sitemap: "), smUrl(lit(0)), lit("\n"),
+          when(col("doc_id") % 2 === 1,
+            concat(lit("Sitemap: "), smUrl(lit(1)), lit("\n")))
+            .otherwise(lit(""))).as("robots"))
+      val smUrls = Urls.parseRobots(robots, "doc_id", "robots")
+        .filter(col("rule") === "sitemap")
+        .select(col("value").as("sitemap_url"))
+      def entry(j: Int, k: Int) = when((col("doc_id") + j) % 3 >= k,
+        concat(
+          lit("<url><loc>https://www.d"), m, lit(".com/p"), d,
+          lit(s"-$j-$k</loc><lastmod>2026-0"),
+          (lit(1) + (col("doc_id") + lit(j + k)) % 9).cast(StringType),
+          lit("-01</lastmod></url>"))).otherwise(lit(""))
+      def xmlFor(j: Int) = concat(
+        lit("<?xml version=\"1.0\"?><urlset>"),
+        entry(j, 0), entry(j, 1), entry(j, 2), lit("</urlset>"))
+      def bodiesAt(j: Int) = t(s, dir, "documents")
+        .filter(if (j == 0) lit(true) else col("doc_id") % 2 === 1)
+        .select(
+          col("doc_id"), lit(j).as("j"),
+          smUrl(lit(j)).as("sitemap_url"), xmlFor(j).as("xml"))
+      val blobs = Urls
+        .withSitemapBlob(
+          bodiesAt(0).unionByName(bodiesAt(1)),
+          "xml",
+          gzip = (col("doc_id") + col("j")) % 2 === 0)
+        .withColumn(
+          "blob",
+          when(col("doc_id") % 50 === 0 && col("j") === 0,
+            substring(col("blob"), 1, 10)) // truncated gzip: corrupt
+            .otherwise(col("blob")))
+        .select(col("sitemap_url"), col("blob"))
+      val frontier = smUrls.join(blobs, Seq("sitemap_url"))
+      Urls.parseSitemapBlobs(frontier, "sitemap_url", "blob")
+    },
+
     // ----- URL curation (P39) -----
     // over a url column derived deterministically from doc_id/source/lang
     // (documents has no url field); the oracle builds the identical string
@@ -3076,7 +3147,11 @@ object PipelineQueries {
     // precedence \u2014 agent-specific groups REPLACE the '*' group entirely
     // (d0-d4 for graftbot), a longer allow overrides a shorter disallow
     // (/admin/tools under disallow /admin), and an exact-length tie goes
-    // to allow (d6's allow+disallow /admin) -----
+    // to allow (d6's allow+disallow /admin). r16: the decision now
+    // carries the TYPED politeness rate \u2014 crawlDelayMs reduces the same
+    // rule relation to exact integer ms under the same group
+    // exclusivity (d2-d4's '*' delays DEAD, d7's non-numeric dropped),
+    // 0 where no delay is registered -----
     "u_robots_decisions" -> { (s, dir) =>
       import s.implicits._
       val urls = t(s, dir, "documents").select(
@@ -3089,7 +3164,17 @@ object PipelineQueries {
             .otherwise(lit("/public/p")),
           col("doc_id").cast(StringType)).as("url"))
       val rules = RobotsRules.toDF("rule_domain", "agent", "rule", "prefix")
-      Urls.robotsDecisions(urls, "doc_id", "url", rules, agent = "graftbot")
+      val dec =
+        Urls.robotsDecisions(urls, "doc_id", "url", rules, agent = "graftbot")
+      val delays = Urls
+        .crawlDelayMs(rules, agent = "graftbot", valueCol = "prefix")
+        .withColumnRenamed("rule_domain", "__delay_domain")
+      dec
+        .join(
+          broadcast(delays), col("domain") === col("__delay_domain"), "left")
+        .withColumn(
+          "crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(0L)))
+        .drop("__delay_domain")
     },
 
     // ----- politeness fetch partitioning (NEW r10): each domain's urls
@@ -4619,13 +4704,28 @@ object PipelineQueries {
          |rules(rule_domain, agent, rule, prefix) AS (VALUES $values),
          |specific AS (
          |  SELECT DISTINCT rule_domain FROM rules WHERE agent = 'graftbot'),
+         |path_rules AS (
+         |  SELECT rule_domain, agent, rule, prefix FROM rules
+         |  WHERE rule IN ('allow', 'disallow')),
          |applicable AS (
-         |  SELECT rule_domain, rule, prefix FROM rules
+         |  SELECT rule_domain, rule, prefix FROM path_rules
          |  WHERE agent = 'graftbot'
          |  UNION ALL
-         |  SELECT rule_domain, rule, prefix FROM rules
+         |  SELECT rule_domain, rule, prefix FROM path_rules
          |  WHERE agent = '*' AND rule_domain NOT IN
          |    (SELECT rule_domain FROM specific)),
+         |delays AS (
+         |  SELECT rule_domain,
+         |    CAST(max(CAST(prefix AS DECIMAL(10,3)) * 1000) AS BIGINT)
+         |      AS crawl_delay_ms
+         |  FROM (
+         |    SELECT rule_domain, agent, prefix FROM rules
+         |    WHERE rule = 'crawl-delay' AND
+         |      regexp_matches(prefix, '^[0-9]{1,6}(\\.[0-9]{1,3})?$$')) dr
+         |  WHERE agent = 'graftbot'
+         |     OR (agent = '*' AND rule_domain NOT IN
+         |       (SELECT rule_domain FROM specific))
+         |  GROUP BY rule_domain),
          |m AS (
          |  SELECT u.doc_id, u.url, u.dom, a.rule, a.prefix,
          |    row_number() OVER (PARTITION BY u.doc_id
@@ -4633,10 +4733,12 @@ object PipelineQueries {
          |      AS rn
          |  FROM u LEFT JOIN applicable a
          |    ON u.dom = a.rule_domain AND starts_with(u.path, a.prefix))
-         |SELECT doc_id, url, dom AS domain,
-         |  coalesce(rule, 'allow') AS decision,
-         |  coalesce(prefix, '') AS matched_prefix
-         |FROM m WHERE rn = 1""".stripMargin
+         |SELECT m.doc_id, m.url, m.dom AS domain,
+         |  coalesce(m.rule, 'allow') AS decision,
+         |  coalesce(m.prefix, '') AS matched_prefix,
+         |  coalesce(d.crawl_delay_ms, 0) AS crawl_delay_ms
+         |FROM m LEFT JOIN delays d ON m.dom = d.rule_domain
+         |WHERE m.rn = 1""".stripMargin
     },
     "u_fetch_slots" -> {
       s"""WITH u AS (
@@ -7361,7 +7463,10 @@ object PipelineQueries {
         |SELECT doc_id, CAST(2 AS INT), a.agent, 'disallow',
         |  '/p' || CAST(doc_id % 7 AS VARCHAR)
         |FROM documents, (SELECT unnest(['graftbot', 'otherbot']) AS agent) a
-        |WHERE doc_id % 3 = 0""".stripMargin,
+        |WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS INT), '', 'sitemap',
+        |  'https://example.invalid/s.xml' FROM documents""".stripMargin,
     // sitemap rows derived closed-form: index docs (doc_id%4=0) emit
     // their child-sitemap locs, urlset docs one row per url entry
     "u_sitemap_parse" ->
@@ -7389,6 +7494,34 @@ object PipelineQueries {
         |       ELSE '2026-0' || CAST(1 + (doc_id + i) % 9 AS VARCHAR) ||
         |         '-01' END AS lastmod
         |FROM us""".stripMargin,
+    // crawl-frontier chain replayed closed-form: robots Sitemap rows ->
+    // per-sitemap url entries; the doc_id%50=0 j=0 bodies are staged as
+    // truncated gzip and must surface as sitemap-corrupt rows instead
+    "u_crawl_frontier_e2e" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(unnest(range(0, 1 + doc_id % 2)) AS INT) AS j
+        |  FROM documents),
+        |su AS (
+        |  SELECT doc_id, j,
+        |    'https://www.d' || CAST(doc_id % 37 AS VARCHAR) || '.com/s' ||
+        |      CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR) ||
+        |      '.xml' AS sitemap_url
+        |  FROM s),
+        |e AS (
+        |  SELECT doc_id, j, sitemap_url,
+        |    CAST(unnest(range(0, 1 + (doc_id + j) % 3)) AS INT) AS k
+        |  FROM su WHERE NOT (doc_id % 50 = 0 AND j = 0))
+        |SELECT sitemap_url, 'urlset' AS kind, k AS entry_idx,
+        |  'https://www.d' || CAST(doc_id % 37 AS VARCHAR) || '.com/p' ||
+        |    CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR) || '-' ||
+        |    CAST(k AS VARCHAR) AS loc,
+        |  '2026-0' || CAST(1 + (doc_id + j + k) % 9 AS VARCHAR) || '-01'
+        |    AS lastmod
+        |FROM e
+        |UNION ALL
+        |SELECT sitemap_url, 'sitemap-corrupt', CAST(-1 AS INT), '', ''
+        |FROM su WHERE doc_id % 50 = 0 AND j = 0""".stripMargin,
     "m_media_report" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -454,6 +454,28 @@ object syntax {
         agent: String): DataFrame =
       Urls.robotsDecisions(df, idCol, urlCol, rules, agent)
 
+    /** Raw robots.txt bodies → rule rows (groups, stacking, sitemap). */
+    def parseRobots(idCol: String, textCol: String): DataFrame =
+      Urls.parseRobots(df, idCol, textCol)
+
+    /** Sitemap XML bodies → one frontier row per entry. */
+    def parseSitemap(idCol: String, xmlCol: String): DataFrame =
+      Urls.parseSitemap(df, idCol, xmlCol)
+
+    /** Binary (optionally .xml.gz) sitemap blobs → frontier rows. */
+    def parseSitemapBlobs(idCol: String, blobCol: String): DataFrame =
+      Urls.parseSitemapBlobs(df, idCol, blobCol)
+
+    /** Typed per-domain politeness: crawl-delay rules → exact ms. */
+    def crawlDelayMs(agent: String): DataFrame =
+      Urls.crawlDelayMs(df, agent)
+
+    /** WARC record rows streamed from .warc(.gz) FILE paths. */
+    def warcIngestFiles(
+        pathCol: String,
+        includePayload: Boolean = true): DataFrame =
+      graft.ops.Warc.warcIngestFiles(df, pathCol, includePayload)
+
     /** Char-shingle MinHash near-dup pairs (unsegmented text). */
     def nearDupMinhashChars(
         idCol: String,

@@ -169,6 +169,14 @@ class PlanGuardSpec extends AnyFunSuite with Matchers {
     ("u_warc_file_ingest", 4, 0),
     ("u_robots_parse", 2, 0), // one doc-key window exchange + the (doc, group) join
     ("u_sitemap_parse", 0, 0), // pure regexp/posexplode projection
+    // r16: robots sitemap-seam + typed-politeness additions. The
+    // frontier chain's sitemap-url equi-join AQE-broadcasts at gate
+    // scale; its 2 exchanges are the parseRobots window + group join.
+    // u_robots_decisions gained the crawlDelayMs reduction (rule-set
+    // sized: the delay agg + the specific-domain distinct), broadcast
+    // back onto the decisions
+    ("u_crawl_frontier_e2e", 2, 0),
+    ("u_robots_decisions", 4, 0),
     ("m_webm_meta", 0, 0))
 
   test("headline [B] gates keep their audited plan shapes") {

@@ -286,7 +286,8 @@ class UrlsSpec extends SparkSpec {
         "User-agent: GraftBot\n" + // blank line insignificant; new group
         "User-agent: otherbot\n" + // stacked onto the same group
         "DISALLOW: /p7\n" + // directive names case-insensitive
-        "Sitemap: https://x.example/s.xml\n" // unknown: dropped
+        "Sitemap: https://x.example/s.xml\n" + // group-independent (r16)
+        "X-Unknown: dropped\n" // unknown: dropped
     val out = Urls
       .parseRobots(Seq((1L, txt)).toDF("id", "robots"), "id", "robots")
       .collect()
@@ -299,7 +300,78 @@ class UrlsSpec extends SparkSpec {
       (1, "*", "crawl-delay", "3"),
       (1, "*", "disallow", ""),
       (2, "graftbot", "disallow", "/p7"),
-      (2, "otherbot", "disallow", "/p7"))
+      (2, "otherbot", "disallow", "/p7"),
+      (0, "", "sitemap", "https://x.example/s.xml"))
+  }
+
+  test("parseRobots: sitemap lines are group-independent and never split") {
+    // a Sitemap BEFORE any group still surfaces (RFC 9309 §2.3), and one
+    // BETWEEN stacked user-agent lines does not break the stacking
+    val txt =
+      "Sitemap: https://a.example/s0.xml\n" +
+        "User-agent: a\n" +
+        "Sitemap: https://a.example/s1.xml\n" +
+        "User-agent: b\n" +
+        "Disallow: /x\n"
+    val out = Urls
+      .parseRobots(Seq((1L, txt)).toDF("id", "robots"), "id", "robots")
+      .collect()
+      .map(r => (r.getAs[Int]("group_idx"), r.getAs[String]("agent"),
+        r.getAs[String]("rule"), r.getAs[String]("value")))
+      .toSet
+    out shouldBe Set(
+      (0, "", "sitemap", "https://a.example/s0.xml"),
+      (0, "", "sitemap", "https://a.example/s1.xml"),
+      (1, "a", "disallow", "/x"),
+      (1, "b", "disallow", "/x"))
+  }
+
+  test("crawlDelayMs: group exclusivity, numeric guard, max collapse") {
+    val rules = Seq(
+      // d1: specific group WITH delay — star delay must be ignored
+      ("d1.com", "graftbot", "crawl-delay", "0.25"),
+      ("d1.com", "*", "crawl-delay", "9"),
+      // d2: specific group WITHOUT delay — yields NO delay at all
+      ("d2.com", "graftbot", "disallow", "/x"),
+      ("d2.com", "*", "crawl-delay", "5"),
+      // d3: star fallback; two lines collapse to the max; path rules
+      // and non-numeric values ignored
+      ("d3.com", "*", "crawl-delay", "2"),
+      ("d3.com", "*", "crawl-delay", "3.5"),
+      ("d3.com", "*", "disallow", "/y"),
+      ("d4.com", "*", "crawl-delay", "fast"), // non-numeric: dropped
+      ("d5.com", "*", "crawl-delay", "1.2345")) // >3 decimals: dropped
+      .toDF("rule_domain", "agent", "rule", "value")
+    val out = Urls.crawlDelayMs(rules, agent = "graftbot")
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("crawl_delay_ms")))
+      .toMap
+    out shouldBe Map("d1.com" -> 250L, "d3.com" -> 3500L)
+  }
+
+  test("fetchSlotsScheduled spaces each domain's fetches by its delay") {
+    val docs = (0L until 12L)
+      .map(i => (i, s"https://d${i % 2}.com/p$i"))
+      .toDF("id", "url")
+    val delays = Seq(("d0.com", 1000L)).toDF("rule_domain", "crawl_delay_ms")
+    val out = Urls
+      .fetchSlotsScheduled(docs, "id", "url", slots = 2, delays)
+      .collect()
+    val byDomain = out.groupBy(_.getAs[String]("domain"))
+    // d0: 6 urls at 0,1000,...,5000 — k×delay regardless of slot
+    byDomain("d0.com").map(_.getAs[Long]("not_before_ms")).sorted.toSeq shouldBe
+      (0L until 6L).map(_ * 1000L)
+    // d1: no registered delay — everything at 0 with delay 0
+    byDomain("d1.com").foreach { r =>
+      r.getAs[Long]("crawl_delay_ms") shouldBe 0L
+      r.getAs[Long]("not_before_ms") shouldBe 0L
+    }
+    // same deterministic slot assignment as fetchSlots
+    val slots = Urls.fetchSlots(docs, "id", "url", slots = 2)
+      .select(col("id"), col("slot")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach(r =>
+      r.getAs[Int]("slot") shouldBe slots(r.getAs[Long]("id")))
   }
 
   test("parseRobots: blank lines do not split stacked user-agent lines") {
@@ -405,6 +477,44 @@ class UrlsSpec extends SparkSpec {
       .parseSitemap(Seq((1L, xml)).toDF("id", "xml"), "id", "xml")
       .collect()
     out.map(_.getAs[String]("kind")).toSeq shouldBe Seq("urlset")
+  }
+
+  test("parseSitemapBlobs: gz and plain blobs parse alike, corrupt marks") {
+    val xml = "<urlset><url><loc>https://a.com/p1</loc></url></urlset>"
+    val staged = Urls.withSitemapBlob(
+      Seq((1L, xml), (2L, xml), (3L, xml)).toDF("id", "xml"),
+      "xml",
+      gzip = col("id") % 2 === 0)
+    // id 3's gzip truncated to 10 bytes: must classify, not throw
+    val blobs = staged.withColumn(
+      "blob",
+      when(col("id") === 3,
+        Urls.withSitemapBlob(
+          Seq((3L, xml)).toDF("id", "xml"), "xml", gzip = lit(true))
+          .select(substring(col("blob"), 1, 10)).head().getAs[Array[Byte]](0))
+        .otherwise(col("blob")))
+    val out = Urls.parseSitemapBlobs(blobs, "id", "blob")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("kind"),
+        r.getAs[Int]("entry_idx"), r.getAs[String]("loc")))
+      .toSeq
+    out shouldBe Seq(
+      (1L, "urlset", 0, "https://a.com/p1"),
+      (2L, "urlset", 0, "https://a.com/p1"),
+      (3L, "sitemap-corrupt", -1, ""))
+  }
+
+  test("parseSitemapBlobs: a gzip bomb classifies corrupt, never OOMs") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    val chunk = new Array[Byte](1 << 20)
+    (0 until 100).foreach(_ => gz.write(chunk)) // ~100 MB of zeros
+    gz.close()
+    val out = Urls
+      .parseSitemapBlobs(
+        Seq((1L, bos.toByteArray)).toDF("id", "blob"), "id", "blob")
+      .collect()
+    out.map(_.getAs[String]("kind")).toSeq shouldBe Seq("sitemap-corrupt")
   }
 
   test("graft.syntax exposes the url curation ops") {
