@@ -394,6 +394,46 @@ object Warc {
     }(Encoders.row(outSchema))
   }
 
+  /** Stage one HTTP-response WARC blob per row whose body is the given
+    * TEXT column (UTF-8) — the crawl-chain fixture grain:
+    * [[withWarcBlob]] generates synthetic letter bodies, this carries
+    * REAL corpus payloads through the container so an e2e chain
+    * (ingest → strip → filter → dedup) starts at the arrival format.
+    * Each blob = warcinfo + one response; odd ids ship as per-record
+    * gzip members (both stream layouts in one staged corpus).
+    */
+  def withWarcBlobBody(
+      df: DataFrame,
+      idCol: String,
+      bodyCol: String): DataFrame = {
+    // Par.fan: the per-row work downstream (gzip encode, then typically a
+    // full parse + strip chain) is heavy, and a small-extract input would
+    // otherwise pin it to a handful of scan partitions
+    val staged = Par.fan(df.select(
+      col(idCol).cast(LongType).as(idCol),
+      col(bodyCol).cast(StringType).as("__body")))
+    val outSchema = StructType(staged.schema.fields.take(1) :+
+      StructField("blob", BinaryType, nullable = false))
+    staged.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val http = "HTTP/1.1 200 OK\r\n" +
+          "Content-Type: text/html; charset=utf-8\r\n\r\n" + r.getString(1)
+        val info = record(
+          "warcinfo", "", "software: graft-fixture\r\n",
+          "application/warc-fields")
+        val resp = record(
+          "response",
+          s"https://www.d${id % 37}.com/p$id",
+          http,
+          "application/http; msgtype=response")
+        Row(id,
+          if (id % 2L == 1L) gzipMember(info) ++ gzipMember(resp)
+          else info ++ resp)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   private val ingestSchema = StructType(Seq(
     StructField("rec_idx", IntegerType, nullable = false),
     StructField("warc_type", StringType, nullable = false),

@@ -2953,6 +2953,74 @@ object PipelineQueries {
           countDistinct(col("target_uri")).as("n_uris"))
     },
 
+    // ----- crawl-to-corpus e2e (NEW r16, the r15 verdict's #3 ask): the
+    // e2e family (P36/P45/P91/P139) starts at clean text — this one
+    // starts at the ARRIVAL CONTAINER. Chain: stage WARC blobs whose
+    // response bodies are HTML-wrapped document text (doc_id%10 docs get
+    // an exact duplicate under a shifted id; doc_id%17 bodies carry
+    // injected U+FFFD artifacts; odd ids gzip) → warcIngest → stripHtml
+    // → encoding-artifact ppm==0 filter (drops the injected docs) →
+    // langId → exact dedup keeping the min id per stripped text →
+    // per-predicted-lang corpus report. ONE chained DuckDB oracle
+    // replays every stage -----
+    "p_crawl_e2e" -> { (s, dir) =>
+      val body = concat(
+        lit("<html><head><title>t</title></head><body><h1>Doc</h1><p>"),
+        col("text"),
+        when(col("doc_id") % 17 === 0, lit("\uFFFD\uFFFD\uFFFD"))
+          .otherwise(lit("")),
+        lit("</p></body></html>"))
+      val base = t(s, dir, "documents").select(col("doc_id"), body.as("body"))
+      val twins = t(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(
+          (col("doc_id") + lit(1000000000L)).as("doc_id"), body.as("body"))
+      val staged = graft.ops.Warc.withWarcBlobBody(
+        base.unionByName(twins), "doc_id", "body")
+      val recs = graft.ops.Warc.warcIngest(staged, "doc_id", "blob")
+        .filter(col("warc_type") === "response")
+      val stripped = recs.select(
+        col("doc_id"),
+        TextFunctions.stripHtml(col("payload")).as("text2"))
+      val clean = stripped
+        .filter(TextFunctions.encodingArtifactPpm(col("text2")) === 0L)
+      val langed = clean
+        .withColumn("pred_lang", TextFunctions.langId(col("text2")))
+      // exact dedup + report WITHOUT shuffling text: every report metric
+      // is a function of the text, so it is computed map-side per doc
+      // and the survivor election shuffles only (fp, metrics) tuples —
+      // at 100 TB the dedup exchange carries fixed-width rows, never the
+      // corpus payload (corpusReport's own metric definitions, verbatim)
+      val perDoc = langed.select(
+        col("doc_id"),
+        md5(col("text2")).as("__fp"),
+        col("pred_lang"),
+        coalesce(TextFunctions.tokenCount(col("text2")), lit(0L))
+          .cast(org.apache.spark.sql.types.LongType).as("__toks"),
+        coalesce(length(col("text2")), lit(0))
+          .cast(org.apache.spark.sql.types.LongType).as("__chars"),
+        TextFunctions.hash61(coalesce(col("text2"), lit(""))).as("__h"))
+      val survivors = perDoc
+        .groupBy(col("__fp"))
+        .agg(
+          min(col("doc_id")).as("doc_id"),
+          min(col("pred_lang")).as("pred_lang"),
+          min(col("__toks")).as("__toks"),
+          min(col("__chars")).as("__chars"),
+          min(col("__h")).as("__h"))
+      survivors
+        .groupBy(col("pred_lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__toks")).as("n_tokens"),
+          sum(col("__chars")).as("n_chars"),
+          countDistinct(col("__h")).as("n_distinct_texts"),
+          max(col("__toks")).as("max_tokens"),
+          (sum(col("__toks")).cast(org.apache.spark.sql.types.DoubleType) /
+            count(lit(1)).cast(org.apache.spark.sql.types.DoubleType))
+            .as("mean_tokens"))
+    },
+
     // ----- raw robots.txt parsing — the crawl-scope FRONT END (NEW r15):
     // each doc stages a robots.txt body (comments, CRLF line, a
     // before-any-group directive that must be dropped, stacked + mixed-
@@ -7444,6 +7512,96 @@ object PipelineQueries {
         |  CAST(count(DISTINCT uri) AS BIGINT) AS n_uris
         |FROM recs
         |GROUP BY file_id, warc_type, bucket""".stripMargin,
+    // crawl-to-corpus chain replayed stage by stage: html wrap (+ twin
+    // duplication + U+FFFD injection) -> the t_strip_html regex chain ->
+    // the t_mojibake artifact-ppm filter -> exact dedup by stripped text
+    // -> the t_lang_id scorer -> the t_corpus_report aggregate, all from
+    // the SAME shared constants as the Spark ops
+    "p_crawl_e2e" -> {
+      val hitExprs = TextFunctions.LangProfiles.map { case (lang, sw) =>
+        val arr = sw.map(s => s"'$s'").mkString("[", ", ", "]")
+        s"len(list_filter(ws, w -> list_contains($arr, w))) AS h_$lang"
+      }
+      val langs = TextFunctions.LangProfiles.map(_._1)
+      val maxExpr = s"greatest(${langs.map("h_" + _).mkString(", ")})"
+      val chain = langs
+        .map(l => s"WHEN h_$l = mx AND mx > 0 THEN '$l'")
+        .mkString(" ")
+      def chrs(x: String) = x.map(c => s"chr(${c.toInt})").mkString(" || ")
+      val mojiSum = TextFunctions.MojibakeSeqs
+        .map(x =>
+          s"(length(text) - length(replace(text, ${chrs(x)}, ''))) // ${x.length}")
+        .mkString("\n      + ")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    '<html><head><title>t</title></head><body><h1>Doc</h1><p>' ||
+         |      text ||
+         |      CASE WHEN doc_id % 17 = 0
+         |        THEN chr(65533) || chr(65533) || chr(65533) ELSE '' END ||
+         |      '</p></body></html>' AS body
+         |  FROM documents),
+         |docs AS (
+         |  SELECT doc_id, body FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, body FROM base WHERE doc_id % 10 = 0),
+         |x AS (
+         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+         |    body,
+         |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |    '(?s)<[^>]*>', ' ', 'g') AS t
+         |  FROM docs),
+         |ent AS (
+         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(regexp_replace(regexp_replace(
+         |    t,
+         |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+         |    '&#39;', CHR(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
+         |    AS t
+         |  FROM x),
+         |st AS (
+         |  SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text
+         |  FROM ent),
+         |cnt AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L,
+         |    CAST(length(text) - length(replace(text, chr(65533), ''))
+         |      AS BIGINT) AS n_replacement,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      '[\\x{0080}-\\x{009F}]', '', 'g')) AS BIGINT) AS n_c1,
+         |    CAST($mojiSum AS BIGINT) AS n_moji
+         |  FROM st),
+         |clean AS (
+         |  SELECT doc_id, text FROM cnt
+         |  WHERE CASE WHEN L = 0 THEN 0
+         |    ELSE ((n_replacement + n_c1 + n_moji) * 1000000) // L END = 0),
+         |surv AS (
+         |  SELECT text, min(doc_id) AS doc_id FROM clean GROUP BY text),
+         |b AS (
+         |  SELECT text, $WsSql AS ws FROM surv),
+         |scored AS (
+         |  SELECT text, ws, ${hitExprs.mkString(", ")} FROM b),
+         |mxd AS (
+         |  SELECT text, ws, *, $maxExpr AS mx FROM scored),
+         |langed AS (
+         |  SELECT text, ws,
+         |    CASE $chain ELSE 'und' END AS pred_lang
+         |  FROM mxd),
+         |rep AS (
+         |  SELECT pred_lang,
+         |    coalesce(len(ws), 0) AS toks,
+         |    coalesce(len(text), 0) AS chars,
+         |    ${hash61Sql("coalesce(text, '')")} AS h
+         |  FROM langed)
+         |SELECT pred_lang,
+         |  count(*) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(chars) AS BIGINT) AS n_chars,
+         |  count(DISTINCT h) AS n_distinct_texts,
+         |  CAST(max(toks) AS BIGINT) AS max_tokens,
+         |  CAST(sum(toks) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS mean_tokens
+         |FROM rep GROUP BY pred_lang""".stripMargin
+    },
     // the expected robots rules are derived CLOSED-FORM (independent of
     // the parse): group 1 = the '*' group's directives, group 2 = the
     // stacked two-agent group on doc_id%3=0 docs

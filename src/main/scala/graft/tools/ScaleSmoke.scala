@@ -1448,6 +1448,93 @@ object ScaleSmoke {
           else Some(s"$n rows != expected $expect")).flatten
       }))
 
+    // crawl-to-corpus e2e at 100x (r16): the p_crawl_e2e chain — WARC
+    // encode (html-wrapped text, half gzip) → ingest → stripHtml →
+    // artifact-ppm filter → langId → exact dedup → per-lang report —
+    // with the twin/injection selections keyed on the ORIGINAL doc id
+    // (fan id ÷ copies), so duplication collapses exactly and the 100x
+    // report must equal the 1x base run bit-for-bit. Text never
+    // shuffles: the dedup exchange carries (fp, metrics) tuples only.
+    locally {
+      def crawlChain(d0: DataFrame, divisor: Long): DataFrame = {
+        import graft.ops.TextFunctions
+        // spread FIRST: the fanned corpus inherits the crossJoin's few
+        // scan partitions (Par.fan bails on join-bearing lineage), and
+        // the whole chain ahead is heavy narrow work — this one priced
+        // text-sized exchange buys full-width parallelism; at real scale
+        // file splits provide it natively and this repartition vanishes
+        val d = d0.repartition(
+          d0.sparkSession.sparkContext.defaultParallelism)
+        val orig = floor(col("doc_id") / lit(divisor)).cast("long")
+        val body = concat(
+          lit("<html><head><title>t</title></head><body><h1>Doc</h1><p>"),
+          col("text"),
+          when(orig % 17 === 0, lit("\uFFFD\uFFFD\uFFFD"))
+            .otherwise(lit("")),
+          lit("</p></body></html>"))
+        val base = d.select(col("doc_id"), body.as("body"))
+        val twins = d
+          .filter(orig % 10 === 0)
+          .select(
+            (col("doc_id") + lit(1000000000000L)).as("doc_id"),
+            body.as("body"))
+        val staged = graft.ops.Warc.withWarcBlobBody(
+          base.unionByName(twins), "doc_id", "body")
+        val stripped = graft.ops.Warc.warcIngest(staged, "doc_id", "blob")
+          .filter(col("warc_type") === "response")
+          .select(
+            col("doc_id"),
+            TextFunctions.stripHtml(col("payload")).as("text2"))
+        val langed = stripped
+          .filter(TextFunctions.encodingArtifactPpm(col("text2")) === 0L)
+          .withColumn("pred_lang", TextFunctions.langId(col("text2")))
+        val perDoc = langed.select(
+          col("doc_id"),
+          md5(col("text2")).as("__fp"),
+          col("pred_lang"),
+          coalesce(TextFunctions.tokenCount(col("text2")), lit(0L))
+            .cast("long").as("__toks"),
+          coalesce(length(col("text2")), lit(0)).cast("long").as("__chars"),
+          TextFunctions.hash61(coalesce(col("text2"), lit(""))).as("__h"))
+        perDoc
+          .groupBy(col("__fp"))
+          .agg(
+            min(col("pred_lang")).as("pred_lang"),
+            min(col("__toks")).as("__toks"),
+            min(col("__chars")).as("__chars"),
+            min(col("__h")).as("__h"))
+          .groupBy(col("pred_lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("__toks")).as("n_tokens"),
+            sum(col("__chars")).as("n_chars"),
+            countDistinct(col("__h")).as("n_distinct_texts"),
+            max(col("__toks")).as("max_tokens"),
+            (sum(col("__toks")).cast("double") /
+              count(lit(1)).cast("double")).as("mean_tokens"))
+      }
+      val baseRows = crawlChain(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text")),
+        divisor = 1L)
+        .collect().map(_.toSeq).toSet
+      println(s"[smoke] crawl-e2e base run: ${baseRows.size} lang rows")
+      measure(Step(
+        s"p_crawl_e2e(${copies}x, warc->strip->filter->dedup->report, " +
+          "result-invariant)",
+        () => crawlChain(docs, divisor = copies.toLong),
+        // the spread exchange carries the corpus text ONCE (~1 GB at
+        // 100x); dedup/report exchanges stay fixed-width-tuple-sized
+        ceilingGB = 1.5,
+        invariant = df => {
+          val got = df.collect().map(_.toSeq).toSet
+          if (got == baseRows) None.toSeq
+          else Seq(
+            s"100x crawl-e2e diverged from base: got ${got.size} rows, " +
+              s"base ${baseRows.size}")
+        }))
+    }
+
     // ingest e2e composition at 100x (r13): CSV slice + JSONL slice with
     // re-ingested duplicates -> union -> keep-min exact dedup ->
     // partitionBy(lang) write -> pruned read. Result-invariance is exact:

@@ -177,6 +177,10 @@ class PlanGuardSpec extends AnyFunSuite with Matchers {
     // back onto the decisions
     ("u_crawl_frontier_e2e", 2, 0),
     ("u_robots_decisions", 4, 0),
+    // text never shuffles: per-doc metrics fold map-side, the dedup
+    // exchange carries (fp, metrics) tuples, then the lang regroup +
+    // the countDistinct second phase
+    ("p_crawl_e2e", 3, 0),
     ("m_webm_meta", 0, 0))
 
   test("headline [B] gates keep their audited plan shapes") {

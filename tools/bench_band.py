@@ -21,9 +21,20 @@ band; queries capped this way are listed loudly. Pass --ack-widen only
 after the widened readings have been adjudicated (quiet-window probes or
 a named cause) — the acknowledgment is recorded in the band file.
 
+A band may also carry a `priced_at` note (r16, per the r15 verdict's
+ask #8): when a gate's IN-GATE work deliberately changes (a new audit,
+an added quality floor), record the priced cost explicitly with
+
+    python3 tools/bench_band.py --price QUERY "what was added and why"
+
+so a later bench_diff flag on that query reads as "paid for new
+verification at <commit>" instead of an unexplained slowdown. Notes
+survive refreshes until re-priced.
+
 Usage:
     python3 tools/bench_band.py            # writes tools/bench_band.json
     python3 tools/bench_band.py --ack-widen "reason"  # accept wider bands
+    python3 tools/bench_band.py --price QUERY "note"  # annotate priced cost
     python3 tools/bench_band.py --print    # band summary for SURVEY §5
 """
 import json
@@ -72,24 +83,44 @@ def quantile(xs, p):
 WIDEN_CAP = 1.15  # max per-refresh band growth without acknowledgment
 
 
+def price(query, note):
+    """Annotate one query's band entry with a priced in-gate-cost note."""
+    doc = json.loads(OUT.read_text())
+    entry = doc.setdefault("queries", {}).setdefault(query, {})
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        cwd=REPO, capture_output=True, text=True).stdout.strip()
+    entry["priced_at"] = {"commit": head, "note": note}
+    OUT.write_text(json.dumps(doc, indent=1, sort_keys=True) + "\n")
+    print(f"priced {query} at {head}: {note}")
+
+
 def main():
+    if "--price" in sys.argv:
+        i = sys.argv.index("--price")
+        price(sys.argv[i + 1], sys.argv[i + 2])
+        return
     hist, n_runs, n_revs = histories()
     prior = {}
     ack = None
     if "--ack-widen" in sys.argv:
         i = sys.argv.index("--ack-widen")
         ack = sys.argv[i + 1] if i + 1 < len(sys.argv) else "acknowledged"
+    # committed = the COMMITTED band, not the on-disk file: repeated
+    # uncommitted regens would otherwise compound the x1.15 allowance.
+    # Loaded regardless of --ack-widen because priced_at notes must
+    # survive every refresh; the widen-cap prior only applies sans ack.
+    committed = {}
+    show = subprocess.run(
+        ["git", "show", "HEAD:tools/bench_band.json"],
+        cwd=REPO, capture_output=True, text=True)
+    if show.returncode == 0:
+        try:
+            committed = json.loads(show.stdout).get("queries", {})
+        except json.JSONDecodeError:
+            committed = {}
     if ack is None:
-        # prior = the COMMITTED band, not the on-disk file: repeated
-        # uncommitted regens would otherwise compound the x1.15 allowance
-        show = subprocess.run(
-            ["git", "show", "HEAD:tools/bench_band.json"],
-            cwd=REPO, capture_output=True, text=True)
-        if show.returncode == 0:
-            try:
-                prior = json.loads(show.stdout).get("queries", {})
-            except json.JSONDecodeError:
-                prior = {}
+        prior = committed
     bands = {}
     all_ratios = []
     capped = []
@@ -111,6 +142,8 @@ def main():
             "band": round(band, 3),
             "max_ratio_seen": round(max(ratios), 3),
         }
+        if "priced_at" in committed.get(q, {}):
+            bands[q]["priced_at"] = committed[q]["priced_at"]
     head = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],
         cwd=REPO, capture_output=True, text=True).stdout.strip()

@@ -67,7 +67,9 @@ def main():
     print(f"old total {old['value']:.1f}s ({len(oq)} queries) -> "
           f"new total {new['value']:.1f}s ({len(nq)} queries)")
     for name, a, b in flags:
-        print(f"REGRESSED {name}: {a:.2f}s -> {b:.2f}s ({b / a:.1f}x)")
+        pa = bands.get(name, {}).get("priced_at")
+        note = (f"  [priced at {pa['commit']}: {pa['note']}]" if pa else "")
+        print(f"REGRESSED {name}: {a:.2f}s -> {b:.2f}s ({b / a:.1f}x){note}")
     for name, a, b in improved:
         print(f"improved  {name}: {a:.2f}s -> {b:.2f}s")
     only_new = sorted(set(nq) - set(oq))
