@@ -7,6 +7,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // r16 (guide §2.2): let AQE re-coalesce the output partitioning of
+      // cached plans too — cached intermediates (the iterative gates'
+      // edge/node frames) otherwise pin the shuffle-partition CONSTANT
+      // into every downstream stage; with this on, their partitioning is
+      // sized by bytes (advisory size), i.e. scale-adaptively, at every
+      // scale. Gate results are partition-count-independent by
+      // construction (the driver already varies cpus and sf).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,6 +14,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // r16: AQE sizes cached-plan output partitions by bytes (see the
+      // Bench session note) — same conf here so Verify runs the same
+      // physical shapes the bench times.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_STATE_PROVIDER=rocksdb: replay the stateful streaming
     // gates on the RocksDB state store (the 100-TB-state provider) — the

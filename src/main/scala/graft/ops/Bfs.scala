@@ -49,8 +49,11 @@ object Bfs {
     require(maxDepth <= 64,
       s"maxDepth $maxDepth: BFS pays one distributed round per hop — " +
         "beyond ~64 hops you want star-contraction reachability, not BFS")
+    // r16: no Par.fan — per-row work is integer arithmetic, so the
+    // bytes-proportional scan partitioning is already scale-adaptive and
+    // the fan's round-robin exchange was pure overhead (guide §2.4).
     val e = Par.cached(
-      Par.fan(edges).select(col(srcCol).as("__s"), col(dstCol).as("__d")))
+      edges.select(col(srcCol).as("__s"), col(dstCol).as("__d")))
     var dist = seeds
       .select(col(seedCol).as("node"))
       .distinct()

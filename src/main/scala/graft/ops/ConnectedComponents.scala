@@ -100,8 +100,11 @@ object ConnectedComponents {
       idA: String = "id_a",
       idB: String = "id_b",
       maxRounds: Int = 30): DataFrame = {
+    // r16: no Par.fan — per-row work is integer arithmetic, so the
+    // bytes-proportional scan partitioning is already scale-adaptive and
+    // the fan's round-robin exchange was pure overhead (guide §2.4).
     val raw = Par.cached(
-      Par.fan(pairs)
+      pairs
         .select(col(idA).cast(LongType).as("u"), col(idB).cast(LongType).as("v"))
         .filter(col("u") =!= col("v")))
     val nodes = raw

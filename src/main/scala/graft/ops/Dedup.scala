@@ -782,7 +782,6 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       hotK: Int = 1024): DataFrame = {
-    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val sh = Par.cached(
       Par.fan(df).select(
         col(idCol).as("id"),
@@ -791,6 +790,19 @@ object Dedup {
             TextFunctions.shingleSet(col(textCol), n),
             s => TextFunctions.hash61(s))).as("sh"))
         .filter(size(col("sh")) > 0))
+    prefixJaccardPairsOf(sh, threshold, hotK)
+  }
+
+  /** Core of [[prefixJaccardPairs]] over a prebuilt (cached) hashed-
+    * shingle frame `(id, sh)` with empty shingle sets already dropped —
+    * shared with [[lshRecallReport]], which feeds the SAME cached frame
+    * to both its truth and LSH sides (r16).
+    */
+  private def prefixJaccardPairsOf(
+      sh: DataFrame,
+      threshold: Double,
+      hotK: Int): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val toks = sh.select(
       col("id"), size(col("sh")).as("len"), explode(col("sh")).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -915,11 +927,23 @@ object Dedup {
       n: Int = 3,
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val shared = Par.cached(Par.fan(df)
-      .select(col(idCol).as("__id"), col(textCol).as("__text")))
+    // r16 (guide §1.2 "don't compute things twice"): truth and LSH sides
+    // consume the IDENTICAL hashed-shingle frame (same n, same hash61 of
+    // the same shingle set) — build and cache it ONCE and feed both
+    // pipelines, instead of letting each re-shingle the corpus and hold
+    // its own cache. Values are unchanged: both sides read the same
+    // expressions they built internally before.
+    val k = MinhashA.length
+    require(k % bands == 0, "bands must divide k")
+    val sh = Par.cached(Par.fan(df).select(
+      col(idCol).as("id"),
+      array_distinct(
+        transform(
+          TextFunctions.shingleSet(col(textCol), n),
+          s => TextFunctions.hash61(s))).as("sh")))
     pairRecallReport(
-      prefixJaccardPairs(shared, "__id", "__text", n, threshold),
-      minhashLshPairs(shared, "__id", "__text", n, bands, threshold))
+      prefixJaccardPairsOf(sh.filter(size(col("sh")) > 0), threshold, 1024),
+      minhashPairsOf(sh, bandedOf(sh, bands, k / bands), threshold))
   }
 
   def containmentPairs(

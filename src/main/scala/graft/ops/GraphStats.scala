@@ -32,8 +32,11 @@ object GraphStats {
       edges: DataFrame,
       srcCol: String,
       dstCol: String): DataFrame = {
+    // r16: no Par.fan — per-row work is integer arithmetic, so the
+    // bytes-proportional scan partitioning is already scale-adaptive and
+    // the fan's round-robin exchange was pure overhead (guide §2.4).
     val e = Par.cached(
-      Par.fan(edges).select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
     val nodes = Par.cached(
       e.select(col("__src").as("node"))
         .union(e.select(col("__dst").as("node")))
@@ -101,8 +104,9 @@ object GraphStats {
       edges: DataFrame,
       srcCol: String,
       dstCol: String): DataFrame =
+    // r16: no Par.fan (see degreeReport)
     Par.cached(
-      Par.fan(edges)
+      edges
         .filter(col(srcCol) =!= col(dstCol))
         .select(
           least(col(srcCol), col(dstCol)).as("a"),

@@ -51,8 +51,11 @@ object Hits {
     require(iters >= 1, "need at least one iteration")
     require(scale >= 1000L && scale <= 1000000000000L,
       "scale must stay in [1e3, 1e12] so half-step sums cannot overflow")
+    // r16: no Par.fan — per-row work is integer arithmetic, so the
+    // bytes-proportional scan partitioning is already scale-adaptive and
+    // the fan's round-robin exchange was pure overhead (guide §2.4).
     val e = Par.cached(
-      Par.fan(edges).select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
     val nodes = Par.cached(
       e.select(col("__src").as("node"))
         .union(e.select(col("__dst").as("node")))

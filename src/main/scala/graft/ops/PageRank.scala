@@ -79,15 +79,23 @@ object PageRank {
       "scale must stay in [1e3, 1e12] so rank sums cannot overflow")
     require(dampDen <= 1000L,
       "dampDen must stay <= 1000 so damping products cannot overflow")
+    // r16: same two changes as [[ranks]] — no Par.fan on the edge/seed
+    // frames (integer-arith per-row work; scan partitioning is already
+    // scale-adaptive) and the out-degree joined into the cached edge
+    // frame ONCE instead of per iteration (guide §2.4).
+    val eRaw = Par.cached(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
     val e = Par.cached(
-      Par.fan(edges).select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
+      eRaw.join(
+        eRaw.groupBy(col("__src")).agg(count(lit(1)).as("__deg")),
+        Seq("__src")))
     val seedSet = Par.cached(
-      Par.fan(seeds).select(col(seedCol).as("node")).distinct())
+      seeds.select(col(seedCol).as("node")).distinct())
     // node frame carries the seed flag (broadcast membership join — the
     // seed list is tiny by construction)
     val nodes = Par.cached(
-      e.select(col("__src").as("node"))
-        .union(e.select(col("__dst").as("node")))
+      eRaw.select(col("__src").as("node"))
+        .union(eRaw.select(col("__dst").as("node")))
         .distinct()
         .join(broadcast(seedSet.select(col("node"), lit(true).as("__seed"))),
           Seq("node"), "left")
@@ -96,8 +104,6 @@ object PageRank {
           coalesce(col("__seed"), lit(false)).as("__seed")))
     val ns = nodes.filter(col("__seed")).count()
     require(ns >= 1, "seed set must intersect the graph's node set")
-    val outdeg = Par.cached(
-      e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")))
     val base = (scale * (dampDen - dampNum)) / (dampDen * ns)
     val teleport =
       when(col("__seed"), lit(base)).otherwise(lit(0L))
@@ -109,7 +115,6 @@ object PageRank {
     for (i <- 1 to iters) {
       val contrib = e
         .join(r, e("__src") === r("node"))
-        .join(outdeg, Seq("__src"))
         .select(
           col("__dst").as("node"),
           intDiv(col("rank") * lit(dampNum), lit(dampDen) * col("__deg"))
@@ -153,16 +158,32 @@ object PageRank {
     // localCheckpoint each iteration's ranks (the nearDupClusters
     // iterative-state pattern: without it the lineage re-derives the whole
     // graph per level and the plan tree grows multiplicatively; iteration
-    // state is node-sized, the canonical thing to materialize)
+    // state is node-sized, the canonical thing to materialize).
+    //
+    // r16 (guide §2.4): the out-degree is JOINED INTO the cached edge
+    // frame once, up front, instead of re-joined every iteration — the
+    // per-iteration plan drops from two joins to one, removing
+    // (iters − 1) edge-sized join passes. The join is the same equi-join
+    // the old per-iteration plan ran (partial-agg'd degree side), so the
+    // contribution values are bit-identical. No Par.fan on the edges:
+    // per-row work here is integer arithmetic, so the bytes-proportional
+    // scan partitioning is already the scale-adaptive choice and the
+    // fan's round-robin exchange was pure overhead at every scale.
+    // eRaw cached too: the caller's edge expression can be expensive
+    // (u_host_rank derives URL domains per edge) and feeds the degree
+    // join (twice) plus both node-set branches — uncached it would
+    // re-evaluate four times while e materializes.
+    val eRaw = Par.cached(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
     val e = Par.cached(
-      Par.fan(edges).select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
+      eRaw.join(
+        eRaw.groupBy(col("__src")).agg(count(lit(1)).as("__deg")),
+        Seq("__src")))
     val nodes = Par.cached(
-      e.select(col("__src").as("node"))
-        .union(e.select(col("__dst").as("node")))
+      eRaw.select(col("__src").as("node"))
+        .union(eRaw.select(col("__dst").as("node")))
         .distinct())
     val n = nodes.count() // the one driver-side scalar
-    val outdeg = Par.cached(
-      e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")))
     val base = (scale * (dampDen - dampNum)) / (dampDen * n)
     var r = nodes.select(col("node"), lit(scale / n).as("rank"))
     // Checkpoint cadence: every SECOND iteration (and always the last).
@@ -178,7 +199,6 @@ object PageRank {
     for (i <- 1 to iters) {
       val contrib = e
         .join(r, e("__src") === r("node"))
-        .join(outdeg, Seq("__src"))
         .select(
           col("__dst").as("node"),
           intDiv(col("rank") * lit(dampNum), lit(dampDen) * col("__deg"))
@@ -198,7 +218,8 @@ object PageRank {
           // per-node share = (mass · dampNum) intdiv (dampDen · N) — longs
           // stay ≤ scale·dampNum ≪ 2⁵³, so intDiv remains exact
           val dangling = r
-            .join(outdeg, r("node") === outdeg("__src"), "left_anti")
+            .join(e.select(col("__src")), r("node") === col("__src"),
+              "left_anti")
             .agg(coalesce(sum(col("rank")), lit(0L)).as("__dmass"))
           withBase
             .crossJoin(broadcast(dangling))

@@ -22,6 +22,17 @@ object PipelineQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.ops.Par.fan(spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** UNFANNED table read (r16, guide §2.4): for gates whose per-row work
+    * is trivial integer arithmetic (the doc_id-derived graph/eval
+    * fixtures), [[graft.ops.Par.fan]]'s round-robin exchange buys nothing
+    * at any scale — at 100 TB the scan is already thousands of
+    * partitions, and at bench scale the fan only multiplies every
+    * downstream map stage to 32 tiny tasks. Text/embedding gates (heavy
+    * per-row compute) keep the fanned [[t]].
+    */
+  private def tRaw(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
   // Shared composition chains --------------------------------------------
   // One owner for the stage lists of the two e2e composition gates, shared
   // VERBATIM with tools.ScaleSmoke so the 100x smoke can never drift from
@@ -930,7 +941,7 @@ object PipelineQueries {
     // so components mix long paths and stars. cluster_id = component min,
     // gated hash-exact against the recursive-closure oracle -----
     "p_cc_star" -> { (s, dir) =>
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = tRaw(s, dir, "documents").select(col("doc_id"))
       val chain = docs
         .filter(col("doc_id") % 100 =!= 99)
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
@@ -1021,7 +1032,7 @@ object PipelineQueries {
     // rows appear; a 3-node literal cycle pins the cycle verdict; every
     // %50 doc carries a SECOND out-edge that min-collapse must drop -----
     "u_redirects" -> { (s, dir) =>
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = tRaw(s, dir, "documents").select(col("doc_id"))
       val u = (x: Column) => concat(lit("u"), x.cast(StringType))
       val e1 = docs.filter(col("doc_id") % 100 =!= 0)
         .select(u(col("doc_id")).as("src"), u(col("doc_id") - 1).as("dst"))
@@ -1097,7 +1108,7 @@ object PipelineQueries {
     // metric arithmetic itself stays exact-integer. Same 20-bucket run
     // fixture as t_rank_eval; grades 1..3 hash-derived -----
     "t_ndcg" -> { (s, dir) =>
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = tRaw(s, dir, "documents").select(col("doc_id"))
       val qrels = docs
         .filter(
           TextFunctions.hash61(
@@ -1130,7 +1141,7 @@ object PipelineQueries {
     // some low, some miss the cutoff entirely and every metric is
     // non-trivial -----
     "t_rank_eval" -> { (s, dir) =>
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = tRaw(s, dir, "documents").select(col("doc_id"))
       val qrels = docs
         .filter(
           TextFunctions.hash61(
@@ -1396,7 +1407,7 @@ object PipelineQueries {
     // early-exit on an exhausted frontier; oracle = a depth-bounded
     // recursive CTE -----
     "u_crawl_depth" -> { (s, dir) =>
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = tRaw(s, dir, "documents").select(col("doc_id"))
       val n = docs.count()
       val e1 = docs.select(
         col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
@@ -1419,7 +1430,7 @@ object PipelineQueries {
     // every doc links to two pseudo-random targets, every 5th doc also
     // links to one of 37 hub nodes (the authority set) -----
     "u_pagerank" -> { (s, dir) =>
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = tRaw(s, dir, "documents").select(col("doc_id"))
       val n = docs.count()
       val e1 = docs.select(
         col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
@@ -1436,7 +1447,7 @@ object PipelineQueries {
     // authorities and the every-5th linkers as hubs. Integer-exact
     // max-rescale iterations — hash-gateable like the PageRank family -----
     "u_hits" -> { (s, dir) =>
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = tRaw(s, dir, "documents").select(col("doc_id"))
       val n = docs.count()
       val e1 = docs.select(
         col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
@@ -1454,7 +1465,7 @@ object PipelineQueries {
     // PageRank lacks (link farms inflate global in-link mass but sit far
     // from seeds). Unreachable nodes get rank 0. Integer-exact -----
     "u_trustrank" -> { (s, dir) =>
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = tRaw(s, dir, "documents").select(col("doc_id"))
       val n = docs.count()
       val e1 = docs.select(
         col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
@@ -1475,7 +1486,7 @@ object PipelineQueries {
     // set u_pagerank_dangling redistributes; the hub tail the salted
     // joins absorb). Exact integer buckets via length(bin(d)) -----
     "u_degree_dist" -> { (s, dir) =>
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = tRaw(s, dir, "documents").select(col("doc_id"))
       val n = docs.count()
       val e1 = docs.select(
         col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
@@ -1492,7 +1503,7 @@ object PipelineQueries {
     // link graph as u_pagerank. Canonical-edge wedges close against the
     // edge set — pure equi-joins, no cartesian -----
     "u_triangles" -> { (s, dir) =>
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = tRaw(s, dir, "documents").select(col("doc_id"))
       val n = docs.count()
       val e1 = docs.select(
         col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
@@ -1509,7 +1520,7 @@ object PipelineQueries {
     // closure metric link-farm thresholds read. Triangles + one degree
     // agg over the SAME cached canonical edges -----
     "u_clustering" -> { (s, dir) =>
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = tRaw(s, dir, "documents").select(col("doc_id"))
       val n = docs.count()
       val e1 = docs.select(
         col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
@@ -1529,7 +1540,7 @@ object PipelineQueries {
     // integer arithmetic throughout; the dangling sum is a 1-row broadcast
     // per iteration, never a driver collect -----
     "u_pagerank_dangling" -> { (s, dir) =>
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = tRaw(s, dir, "documents").select(col("doc_id"))
       val n = docs.count()
       val linkers = docs.filter(col("doc_id") % 3 =!= 0)
       val e1 = linkers.select(
@@ -1546,7 +1557,7 @@ object PipelineQueries {
     // multigraph (parallel edges keep their multiplicity: a domain linking
     // another 1000× contributes 1000 edge shares) -----
     "u_host_rank" -> { (s, dir) =>
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = tRaw(s, dir, "documents").select(col("doc_id"))
       val n = docs.count()
       // src domains over mod 50, dst over mod 37/41: coprime moduli break
       // the regularity a single shared modulus would create (a perfectly
@@ -2426,12 +2437,17 @@ object PipelineQueries {
               "\u0430\u0435\u043E\u0440\u0441\u0443\u0445"),
             lit("\u200B")).as("text"))
       val corpus = docs.unionByName(twins)
-      val skel = corpus.select(
+      // r16 (guide §1/§2.3): the fingerprint frame feeds THREE plan
+      // branches (row side + both dup-count aggregates) and the gate runs
+      // two in-gate audit actions before the timed sink — uncached, the
+      // translate+hash pass over the corpus ran ~5x. Caching skel and the
+      // joined result computes each once; values are unchanged.
+      val skel = graft.ops.Par.cached(corpus.select(
         col("doc_id"),
         TextFunctions.hashMod(col("text")).as("raw_fp"),
         TextFunctions.hashMod(
-          TextFunctions.confusableSkeleton(col("text"))).as("skel_fp"))
-      val out = skel
+          TextFunctions.confusableSkeleton(col("text"))).as("skel_fp")))
+      val out = graft.ops.Par.cached(skel
         .join(
           skel.groupBy("skel_fp").agg(count(lit(1)).as("__ns")), "skel_fp")
         .join(
@@ -2439,7 +2455,7 @@ object PipelineQueries {
         .select(
           col("doc_id"),
           (col("__ns") - 1L).as("skel_dups"),
-          (col("__nr") - 1L).as("raw_dups"))
+          (col("__nr") - 1L).as("raw_dups")))
       val missedTwins = out
         .filter(col("doc_id") >= 10000000L && col("skel_dups") < 1).count()
       require(missedTwins == 0L,
@@ -3287,7 +3303,10 @@ object PipelineQueries {
     "s_ivf_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 50)
-      val ann = Similarity.ivfTopK(
+      // r16: cached — the in-gate recall floor fully evaluates ann once
+      // and the sink evaluates it again; uncached, the whole IVF pipeline
+      // (training included) ran twice per timed pass.
+      val ann = graft.ops.Par.cached(Similarity.ivfTopK(
         emb,
         "vec_id",
         "embedding",
@@ -3297,7 +3316,7 @@ object PipelineQueries {
         k = 5,
         cells = 8,
         nprobe = 3,
-        trainIters = 2)
+        trainIters = 2))
       val truth = Similarity.bruteForceTopK(
         emb, "vec_id", "embedding", qs, "vec_id", "embedding", k = 5)
       val rec = graft.ops.AnnEval

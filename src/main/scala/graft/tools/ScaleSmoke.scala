@@ -34,6 +34,10 @@ object ScaleSmoke {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // r16: match the Bench/Verify sessions (cached plans re-coalesced
+      // by AQE) so the smoke exercises the shapes the driver runs
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
