@@ -1149,15 +1149,21 @@ object Dedup {
       n: Int = 3,
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val hasShingles = size(TextFunctions.words(col(textCol))) >= n
-    val shingled = df.filter(hasShingles)
-    val short = df.filter(!hasShingles)
+    // r16 (guide §1.2): the shingleability flag and the representative
+    // frame are each consumed by MULTIPLE downstream passes (the rep
+    // election, the minhash pipeline, the survivor anti-join, the short
+    // union) — uncached, the corpus scan plus the words() split re-ran
+    // per consumer. One flagged cache + one reps cache; values unchanged.
+    val flagged = Par.cached(
+      df.withColumn("__has_sh", size(TextFunctions.words(col(textCol))) >= n))
+    val shingled = flagged.filter(col("__has_sh")).drop("__has_sh")
+    val short = flagged.filter(!col("__has_sh")).drop("__has_sh")
     val repIds = shingled
       .select(col(idCol), md5(col(textCol)).as("__fp"))
       .groupBy(col("__fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
-    val reps = shingled.join(repIds, Seq(idCol), "left_semi")
+    val reps = Par.cached(shingled.join(repIds, Seq(idCol), "left_semi"))
     val survivors = keepOnePerCluster(
       reps,
       idCol,

@@ -173,30 +173,100 @@ object Warc {
     * EOF (which per the r16 tail rule requires any bytes after the last
     * record to be a prefix of the CRLF CRLF separator).
     */
-  private final class StreamParser(in: InputStream, includePayload: Boolean) {
-    private var idx = 0
-    private var done = false
+  /** Positional buffered reader for the record walk (r16, guide §1.2
+    * per-task work): the header loop previously issued one virtual
+    * `InputStream.read()` per byte through two stream layers — ~10⁸
+    * dispatches on a Common Crawl segment, measured at roughly the same
+    * cost as the gzip inflate itself. This reader owns a flat byte
+    * buffer and scans it positionally (JIT-friendly array loops); ALL
+    * parser reads go through it so stream position stays exact.
+    */
+  private final class ByteReader(in: InputStream) {
+    private val buf = new Array[Byte](64 * 1024)
+    private var pos = 0
+    private var lim = 0
 
-    /** Read one CRLF-terminated line (the terminator consumed, not
+    /** Refill; returns false at EOF. */
+    private def fill(): Boolean = {
+      if (pos < lim) return true
+      val n = in.read(buf)
+      if (n <= 0) return false
+      pos = 0
+      lim = n
+      true
+    }
+
+    def read(): Int =
+      if (pos < lim || fill()) { val b = buf(pos) & 0xff; pos += 1; b }
+      else -1
+
+    /** Read exactly `len` bytes into `dst` unless EOF; returns count. */
+    def readFully(dst: Array[Byte], len: Int): Int = {
+      var got = 0
+      while (got < len) {
+        if (pos < lim) {
+          val take = math.min(len - got, lim - pos)
+          System.arraycopy(buf, pos, dst, got, take)
+          pos += take
+          got += take
+        } else {
+          // bulk-read the remainder straight from the stream when it
+          // exceeds one buffer fill (payload bodies)
+          val n = in.read(dst, got, len - got)
+          if (n <= 0) return got
+          got += n
+        }
+      }
+      got
+    }
+
+    /** Skip exactly `n` bytes unless EOF; returns count skipped. */
+    def skipFully(n: Long): Long = {
+      var done = 0L
+      while (done < n) {
+        if (pos < lim) {
+          val take = math.min(n - done, (lim - pos).toLong).toInt
+          pos += take
+          done += take
+        } else if (!fill()) return done
+      }
+      done
+    }
+
+    /** One CRLF-terminated US-ASCII line (terminator consumed, not
       * returned); `first` is a byte already consumed by the caller.
+      * Byte-identical logic to the r15 loop — only the byte source
+      * changed (flat-buffer read instead of layered stream reads) and
+      * the accumulator (plain array instead of a synchronized BAOS).
       */
-    private def readLine(first: Int): Either[String, String] = {
-      val buf = new java.io.ByteArrayOutputStream(128)
+    def readLine(first: Int): Either[String, String] = {
+      var line = new Array[Byte](128)
+      var n = 0
       var prev = -1
       var b = first
       while (true) {
         if (b == -1) return Left("eof-in-header")
-        if (prev == '\r' && b == '\n') {
-          val arr = buf.toByteArray
-          return Right(new String(arr, 0, arr.length - 1, "US-ASCII"))
-        }
-        buf.write(b)
-        if (buf.size > MaxHeaderLineBytes) return Left("header-line-too-long")
+        if (prev == '\r' && b == '\n')
+          return Right(new String(line, 0, n - 1, "US-ASCII"))
+        if (n == line.length)
+          line = java.util.Arrays.copyOf(line, line.length * 2)
+        line(n) = b.toByte
+        n += 1
+        if (n > MaxHeaderLineBytes) return Left("header-line-too-long")
         prev = b
-        b = in.read()
+        b = read()
       }
       Left("unreachable")
     }
+  }
+
+  private final class StreamParser(in: InputStream, includePayload: Boolean) {
+    private var idx = 0
+    private var done = false
+    private val rdr = new ByteReader(in)
+
+    private def readLine(first: Int): Either[String, String] =
+      rdr.readLine(first)
 
     def next(): Option[Either[String, WarcRecord]] = {
       if (done) return None
@@ -205,10 +275,10 @@ object Warc {
         Some(Left(reason))
       }
       // tolerate CRLF pairs between records; clean EOF may land here
-      var b = in.read()
+      var b = rdr.read()
       while (b == '\r') {
-        if (in.read() != '\n') return fail("stray-cr-between-records")
-        b = in.read()
+        if (rdr.read() != '\n') return fail("stray-cr-between-records")
+        b = rdr.read()
       }
       if (b == -1) { done = true; return None }
       val version = readLine(b) match {
@@ -222,7 +292,7 @@ object Warc {
       var len = -1L
       var headersDone = false
       while (!headersDone) {
-        readLine(in.read()) match {
+        readLine(rdr.read()) match {
           case Left(r) => return fail(r)
           case Right("") => headersDone = true
           case Right(line) =>
@@ -253,28 +323,16 @@ object Warc {
         if (includePayload) len.toInt
         else math.min(len, HttpHeadBytes.toLong).toInt
       val head = new Array[Byte](headLen)
-      var got = 0
-      var r = 0
-      while (got < headLen && r >= 0) {
-        r = in.read(head, got, headLen - got)
-        if (r > 0) got += r
-      }
-      if (got != headLen) return fail("truncated-payload")
-      var toSkip = len - headLen
-      while (toSkip > 0L) {
-        val s = in.skip(toSkip)
-        if (s <= 0L) {
-          // skip() may legally return 0 before EOF — distinguish via read
-          if (in.read() == -1) return fail("truncated-payload")
-          toSkip -= 1
-        } else toSkip -= s
-      }
+      if (rdr.readFully(head, headLen) != headLen)
+        return fail("truncated-payload")
+      if (rdr.skipFully(len - headLen) != len - headLen)
+        return fail("truncated-payload")
       // records terminate with CRLF CRLF; EOF mid-separator is a clean
       // end iff the bytes present match a prefix of it (the tail rule)
       var si = 0
       var sepDone = false
       while (si < 4 && !sepDone) {
-        val sb = in.read()
+        val sb = rdr.read()
         if (sb == -1) { done = true; sepDone = true }
         else if (sb != Sep(si)) return fail("bad-record-separator")
         else si += 1

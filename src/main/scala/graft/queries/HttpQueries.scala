@@ -1086,9 +1086,16 @@ object HttpQueries {
               System.currentTimeMillis() < deadline) {
               Thread.sleep(100)
               if (q.exception.isDefined) throw q.exception.get
-              committed =
-                try s.read.parquet(outDir).count()
-                catch { case _: Throwable => -1L }
+              // r16: poll the query's own progress events instead of
+              // re-counting the sink parquet — the old poll ran a full
+              // Spark job (listing + scan) every 100 ms, ~30 throwaway
+              // jobs per run. A progress event is emitted only AFTER its
+              // batch commits (sink and state commit in the same batch
+              // transaction), so seeing every expected INPUT row in the
+              // progress log proves the same durability the parquet
+              // re-count did (the file sink reports no output rows; this
+              // stream is row-preserving, one output per input).
+              committed = q.recentProgress.map(_.numInputRows).sum
             }
             require(
               committed >= expectedRows,
@@ -1112,7 +1119,10 @@ object HttpQueries {
         // redeliver EVERYTHING (run-1 keys included) as new input files
         probe.repartition(2).write.mode("append").parquet(inDir)
         val before2 = stateRouteHits.get()
-        runOnce(nHalf + nTotal) // run #2: restart from the same checkpoint
+        // r16: expectations are PER-RUN now that the poll reads the
+        // query's own progress (run 2 processes exactly the newly
+        // delivered full slice — the checkpoint skips run-1 files)
+        runOnce(nTotal) // run #2: restart from the same checkpoint
         val wire2 = stateRouteHits.get() - before2
         require(
           wire2 == keysTotal - keysHalf,
