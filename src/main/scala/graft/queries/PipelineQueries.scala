@@ -1731,7 +1731,11 @@ object PipelineQueries {
     // 5-row metric relation. The 3-term collect is driver-bounded model
     // state (the IVF-centroid class). -----
     "p_retrieval_e2e" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      // r16: cached — the chain reads the corpus THREE times (postings
+      // term pick, BM25 scoring, qrels derivation); uncached, each pass
+      // re-scanned the parquet and re-paid the fan exchange of the full
+      // text column.
+      val docs = graft.ops.Par.cached(t(s, dir, "documents"))
       val terms = graft.ops.TfIdf
         .postings(docs, "doc_id", "text")
         .select(col("term"), col("df"))

@@ -189,12 +189,11 @@ class PlanGuardSpec extends AnyFunSuite with Matchers {
       s"needs the driver-generated testdata at $dir")
     val failures = Seq.newBuilder[String]
     pinned.foreach { case (name, maxExchanges, maxBnlj) =>
-      val plan = SparkEntry
-        .queries(name)(spark, dir)
-        .queryExecution
-        .executedPlan
-        .toString
-      val s = PlanShapeProbe.shape(plan)
+      // r16: tree-based counting (see PlanShapeProbe.shapeOf) — cached
+      // subtrees materialized by in-gate audits print final+initial AQE
+      // plans, double-counting exchanges in the text form
+      val s = PlanShapeProbe.shapeOf(
+        SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
       if (s("exchange") > maxExchanges)
         failures += s"$name: ${s("exchange")} exchanges (pinned <= $maxExchanges)"
       if (s("bnlj") > maxBnlj)
