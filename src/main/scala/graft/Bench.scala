@@ -102,7 +102,9 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      graft.ops.Par.releaseCaches()
+      // blocking: cache-removal work must land in THIS query's window,
+      // not poison the successor's sample (guide §1.4)
+      graft.ops.Par.releaseCaches(blocking = true)
       val dt = (System.nanoTime() - t0) / 1e9
       samples(name) = dt :: samples.getOrElse(name, Nil)
     }

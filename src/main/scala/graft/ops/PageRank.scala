@@ -184,6 +184,14 @@ object PageRank {
         .union(eRaw.select(col("__dst").as("node")))
         .distinct())
     val n = nodes.count() // the one driver-side scalar
+    // dangling membership test: the DISTINCT source set (node-sized, the
+    // role the pre-r16 outdeg frame played). Anti-joining the raw edge
+    // list instead would re-scan |E| rows per iteration for a |V|-sized
+    // set test — measured +1.5s on u_pagerank_dangling at sf0.1.
+    val srcs =
+      if (redistributeDangling)
+        Par.cached(eRaw.select(col("__src")).distinct())
+      else null
     val base = (scale * (dampDen - dampNum)) / (dampDen * n)
     var r = nodes.select(col("node"), lit(scale / n).as("rank"))
     // Checkpoint cadence: every SECOND iteration (and always the last).
@@ -218,8 +226,7 @@ object PageRank {
           // per-node share = (mass · dampNum) intdiv (dampDen · N) — longs
           // stay ≤ scale·dampNum ≪ 2⁵³, so intDiv remains exact
           val dangling = r
-            .join(e.select(col("__src")), r("node") === col("__src"),
-              "left_anti")
+            .join(srcs, r("node") === srcs("__src"), "left_anti")
             .agg(coalesce(sum(col("rank")), lit(0L)).as("__dmass"))
           withBase
             .crossJoin(broadcast(dangling))

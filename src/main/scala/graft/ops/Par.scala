@@ -108,16 +108,24 @@ object Par {
     p
   }
 
-  /** Unpersist every intermediate persisted via [[cached]] (non-blocking) —
-    * an explicit GLOBAL sweep across all pipelines, for one-shot drivers and
-    * tools (Bench/Verify). Long-lived sessions running pipelines
-    * concurrently should prefer [[scoped]] + `handle.release()` so each
-    * pipeline releases only its own intermediates.
+  /** Unpersist every intermediate persisted via [[cached]] — an explicit
+    * GLOBAL sweep across all pipelines, for one-shot drivers and tools
+    * (Bench/Verify). Long-lived sessions running pipelines concurrently
+    * should prefer [[scoped]] + `handle.release()` so each pipeline
+    * releases only its own intermediates.
+    *
+    * `blocking = true` (r16, guide §1 "measure correctly"): Bench calls
+    * the sweep INSIDE each query's timed window, so a non-blocking
+    * unpersist deferred the block-manager removal work into the NEXT
+    * query's measurement — measured as a reproducible +0.6s on the
+    * successor of a cache-heavy gate (m_media_meta after
+    * p_cross_neardup). Blocking charges cleanup to the query that made
+    * the caches.
     */
-  def releaseCaches(): Unit = {
+  def releaseCaches(blocking: Boolean = false): Unit = {
     var df = live.poll()
     while (df != null) {
-      df.unpersist(false)
+      df.unpersist(blocking)
       df = live.poll()
     }
   }
