@@ -111,16 +111,24 @@ object ConnectedComponents {
       .select(col("u").as("node"))
       .union(raw.select(col("v").as("node")))
       .distinct()
+    // r16 (guide §1.2 fixed overhead): LAZY localCheckpoint fused with the
+    // signature action — the signature's 1-row agg computes every
+    // partition anyway, so it both materializes the checkpoint and reads
+    // the convergence state in ONE job per round instead of two (eager
+    // checkpoint job + separate signature job). Plan flatness is
+    // unchanged: localCheckpoint truncates the logical plan at call time
+    // regardless of eagerness. Measured: p_cc_star 87 → 78 jobs,
+    // warm wall 7.4 → 3.8–4.3 s at sf0.1 local[32].
     var e = raw
       .select(greatest(col("u"), col("v")).as("hi"), least(col("u"), col("v")).as("lo"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var sig = signature(e)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
-      e = smallStar(largeStar(e)).localCheckpoint()
+      e = smallStar(largeStar(e)).localCheckpoint(false)
       val next = signature(e)
       converged = next == sig
       sig = next

@@ -1104,10 +1104,21 @@ object HttpQueries {
           } finally q.stop()
         }
 
-        val nHalf = half.count()
-        val nTotal = probe.count()
-        val keysHalf = half.select(col("c_custkey")).distinct().count()
-        val keysTotal = probe.select(col("c_custkey")).distinct().count()
+        // r16: the four expectation scalars in ONE aggregate pass over the
+        // probe slice (was 4 separate driver count jobs, each re-scanning
+        // orders.parquet)
+        val expectations = probe
+          .agg(
+            sum(when(col("o_orderkey") % 2 === 0, 1L).otherwise(0L)),
+            count(lit(1)),
+            count_distinct(
+              when(col("o_orderkey") % 2 === 0, col("c_custkey"))),
+            count_distinct(col("c_custkey")))
+          .head()
+        val nHalf = expectations.getLong(0)
+        val nTotal = expectations.getLong(1)
+        val keysHalf = expectations.getLong(2)
+        val keysTotal = expectations.getLong(3)
         val before1 = stateRouteHits.get()
         runOnce(nHalf) // run #1: half the slice, one wire call per key
         val wire1 = stateRouteHits.get() - before1
