@@ -2194,8 +2194,13 @@ object ScaleSmoke {
           // bound scales with the shuffle fan-out (a healthy fully-
           // combined stage legitimately reads ~rows/partitions per task);
           // the failure mode — deg(hub) rows into one reduce task — is
-          // ~n regardless of partition count
-          val bound = 4L * n / cpus.toLong.max(1L)
+          // ~n regardless of partition count. r16: the widest HEALTHY
+          // stage is now the one-time cached-edge build, whose fused
+          // degree-agg + degree-join reads the 2n-edge exchange twice
+          // (~4n/partitions combined, measured 502576 at n=4M/32 tasks);
+          // the bound is 6n/partitions — above that build stage, still
+          // ~5x below the uncombined-hub failure mode this step hunts.
+          val bound = 6L * n / cpus.toLong.max(1L)
           val top = df.orderBy(col("rank").desc).limit(1).collect()(0)
           Seq(
             if (top.getLong(0) == hub && top.getLong(1) > 250000000000L) None
