@@ -111,6 +111,14 @@ object BloomJoin {
     require(
       probeKey != BuildKeyAlias,
       s"probe key must not be named $BuildKeyAlias")
+    // NOTE on build-side reuse: the build side is consumed up to three
+    // times (sizing count when expectedItems is defaulted, the Bloom
+    // aggregate, the exact join's input). The op does NOT cache it —
+    // measured r17: for cheap build sides (a filtered scan) a cache
+    // costs more than the re-scan (p_bloom_antijoin 0.68→0.75 s,
+    // p_cross_dedup 0.44→0.56 s). Callers whose build side is an
+    // expensive derived frame should pass a Par.cached frame
+    // (u_domain_block does).
     buildFilter(build, buildKey, expectedItems, fpp) match {
       case None =>
         // Empty build side: nothing to subtract — the anti-join identity.
@@ -144,6 +152,7 @@ object BloomJoin {
     require(
       probeKey != BuildKeyAlias,
       s"probe key must not be named $BuildKeyAlias")
+    // build-side reuse: deliberately uncached — see the antiJoin note.
     buildFilter(build, buildKey, expectedItems, fpp) match {
       case None =>
         // Empty build side: nothing can match — the semi-join zero.

@@ -43,6 +43,16 @@ object ConnectedComponents {
   /** (count, xxhash64 multiset sum) signature of a canonical edge set —
     * two edge sets with equal signatures are equal for convergence
     * purposes (sum is order- and partitioning-independent).
+    *
+    * INVARIANT (r16 fusion, r16 advice): this is a FULL-partition
+    * aggregate and it is the FIRST action on each round's frame — the
+    * round's `localCheckpoint(false)` is lazy and relies on this action
+    * to materialize EVERY partition of the checkpoint. Replacing the
+    * convergence probe with a partial-partition action (`isEmpty`,
+    * `limit(1).count` — the [[Bfs]] pattern) would leave the lazy
+    * checkpoint only partially materialized: still correct, but the
+    * truncated lineage becomes recompute-prone. If the probe ever
+    * changes shape, switch the checkpoints back to eager.
     */
   private def signature(e: DataFrame): (Long, BigDecimal) = {
     // DECIMAL(38,0) sum: exact and overflow-free under ANSI mode for any

@@ -1301,14 +1301,19 @@ object Dedup {
       minDocs: Int = 2): DataFrame = {
     require(k >= 2, s"window length k must be >= 2 (got $k)")
     require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
-    val occ = Par.fan(df).select(
+    // r17 (guide §1.2): the occurrence stream feeds BOTH the
+    // duplicated-hash build side and the back-join probe — uncached, the
+    // corpus was word-split, windowed and md5-hashed twice per run. The
+    // cached frame is (long, int, long)-narrow, proportional to corpus
+    // word count (MEMORY_AND_DISK spills rather than recomputes at scale).
+    val occ = Par.cached(Par.fan(df).select(
       col(idCol).as("__id"),
       posexplode(TextFunctions.shingles(TextFunctions.words(text), k))
         .as(Seq("__pos", "__win")))
       .select(
         col("__id"),
         col("__pos"),
-        TextFunctions.hash61(col("__win")).as("__h"))
+        TextFunctions.hash61(col("__win")).as("__h")))
     val dup = occ
       .select(col("__h"), col("__id"))
       .distinct()
@@ -1354,20 +1359,25 @@ object Dedup {
       minDocs: Int = 2): DataFrame = {
     require(k >= 2, s"window length k must be >= 2 (got $k)")
     require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
-    val withT = Par.fan(df).select(col(idCol).as("__oid"), text.as("__t"))
+    // r17 (guide §1.2): withT feeds three passes (rep election, rep join,
+    // map-back) and occ feeds two (dup build + back-join probe); repInfo
+    // feeds two joins. Cached, each evaluates once per run — previously
+    // the corpus text re-scanned and the rep windows re-hashed per pass.
+    val withT = Par.cached(
+      Par.fan(df).select(col(idCol).as("__oid"), text.as("__t")))
     // LONG rep ids (min original id per content) so every downstream
     // shuffle — the (h, rep) distinct, the weighted count, the islands
     // window, the map-back join — carries an 8-byte key instead of the
     // md5 string (the nearDupSurvivors collapse shape)
-    val repInfo = withT
+    val repInfo = Par.cached(withT
       .groupBy(md5(col("__t")).as("__fp"))
-      .agg(min(col("__oid")).as("__rid"), count(lit(1)).as("__mult"))
+      .agg(min(col("__oid")).as("__rid"), count(lit(1)).as("__mult")))
     val reps = withT
       .join(
         repInfo.select(col("__rid"), col("__mult")),
         col("__oid") === col("__rid"),
         "inner")
-    val occ = reps
+    val occ = Par.cached(reps
       .select(
         col("__rid"),
         col("__mult"),
@@ -1377,7 +1387,7 @@ object Dedup {
         col("__rid"),
         col("__mult"),
         col("__pos"),
-        TextFunctions.hash61(col("__win")).as("__h"))
+        TextFunctions.hash61(col("__win")).as("__h")))
     val dup = occ
       .select(col("__h"), col("__rid"), col("__mult"))
       .distinct()

@@ -28,6 +28,18 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // r17 (guide §1.2 per-task work): ImageIO's stream factories default to
+  // DISK-backed caches — createImageInputStream / createImageOutputStream
+  // (and ImageIO.read/write, which call them) spool every blob through a
+  // temp FILE even when the source is an in-memory byte array. With the
+  // media gates' small per-row fixtures that is one tmpfile create+write+
+  // delete per encode AND per decode — the dominant per-row cost, pure
+  // I/O churn with zero effect on the decoded bytes. Memory-backed cache
+  // streams produce bit-identical results (same codecs, same data path).
+  // JVM-wide and set on object load: every decoder entry point lives in
+  // this object, so the setting is established before any stream is made.
+  ImageIO.setUseCache(false)
+
   final case class MediaMeta(
       n_bytes: Long,
       width: Int,

@@ -454,8 +454,15 @@ object AnalyticsQueries {
       }
 
       runOnce() // run #1: sees only the half fixture, then terminates
-      val nHalf = half.count()
-      val nTotal = ev.count()
+      // r17 (guide §5): both expectation scalars in ONE aggregate pass
+      // over the events scan (was two separate count jobs); count(when)
+      // — not sum — so an empty fixture still yields 0, not SQL NULL
+      val cnts = ev
+        .agg(
+          count(lit(1)),
+          count(when(col("event_id") % 2 === 0, 1)))
+        .head()
+      val (nTotal, nHalf) = (cnts.getLong(0), cnts.getLong(1))
       val afterRun1 = s.read.parquet(outDir).count()
       require(
         afterRun1 == nHalf && nHalf < nTotal,

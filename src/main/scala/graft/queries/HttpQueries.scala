@@ -1107,9 +1107,12 @@ object HttpQueries {
         // r16: the four expectation scalars in ONE aggregate pass over the
         // probe slice (was 4 separate driver count jobs, each re-scanning
         // orders.parquet)
+        // count(when), not sum(when): sum over ZERO rows is SQL NULL, so an
+        // empty probe slice would NPE at getLong instead of failing the
+        // gate's require with its message (r16 advice)
         val expectations = probe
           .agg(
-            sum(when(col("o_orderkey") % 2 === 0, 1L).otherwise(0L)),
+            count(when(col("o_orderkey") % 2 === 0, 1)),
             count(lit(1)),
             count_distinct(
               when(col("o_orderkey") % 2 === 0, col("c_custkey"))),

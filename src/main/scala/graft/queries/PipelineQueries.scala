@@ -3281,10 +3281,14 @@ object PipelineQueries {
     },
     "u_domain_block" -> { (s, dir) =>
       val u = withUrl(t(s, dir, "documents"))
-      val blocked = u
+      // r17: cached — the blocklist is a corpus-wide domain extract that
+      // BloomJoin consumes three times (sizing count, Bloom aggregate,
+      // exact-join build); uncached, the regex domain parse + distinct
+      // re-ran per consumer. Measured 2.10 -> 1.8 s at sf0.1 local[32].
+      val blocked = graft.ops.Par.cached(u
         .select(Urls.urlDomain(col("url")).as("dom"))
         .filter(col("dom").endsWith(".io"))
-        .distinct()
+        .distinct())
       Urls.dropBlockedDomains(u, "url", blocked, "dom")
     },
     "u_url_dedup" -> { (s, dir) =>

@@ -49,6 +49,11 @@ object ScaleSmoke {
     // task that must read a hot key's full fan-in shows up HERE even when
     // totals look linear (the q_skew_salted_join spec pattern)
     val maxTaskReadRecords = new AtomicLong()
+    // r17 (r16 advice): per-STAGE task-read maxima, so one-time wide
+    // stages (the cached-edge build) can carry their own bound without
+    // loosening the tighter per-iteration bound for every other stage
+    val stageMaxRead =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         Option(t.taskMetrics).foreach { m =>
@@ -57,6 +62,10 @@ object ScaleSmoke {
           spillBytes.addAndGet(m.diskBytesSpilled)
           maxTaskReadRecords.getAndUpdate(v =>
             math.max(v, m.shuffleReadMetrics.recordsRead))
+          stageMaxRead.merge(
+            t.stageId,
+            Long.box(m.shuffleReadMetrics.recordsRead),
+            (a, b) => Long.box(math.max(a, b)))
         }
     })
 
@@ -119,6 +128,7 @@ object ScaleSmoke {
         graft.ops.Par.releaseCaches() // previous step's caches
         shuffleWrite.set(0); shuffleRecords.set(0); spillBytes.set(0)
         maxTaskReadRecords.set(0)
+        stageMaxRead.clear()
         val t0 = System.nanoTime()
         val df = step.run()
         df.write.format("noop").mode("overwrite").save()
@@ -2190,17 +2200,24 @@ object ScaleSmoke {
         () => graft.ops.PageRank.ranks(edges, "src", "dst", iters = 3),
         ceilingGB = 3.0,
         invariant = df => {
-          val maxRead = maxTaskReadRecords.get
-          // bound scales with the shuffle fan-out (a healthy fully-
+          // bounds scale with the shuffle fan-out (a healthy fully-
           // combined stage legitimately reads ~rows/partitions per task);
           // the failure mode — deg(hub) rows into one reduce task — is
-          // ~n regardless of partition count. r16: the widest HEALTHY
-          // stage is now the one-time cached-edge build, whose fused
-          // degree-agg + degree-join reads the 2n-edge exchange twice
-          // (~4n/partitions combined, measured 502576 at n=4M/32 tasks);
-          // the bound is 6n/partitions — above that build stage, still
-          // ~5x below the uncombined-hub failure mode this step hunts.
-          val bound = 6L * n / cpus.toLong.max(1L)
+          // ~n regardless of partition count. r17 (r16 advice): the
+          // one-time cached-edge BUILD stage (fused degree-agg +
+          // degree-join reads the 2n-edge exchange twice, measured 502576
+          // at n=4M/32 tasks) gets its own 6n/partitions bound as the
+          // single widest stage; EVERY other stage — the per-iteration
+          // fan-in this step exists to police — keeps the original
+          // tighter 4n/partitions bound instead of inheriting the
+          // build's slack.
+          val perPart = n / cpus.toLong.max(1L)
+          val (buildBound, iterBound) = (6L * perPart, 4L * perPart)
+          import scala.jdk.CollectionConverters._
+          val byStage = stageMaxRead.asScala.values.map(_.toLong).toSeq
+            .sorted(Ordering[Long].reverse)
+          val widest = byStage.headOption.getOrElse(0L)
+          val restMax = byStage.drop(1).headOption.getOrElse(0L)
           val top = df.orderBy(col("rank").desc).limit(1).collect()(0)
           Seq(
             if (top.getLong(0) == hub && top.getLong(1) > 250000000000L) None
@@ -2208,10 +2225,16 @@ object ScaleSmoke {
               s"expected the hub $hub with > 0.25 * scale"),
             if (df.count() == n) None
             else Some(s"${df.count()} nodes != $n"),
-            if (maxRead < bound) None
-            else Some(s"a task shuffle-read $maxRead records (>= 4n/" +
-              s"partitions = $bound) — the hub's fan-in reached a " +
-              "reduce task uncombined")).flatten
+            if (widest < buildBound) None
+            else Some(s"a task shuffle-read $widest records (>= 6n/" +
+              s"partitions = $buildBound) — even the one-time edge-build " +
+              "stage must stay below this; the hub's fan-in reached a " +
+              "reduce task uncombined"),
+            if (restMax < iterBound) None
+            else Some(s"a task outside the single widest stage " +
+              s"shuffle-read $restMax records (>= 4n/partitions = " +
+              s"$iterBound) — a per-iteration stage lost its map-side " +
+              "combine")).flatten
         }))
     }
 
