@@ -16,6 +16,15 @@ object Bench {
       // construction (the driver already varies cpus and sf).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // r17: the JVM-wide whole-stage-codegen class cache defaults to 100
+      // entries; a driver cycling 265 distinct queries (each compiling
+      // several generated classes) evicts everything between iterations
+      // and re-runs Janino + JIT on every stage of every query, every
+      // time. Sized to hold the whole suite's working set. Not a
+      // local-mode tune: any long-lived multi-query driver (scheduled
+      // pipelines, a query server) wants the same at production scale —
+      // it changes compilation reuse, never results.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -19,6 +19,10 @@ object Verify {
       // physical shapes the bench times.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // r17: hold the whole suite's generated-class working set (see the
+      // Bench session note) — the 100-entry default thrashes across 265
+      // distinct queries
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_STATE_PROVIDER=rocksdb: replay the stateful streaming
     // gates on the RocksDB state store (the 100-TB-state provider) — the

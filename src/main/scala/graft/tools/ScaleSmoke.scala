@@ -38,6 +38,9 @@ object ScaleSmoke {
       // by AQE) so the smoke exercises the shapes the driver runs
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // r17: see the Bench session note — many distinct steps thrash the
+      // 100-entry generated-class cache
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
