@@ -1068,11 +1068,19 @@ object Dedup {
     // re-deriving it per branch.
     val fwd = Par.cached(pairs.select(col(idA).as("n"), col(idB).as("m")))
     val edges = fwd.union(fwd.select(col("m").as("n"), col("n").as("m")))
-    // label(n) starts as min(n, min neighbor)
+    // label(n) starts as min(n, min neighbor). r17 (the r16 p_cc_star
+    // fusion, guide §1.2 fixed overhead): checkpoints are LAZY and the
+    // convergence probe is a FULL-partition count(when(moved)) aggregate —
+    // one action per round materializes the round's checkpoint AND reads
+    // the convergence state, instead of an eager-checkpoint job plus a
+    // separate limit-probe job. The full-scan-first-action invariant
+    // (see ConnectedComponents.signature) holds: the count aggregate
+    // computes every partition of `next`, and round 1's shuffle reads
+    // every partition of the initial labels frame.
     var labels = edges
       .groupBy(col("n"))
       .agg(least(min(col("m")), col("n")).as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -1089,8 +1097,9 @@ object Dedup {
           col("n"),
           least(col("lbl"), col("nlbl")).as("lbl"),
           (col("nlbl") < col("lbl")).as("moved"))
-        .localCheckpoint()
-      val changed = next.filter(col("moved")).limit(1).count()
+        .localCheckpoint(false)
+      val changed =
+        next.agg(count(when(col("moved"), 1))).head().getLong(0)
       labels = next.select(col("n"), col("lbl"))
       converged = changed == 0L
     }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import org.apache.spark.sql.Column
 
-import graft.ops.{Chunking, Dedup, Dsir, IvfInt, Multimodal, Pq, Quantize, Sampling, Similarity, TextFunctions, Urls}
+import graft.ops.{Chunking, Dedup, Dsir, IvfInt, Multimodal, Par, Pq, Quantize, Sampling, Similarity, TextFunctions, Urls}
 
 /** LLM-training-data pipeline queries (dedup, text analysis, similarity,
   * multimodal) over the `documents` / `embeddings` tables, each paired with
@@ -47,8 +47,16 @@ object PipelineQueries {
       bench: DataFrame,
       budget: Long,
       score: Column): DataFrame = {
-    val quality =
-      corpus.filter(TextFunctions.tokenCount(col("text")) >= 20)
+    // r17 (guide §1.2): the token count (a regex split per row) previously
+    // ran three times over the corpus — the quality filter, the exact-dedup
+    // pass re-deriving `quality`, and the budget cut's fresh tokenCount.
+    // Staged once into __ntok and the quality frame cached, it runs once
+    // (the webCurationChain staging pattern + the r16 p_retrieval_e2e
+    // cache precedent); values are unchanged.
+    val quality = Par.cached(
+      corpus
+        .withColumn("__ntok", TextFunctions.tokenCount(col("text")))
+        .filter(col("__ntok") >= 20))
     val keep = Dedup.exact(quality, "doc_id", "text")
       .select(col("doc_id_kept").as("doc_id"))
     val deduped = quality.join(keep, Seq("doc_id"), "left_semi")
@@ -56,8 +64,9 @@ object PipelineQueries {
       deduped, "doc_id", col("text"), bench, col("text"), n = 3)
     Sampling.tokenBudgetSelect(
       clean, "doc_id",
-      TextFunctions.tokenCount(col("text")), score,
+      col("__ntok"), score,
       budget)
+      .drop("__ntok")
   }
 
   /** The `p_web_curation_e2e` stage list with its intermediates exposed
